@@ -1,0 +1,158 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+
+import scala.collection.immutable.ListMap
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cache materialization and lookup.
+  *
+  * A cache entry is (table named by hash in the cache database, sidecar
+  * `cache_metadata.txt`) — reference `dbfs_spark_cache/core_caching.py`
+  * (`write_dbfs_cache` `:474-516`, `read_dbfs_cache_if_exist` `:409-471`,
+  * `_write_standard_cache` `:64-115`). Metadata goes through Hadoop
+  * `FileSystem` so any scheme (file://, s3a://, abfss://) works unchanged.
+  *
+  * Scale note: the cache write is a full distributed job
+  * (`saveAsTable`); everything else here is O(1) driver-side metadata, so
+  * lookups stay cheap no matter the data size.
+  */
+object CacheIO {
+
+  // --- tiny Hadoop-FS text IO (reference uses dbutils.fs: core_caching.py:47-61) ---
+
+  def readTextIfExists(pathStr: String, conf: Configuration): Option[String] =
+    try {
+      val p = new Path(pathStr)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
+        finally in.close()
+      }
+    } catch { case _: Throwable => None }
+
+  def writeText(pathStr: String, content: String, conf: Configuration): Unit = {
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def exists(pathStr: String, conf: Configuration): Boolean =
+    try {
+      val p = new Path(pathStr)
+      p.getFileSystem(conf).exists(p)
+    } catch { case _: Throwable => false }
+
+  private def hadoopConf(spark: SparkSession): Configuration =
+    spark.sparkContext.hadoopConfiguration
+
+  /** `CREATE DATABASE IF NOT EXISTS` + overwrite-save the cache table
+    * (reference `core_caching.py:37-44`; format pluggable, parquet
+    * locally since Delta isn't on the classpath). */
+  def writeCacheData(dfW: DataFrame, tbl: String): Unit = {
+    val spark = dfW.sparkSession
+    val cfg = CacheConfig.current
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.cacheDatabase}")
+    dfW.write.format(cfg.cacheFormat).mode("overwrite").saveAsTable(tbl)
+  }
+
+  /** Write table + metadata, skipping entirely when the metadata text is
+    * identical (reference `core_caching.py:64-115`). Unlike the reference
+    * the table is written exactly once (its `:113-114` double-write is a
+    * bug SURVEY.md flags as not-to-replicate). */
+  def writeStandardCache(
+      df: DataFrame,
+      hashName: String,
+      metadataFilePath: String,
+      metadataTxt: String): Unit = {
+    val conf = hadoopConf(df.sparkSession)
+    val lastMeta = readTextIfExists(metadataFilePath, conf)
+    if (lastMeta.contains(metadataTxt)) {
+      PlanFingerprint.log(s"Meta identical $hashName. Skip.")
+      return
+    }
+    writeCacheData(df, CacheConfig.current.tableNameFromHash(hashName))
+    writeText(metadataFilePath, metadataTxt, conf)
+  }
+
+  /** Cache lookup: metadata file present AND table present => re-read
+    * (reference `core_caching.py:409-471`). Returns None on miss. */
+  def readCacheIfExist(
+      df: DataFrame,
+      queryPlan: Option[String] = None,
+      inputDirModDatetime: Option[ListMap[String, String]] = None): Option[DataFrame] = {
+    val spark = df.sparkSession
+    val sources = inputDirModDatetime.getOrElse(Freshness.inputDirModTimes(df))
+    val plan = queryPlan.getOrElse(PlanFingerprint.getQueryPlan(df))
+    val (hashName, _, metadataFilePath, _) =
+      CacheMetadata.tableCacheInfo(sources, plan)
+    val tableName = CacheConfig.current.tableNameFromHash(hashName)
+    if (!exists(metadataFilePath, hadoopConf(spark))) None
+    else if (!spark.catalog.tableExists(tableName)) {
+      PlanFingerprint.log(s"Cache metadata exists but table $tableName does not")
+      None
+    } else Some(spark.read.table(tableName))
+  }
+
+  /** Materialize to the cache and return the table-backed DataFrame when
+    * `replace` (reference `core_caching.py:474-516`): the caller's lineage
+    * is replaced by a plain table scan, so downstream plans hash against
+    * the cache table. */
+  def writeCache(
+      df: DataFrame,
+      replace: Boolean = true,
+      queryPlan: String = "",
+      inputDirModDatetime: Option[ListMap[String, String]] = None,
+      hashName: Option[String] = None,
+      cachePath: Option[String] = None): DataFrame = {
+    val sources = inputDirModDatetime.getOrElse(Freshness.inputDirModTimes(df))
+    val plan = if (queryPlan.nonEmpty) queryPlan else PlanFingerprint.getQueryPlan(df)
+    val (finalHash, _, metadataFilePath, metadataTxt) =
+      CacheMetadata.tableCacheInfo(sources, plan, hashName, cachePath)
+    val tableName = CacheConfig.current.tableNameFromHash(finalHash)
+    writeStandardCache(df, finalHash, metadataFilePath, metadataTxt)
+    if (replace)
+      try df.sparkSession.read.table(tableName)
+      catch { case _: Throwable => df }
+    else df
+  }
+
+  /** Spark-cache (memory/disk) marker check (reference
+    * `core_caching.py:519-524`). */
+  def isSparkCached(df: DataFrame): Boolean =
+    try df.storageLevel.useMemory || df.storageLevel.useDisk
+    catch { case _: Throwable => false }
+
+  /** Hash cascade for a DataFrame (reference `core_caching.py:527-571`):
+    * direct-data registry tag, then a pure scan of a `data_*` table, then
+    * a cache-table hash extracted from the plan text, else
+    * `MD5(metadata)`. */
+  def tableHash(df: DataFrame): String = {
+    val cfg = CacheConfig.current
+    val plan = PlanFingerprint.getQueryPlan(df)
+
+    DirectData.taggedHash(df) match {
+      case Some(h) => return h
+      case None => ()
+    }
+
+    PlanFingerprint.findCatalogTablePattern(plan, cfg.cacheDatabase, "data_") match {
+      case Some(dataTable) if DirectData.isPureScanOf(df, dataTable) => return dataTable
+      case _ => ()
+    }
+
+    val sources = Freshness.inputDirModTimes(df)
+    val metadataTxt = CacheMetadata.render(sources, plan)
+    PlanFingerprint
+      .getHashFromMetadata(metadataTxt)
+      .getOrElse(PlanFingerprint.md5Hex(metadataTxt))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExtendedMode
+
+/** Query-plan fingerprinting.
+  *
+  * The reference identifies a DataFrame by
+  * `MD5(input-source mod-times + cleaned explain(extended) text)`
+  * (`dbfs_spark_cache/core_caching.py:300-325`, `:384-406`). In Scala we
+  * read the explain text in-process from `queryExecution` instead of
+  * capturing stdout through py4j; the cleaning regexes are identical so
+  * semantically-equal plans hash equal across sessions.
+  */
+object PlanFingerprint {
+
+  private val exprIdRe = "#\\d+".r
+  private val wsRe = "\\s+".r
+
+  /** Cleaned extended-plan text (reference `core_caching.py:300-325`):
+    * strip `#NNN` expression IDs, collapse whitespace. Returns an
+    * `Error: ...` string instead of throwing, as the reference does.
+    */
+  def getQueryPlan(df: DataFrame): String =
+    try {
+      val raw = df.queryExecution.explainString(ExtendedMode)
+      if (raw.contains("UDF"))
+        log(
+          "UDF detected in query plan, cache invalidation for UDF code " +
+            "not implemented!")
+      wsRe.replaceAllIn(exprIdRe.replaceAllIn(raw, ""), " ").trim
+    } catch {
+      case e: Throwable => s"Error: ${e.getMessage}"
+    }
+
+  /** MD5 hex digest over UTF-8 bytes (reference `core_caching.py:399`). */
+  def md5Hex(s: String): String = {
+    val d = MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Find `hive_metastore.{db}.{prefix}<32hex>` or
+    * `spark_catalog.{db}.{prefix}<32hex>` in plan/metadata text and return
+    * the `{prefix}<32hex>` table identifier (reference
+    * `hashing.py:14-35`). Also matches a bare `{db}.{prefix}<32hex>` since
+    * local Spark plans may omit the catalog name.
+    */
+  def findCatalogTablePattern(
+      text: String,
+      dbName: String,
+      tablePrefix: String = ""): Option[String] = {
+    val db = java.util.regex.Pattern.quote(dbName)
+    val pfx = java.util.regex.Pattern.quote(tablePrefix)
+    val grp = s"($pfx[a-f0-9]{32})"
+    List(
+      s"hive_metastore\\.$db\\.$grp",
+      s"spark_catalog\\.$db\\.$grp",
+      s"$db\\.$grp"
+    ).view
+      .map(_.r.findFirstMatchIn(text))
+      .collectFirst { case Some(m) => m.group(1) }
+  }
+
+  /** Extract the 32-hex hash of a referenced cache table from metadata/plan
+    * text (reference `utils.py:22-51`; no prefix). */
+  def getHashFromMetadata(metadataTxt: String): Option[String] =
+    findCatalogTablePattern(metadataTxt, CacheConfig.current.cacheDatabase)
+
+  private[graft] def log(msg: String): Unit =
+    org.slf4j.LoggerFactory.getLogger("graft").info(msg)
+}
