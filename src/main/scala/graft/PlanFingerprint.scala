@@ -17,11 +17,22 @@ import org.apache.spark.sql.execution.ExtendedMode
 object PlanFingerprint {
 
   private val exprIdRe = "#\\d+".r
+  // Spark 4's extended explain embeds session-monotonic markers that are
+  // NOT part of the plan's identity: physical `[plan_id=NN]` tags, CTE
+  // definition/reference ids, and `cachedcolumnbuffers`-style object
+  // addresses. Leaving any of them in makes two structurally identical
+  // plans hash differently across (or even within) sessions — i.e. the
+  // cache never hits. Reference strips only `#\d+` because PySpark 3.5
+  // explain text had no plan_id (`core_caching.py:315-316`).
+  private val planIdRe = "\\[plan_id=\\d+\\]".r
+  private val cteIdRe = "CTERelation(Def|Ref) \\d+".r
+  private val objAddrRe = "@[0-9a-f]{6,}".r
   private val wsRe = "\\s+".r
 
   /** Cleaned extended-plan text (reference `core_caching.py:300-325`):
-    * strip `#NNN` expression IDs, collapse whitespace. Returns an
-    * `Error: ...` string instead of throwing, as the reference does.
+    * strip `#NNN` expression IDs, `[plan_id=NN]` markers, CTE ids and
+    * object addresses, collapse whitespace. Returns an `Error: ...`
+    * string instead of throwing, as the reference does.
     */
   def getQueryPlan(df: DataFrame): String =
     try {
@@ -30,7 +41,9 @@ object PlanFingerprint {
         log(
           "UDF detected in query plan, cache invalidation for UDF code " +
             "not implemented!")
-      wsRe.replaceAllIn(exprIdRe.replaceAllIn(raw, ""), " ").trim
+      val noIds = Seq(exprIdRe, planIdRe, cteIdRe, objAddrRe)
+        .foldLeft(raw)((t, re) => re.replaceAllIn(t, ""))
+      wsRe.replaceAllIn(noIds, " ").trim
     } catch {
       case e: Throwable => s"Error: ${e.getMessage}"
     }

@@ -1,0 +1,127 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extensions._
+
+/** Spark-backed port of the reference's behavioral test layer
+  * (`tests/test_dbfs_spark_cache.py:132-413`,
+  * `tests/notebooks/integration_test_notebook.py:270-545`): the cache loop
+  * — write, hit, invalidate — exercised against a real local session and
+  * a temp cache dir, no mocks.
+  */
+class CacheBehaviorSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  /** A private parquet copy we can overwrite to trigger invalidation. */
+  private lazy val srcDir: String = {
+    val d = Files.createTempDirectory("graft-src").toString
+    spark.read
+      .parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .write.mode("overwrite").parquet(s"$d/orders")
+    d
+  }
+
+  private def ordersAgg(): DataFrame =
+    spark.read
+      .parquet(s"$srcDir/orders")
+      .groupBy("o_orderstatus")
+      .agg(sum("o_totalprice").as("total"), count("*").as("n"))
+
+  // Thresholds disabled (None) so tiny test data always caches.
+  private def cacheIt(df: DataFrame): DataFrame =
+    df.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+
+  test("write then hit: identical re-query reads the cache table") {
+    val first = cacheIt(ordersAgg())
+    // The returned lineage must be a plain cache-table scan.
+    val h1 = CacheIO.tableHash(ordersAgg())
+    assert(spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h1)))
+
+    // Fresh, structurally identical DataFrame => lookup must hit.
+    val hit = CacheIO.readCacheIfExist(ordersAgg())
+    assert(hit.isDefined, "identical plan over same data must hit the cache")
+    assert(hit.get.count() == first.count())
+  }
+
+  test("hit skips write: cached table is not rewritten on re-cache") {
+    cacheIt(ordersAgg())
+    val h = CacheIO.tableHash(ordersAgg())
+    val metaPath = s"${CacheConfig.current.cacheDirSlash}$h/cache_metadata.txt"
+    val mtime0 = Files.getLastModifiedTime(Paths.get(metaPath)).toMillis
+    Thread.sleep(20)
+    cacheIt(ordersAgg()) // second call: must hit, not rewrite
+    val mtime1 = Files.getLastModifiedTime(Paths.get(metaPath)).toMillis
+    assert(mtime1 == mtime0, "re-cache of an unchanged plan must not rewrite")
+  }
+
+  test("data change invalidates: overwritten source yields a new hash") {
+    val h0 = CacheIO.tableHash(ordersAgg())
+    Thread.sleep(1100) // mod-time resolution is 1s in the metadata format
+    spark.read
+      .parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .write.mode("overwrite").parquet(s"$srcDir/orders")
+    val h1 = CacheIO.tableHash(ordersAgg())
+    assert(h0 != h1, "source overwrite must change the fingerprint")
+    assert(CacheIO.readCacheIfExist(ordersAgg()).isEmpty)
+  }
+
+  test("plan change invalidates: added column yields a new hash") {
+    val base = ordersAgg()
+    val changed = ordersAgg().withColumn("flag", lit(1))
+    assert(CacheIO.tableHash(base) != CacheIO.tableHash(changed))
+  }
+
+  test("RDD/local-relation sources are refused uncacheable") {
+    val s = spark
+    import s.implicits._
+    val local = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    val out = cacheIt(local)
+    // Returned as-is: no cache table was created for it.
+    assert(out.queryExecution.logical eq local.queryExecution.logical)
+  }
+
+  test("threshold veto: huge threshold skips caching, 0/None caches") {
+    val df = ordersAgg().withColumn("x", lit(2))
+    val vetoed = df.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = Some(1e9),
+      dbfsCacheMultiplierThreshold = None)
+    val h = CacheIO.tableHash(df)
+    assert(!spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)),
+      "above-threshold complexity requirement must veto the write")
+    assert(vetoed.queryExecution.logical eq df.queryExecution.logical)
+
+    val cached = cacheIt(df)
+    assert(spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)))
+    assert(cached.count() == df.count())
+  }
+
+  test("clearDbfsCache drops table and metadata dir") {
+    val df = ordersAgg().withColumn("y", lit(3))
+    cacheIt(df)
+    val h = CacheIO.tableHash(df)
+    assert(spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)))
+    df.clearDbfsCache()
+    assert(!spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)))
+    assert(!Files.exists(Paths.get(s"${CacheConfig.current.cacheDirSlash}$h")))
+  }
+
+  test("wcd caches when triggered and returns chainable DF") {
+    val df = ordersAgg().withColumn("z", lit(4))
+    val out = df.wcd(skipDisplay = true)
+    val h = CacheIO.tableHash(df)
+    // default thresholds (130 GB-equivalents) veto on tiny data => no table;
+    // explicit zero thresholds cache.
+    assert(!spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)))
+    assert(out.count() == df.count())
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the property that round 1 shipped broken: two fresh, structurally
+  * identical DataFrames must produce the SAME cleaned plan text (and hence
+  * the same cache hash), even though Spark 4 embeds session-monotonic
+  * `#exprId` and `[plan_id=NN]` markers in the raw explain output
+  * (reference property: `tests/test_dbfs_spark_cache.py:132-168`).
+  */
+class PlanStabilitySpec extends AnyFunSuite {
+
+  private def freshAgg(): DataFrame = {
+    val spark = TestSpark.spark
+    spark.read
+      .parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum("l_extendedprice").as("total"), count("*").as("n"))
+  }
+
+  test("identical plans from fresh DataFrames hash equal") {
+    // Burn some expression IDs between the two constructions so the raw
+    // explain text definitely differs in #NNN / [plan_id=NN].
+    val p1 = PlanFingerprint.getQueryPlan(freshAgg())
+    val burn = freshAgg().filter(col("n") > 1).count() // advance id counters
+    assert(burn >= 0)
+    val p2 = PlanFingerprint.getQueryPlan(freshAgg())
+    assert(p1 == p2, "cleaned plan text must be identical across sessions")
+    assert(PlanFingerprint.md5Hex(p1) == PlanFingerprint.md5Hex(p2))
+  }
+
+  test("no volatile markers survive cleaning") {
+    val p = PlanFingerprint.getQueryPlan(freshAgg())
+    assert(!p.contains("plan_id="), s"plan_id leaked into fingerprint: $p")
+    assert(!"#\\d+".r.findFirstIn(p).isDefined, "exprId leaked")
+  }
+
+  test("different plans hash differently") {
+    val spark = TestSpark.spark
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    val a = PlanFingerprint.getQueryPlan(base.groupBy("l_returnflag").count())
+    val b = PlanFingerprint.getQueryPlan(base.groupBy("l_linestatus").count())
+    assert(a != b)
+  }
+}
