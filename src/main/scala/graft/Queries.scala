@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The declared relational-query corpus (SURVEY §2.C): one entry per
+  * operator category the reference exercises
+  * (`tests/notebooks/integration_test_notebook.py:190-1150`), each with a
+  * DuckDB-equivalent oracle in [[Queries.oracles]]. Column names are
+  * aligned between the Spark result and the oracle SQL because the
+  * driver's compare sorts columns by name before hashing.
+  *
+  * Scale notes (100 TB design):
+  *  - all plans are fully declarative DataFrame ops — predicate pushdown,
+  *    column pruning and join strategy are Catalyst's;
+  *  - sums of non-integral doubles are rounded in BOTH engines (summation
+  *    order is nondeterministic across engines/partitions, identity isn't);
+  *  - window/sort queries carry explicit tie-breaks so results are
+  *    deterministic sets regardless of partitioning.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans ---
+    "q_scan" -> ((s, d) => t(s, d, "region").select("r_regionkey", "r_name")),
+    "q_sql_scan" -> { (s, d) =>
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql("SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey IN (0, 1)")
+    },
+    // --- projection (select / withColumn / computed expr) ---
+    "q_projection" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          col("l_returnflag"))),
+    // --- filter ---
+    "q_filter" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_returnflag") === "R")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")),
+    // --- equi-join (dim side broadcast-able; Catalyst/AQE picks strategy) ---
+    "q_join" -> ((s, d) =>
+      t(s, d, "orders")
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name", "o_totalprice")),
+    // --- 3-way join + grouped agg (the shuffle-heavy headline query) ---
+    "q_join_multi" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))),
+    // --- grouped aggregation ---
+    "q_agg_grouped" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"), // integral doubles: exact
+          round(sum("l_extendedprice"), 2).as("sum_price"),
+          count(lit(1)).as("n"))),
+    // --- simple (ungrouped) aggregation ---
+    "q_agg_simple" -> ((s, d) =>
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("cnt"),
+        sum("l_quantity").as("total_qty"))),
+    // --- distinct ---
+    "q_distinct" -> ((s, d) =>
+      t(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
+    // --- window (row_number with tie-break for determinism) ---
+    "q_window" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderkey", "o_custkey", "rn")
+    },
+    // --- sort + limit (deterministic via tie-break) ---
+    "q_sort" -> ((s, d) =>
+      t(s, d, "customer")
+        .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+        .limit(100)
+        .select("c_custkey", "c_name", "c_acctbal")),
+    "q_limit" -> ((s, d) =>
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")),
+    // --- set op ---
+    "q_union" -> { (s, d) =>
+      val c = t(s, d, "customer").select("c_custkey", "c_mktsegment")
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .unionByName(c.filter(col("c_mktsegment") === "MACHINERY"))
+    },
+    // --- scalar functions (string/date/math) ---
+    "q_scalar_fn" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"),
+          concat(col("l_returnflag"), lit("-"), col("l_linestatus")).as("tag"),
+          // raw IEEE product, NOT rounded: round() is HALF_UP on the
+          // shortest decimal repr in Spark vs true-double rounding in
+          // DuckDB, which diverges exactly at .xx5 boundaries
+          (col("l_extendedprice") * 0.9).as("discounted"))),
+    // --- events: grouped agg + time bucketing. The events table stores
+    //     TIMESTAMP(NANOS) parquet, which Spark only reads as a long via
+    //     the legacy conf; convert ns → µs with integer division (a
+    //     double roundtrip would lose precision above 2^53). ---
+    "q_events_agg" -> { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+    },
+    "q_events_hourly" -> { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      t(s, d, "events")
+        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(col("event_type"), date_trunc("hour", col("ts_us")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+    },
+    // --- seeded sample: declared without oracle (row-count check only;
+    //     RNG streams differ across engines by design, README.md:199) ---
+    "q_sample" -> ((s, d) =>
+      t(s, d, "lineitem").sample(withReplacement = false, 0.1, 42)
+        .select("l_orderkey", "l_linenumber"))
+  )
+
+  /** DuckDB equivalents. Aggregate result types are cast to match Spark
+    * (`count` → BIGINT on both; DuckDB `sum(BIGINT)` is HUGEINT and
+    * `row_number()`/`year()` are BIGINT, so those are cast down). */
+  val oracles: Map[String, String] = Map(
+    "q_scan" -> "SELECT r_regionkey, r_name FROM region",
+    "q_sql_scan" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey IN (0, 1)",
+    "q_projection" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue, l_returnflag FROM lineitem",
+    "q_filter" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem WHERE l_quantity >= 45 AND l_returnflag = 'R'",
+    "q_join" ->
+      "SELECT o_orderkey, c_name, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey",
+    "q_join_multi" ->
+      "SELECT c_mktsegment, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment",
+    "q_agg_grouped" ->
+      "SELECT l_returnflag, l_linestatus, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty, round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus",
+    "q_agg_simple" ->
+      "SELECT count(*) AS cnt, CAST(sum(l_quantity) AS DOUBLE) AS total_qty FROM lineitem",
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_window" ->
+      "SELECT o_orderkey, o_custkey, rn FROM (SELECT o_orderkey, o_custkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn FROM orders) WHERE rn <= 3",
+    "q_sort" ->
+      "SELECT c_custkey, c_name, c_acctbal FROM (SELECT * FROM customer ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 100)",
+    "q_limit" ->
+      "SELECT o_orderkey, o_totalprice FROM (SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10)",
+    "q_union" ->
+      "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING' UNION ALL SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'",
+    "q_scalar_fn" ->
+      "SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS INTEGER) AS ship_year, CAST(month(l_shipdate) AS INTEGER) AS ship_month, l_returnflag || '-' || l_linestatus AS tag, l_extendedprice * 0.9 AS discounted FROM lineitem",
+    "q_events_agg" ->
+      "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY event_type",
+    "q_events_hourly" ->
+      "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2"
+  )
+}

@@ -1,13 +1,35 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.extensions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** Flagship: the reference's own smoke sequence
+    * (`integration_test_notebook.py:270-308`) — aggregate lineitem, run it
+    * through the persistent cache, return the table-backed result. */
+  def entry(spark: SparkSession): DataFrame = {
+    val agg = spark.read
+      .parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum("l_extendedprice").as("total"), count(lit(1)).as("n"))
+    agg.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+  }
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * LLM-pipeline operators). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Queries.all ++ operators.PipelineQueries.all
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops
+    * (seeded sample, LSH/minhash approximations). */
+  def oracleSql: Map[String, String] =
+    Queries.oracles ++ operators.PipelineQueries.oracles
 }

@@ -1,0 +1,155 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB case:
+  *
+  *  - exact dedup: one hash-shuffle on the content digest (map-side
+  *    partial agg), never a driver-side collect — contrast the
+  *    reference's pandas row hashing (`hashing.py:37-72`) which is
+  *    driver-local by design;
+  *  - MinHash LSH: banded candidate generation via
+  *    `spark.ml.feature.MinHashLSH` — join cost is Σ bucket², never the
+  *    all-pairs n²;
+  *  - SimHash: 64-bit signature in one aggregation, near-dup candidates
+  *    via 16-bit band equality (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 bands
+  *    equal), exact hamming verify on candidates only;
+  *  - n-gram Jaccard: exact verification operator — shingle-bucket join,
+  *    quadratic only within a shingle's posting list.
+  */
+object Dedup {
+
+  /** Representative id (min) per distinct content hash. One shuffle on
+    * the 256-bit digest; output is one row per distinct content. */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+
+  /** Full-row exact dedup keeping the lowest-id row per content hash. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window
+      .partitionBy(sha2(col(textCol).cast("binary"), 256))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Exact k-word-shingle Jaccard pairs with similarity ≥ `threshold`.
+    * Posting-list self-join on the shingle, so cost is Σ(per-shingle
+    * doc-frequency²) — tractable whenever shingles are selective; for
+    * web-scale corpora run [[minHashNearDupPairs]] first and use this as
+    * the verify stage on candidates. Jaccard is computed as
+    * `common / (|A| + |B| - common)` over exact integer counts, so the
+    * value is bit-identical across engines. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("doc"), Shingles.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val counts = sh.select(col("doc"), size(col("sh")).as("n"))
+    val ex = sh.select(col("doc"), explode(col("sh")).as("g"))
+    val pairs = ex.as("a")
+      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(counts.as("ca"), col("id_a") === col("ca.doc"))
+      .join(counts.as("cb"), col("id_b") === col("cb.doc"))
+      .withColumn("jaccard",
+        round(col("common") / (col("ca.n") + col("cb.n") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs with Jaccard distance
+    * ≤ `maxJaccardDist` (similarity ≥ 1 − maxJaccardDist). Shingles are
+    * feature-hashed into a 2^18-dim binary vector; `approxSimilarityJoin`
+    * joins only within LSH buckets (never all-pairs) and then computes
+    * the exact Jaccard over hashed shingle sets for candidates. Seeded ⇒
+    * deterministic. */
+  def minHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashTables: Int = 8,
+      maxJaccardDist: Double = 0.3,
+      seed: Long = 42L): DataFrame = {
+    val sh = df
+      .select(col(idCol).as("id"), Shingles.wordShingles(col(textCol), k).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setNumFeatures(1 << 18).setBinary(true)
+    val feat = tf.transform(sh)
+    val mh = new MinHashLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = mh.fit(feat)
+    model
+      .approxSimilarityJoin(feat, feat, maxJaccardDist, "jaccard_dist")
+      .filter(col("datasetA.id") < col("datasetB.id"))
+      .select(
+        col("datasetA.id").as("id_a"),
+        col("datasetB.id").as("id_b"),
+        round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash signature per document: per-token xxhash64, bit-wise
+    * ±1 vote sums, sign recombined into one long. One explode + one
+    * grouped aggregation (64 codegen'd sum exprs) — no UDF, no driver
+    * work. */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df
+      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3
+    * with the default 4×16-bit banding, by pigeonhole the banding is
+    * exact — no candidate with hamming ≤ 3 is missed). Join cost is per
+    * band-value bucket, never all-pairs. */
+  def simHashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4x16 banding only guarantees hamming <= 3")
+    val sig = simHash64(df, idCol, textCol)
+    val bandCols = array((0 until 4).map(b =>
+      shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)
+    val bands = sig
+      .select(col("id"), col("simhash"), posexplode(bandCols))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bval")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("sa"), col("b.simhash").as("sb"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Declared-query corpus for the LLM-data-pipeline operators, over the
+  * driver's `documents.parquet` / `embeddings.parquet` fixtures.
+  * SQL-expressible operators carry a DuckDB oracle; approximate ones
+  * (MinHash/SimHash/LSH — engine-specific hash functions) are declared
+  * without one, which the driver records as a rows-only check. */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+  private def embs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dedup ---
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactDedup(docs(s, d), "text", "doc_id").select("doc_id")),
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)),
+    "q_dedup_minhash" -> ((s, d) =>
+      Dedup.minHashNearDupPairs(docs(s, d), "doc_id", "text",
+        k = 3, numHashTables = 8, maxJaccardDist = 0.3)),
+    "q_dedup_simhash" -> ((s, d) =>
+      Dedup.simHashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+    // --- similarity search ---
+    "q_embed_threshold" -> { (s, d) =>
+      val e = embs(s, d)
+      Similarity.cosineThresholdPairs(
+        e.select(col("vec_id"), col("embedding")),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "qid", "qvec", threshold = 0.35)
+    },
+    "q_embed_topk" -> { (s, d) =>
+      val e = embs(s, d)
+      Similarity.bruteForceTopK(
+        e.select(col("vec_id"), col("embedding")),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "qid", "qvec", k = 5)
+    },
+    "q_embed_ann" -> { (s, d) =>
+      val e = embs(s, d)
+      Similarity.annCosineTopK(
+        e.select(col("vec_id"), col("embedding")),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "qid", "qvec", k = 5)
+    },
+    // --- text analysis ---
+    "q_token_count" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    "q_text_quality" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)),
+    "q_lang_id" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.languageId(col("text")).as("lang_pred"))),
+    "q_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
+    // --- multimodal binary plumbing ---
+    "q_multimodal" -> ((s, d) =>
+      Multimodal.assetStats(
+        Multimodal.toAssets(docs(s, d), "doc_id", "text", "source")))
+  )
+
+  private val toksSql = "regexp_extract_all(text, '\\S+')"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b, jaccard FROM (
+        |  SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "q_embed_threshold" ->
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 10)
+        |SELECT qid, vec_id, sim FROM (
+        |  SELECT q.qid, e.vec_id, round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM q, embeddings e WHERE q.qid <> e.vec_id)
+        |WHERE sim >= 0.35""".stripMargin,
+    "q_token_count" ->
+      s"SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM documents",
+    "q_text_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $toksSql toks FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS INTEGER) AS n_chars_txt,
+         |  CAST(len(toks) AS INTEGER) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+         |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+         |  CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(toks) AS stop_ratio,
+         |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
+         |FROM t""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(toks, x -> x IN ('the','and','of','a'))) en,
+         |  len(list_filter(toks, x -> x IN ('le','la','et','les'))) fr,
+         |  len(list_filter(toks, x -> x IN ('der','und','die','das'))) de,
+         |  len(list_filter(toks, x -> x IN ('el','y','los','las'))) es
+         |FROM t)
+         |SELECT doc_id, CASE
+         |  WHEN en = greatest(en, fr, de, es) AND greatest(en, fr, de, es) > 0 THEN 'en'
+         |  WHEN fr = greatest(en, fr, de, es) AND greatest(en, fr, de, es) > 0 THEN 'fr'
+         |  WHEN de = greatest(en, fr, de, es) AND greatest(en, fr, de, es) > 0 THEN 'de'
+         |  WHEN es = greatest(en, fr, de, es) AND greatest(en, fr, de, es) > 0 THEN 'es'
+         |  ELSE 'und' END AS lang_pred
+         |FROM sc""".stripMargin,
+    "q_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_multimodal" ->
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS digest FROM documents"
+  )
+}

@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — the query set is broadcast, the
+  * score is a codegen'd expression over the corpus scan (no UDF, no
+  * shuffle for scoring; only the final per-query top-k aggregation
+  * shuffles, and it shuffles score rows, not vectors).
+  *
+  * Scale path: `BucketedRandomProjectionLSH` over L2-normalized vectors —
+  * on the unit sphere euclidean distance is monotone in cosine
+  * (`cos = 1 − d²/2`), so a euclidean LSH bucket join gives
+  * approximate-cosine candidates without the n·m scoring pass.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two `array<double>` columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** Cosine similarity of two float/double array columns, computed in
+    * double. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
+  }
+
+  /** All (query, corpus) pairs with cosine ≥ `threshold`. Queries are
+    * broadcast; the corpus is scanned once. */
+  def cosineThresholdPairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      threshold: Double): DataFrame =
+    corpus
+      .join(broadcast(queries), col(idCol) =!= col(qidCol))
+      .withColumn("sim", round(cosine(col(qvecCol), col(vecCol)), 6))
+      .filter(col("sim") >= threshold)
+      .select(col(qidCol), col(idCol), col("sim"))
+
+  /** Brute-force cosine top-k per query. Deterministic: ranked by
+    * (similarity desc, corpus id asc). */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col(idCol) =!= col(qidCol))
+      .withColumn("sim", round(cosine(col(qvecCol), col(vecCol)), 6))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rn"))
+  }
+
+  private def unitVectors(df: DataFrame, vecCol: String): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x))
+    df.withColumn("__unit",
+      array_to_vector(transform(vd, x => x / nrm)))
+  }
+
+  /** LSH-bucketed approximate cosine top-k: normalize to the unit
+    * sphere, euclidean-LSH join within `maxCosDist` (cosine ≥ 1 −
+    * maxCosDist), then exact rerank per query. Seeded ⇒ deterministic
+    * bucketing. */
+  def annCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      maxCosDist: Double = 0.8,
+      numHashTables: Int = 4,
+      bucketLength: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val corpusU = unitVectors(corpus, vecCol).select(col(idCol), col("__unit"))
+    val queriesU = unitVectors(queries, qvecCol).select(col(qidCol), col("__unit"))
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("__unit").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+    val model = brp.fit(corpusU)
+    // cos = 1 - d^2/2 on unit vectors => d = sqrt(2*(1-cos))
+    val maxEuclid = math.sqrt(2.0 * maxCosDist)
+    val joined = model
+      .approxSimilarityJoin(queriesU, corpusU, maxEuclid, "euclid")
+      .filter(col(s"datasetA.$qidCol") =!= col(s"datasetB.$idCol"))
+      .select(
+        col(s"datasetA.$qidCol").as(qidCol),
+        col(s"datasetB.$idCol").as(idCol),
+        round(lit(1.0) - col("euclid") * col("euclid") / 2.0, 6).as("sim"))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
+    joined
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rn"))
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization stats, quality scoring, language ID, fingerprinting.
+  *
+  * All pure `org.apache.spark.sql.functions` expressions — no UDFs — so
+  * every operator stays inside whole-stage codegen and scales linearly
+  * with no shuffle (they are per-row projections; the only shuffles are
+  * the caller's aggregations).
+  */
+object TextAnalysis {
+
+  /** Whitespace-robust tokens: maximal runs of non-space characters.
+    * Regex-based so double spaces / leading blanks don't produce empty
+    * tokens (a plain `split(' ')` would). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\S+"), lit(0))
+
+  /** Token count per document. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Stopword list used by quality scoring and language ID. Tiny by
+    * design: deterministic, language-marker oriented. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in")
+
+  private def countIn(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** Quality features per document: char/token counts, type-token ratio,
+    * stopword ratio, mean token length. All ratios are single double
+    * divisions of exact integers, so they are bit-stable across engines.
+    */
+  def qualityFeatures(text: Column): Seq[Column] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    Seq(
+      length(text).as("n_chars_txt"),
+      nTok.as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct"),
+      (size(array_distinct(toks)).cast("double") / nTok).as("ttr"),
+      (countIn(toks, StopwordsEn).cast("double") / nTok).as("stop_ratio"),
+      (aggregate(transform(toks, t => length(t)), lit(0),
+        (acc, x) => acc + x).cast("double") / nTok).as("avg_token_len")
+    )
+  }
+
+  /** Marker words per language for the n-gram-free language-ID
+    * heuristic. Deterministic argmax with fixed precedence order. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "a"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "de" -> Seq("der", "und", "die", "das"),
+    "es" -> Seq("el", "y", "los", "las")
+  )
+
+  /** Heuristic language ID: count marker-word hits per language, pick
+    * the first language (in [[LangMarkers]] order) achieving the max
+    * count; `und` (undetermined) when no marker hits at all. */
+  def languageId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangMarkers.map { case (lang, ws) => lang -> countIn(toks, ws) }
+    val maxScore = greatest(scores.map(_._2): _*)
+    // first-match-wins CASE chain => deterministic tie-break
+    scores.foldRight(lit("und")) { case ((lang, sc), els) =>
+      when(sc === maxScore && maxScore > 0, lit(lang)).otherwise(els)
+    }
+  }
+
+  /** Exact content fingerprint (md5 hex of UTF-8 text) — the unit for
+    * exact dedup and cache keys. */
+  def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
+
+  /** Winnowing-style rolling fingerprint: the minimum 64-bit hash over
+    * the document's k-token shingles. Engine-specific hash (xxhash64) —
+    * deterministic within Spark, not SQL-oracle-portable. */
+  def minShingleFingerprint(text: Column, k: Int = 3): Column = {
+    val sh = Shingles.wordShingles(text, k)
+    array_min(transform(sh, s => xxhash64(s)))
+  }
+}
