@@ -1,24 +1,93 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.extensions._
+
+/** Per-round benchmark: every declared query executed fully (noop sink —
+  * forces the whole plan, unlike `count()` which lets Catalyst prune the
+  * work away), plus the reference's three-phase cache pattern
+  * (uncached / cache write / cached re-read, `BASELINE.md`) on the
+  * flagship aggregation. Failures are reported per query, never
+  * swallowed into a fake timing. Emits ONE JSON line. */
 object Bench {
+
+  private def timeSec[T](f: => T): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    try { f; ((System.nanoTime() - t0) / 1e9, None) }
+    catch {
+      case e: Throwable =>
+        ((System.nanoTime() - t0) / 1e9,
+          Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"))
+    }
+  }
+
+  private def runFully(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    CacheConfig.current = CacheConfig(sparkCacheDir =
+      java.nio.file.Files.createTempDirectory("graft-bench-cache").toString + "/")
+
+    // Warm up JVM/codegen so the alphabetically-first query isn't
+    // charged for JIT compilation.
+    try {
+      runFully(Queries.all("q_scan")(spark, sfDir))
+      runFully(Queries.all("q_agg_grouped")(spark, sfDir))
+    } catch { case _: Throwable => () }
+
+    val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (sec, err) = timeSec(runFully(fn(spark, sfDir)))
+      timings(name) = sec
+      err.foreach(errors(name) = _)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Reference three-phase cache pattern (BASELINE.md): uncached run,
+    // cache write (first cacheToDbfs), cached re-read (second call hits).
+    def flagship(): DataFrame = Queries.all("q_join_multi")(spark, sfDir)
+    def cached(): DataFrame = flagship().cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+    val (uncachedSec, e1) = timeSec(runFully(flagship()))
+    val (writeSec, e2) = timeSec(runFully(cached()))
+    val (rereadSec, e3) = timeSec(runFully(cached()))
+    Seq("cache_uncached" -> e1, "cache_write" -> e2, "cache_reread" -> e3)
+      .foreach { case (k, e) => e.foreach(errors(k) = _) }
+    timings("cache_uncached") = uncachedSec
+    timings("cache_write") = writeSec
+    timings("cache_reread") = rereadSec
+
+    val qs = timings.map { case (k, v) => s"${jsonStr(k)}:${f"$v%.3f"}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
+      .mkString("{", ",", "}")
+    val total = timings.values.sum
+    println(
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -67,17 +67,31 @@ object Complexity {
     (totalSizeGb * multiplier, multiplier)
   }
 
-  /** Per-input-file sizes in GB via Hadoop FS (reference `qce.py:17-83`;
-    * no py4j hop needed in-process). */
+  /** Per-input-file sizes in GB (reference `qce.py:17-83`).
+    *
+    * Unlike the reference's one-`getFileStatus`-RPC-per-file loop, files
+    * are grouped by parent directory and sized with ONE `listStatus` per
+    * directory — at 100 TB / 1M files the reference pattern is ~1M
+    * sequential driver RPCs inside every cache decision; this is
+    * O(directories). Files missing from a listing (moved mid-probe) fall
+    * back to an individual probe. */
   def inputFileSizesGb(df: DataFrame): Seq[Double] = {
     val files = try df.inputFiles.toSeq catch { case _: Throwable => Seq.empty }
     if (files.isEmpty) return Seq.empty
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
-    files.flatMap { f =>
-      try {
-        val p = new Path(f)
-        Some(p.getFileSystem(conf).getFileStatus(p).getLen.toDouble / (1024.0 * 1024 * 1024))
-      } catch { case _: Throwable => None }
+    val byDir = files.map(new Path(_)).groupBy(_.getParent)
+    byDir.toSeq.flatMap { case (dir, paths) =>
+      val listed: Map[String, Long] =
+        try {
+          val fs = dir.getFileSystem(conf)
+          fs.listStatus(dir).map(st => st.getPath.getName -> st.getLen).toMap
+        } catch { case _: Throwable => Map.empty }
+      paths.flatMap { p =>
+        listed.get(p.getName).orElse {
+          try Some(p.getFileSystem(conf).getFileStatus(p).getLen)
+          catch { case _: Throwable => None }
+        }.map(_.toDouble / (1024.0 * 1024 * 1024))
+      }
     }
   }
 

@@ -121,22 +121,31 @@ object Management {
       hashName)
 
   /** TTL cleanup: delete entries older than `numDays` (reference
-    * `cache_management.py:157-227`). `specificDatabase` temporarily swaps
-    * the configured database like the reference does. */
+    * `cache_management.py:157-227`). Matches the reference's semantics:
+    * the registry is the TABLE registry (`get_cached_tables()`,
+    * `cache_management.py:170`), and deletion proceeds in BOTH
+    * `confirmDelete` branches — the flag only changes logging (the
+    * reference's interactive prompt is commented out, `:190-201`).
+    * `specificDatabase` temporarily swaps the configured database like
+    * the reference does. */
   def clearCachesOlderThan(
       spark: SparkSession,
       numDays: Int = 7,
       specificDatabase: Option[String] = None,
-      confirmDelete: Boolean = true): Seq[String] = {
+      confirmDelete: Boolean = false): Seq[String] = {
     def run(): Seq[String] = {
       val cutoff = LocalDateTime.now(ZoneOffset.UTC).minus(Duration.ofDays(numDays.toLong))
       val fmt: DateTimeFormatter = Freshness.TsFormat
-      val old = getCachedDataframeMetadata(spark).filter { e =>
+      val old = getCachedTables(spark).filter { e =>
         try LocalDateTime.parse(e.creationTime, fmt).isBefore(cutoff)
         catch { case _: Throwable => false }
       }
-      if (confirmDelete)
-        await(old.map(e => Future { clearCacheForHash(spark, e.hashName) }))
+      if (old.isEmpty) return Seq.empty
+      PlanFingerprint.log(
+        (if (confirmDelete) s"Found ${old.size} cache(s)"
+         else s"confirm_delete is false. Proceeding with deletion of ${old.size} cache(s)") +
+          s" older than $numDays days.")
+      await(old.map(e => Future { clearCacheForHash(spark, e.hashName) }))
       old.map(_.hashName)
     }
     specificDatabase match {

@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -70,38 +69,69 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash-LSH near-duplicate candidate pairs with Jaccard distance
-    * ≤ `maxJaccardDist` (similarity ≥ 1 − maxJaccardDist). Shingles are
-    * feature-hashed into a 2^18-dim binary vector; `approxSimilarityJoin`
-    * joins only within LSH buckets (never all-pairs) and then computes
-    * the exact Jaccard over hashed shingle sets for candidates. Seeded ⇒
-    * deterministic. */
+  /** MinHash signature matrix: `r × b` seeded min-hashes over the
+    * document's k-shingles, one grouped aggregation (every min-hash is a
+    * codegen'd `min(xxhash64(seed ∥ shingle))` — no UDF, no fit step).
+    * Returns `(id, sig array<bigint>)`. Deterministic by construction. */
+  def minHashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 18): DataFrame = {
+    val ex = df
+      .select(col(idCol).as("id"), explode(Shingles.wordShingles(col(textCol), k)).as("g"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(concat(lit(s"mh$i:"), col("g")))).as(s"h$i"))
+    ex.groupBy("id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** Banded MinHash-LSH near-duplicate pairs: signatures split into `b`
+    * bands of `r` rows; documents joining on any (band, band-hash) pair
+    * become candidates; candidates are scored by the full-signature
+    * match fraction (an unbiased Jaccard estimate) and filtered at
+    * `threshold`.
+    *
+    * AND-amplification matters: a band collides with probability j^r, so
+    * unrelated documents (j ≈ 0.01) are candidates with probability
+    * ~b·j^r ≈ 10^-5 — on a correlated small-vocab corpus this is the
+    * difference between a bucket join and an accidental all-pairs
+    * (spark.ml's MinHashLSH has r = 1 and floods the join with every
+    * pair sharing one hot min-hash). Join cost is Σ bucket², never n².
+    */
   def minHashNearDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      numHashTables: Int = 8,
-      maxJaccardDist: Double = 0.3,
-      seed: Long = 42L): DataFrame = {
-    val sh = df
-      .select(col(idCol).as("id"), Shingles.wordShingles(col(textCol), k).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-    val tf = new HashingTF()
-      .setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feat = tf.transform(sh)
-    val mh = new MinHashLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    val model = mh.fit(feat)
-    model
-      .approxSimilarityJoin(feat, feat, maxJaccardDist, "jaccard_dist")
-      .filter(col("datasetA.id") < col("datasetB.id"))
+      rowsPerBand: Int = 3,
+      numBands: Int = 6,
+      threshold: Double = 0.7): DataFrame = {
+    val nHash = rowsPerBand * numBands
+    val sig = minHashSignatures(df, idCol, textCol, k, nHash)
+    val bandCols = array((0 until numBands).map(b =>
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    val bands = sig
+      .select(col("id"), col("sig"), posexplode(bandCols))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bval")
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.id") < col("b.id"))
       .select(
-        col("datasetA.id").as("id_a"),
-        col("datasetB.id").as("id_b"),
-        round(lit(1.0) - col("jaccard_dist"), 6).as("jaccard"))
+        col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .distinct()
+    cand
+      .withColumn("jaccard_est",
+        round(size(filter(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / nHash, 6))
+      .filter(col("jaccard_est") >= threshold)
+      .select("id_a", "id_b", "jaccard_est")
   }
 
   /** 64-bit SimHash signature per document: per-token xxhash64, bit-wise

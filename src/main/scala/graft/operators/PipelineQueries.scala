@@ -23,7 +23,7 @@ object PipelineQueries {
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)),
     "q_dedup_minhash" -> ((s, d) =>
       Dedup.minHashNearDupPairs(docs(s, d), "doc_id", "text",
-        k = 3, numHashTables = 8, maxJaccardDist = 0.3)),
+        k = 3, rowsPerBand = 3, numBands = 6, threshold = 0.7)),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
     // --- similarity search ---

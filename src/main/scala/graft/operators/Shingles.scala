@@ -10,14 +10,22 @@ object Shingles {
   /** Distinct k-word shingles of `text` under simple space splitting.
     * Space splitting (not `\S+`) is used deliberately so the DuckDB
     * oracle (`string_split(text, ' ')`) tokenizes identically. Documents
-    * with fewer than k tokens yield an empty array. */
+    * with fewer than k tokens yield an empty array.
+    *
+    * Built by zipping k−1 shifted copies of the token array rather than
+    * indexing with `element_at` inside a `transform` lambda — the lambda
+    * form re-evaluates the `split` per element (O(n²) splits per doc,
+    * measured 14 s for a 5000-doc shingle explode at sf0.1 vs <1 s this
+    * way). `zip_with` pads the shorter (shifted) side with null and
+    * `concat` propagates it, so off-the-end shingles drop in the filter.
+    */
   def wordShingles(text: Column, k: Int = 3): Column = {
+    require(k >= 1, "shingle size must be positive")
     val toks = split(text, " ")
-    val n = size(toks)
-    array_distinct(
-      when(n >= k,
-        transform(sequence(lit(0), n - k), i =>
-          concat_ws(" ", (0 until k).map(j => element_at(toks, (i + j + 1))): _*)))
-        .otherwise(array().cast("array<string>")))
+    val joined = (1 until k).foldLeft(toks) { (acc, j) =>
+      val shifted = slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0)))
+      zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
+    }
+    array_distinct(filter(joined, x => x.isNotNull))
   }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extensions._
+
+/** Cache-lifecycle management against the temp cache dir (reference
+  * `cache_management.py` semantics). */
+class ManagementSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def cacheSomething(salt: Int): String = {
+    val df = spark.read
+      .parquet(s"${TestSpark.sf0001}/nation.parquet")
+      .withColumn("salt", lit(salt))
+    df.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+    CacheIO.tableHash(df)
+  }
+
+  test("registries agree: catalog, warehouse-dir and metadata views") {
+    val h = cacheSomething(1)
+    val fromDb = Management.getTablesFromDatabase(spark).map(_.hashName)
+    val fromFs = Management.getCachedTables(spark).map(_.hashName)
+    val fromMeta = Management.getCachedDataframeMetadata(spark).map(_.hashName)
+    assert(fromDb.contains(h))
+    assert(fromFs.contains(h))
+    assert(fromMeta.contains(h))
+  }
+
+  test("clearCachesOlderThan(0) deletes regardless of confirmDelete flag") {
+    val h = cacheSomething(2)
+    // numDays = -1 makes "now" older than the cutoff => eligible.
+    val deleted = Management.clearCachesOlderThan(spark, numDays = -1)
+    assert(deleted.contains(h), "reference deletes in both confirm branches")
+    assert(!spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)))
+  }
+
+  test("clearCachesOlderThan(7) keeps fresh caches") {
+    val h = cacheSomething(3)
+    val deleted = Management.clearCachesOlderThan(spark, numDays = 7)
+    assert(!deleted.contains(h))
+    assert(spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)))
+  }
+
+  test("clearInconsistentCache removes one-sided orphans") {
+    val h = cacheSomething(4)
+    // Orphan the entry: drop the table but keep the metadata dir.
+    spark.sql(s"DROP TABLE IF EXISTS ${CacheConfig.current.tableNameFromHash(h)}")
+    val repaired = Management.clearInconsistentCache(spark)
+    assert(repaired.contains(h))
+    assert(!Files.exists(Paths.get(s"${CacheConfig.current.cacheDirSlash}$h")))
+  }
+
+  test("clearCacheForHash guards empty hash") {
+    intercept[IllegalArgumentException] {
+      Management.clearCacheForHash(spark, "")
+    }
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Behavior + plan-shape tests for the LLM-pipeline operators. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy cat", "en"),
+      (3L, "le chat et le chien dans la maison", "fr"),
+      (4L, "der hund und die katze in das haus", "de"),
+      (5L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup of 1
+      (6L, "completely different words entirely here now today", "en"),
+      (7L, "ab", "en") // below shingle size
+    ).toDF("doc_id", "text", "lang")
+  }
+
+  test("exactDedup keeps one representative per distinct content") {
+    val out = Dedup.exactDedup(docs, "text", "doc_id")
+    assert(out.count() == 6) // 7 docs, one exact dup
+    val reps = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(reps.contains(1L) && !reps.contains(5L), "min doc_id wins")
+  }
+
+  test("dropExactDuplicates keeps full lowest-id rows") {
+    val out = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+    assert(out.count() == 6)
+    assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
+  }
+
+  test("ngramJaccardPairs finds near-dups, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), "exact dup pair found")
+    assert(pairs.contains((1L, 2L)), "near dup (one word changed) found")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L), "unrelated doc excluded")
+  }
+
+  test("minHash candidates match exact near-dups and the plan has no cartesian") {
+    // r = 1 for high recall at moderate jaccard on this tiny corpus;
+    // seeded hashes make the outcome deterministic.
+    val nd = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      k = 3, rowsPerBand = 1, numBands = 8, threshold = 0.3)
+    val plan = nd.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"LSH join must be bucketed, not all-pairs:\n$plan")
+    val pairs = nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)), "exact dup: all minhashes equal")
+    assert(pairs.contains((1L, 2L)), "near dup candidate")
+    assert(!pairs.exists(p => p._1 == 6L || p._2 == 6L), "unrelated excluded")
+  }
+
+  test("minhash signature: exact dups identical, estimate tracks jaccard") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(5L))
+    val matches12 = sigs(1L).zip(sigs(2L)).count(p => p._1 == p._2)
+    assert(matches12 > 0 && matches12 < 18, "near-dup shares some minhashes")
+  }
+
+  test("simHash: identical docs hash identical, near-dups within hamming 3") {
+    val sigs = Dedup.simHash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(5L), "exact dups share the signature")
+    val pairs = Dedup.simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("cosine similarity: self-similarity 1, orthogonal 0, topk ranks right") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("qid", "qvec")
+    val top = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 4)
+      .orderBy("rn").collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 3L, 2L, 4L))
+    assert(top.head.getDouble(2) == 1.0)
+    assert(top(2).getDouble(2) == 0.0)
+    assert(top(3).getDouble(2) == -1.0)
+  }
+
+  test("ANN LSH top-k agrees with brute force on an easy corpus") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", "qid", "qvec", 3)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Generous radius AND coarse buckets (projections on the unit sphere
+    // lie in [-1,1], so bucketLength 2 puts almost everything in 1-2
+    // buckets per table): recall must be total on this tiny corpus.
+    val ann = Similarity.annCosineTopK(c, q, "vec_id", "embedding", "qid", "qvec", 3,
+      maxCosDist = 2.0, numHashTables = 8, bucketLength = 2.0)
+    val annSet = ann.select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.subsetOf(annSet), s"ANN missed ${brute diff annSet}")
+  }
+
+  test("text analysis: tokens, quality, language id") {
+    val out = docs.select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.languageId(col("text")).as("lang_pred"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    assert(out(1L)._1 == 9)
+    assert(out(1L)._2 == "en")
+    assert(out(3L)._2 == "fr")
+    assert(out(4L)._2 == "de")
+    assert(out(6L)._2 == "und", "no markers => undetermined")
+  }
+
+  test("multimodal: asset schema round-trip and partition-parallel features") {
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "lang")
+    assert(assets.schema.fieldNames.toSeq == Seq("doc_id", "payload", "meta"))
+    val feats = Multimodal.extractFeatures(assets)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(feats(1L) == "the quick brown fox jumps over the lazy dog".length)
+    val stats = Multimodal.assetStats(assets)
+      .filter(col("doc_id") === 1L).collect().head
+    assert(stats.getInt(1) == feats(1L))
+    assert(stats.getString(2).length == 64) // sha-256 hex
+  }
+
+  test("broadcast hint survives into the physical plan for topk scoring") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val plan = Similarity.bruteForceTopK(
+      e.select(col("vec_id"), col("embedding")), q,
+      "vec_id", "embedding", "qid", "qvec", 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$plan")
+  }
+}
