@@ -125,6 +125,18 @@ object CacheIO {
     else df
   }
 
+  /** If `df` is nothing but a scan of one of our cache tables (standard
+    * 32-hex or `data_*`), return that table's hash name. Such a plan IS
+    * the cache — re-caching it would materialize a second copy under a
+    * new fingerprint (reference recognizes this via the `get_table_hash`
+    * cascade, `core_caching.py:543-552`). */
+  def existingCacheScan(df: DataFrame, plan: String): Option[String] = {
+    val db = CacheConfig.current.cacheDatabase
+    Seq("data_", "").view
+      .flatMap(p => PlanFingerprint.findCatalogTablePattern(plan, db, p))
+      .collectFirst { case t if DirectData.isPureScanOf(df, t) => t }
+  }
+
   /** Spark-cache (memory/disk) marker check (reference
     * `core_caching.py:519-524`). */
   def isSparkCached(df: DataFrame): Boolean =

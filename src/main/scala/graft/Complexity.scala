@@ -100,7 +100,7 @@ object Complexity {
     * an unreadable plan degrades to multiplier 1.0. */
   def estimate(df: DataFrame): (Double, Double, Double) = {
     val totalSize = inputFileSizesGb(df).sum
-    val plan = PlanFingerprint.getQueryPlan(df).toLowerCase
+    val plan = PlanFingerprint.extendedPlanText(df).toLowerCase
     if (totalSize == 0.0) {
       if (plan.startsWith("error:")) (0.0, 1.0, 0.0)
       else {

@@ -29,24 +29,45 @@ object PlanFingerprint {
   private val objAddrRe = "@[0-9a-f]{6,}".r
   private val wsRe = "\\s+".r
 
-  /** Cleaned extended-plan text (reference `core_caching.py:300-325`):
-    * strip `#NNN` expression IDs, `[plan_id=NN]` markers, CTE ids and
-    * object addresses, collapse whitespace. Returns an `Error: ...`
-    * string instead of throwing, as the reference does.
+  private def clean(raw: String): String = {
+    val noIds = Seq(exprIdRe, planIdRe, cteIdRe, objAddrRe)
+      .foldLeft(raw)((t, re) => re.replaceAllIn(t, ""))
+    wsRe.replaceAllIn(noIds, " ").trim
+  }
+
+  /** Cache-fingerprint plan text: the cleaned ANALYZED logical plan.
+    *
+    * The reference hashes `explain(extended)` (`core_caching.py:300-325`),
+    * but that text includes the optimized/physical sections, which are
+    * rewritten to `InMemoryRelation` the moment a DataFrame is
+    * `.cache()`d — so a spark-cached DataFrame would fingerprint
+    * differently from the identical uncached query and the
+    * backup-then-rehit workflow could never hit. The analyzed plan is
+    * computed before cache substitution, fully captures query semantics
+    * (sources, projections, literals), and is cache-state-invariant.
+    * Input *paths* are covered by the freshness map that is hashed
+    * alongside this text (`CacheMetadata.render`). Returns an
+    * `Error: ...` string instead of throwing, as the reference does.
     */
   def getQueryPlan(df: DataFrame): String =
     try {
-      val raw = df.queryExecution.explainString(ExtendedMode)
+      val raw = df.queryExecution.analyzed.toString
       if (raw.contains("UDF"))
         log(
           "UDF detected in query plan, cache invalidation for UDF code " +
             "not implemented!")
-      val noIds = Seq(exprIdRe, planIdRe, cteIdRe, objAddrRe)
-        .foldLeft(raw)((t, re) => re.replaceAllIn(t, ""))
-      wsRe.replaceAllIn(noIds, " ").trim
+      clean(raw)
     } catch {
       case e: Throwable => s"Error: ${e.getMessage}"
     }
+
+  /** Cleaned extended-explain text (all four sections) — the input to
+    * the keyword cost model, which the reference counts over the full
+    * extended output (`query_complexity_estimation.py:127-135`). Not
+    * used for fingerprinting (see [[getQueryPlan]]). */
+  def extendedPlanText(df: DataFrame): String =
+    try clean(df.queryExecution.explainString(ExtendedMode))
+    catch { case e: Throwable => s"Error: ${e.getMessage}" }
 
   /** MD5 hex digest over UTF-8 bytes (reference `core_caching.py:399`). */
   def md5Hex(s: String): String = {

@@ -28,10 +28,13 @@ object extensions {
   /** Plans the cache refuses: in-memory/RDD-backed sources whose content
     * can't be fingerprinted from files (reference
     * `dataframe_extensions.py:47-49`, README.md:203; `LocalTableScan`
-    * flagged in `integration_test_notebook.py:1103-1106`). */
+    * flagged in `integration_test_notebook.py:1103-1106`). Checked
+    * against the analyzed-plan fingerprint text, where these sources
+    * print as LocalRelation / LogicalRDD / ExternalRDD. */
   private def isUncacheableSource(plan: String): Boolean =
     plan.contains("Scan ExistingRDD") || plan.contains("ExternalRDD") ||
-      plan.contains("LocalRelation") || plan.contains("LocalTableScan")
+      plan.contains("LocalRelation") || plan.contains("LocalTableScan") ||
+      plan.contains("LogicalRDD")
 
   implicit class RichDataFrame(private val df: DataFrame) extends AnyVal {
 
@@ -56,6 +59,12 @@ object extensions {
       // A pure direct-data cache read is already materialized — bypass
       // (reference dataframe_extensions.py:54-56).
       if (DirectData.taggedHash(df).isDefined) return df
+      // Likewise a plan that is already a bare scan of a cache table:
+      // re-caching would write a duplicate copy under a new hash.
+      if (CacheIO.existingCacheScan(df, plan).isDefined) {
+        PlanFingerprint.log("Already cache-backed; returning as-is.")
+        return df
+      }
 
       val inputInfo = Freshness.inputDirModTimes(df)
       CacheIO.readCacheIfExist(df, Some(plan), Some(inputInfo)) match {

@@ -115,6 +115,40 @@ class CacheBehaviorSpec extends AnyFunSuite {
     assert(!Files.exists(Paths.get(s"${CacheConfig.current.cacheDirSlash}$h")))
   }
 
+  test("re-caching a cache-backed DF is identity, not a second copy") {
+    val df = ordersAgg().withColumn("w", lit(5))
+    val cached = cacheIt(df)
+    val nTables = spark.catalog
+      .listTables(CacheConfig.current.cacheDatabase).collect().length
+    val again = cacheIt(cached)
+    val nTables2 = spark.catalog
+      .listTables(CacheConfig.current.cacheDatabase).collect().length
+    assert(nTables2 == nTables, "no duplicate cache table may appear")
+    assert(again.queryExecution.logical eq cached.queryExecution.logical,
+      "already-cache-backed plan must be returned as-is")
+  }
+
+  test("backupSparkCachedToDbfs persists spark-cached DFs and can unpersist") {
+    val df = ordersAgg().withColumn("bk", lit(6))
+    df.cache()
+    assert(CacheIO.isSparkCached(df))
+    val done = backupSparkCachedToDbfs(Seq(df), unpersistAfterBackup = true)
+    assert(done.size == 1)
+    val h = CacheIO.tableHash(df)
+    assert(spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)))
+    assert(!CacheIO.isSparkCached(df), "unpersistAfterBackup must unpersist")
+  }
+
+  test("wcd kwarg semantics: skipDbfsCache+eagerSparkCache spark-caches only") {
+    val df = ordersAgg().withColumn("wk", lit(7))
+    val out = df.wcd(eagerSparkCache = true, skipDisplay = true, skipDbfsCache = true)
+    assert(CacheIO.isSparkCached(out), "eager spark cache requested")
+    val h = CacheIO.tableHash(df)
+    assert(!spark.catalog.tableExists(CacheConfig.current.tableNameFromHash(h)),
+      "skipDbfsCache must not write a cache table")
+    out.unpersist()
+  }
+
   test("wcd caches when triggered and returns chainable DF") {
     val df = ordersAgg().withColumn("z", lit(4))
     val out = df.wcd(skipDisplay = true)

@@ -37,6 +37,17 @@ class PlanStabilitySpec extends AnyFunSuite {
     assert(!"#\\d+".r.findFirstIn(p).isDefined, "exprId leaked")
   }
 
+  test("spark-caching a DataFrame does not change its fingerprint") {
+    val before = PlanFingerprint.getQueryPlan(freshAgg())
+    val df = freshAgg()
+    df.cache()
+    try {
+      df.count() // materialize so InMemoryRelation substitution is live
+      assert(PlanFingerprint.getQueryPlan(df) == before,
+        "fingerprint must be cache-state-invariant (backup workflow)")
+    } finally df.unpersist()
+  }
+
   test("different plans hash differently") {
     val spark = TestSpark.spark
     val base = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
