@@ -1,0 +1,93 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.{Event, UserStat}
+
+/** Structured-Streaming operators driven through MemoryStream — real
+  * micro-batch execution, not batch-mode shortcuts. */
+class StreamingSpec extends AnyFunSuite {
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+
+  private val batch1 = Seq(
+    Event(1L, ts(0), 100L, "view", 1.0),
+    Event(2L, ts(5), 100L, "click", 2.0),
+    Event(3L, ts(10), 200L, "view", 3.0))
+  private val batch2 = Seq(
+    Event(4L, ts(50), 100L, "purchase", 10.0),
+    Event(5L, ts(55), 200L, "view", 4.0))
+
+  test("watermarked hourly counts aggregate across micro-batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val counts = Streaming.hourlyEventCounts(stream.toDF())
+    val q = counts.writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("hourly").collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("view") == 3L, "views across both batches in the 10:00 window")
+    assert(out("purchase") == 1L)
+  }
+
+  test("session_window merges events within the gap per user") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    stream.addData((batch1 ++ batch2): _*)
+    val sessions = Streaming.sessionize(stream.toDF(), gap = "15 minutes")
+    // session_window aggregations only support Append (emit after the
+    // watermark passes) or Complete; Complete shows all sessions now.
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Complete()).start()
+    try q.processAllAvailable() finally q.stop()
+    val byUser = spark.table("sessions").collect()
+      .groupBy(_.getLong(1)).view.mapValues(_.length).toMap
+    // user 100: events at :00/:05 then :50 => 2 sessions with 15-min gap
+    assert(byUser(100L) == 2, s"user 100 sessions: $byUser")
+    assert(byUser(200L) == 2)
+  }
+
+  test("mapGroupsWithState keeps per-user running stats across batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val stats = Streaming.runningUserStats(stream.toDS())
+    val q = stats.writeStream.format("memory").queryName("userstats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // memory sink in Update mode appends each state revision; take the last
+    val last = spark.table("userstats").as[UserStat].collect()
+      .groupBy(_.user_id).view.mapValues(_.maxBy(_.n_events)).toMap
+    assert(last(100L).n_events == 3L)
+    assert(last(100L).total_value == 13.0)
+    assert(last(100L).last_type == "purchase")
+    assert(last(200L).n_events == 2L)
+  }
+
+  test("streaming transforms run identically over a batch frame") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val batchDf = (batch1 ++ batch2).toDF()
+    val out = Streaming.hourlyEventCounts(batchDf).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out("view") == 3L && out("click") == 1L && out("purchase") == 1L)
+  }
+}
