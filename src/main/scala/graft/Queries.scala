@@ -128,6 +128,27 @@ object Queries {
         .groupBy(col("event_type"), date_trunc("hour", col("ts_us")).as("hour"))
         .agg(count(lit(1)).as("n"))
     },
+    // --- UDF (plan carries the UDF marker the cost model scores and the
+    //     cache warns about; body is exact integer arithmetic so the
+    //     oracle can replicate it) ---
+    "q_udf" -> { (s, d) =>
+      val priceBand = udf((p: Double) => (p / 1000.0).toLong)
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          priceBand(col("l_extendedprice")).as("price_band"))
+    },
+    // --- rollup (hierarchical aggregates incl. null super-rows) ---
+    "q_rollup" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+    // --- set op: except (all customers minus the positive-balance set;
+    //     non-empty on this corpus, unlike no-order customers) ---
+    "q_except" -> { (s, d) =>
+      val c = t(s, d, "customer")
+      c.select(col("c_custkey"))
+        .except(c.filter(col("c_acctbal") > 0).select(col("c_custkey")))
+    },
     // --- seeded sample: declared without oracle (row-count check only;
     //     RNG streams differ across engines by design, README.md:199) ---
     "q_sample" -> ((s, d) =>
@@ -166,6 +187,12 @@ object Queries {
       "SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING' UNION ALL SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'MACHINERY'",
     "q_scalar_fn" ->
       "SELECT l_orderkey, l_linenumber, CAST(year(l_shipdate) AS INTEGER) AS ship_year, CAST(month(l_shipdate) AS INTEGER) AS ship_month, l_returnflag || '-' || l_linestatus AS tag, l_extendedprice * 0.9 AS discounted FROM lineitem",
+    "q_udf" ->
+      "SELECT l_orderkey, l_linenumber, CAST(trunc(l_extendedprice / 1000.0) AS BIGINT) AS price_band FROM lineitem",
+    "q_rollup" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "q_except" ->
+      "SELECT c_custkey FROM customer EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0",
     "q_events_agg" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY event_type",
     "q_events_hourly" ->
