@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.{Column, SparkSession}
+
+/** Native Catalyst expressions for the similarity-search hot loop.
+  *
+  * The composable form (`zip_with` + `aggregate`) allocates an
+  * intermediate array per row and evaluates a lambda per element; these
+  * expressions generate a tight primitive loop inside whole-stage
+  * codegen instead — the preferred extension mechanism when built-in
+  * functions can't express the shape efficiently (custom `Expression`
+  * with `doGenCode` beats a UDF). The sequential accumulation order
+  * matches a left fold exactly, so results are bit-identical with the
+  * composable form (and the DuckDB oracle). Inputs must be
+  * `array<double>`; the Column/SQL wrappers below insert the cast so
+  * `array<float>` embedding columns work transparently.
+  */
+abstract class ArrayPairLoopExpression extends BinaryExpression with Serializable {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two array<double> arguments, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
+  /** Scalar kernel over the two arrays. */
+  protected def combine(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(leftVal: Any, rightVal: Any): Any =
+    combine(leftVal.asInstanceOf[ArrayData], rightVal.asInstanceOf[ArrayData])
+}
+
+/** `dot_product(array<double>, array<double>)` — Σ aᵢ·bᵢ over the common
+  * prefix length. */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends ArrayPairLoopExpression {
+
+  override def prettyName: String = "dot_product"
+
+  override protected def combine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var sum = 0.0
+    while (i < n) { sum += a.getDouble(i) * b.getDouble(i); i += 1 }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val sum = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $sum = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $sum;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `cosine_similarity(array<double>, array<double>)` — dot/(‖a‖·‖b‖) in
+  * ONE pass over both arrays (the composable form scans each array
+  * twice more for the norms). Zero-norm inputs yield NaN, matching the
+  * arithmetic definition. */
+case class ArrayCosineSimilarity(left: Expression, right: Expression)
+    extends ArrayPairLoopExpression {
+
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def combine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayCosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API and SQL registration for the native expressions. */
+object functions {
+
+  private def toDoubleArray(e: Expression): Expression = e.dataType match {
+    case ArrayType(DoubleType, _) => e
+    case _ => Cast(e, ArrayType(DoubleType))
+  }
+
+  def dotProduct(a: Column, b: Column): Column =
+    Bridge.column(ArrayDotProduct(
+      toDoubleArray(Bridge.expression(a)), toDoubleArray(Bridge.expression(b))))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    Bridge.column(ArrayCosineSimilarity(
+      toDoubleArray(Bridge.expression(a)), toDoubleArray(Bridge.expression(b))))
+
+  private[graft] val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "dot_product"),
+      (es: Seq[Expression]) => ArrayDotProduct(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "cosine_similarity"),
+      (es: Seq[Expression]) => ArrayCosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1))))
+  )
+
+  /** Make the functions callable from SQL text in an existing session
+    * (`SELECT cosine_similarity(a.embedding, b.embedding) ...`). For
+    * cluster-wide installation use [[GraftSparkExtensions]] via
+    * `spark.sql.extensions`. */
+  def register(spark: SparkSession): Unit =
+    registry.foreach { case (name, info, builder) =>
+      Bridge.registerFunction(spark, name, info, builder)
+    }
+}
+
+/** `SparkSessionExtensions` installer: pass
+  * `--conf spark.sql.extensions=graft.functions.GraftSparkExtensions` or
+  * `SparkSession.builder.withExtensions(new GraftSparkExtensions)` to
+  * get the SQL functions in every session. */
+class GraftSparkExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    functions.registry.foreach(ext.injectFunction)
+}

@@ -20,17 +20,19 @@ import org.apache.spark.sql.{Column, DataFrame}
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two `array<double>` columns. */
+  /** Dot product of two float/double array columns — native codegen'd
+    * expression ([[graft.functions.ArrayDotProduct]]): one primitive
+    * loop, no intermediate array allocation. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.functions.dotProduct(a, b)
 
   /** Cosine similarity of two float/double array columns, computed in
-    * double. */
-  def cosine(a: Column, b: Column): Column = {
-    val ad = a.cast("array<double>")
-    val bd = b.cast("array<double>")
-    dot(ad, bd) / (sqrt(dot(ad, ad)) * sqrt(dot(bd, bd)))
-  }
+    * double in a single fused pass
+    * ([[graft.functions.ArrayCosineSimilarity]]). Accumulation order
+    * matches a sequential left fold, so values are bit-identical with
+    * the composable `zip_with`/`aggregate` form. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.functions.cosineSimilarity(a, b)
 
   /** All (query, corpus) pairs with cosine ≥ `threshold`. Queries are
     * broadcast; the corpus is scanned once. */

@@ -1,0 +1,26 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal visibility bridge: `Column <-> Expression` conversion lives in
+  * `private[sql]` helpers in Spark 4 (the Connect split removed the
+  * public `Column(expr)` constructor), so custom Catalyst expressions
+  * need one forwarding object inside the `org.apache.spark.sql`
+  * namespace — the standard pattern for Spark-extension libraries.
+  * Nothing else from the internals is exposed. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a native function in an existing session's registry (the
+    * registry is also behind `private[sql]` session state). */
+  def registerFunction(
+      spark: org.apache.spark.sql.SparkSession,
+      name: org.apache.spark.sql.catalyst.FunctionIdentifier,
+      info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.registerFunction(name, info, builder)
+}

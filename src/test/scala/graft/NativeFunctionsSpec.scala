@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expressions: codegen and interpreted paths, SQL
+  * registration, implicit float→double casting. */
+class NativeFunctionsSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, Array(1.0f, 0.0f, 2.0f), Array(3.0f, 4.0f, 0.5f)),
+      (2L, Array(0.0f, 0.0f, 0.0f), Array(1.0f, 1.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f, 1.0f), Array(1.0f, 1.0f, 1.0f))
+    ).toDF("id", "a", "b")
+  }
+
+  test("dot_product: codegen path computes Σ a_i b_i with float cast") {
+    val out = vecs
+      .select(col("id"), graft.functions.functions.dotProduct(col("a"), col("b")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out(1L) == 1.0 * 3.0 + 0.0 * 4.0 + 2.0 * 0.5)
+    assert(out(3L) == 3.0)
+  }
+
+  test("cosine_similarity matches the composable zip_with/aggregate form bit-for-bit") {
+    val composable = {
+      val ad = col("a").cast("array<double>")
+      val bd = col("b").cast("array<double>")
+      def d(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+        aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+      d(ad, bd) / (sqrt(d(ad, ad)) * sqrt(d(bd, bd)))
+    }
+    // row 2 has a zero vector: the composable form raises DIVIDE_BY_ZERO
+    // under ANSI mode, the native expression yields NaN — compare the
+    // well-defined rows bit-for-bit.
+    val rows = vecs.filter(col("id") =!= 2L).select(
+      graft.functions.functions.cosineSimilarity(col("a"), col("b")).as("native"),
+      composable.as("ref"))
+      .collect()
+    rows.foreach { r =>
+      val (n, ref) = (r.getDouble(0), r.getDouble(1))
+      assert(n == ref || (n.isNaN && ref.isNaN), s"native=$n ref=$ref")
+    }
+  }
+
+  test("interpreted (non-codegen) eval agrees with codegen") {
+    val s = spark
+    s.conf.set("spark.sql.codegen.wholeStage", "false")
+    s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val out = vecs
+        .select(graft.functions.functions.cosineSimilarity(col("a"), col("b")).as("c"))
+        .collect().map(_.getDouble(0))
+      // 3/(sqrt(3)*sqrt(3)) lands one ulp above 1.0 — that IS the
+      // defined arithmetic, not an error.
+      assert(math.abs(out(2) - 1.0) < 1e-12,
+        "identical vectors => cosine ~1.0 (interpreted)")
+    } finally {
+      s.conf.set("spark.sql.codegen.wholeStage", "true")
+      s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("SQL registration makes functions callable from SQL text") {
+    graft.functions.functions.register(spark)
+    vecs.createOrReplaceTempView("native_vecs")
+    val out = spark
+      .sql("SELECT id, dot_product(a, b) d, cosine_similarity(a, a) c FROM native_vecs")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 4.0)
+    assert(math.abs(out(3L)._2 - 1.0) < 1e-12)
+  }
+
+  test("null array yields null, zero norm yields NaN") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(Array(1.0, 2.0)), None: Option[Array[Double]]))
+      .toDF("a", "b")
+    val r = df.select(graft.functions.functions.dotProduct(col("a"), col("b"))).collect().head
+    assert(r.isNullAt(0))
+    val z = vecs.filter(col("id") === 2L)
+      .select(graft.functions.functions.cosineSimilarity(col("a"), col("b")))
+      .collect().head.getDouble(0)
+    assert(z.isNaN)
+  }
+}
