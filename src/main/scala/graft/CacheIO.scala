@@ -56,12 +56,21 @@ object CacheIO {
 
   /** `CREATE DATABASE IF NOT EXISTS` + overwrite-save the cache table
     * (reference `core_caching.py:37-44`; format pluggable, parquet
-    * locally since Delta isn't on the classpath). */
-  def writeCacheData(dfW: DataFrame, tbl: String): Unit = {
+    * locally since Delta isn't on the classpath).
+    *
+    * `partitionBy` (absent in the reference, which writes one
+    * unpartitioned table per entry) lets hot caches be layout-aware at
+    * scale: downstream filters on the partition column prune files
+    * instead of scanning the whole materialization. Partitioning is
+    * physical layout only — it does not participate in the fingerprint.
+    */
+  def writeCacheData(dfW: DataFrame, tbl: String, partitionBy: Seq[String] = Nil): Unit = {
     val spark = dfW.sparkSession
     val cfg = CacheConfig.current
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.cacheDatabase}")
-    dfW.write.format(cfg.cacheFormat).mode("overwrite").saveAsTable(tbl)
+    val w = dfW.write.format(cfg.cacheFormat).mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .saveAsTable(tbl)
   }
 
   /** Write table + metadata, skipping entirely when the metadata text is
@@ -72,14 +81,15 @@ object CacheIO {
       df: DataFrame,
       hashName: String,
       metadataFilePath: String,
-      metadataTxt: String): Unit = {
+      metadataTxt: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     val conf = hadoopConf(df.sparkSession)
     val lastMeta = readTextIfExists(metadataFilePath, conf)
     if (lastMeta.contains(metadataTxt)) {
       PlanFingerprint.log(s"Meta identical $hashName. Skip.")
       return
     }
-    writeCacheData(df, CacheConfig.current.tableNameFromHash(hashName))
+    writeCacheData(df, CacheConfig.current.tableNameFromHash(hashName), partitionBy)
     writeText(metadataFilePath, metadataTxt, conf)
   }
 
@@ -112,13 +122,14 @@ object CacheIO {
       queryPlan: String = "",
       inputDirModDatetime: Option[ListMap[String, String]] = None,
       hashName: Option[String] = None,
-      cachePath: Option[String] = None): DataFrame = {
+      cachePath: Option[String] = None,
+      partitionBy: Seq[String] = Nil): DataFrame = {
     val sources = inputDirModDatetime.getOrElse(Freshness.inputDirModTimes(df))
     val plan = if (queryPlan.nonEmpty) queryPlan else PlanFingerprint.getQueryPlan(df)
     val (finalHash, _, metadataFilePath, metadataTxt) =
       CacheMetadata.tableCacheInfo(sources, plan, hashName, cachePath)
     val tableName = CacheConfig.current.tableNameFromHash(finalHash)
-    writeStandardCache(df, finalHash, metadataFilePath, metadataTxt)
+    writeStandardCache(df, finalHash, metadataFilePath, metadataTxt, partitionBy)
     if (replace)
       try df.sparkSession.read.table(tableName)
       catch { case _: Throwable => df }

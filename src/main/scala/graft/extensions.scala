@@ -53,7 +53,8 @@ object extensions {
         dbfsCacheMultiplierThreshold: Option[Double] =
           CacheConfig.current.defaultMultiplierThreshold,
         hashName: Option[String] = None,
-        cachePath: Option[String] = None): DataFrame = {
+        cachePath: Option[String] = None,
+        partitionBy: Seq[String] = Nil): DataFrame = {
       val plan = PlanFingerprint.getQueryPlan(df)
       if (isUncacheableSource(plan)) return df
       // A pure direct-data cache read is already materialized — bypass
@@ -89,7 +90,7 @@ object extensions {
       else
         CacheIO.writeCache(df, replace = true, queryPlan = plan,
           inputDirModDatetime = Some(inputInfo), hashName = hashName,
-          cachePath = cachePath)
+          cachePath = cachePath, partitionBy = partitionBy)
     }
 
     /** Threshold-gated cache without display — README/Changelog name this

@@ -51,10 +51,31 @@ object PipelineQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         "vec_id", "embedding", "qid", "qvec", k = 5)
     },
+    "q_embed_ivf" -> { (s, d) =>
+      val e = embs(s, d)
+      Similarity.ivfCosineTopK(
+        e.select(col("vec_id"), col("embedding")),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "qid", "qvec", k = 5, nLists = 16, nProbe = 4)
+    },
     // --- text analysis ---
     "q_token_count" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))),
+    "q_token_bpe" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
+    // batch session_window over events (streaming operator, batch frame)
+    "q_events_sessions" -> { (s, d) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      s.read.parquet(s"$d/events.parquet")
+        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(session_window(col("ts_us"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_us").as("first_ts"), max("ts_us").as("last_ts"))
+        .select("user_id", "n_events", "first_ts", "last_ts")
+    },
     "q_text_quality" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)),
@@ -93,6 +114,21 @@ object PipelineQueries {
         |WHERE sim >= 0.35""".stripMargin,
     "q_token_count" ->
       s"SELECT doc_id, CAST(len($toksSql) AS INTEGER) AS n_tokens FROM documents",
+    "q_token_bpe" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\p{L}\p{N}\s]+')) AS INTEGER) AS n_bpe FROM documents""",
+    "q_events_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(min(ts) AS TIMESTAMP) AS first_ts, CAST(max(ts) AS TIMESTAMP) AS last_ts
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     "q_text_quality" ->
       s"""WITH t AS (SELECT doc_id, text, $toksSql toks FROM documents)
          |SELECT doc_id,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
@@ -75,6 +76,59 @@ object Similarity {
     val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x))
     df.withColumn("__unit",
       array_to_vector(transform(vd, x => x / nrm)))
+  }
+
+  /** IVF (inverted-file) approximate cosine top-k — the scale path for
+    * 100 TB corpora: a k-means coarse quantizer partitions the corpus
+    * into `nLists` cells once; each query probes only its `nProbe`
+    * nearest cells and reranks exactly inside them, so the scoring pass
+    * touches ~nProbe/nLists of the corpus instead of all of it.
+    * Centroids are broadcast (nLists rows); the cell assignment is a
+    * one-off distributed job (at petabyte scale, fit the quantizer on a
+    * sample). Seeded ⇒ deterministic. `nProbe = nLists` degrades to
+    * exact brute force. */
+  def ivfCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nLists: Int = 16,
+      nProbe: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val corpusU = unitVectors(corpus, vecCol)
+    val km = new KMeans()
+      .setK(nLists).setSeed(seed)
+      .setFeaturesCol("__unit").setPredictionCol("__cell")
+    val model = km.fit(corpusU)
+    val assigned = model.transform(corpusU)
+      .select(col(idCol), col(vecCol), col("__cell"))
+    // Tiny centroid table: (cell, centroid) — broadcast everywhere.
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+    // Per query: rank cells by centroid cosine, keep the nProbe nearest.
+    val wCell = Window.partitionBy(col(qidCol))
+      .orderBy(cosine(col(qvecCol), col("__centroid")).desc, col("__cell").asc)
+    val probed = queries
+      .join(broadcast(centroids))
+      .withColumn("__cellrank", row_number().over(wCell))
+      .filter(col("__cellrank") <= nProbe)
+      .select(col(qidCol), col(qvecCol), col("__cell"))
+    // Exact rerank inside the probed cells only.
+    val scored = assigned
+      .join(broadcast(probed), Seq("__cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", round(cosine(col(qvecCol), col(vecCol)), 6))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(qidCol), col(idCol), col("sim"), col("rn"))
   }
 
   /** LSH-bucketed approximate cosine top-k: normalize to the unit

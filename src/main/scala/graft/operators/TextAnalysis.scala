@@ -22,6 +22,16 @@ object TextAnalysis {
   /** Token count per document. */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-style pre-tokenization (GPT-2-ish): letter runs, digit runs,
+    * and punctuation runs are separate tokens — the unit a byte-pair
+    * tokenizer would merge from. Pure regex, RE2-compatible so SQL
+    * oracles agree. */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]+"), lit(0))
+
+  /** Approximate LLM token count via BPE pre-tokens. */
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Stopword list used by quality scoring and language ID. Tiny by
     * design: deterministic, language-marker oriented. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in")

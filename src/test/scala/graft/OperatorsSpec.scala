@@ -112,6 +112,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute.subsetOf(annSet), s"ANN missed ${brute diff annSet}")
   }
 
+  test("IVF top-k with full probe equals brute force exactly") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id"), col("embedding"))
+    val brute = Similarity.bruteForceTopK(c, q, "vec_id", "embedding", "qid", "qvec", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // probing every cell makes the candidate set the whole corpus
+    val ivf = Similarity.ivfCosineTopK(c, q, "vec_id", "embedding", "qid", "qvec", 3,
+      nLists = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(ivf == brute, s"ivf=$ivf brute=$brute")
+  }
+
+  test("partitioned cache write prunes partitions on filtered reads") {
+    import graft.extensions._
+    val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .withColumn("part_tag", lit(8))
+    val cached = orders.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None,
+      partitionBy = Seq("o_orderstatus"))
+    val filtered = cached.filter(col("o_orderstatus") === "F")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      plan.contains("o_orderstatus"),
+      s"filter on the partition column must prune partitions:\n$plan")
+    assert(filtered.count() ==
+      orders.filter(col("o_orderstatus") === "F").count())
+  }
+
   test("text analysis: tokens, quality, language id") {
     val out = docs.select(
       col("doc_id"),
