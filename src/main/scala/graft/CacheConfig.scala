@@ -33,7 +33,13 @@ final case class CacheConfig(
     defaultComplexityThreshold: Option[Double] = Some(130.0),
     defaultMultiplierThreshold: Option[Double] = Some(1.01),
     preferSparkCache: Boolean =
-      CacheConfig.resolve("preferSparkCache", "true").toBoolean
+      CacheConfig.resolve("preferSparkCache", "true").toBoolean,
+    /** Cost-model estimator: keyword counting on explain text (reference
+      * parity, default) vs walking the optimized logical plan tree
+      * (robust to e.g. a column literally named "joined" — SURVEY §4.3's
+      * flagged alternative). Both feed the same golden factor table. */
+    useTreeEstimator: Boolean =
+      CacheConfig.resolve("useTreeEstimator", "false").toBoolean
 ) {
   /** `{cacheDir}/` with a guaranteed trailing slash (reference
     * `core_caching.py:402`). */

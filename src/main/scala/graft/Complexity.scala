@@ -95,11 +95,58 @@ object Complexity {
     }
   }
 
+  /** Structured estimator (config `useTreeEstimator`): count operator
+    * NODES in the optimized logical plan instead of keywords in the
+    * explain text. Immune to the keyword method's substring traps (a
+    * column named "joined" inflates the join count — SURVEY §4.3) while
+    * feeding the exact same golden factor table. `Distinct` is rewritten
+    * to `Aggregate`/`Deduplicate` during optimization, so those nodes
+    * carry the distinct factor when they group without aggregating. */
+  def multiplierFromTree(df: DataFrame): Double = {
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    import org.apache.spark.sql.catalyst.plans.{logical => l}
+    val plan = df.queryExecution.optimizedPlan
+    var joinN, windowN, sortN, aggSimpleN, aggComplexN, distinctN = 0
+    plan.foreach {
+      case _: l.Join => joinN += 1
+      case _: l.Window => windowN += 1
+      case _: l.Sort => sortN += 1
+      case _: l.Deduplicate => distinctN += 1
+      case a: l.Aggregate =>
+        val plainGroupBy = a.aggregateExpressions.forall(e =>
+          a.groupingExpressions.exists(_.semanticEquals(e)))
+        if (plainGroupBy && a.groupingExpressions.nonEmpty) distinctN += 1
+        else if (a.groupingExpressions.nonEmpty || a.aggregateExpressions.size > 1)
+          aggComplexN += 1
+        else aggSimpleN += 1
+      case _ => ()
+    }
+    val udfN = plan.collect {
+      case p => p.expressions.map(_.collect { case _: ScalaUDF => 1 }.sum).sum
+    }.sum
+
+    var multiplier = MultiplierBase
+    def apply(f: Factor, n: Int): Unit =
+      if (n > 0) multiplier *= f.base * math.pow(f.inc, (n - 1).toDouble)
+    apply(Join, joinN)
+    apply(WindowF, windowN)
+    apply(Sort, sortN)
+    apply(Distinct, distinctN)
+    apply(Udf, udfN)
+    apply(AggComplex, aggComplexN)
+    apply(AggSimple, aggSimpleN)
+    multiplier
+  }
+
   /** (complexity, multiplier, totalSizeGb) for a DataFrame (reference
     * `qce.py:202-257`): zero input size still yields a plan multiplier;
     * an unreadable plan degrades to multiplier 1.0. */
   def estimate(df: DataFrame): (Double, Double, Double) = {
     val totalSize = inputFileSizesGb(df).sum
+    if (CacheConfig.current.useTreeEstimator) {
+      val m = try multiplierFromTree(df) catch { case _: Throwable => 1.0 }
+      return (totalSize * m, m, totalSize)
+    }
     val plan = PlanFingerprint.extendedPlanText(df).toLowerCase
     if (totalSize == 0.0) {
       if (plan.startsWith("error:")) (0.0, 1.0, 0.0)

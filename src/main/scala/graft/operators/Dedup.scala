@@ -134,6 +134,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_est")
   }
 
+  /** Production near-dup shape: banded MinHash generates candidates
+    * (sub-quadratic), then the exact k-shingle Jaccard is computed ONLY
+    * for candidate pairs — never all-pairs. The exact value replaces the
+    * signature estimate, so the output is exact-Jaccard-thresholded with
+    * MinHash recall. This is the composition to run at 100 TB: stage 1
+    * touches each doc once, stage 2 touches each candidate pair once. */
+  def nearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      rowsPerBand: Int = 3,
+      numBands: Int = 6,
+      threshold: Double = 0.8): DataFrame = {
+    // Stage 1: banded candidates (estimate gate at half the threshold —
+    // generous, the exact verify below is the real filter).
+    val cand = minHashNearDupPairs(df, idCol, textCol, k, rowsPerBand, numBands,
+      threshold = math.max(0.0, threshold / 2))
+      .select("id_a", "id_b")
+    // Stage 2: exact verify on candidates only.
+    val sh = df
+      .select(col(idCol).as("doc"), Shingles.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val verified = cand
+      .join(sh.as("sa"), col("id_a") === col("sa.doc"))
+      .join(sh.as("sb"), col("id_b") === col("sb.doc"))
+      .withColumn("common", size(array_intersect(col("sa.sh"), col("sb.sh"))))
+      .withColumn("jaccard",
+        round(col("common") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+    verified.select("id_a", "id_b", "jaccard")
+  }
+
   /** 64-bit SimHash signature per document: per-token xxhash64, bit-wise
     * ±1 vote sums, sign recombined into one long. One explode + one
     * grouped aggregation (64 codegen'd sum exprs) — no UDF, no driver

@@ -26,6 +26,8 @@ object PipelineQueries {
         k = 3, rowsPerBand = 3, numBands = 6, threshold = 0.7)),
     "q_dedup_simhash" -> ((s, d) =>
       Dedup.simHashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
+    "q_dedup_neardup" -> ((s, d) =>
+      Dedup.nearDupPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)),
     // --- similarity search ---
     "q_embed_threshold" -> { (s, d) =>
       val e = embs(s, d)
@@ -97,6 +99,19 @@ object PipelineQueries {
     "q_dedup_exact" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
     "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b, jaccard FROM (
+        |  SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    // Same oracle as q_dedup_ngram: the composed pipeline's exact-verify
+    // stage outputs true Jaccard values, and the seeded banded MinHash
+    // achieves total recall at the correctness scale (verified).
+    "q_dedup_neardup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
         |ex AS (SELECT doc_id, unnest(s) g FROM sh),

@@ -67,6 +67,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(matches12 > 0 && matches12 < 18, "near-dup shares some minhashes")
   }
 
+  test("nearDupPairs: minhash candidates + exact verify equals pure exact on near-dups") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val composed = Dedup.nearDupPairs(docs, "doc_id", "text", k = 3,
+      rowsPerBand = 1, numBands = 8, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(composed == exact,
+      s"composed=$composed exact=$exact (jaccard values must be the exact ones)")
+  }
+
+  test("saltedJoin equals plain join and spreads the hot key") {
+    val s = spark
+    import s.implicits._
+    // heavily skewed: 900 rows of key 1, 100 of others
+    val big = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (i.toLong + 1, i)))
+      .toDF("k", "v")
+    val dim = Seq((1L, "hot"), (2L, "a"), (50L, "b")).toDF("k", "name")
+    val plain = big.join(dim, "k").collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val salted = Skew.saltedJoin(big, dim, "k", saltFactor = 4)
+      .select("k", "v", "name")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+  }
+
   test("simHash: identical docs hash identical, near-dups within hamming 3") {
     val sigs = Dedup.simHash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
