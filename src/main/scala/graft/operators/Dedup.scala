@@ -168,6 +168,33 @@ object Dedup {
     verified.select("id_a", "id_b", "jaccard")
   }
 
+  /** Embedding-cosine near-duplicate pairs (semantic dedup).
+    *
+    * `exact = true` scores every (i < j) pair with the native fused
+    * cosine — O(n²), the verify/small-corpus path (the oracle-checkable
+    * one). `exact = false` goes through the euclidean-LSH bucket join on
+    * unit vectors ([[Similarity.annCosineTopK]]'s machinery) and only
+    * scores within-bucket candidates — the 100 TB path. */
+  def embeddingNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      exact: Boolean = false): DataFrame =
+    if (exact) {
+      val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("sim", round(Similarity.cosine(col("__va"), col("__vb")), 6))
+        .filter(col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    } else {
+      Similarity
+        .annCosinePairs(df, df, idCol, vecCol, idCol, vecCol,
+          maxCosDist = 1.0 - threshold)
+        .filter(col("id_a") < col("id_b") && col("sim") >= threshold)
+    }
+
   /** 64-bit SimHash signature per document: per-token xxhash64, bit-wise
     * ±1 vote sums, sign recombined into one long. One explode + one
     * grouped aggregation (64 codegen'd sum exprs) — no UDF, no driver

@@ -53,6 +53,11 @@ object PipelineQueries {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         "vec_id", "embedding", "qid", "qvec", k = 5)
     },
+    "q_embed_neardup" -> { (s, d) =>
+      Dedup.embeddingNearDupPairs(
+        embs(s, d).select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.45, exact = true)
+    },
     "q_embed_ivf" -> { (s, d) =>
       val e = embs(s, d)
       Similarity.ivfCosineTopK(
@@ -121,6 +126,12 @@ object PipelineQueries {
         |  SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
         |  FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
         |WHERE jaccard >= 0.8""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT id_a, id_b, sim FROM (
+        |  SELECT a.vec_id id_a, b.vec_id id_b,
+        |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+        |WHERE sim >= 0.45""".stripMargin,
     "q_embed_threshold" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 10)
         |SELECT qid, vec_id, sim FROM (

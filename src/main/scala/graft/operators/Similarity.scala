@@ -131,6 +131,37 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("sim"), col("rn"))
   }
 
+  /** LSH-bucketed candidate PAIRS with approximate cosine ≥ 1 −
+    * `maxCosDist`: unit-normalize both sides, euclidean-LSH bucket join,
+    * convert distance back to cosine. Returns `(id_a, id_b, sim)` —
+    * the building block for semantic dedup self-joins. Seeded ⇒
+    * deterministic. */
+  def annCosinePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      maxCosDist: Double,
+      numHashTables: Int = 4,
+      bucketLength: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val corpusU = unitVectors(corpus, vecCol).select(col(idCol).as("__idb"), col("__unit"))
+    val queriesU = unitVectors(queries, qvecCol).select(col(qidCol).as("__ida"), col("__unit"))
+    val brp = new BucketedRandomProjectionLSH()
+      .setInputCol("__unit").setOutputCol("__hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
+    val model = brp.fit(corpusU)
+    val maxEuclid = math.sqrt(2.0 * maxCosDist)
+    model
+      .approxSimilarityJoin(queriesU, corpusU, maxEuclid, "euclid")
+      .select(
+        col("datasetA.__ida").as("id_a"),
+        col("datasetB.__idb").as("id_b"),
+        round(lit(1.0) - col("euclid") * col("euclid") / 2.0, 6).as("sim"))
+  }
+
   /** LSH-bucketed approximate cosine top-k: normalize to the unit
     * sphere, euclidean-LSH join within `maxCosDist` (cosine ≥ 1 −
     * maxCosDist), then exact rerank per query. Seeded ⇒ deterministic
