@@ -39,7 +39,13 @@ final case class CacheConfig(
       * (robust to e.g. a column literally named "joined" — SURVEY §4.3's
       * flagged alternative). Both feed the same golden factor table. */
     useTreeEstimator: Boolean =
-      CacheConfig.resolve("useTreeEstimator", "false").toBoolean
+      CacheConfig.resolve("useTreeEstimator", "false").toBoolean,
+    /** Transparent subtree substitution via the analysis-phase Catalyst
+      * rule ([[graft.plans.AutoSubstitute]]). Off by default: reference
+      * parity is API-layer-only substitution. Requires the rule to be
+      * installed (GraftSparkExtensions). */
+    autoSubstitute: Boolean =
+      CacheConfig.resolve("autoSubstitute", "false").toBoolean
 ) {
   /** `{cacheDir}/` with a guaranteed trailing slash (reference
     * `core_caching.py:402`). */

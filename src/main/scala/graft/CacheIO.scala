@@ -130,6 +130,8 @@ object CacheIO {
       CacheMetadata.tableCacheInfo(sources, plan, hashName, cachePath)
     val tableName = CacheConfig.current.tableNameFromHash(finalHash)
     writeStandardCache(df, finalHash, metadataFilePath, metadataTxt, partitionBy)
+    // Make the entry visible to the analysis-phase substitution rule.
+    graft.plans.AutoSubstitute.register(plan, finalHash)
     if (replace)
       try df.sparkSession.read.table(tableName)
       catch { case _: Throwable => df }

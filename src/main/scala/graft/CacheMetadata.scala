@@ -45,6 +45,15 @@ $queryPlan"""
     (finalHash, cachePath, s"${cachePath}cache_metadata.txt", metadataTxt)
   }
 
+  /** Extract the plan-text section of standard metadata (everything
+    * after the `DATAFRAME QUERY PLAN:` marker line); None for the
+    * direct-data variant. Used by the auto-substitution index. */
+  def extractQueryPlan(metadataTxt: String): Option[String] = {
+    val marker = "DATAFRAME QUERY PLAN:\n"
+    val i = metadataTxt.indexOf(marker)
+    if (i < 0) None else Some(metadataTxt.substring(i + marker.length))
+  }
+
   /** Parse metadata text back into `{path -> timestamp}` including the
     * direct-data variant (reference `core_caching.py:328-368`); used by
     * consistency tooling. */

@@ -66,12 +66,22 @@ object Freshness {
       }
     if (inputFiles.isEmpty) return ListMap.empty
 
+    dirModTimesForFiles(inputFiles,
+      df.sparkSession.sparkContext.hadoopConfiguration)
+  }
+
+  /** Dir-level mod-time map for an explicit file list — the core of
+    * [[inputDirModTimes]], also used when fingerprinting logical-plan
+    * subtrees (auto-substitution) where no DataFrame exists. */
+  def dirModTimesForFiles(
+      inputFiles: Array[String],
+      hadoopConf: org.apache.hadoop.conf.Configuration): ListMap[String, String] = {
+    val cfg = CacheConfig.current
     val cacheDirBase = cfg.cacheDirSlash.stripSuffix("/")
     val cacheDirRe =
       ("^" + java.util.regex.Pattern.quote(cacheDirBase) +
         "/[a-f0-9]{32}/?$").r
 
-    val hadoopConf = df.sparkSession.sparkContext.hadoopConfiguration
     val dirs = inputFiles.map(f => new Path(f).getParent.toString).distinct
     val entries = dirs.sorted.flatMap { d =>
       if (cacheDirRe.findFirstIn(stripScheme(d)).isDefined) None

@@ -29,6 +29,10 @@ object PlanFingerprint {
   private val objAddrRe = "@[0-9a-f]{6,}".r
   private val wsRe = "\\s+".r
 
+  /** Apply the fingerprint cleaning to arbitrary plan text (used when
+    * fingerprinting logical-plan subtrees for auto-substitution). */
+  private[graft] def cleanPlanText(raw: String): String = clean(raw)
+
   private def clean(raw: String): String = {
     val noIds = Seq(exprIdRe, planIdRe, cteIdRe, objAddrRe)
       .foldLeft(raw)((t, re) => re.replaceAllIn(t, ""))

@@ -168,6 +168,11 @@ object functions {
   * get the SQL functions in every session. */
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     functions.registry.foreach(ext.injectFunction)
+    // Analysis-phase transparent cache substitution (gated by
+    // spark.graft.autoSubstitute at runtime).
+    ext.injectPostHocResolutionRule(session =>
+      graft.plans.AutoSubstitute.SubstituteCachedPlans(session))
+  }
 }

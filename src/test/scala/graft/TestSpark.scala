@@ -19,6 +19,7 @@ object TestSpark {
       .builder()
       .master("local[4]")
       .appName("graft-test")
+      .withExtensions(new graft.functions.GraftSparkExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
