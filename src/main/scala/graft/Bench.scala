@@ -43,6 +43,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-bench-wh").toString)
+      .withExtensions(new graft.functions.GraftSparkExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     CacheConfig.current = CacheConfig(sparkCacheDir =

@@ -137,11 +137,21 @@ object Queries {
         .select(col("l_orderkey"), col("l_linenumber"),
           priceBand(col("l_extendedprice")).as("price_band"))
     },
-    // --- rollup (hierarchical aggregates incl. null super-rows) ---
+    // --- rollup / cube (hierarchical aggregates incl. null super-rows) ---
     "q_rollup" -> ((s, d) =>
       t(s, d, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))),
+    "q_cube" -> ((s, d) =>
+      t(s, d, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"))),
+    // --- set op: intersect ---
+    "q_intersect" -> { (s, d) =>
+      val active = t(s, d, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("c_custkey"))
+      t(s, d, "customer").select(col("c_custkey")).intersect(active)
+    },
     // --- set op: except (all customers minus the positive-balance set;
     //     non-empty on this corpus, unlike no-order customers) ---
     "q_except" -> { (s, d) =>
@@ -193,6 +203,10 @@ object Queries {
       "SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q_except" ->
       "SELECT c_custkey FROM customer EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 0",
+    "q_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)",
+    "q_intersect" ->
+      "SELECT c_custkey FROM customer INTERSECT SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'",
     "q_events_agg" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY event_type",
     "q_events_hourly" ->
