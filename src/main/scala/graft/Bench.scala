@@ -49,11 +49,23 @@ object Bench {
     CacheConfig.current = CacheConfig(sparkCacheDir =
       java.nio.file.Files.createTempDirectory("graft-bench-cache").toString + "/")
 
-    // Warm up JVM/codegen so the alphabetically-first query isn't
-    // charged for JIT compilation.
+    // Warm up JVM/codegen and the spark.ml LSH/KMeans class graph so no
+    // measured query is charged for first-use JIT compilation.
     try {
       runFully(Queries.all("q_scan")(spark, sfDir))
       runFully(Queries.all("q_agg_grouped")(spark, sfDir))
+      val tiny = spark.read
+        .parquet(s"$sfDir/embeddings.parquet")
+        .limit(512)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("embedding"))
+      val q = tiny.limit(4)
+        .withColumnRenamed("vec_id", "qid")
+        .withColumnRenamed("embedding", "qvec")
+      runFully(operators.Similarity.annCosineTopK(
+        tiny, q, "vec_id", "embedding", "qid", "qvec", k = 2))
+      runFully(operators.Similarity.ivfCosineTopK(
+        tiny, q, "vec_id", "embedding", "qid", "qvec", k = 2, nLists = 4, nProbe = 2))
     } catch { case _: Throwable => () }
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]

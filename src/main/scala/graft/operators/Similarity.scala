@@ -97,10 +97,13 @@ object Similarity {
       k: Int,
       nLists: Int = 16,
       nProbe: Int = 2,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxIter: Int = 8): DataFrame = {
     val corpusU = unitVectors(corpus, vecCol)
+    // A coarse quantizer doesn't need converged centroids — cells just
+    // need to partition the space roughly; cap the iterations.
     val km = new KMeans()
-      .setK(nLists).setSeed(seed)
+      .setK(nLists).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("__unit").setPredictionCol("__cell")
     val model = km.fit(corpusU)
     val assigned = model.transform(corpusU)
