@@ -70,9 +70,15 @@ object Queries {
       t(s, d, "lineitem").agg(
         count(lit(1)).as("cnt"),
         sum("l_quantity").as("total_qty"))),
-    // --- distinct ---
+    // --- distinct / count distinct ---
     "q_distinct" -> ((s, d) =>
       t(s, d, "orders").select("o_orderstatus", "o_orderpriority").distinct()),
+    "q_count_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          countDistinct(col("o_custkey")).as("n_cust"))),
     // --- window (row_number with tie-break for determinism) ---
     "q_window" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey")
@@ -187,6 +193,8 @@ object Queries {
       "SELECT count(*) AS cnt, CAST(sum(l_quantity) AS DOUBLE) AS total_qty FROM lineitem",
     "q_distinct" ->
       "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_count_distinct" ->
+      "SELECT o_orderstatus, count(DISTINCT o_orderpriority) AS n_prio, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY o_orderstatus",
     "q_window" ->
       "SELECT o_orderkey, o_custkey, rn FROM (SELECT o_orderkey, o_custkey, CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn FROM orders) WHERE rn <= 3",
     "q_sort" ->

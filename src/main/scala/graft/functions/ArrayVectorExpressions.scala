@@ -149,7 +149,10 @@ object functions {
       (es: Seq[Expression]) => ArrayDotProduct(toDoubleArray(es(0)), toDoubleArray(es(1)))),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "cosine_similarity"),
-      (es: Seq[Expression]) => ArrayCosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1))))
+      (es: Seq[Expression]) => ArrayCosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0)))
   )
 
   /** Make the functions callable from SQL text in an existing session

@@ -195,23 +195,16 @@ object Dedup {
         .filter(col("id_a") < col("id_b") && col("sim") >= threshold)
     }
 
-  /** 64-bit SimHash signature per document: per-token xxhash64, bit-wise
-    * ±1 vote sums, sign recombined into one long. One explode + one
-    * grouped aggregation (64 codegen'd sum exprs) — no UDF, no driver
-    * work. */
-  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df
-      .select(col(idCol).as("id"), explode(TextAnalysis.tokens(col(textCol))).as("t"))
-      .select(col("id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
-        .otherwise(-1)).as(s"b$i"))
-    val agg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64)
-      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), sig.as("simhash"))
-  }
+  /** 64-bit SimHash signature per document via the native
+    * [[graft.functions.SimHash64]] expression — a pure per-row
+    * projection inside codegen, NO shuffle (the aggregation formulation
+    * this replaced exploded and shuffled every token of the corpus;
+    * per-token hashes are xxhash64-seed-42 compatible so signatures are
+    * unchanged). */
+  def simHash64(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      graft.functions.SimHash64
+        .simHash64(TextAnalysis.tokens(col(textCol))).as("simhash"))
 
   /** SimHash near-dup pairs with hamming distance ≤ `maxHamming` (≤ 3
     * with the default 4×16-bit banding, by pigeonhole the banding is

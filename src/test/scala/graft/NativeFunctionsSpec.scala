@@ -76,6 +76,37 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(math.abs(out(3L)._2 - 1.0) < 1e-12)
   }
 
+  test("simhash64 expression matches the aggregation formulation bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now")
+    ).toDF("id", "text")
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    // reference: the explode + groupBy + 64-sums pipeline it replaced
+    val tok = docs.select(col("id"), explode(toks).as("t"))
+      .select(col("id"), xxhash64(col("t")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(1) === 1, 1)
+        .otherwise(-1)).as(s"b$i"))
+    val sigExpr = (0 until 64)
+      .map(i => when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val viaAgg = tok.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"), sigExpr.as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaExpr = docs.select(col("id"),
+      graft.functions.SimHash64.simHash64(toks).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+    // and the plan is shuffle-free
+    val plan = docs.select(graft.functions.SimHash64.simHash64(toks))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash must not shuffle:\n$plan")
+  }
+
   test("null array yields null, zero norm yields NaN") {
     val s = spark
     import s.implicits._
