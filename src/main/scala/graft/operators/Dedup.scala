@@ -69,24 +69,23 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature matrix: `r × b` seeded min-hashes over the
-    * document's k-shingles, one grouped aggregation (every min-hash is a
-    * codegen'd `min(xxhash64(seed ∥ shingle))` — no UDF, no fit step).
-    * Returns `(id, sig array<bigint>)`. Deterministic by construction. */
+  /** MinHash signature matrix: `numHashes` seeded min-hashes over the
+    * document's k-shingles, computed by the native
+    * [[graft.functions.MinHashSignature]] expression — a pure per-row
+    * projection (the explode + groupBy + k min-aggregates formulation
+    * this replaced shuffled every shingle of the corpus). Returns
+    * `(id, sig array<bigint>)`. Deterministic by construction. */
   def minHashSignatures(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      numHashes: Int = 18): DataFrame = {
-    val ex = df
-      .select(col(idCol).as("id"), explode(Shingles.wordShingles(col(textCol), k)).as("g"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(concat(lit(s"mh$i:"), col("g")))).as(s"h$i"))
-    ex.groupBy("id")
-      .agg(mins.head, mins.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+      numHashes: Int = 18): DataFrame =
+    df.select(col(idCol).as("id"), Shingles.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("id"),
+        graft.functions.MinHashSignature
+          .minHashSignature(col("sh"), numHashes).as("sig"))
 
   /** Banded MinHash-LSH near-duplicate pairs: signatures split into `b`
     * bands of `r` rows; documents joining on any (band, band-hash) pair
