@@ -117,23 +117,22 @@ object Queries {
           // shortest decimal repr in Spark vs true-double rounding in
           // DuckDB, which diverges exactly at .xx5 boundaries
           (col("l_extendedprice") * 0.9).as("discounted"))),
-    // --- events: grouped agg + time bucketing. The events table stores
-    //     TIMESTAMP(NANOS) parquet, which Spark only reads as a long via
-    //     the legacy conf; convert ns → µs with integer division (a
-    //     double roundtrip would lose precision above 2^53). ---
-    "q_events_agg" -> { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events")
+    // --- events: grouped agg + time bucketing (ns→µs handled by
+    //     sources.Sources.events) ---
+    "q_events_agg" -> ((s, d) =>
+      sources.Sources.events(s, d)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-    },
-    "q_events_hourly" -> { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      t(s, d, "events")
-        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
-        .groupBy(col("event_type"), date_trunc("hour", col("ts_us")).as("hour"))
-        .agg(count(lit(1)).as("n"))
-    },
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))),
+    "q_events_hourly" -> ((s, d) =>
+      sources.Sources.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))),
+    // --- approximate distinct (HLL sketch; rows-only — approximate
+    //     values differ across engines by design) ---
+    "q_approx_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(approx_count_distinct(col("o_custkey")).as("approx_cust"))),
     // --- UDF (plan carries the UDF marker the cost model scores and the
     //     cache warns about; body is exact integer arithmetic so the
     //     oracle can replicate it) ---

@@ -75,12 +75,10 @@ object PipelineQueries {
         TextAnalysis.bpeTokenCount(col("text")).as("n_bpe"))),
     // batch session_window over events (streaming operator, batch frame)
     "q_events_sessions" -> { (s, d) =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$d/events.parquet")
-        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
-        .groupBy(session_window(col("ts_us"), "30 minutes"), col("user_id"))
+      graft.sources.Sources.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          min("ts_us").as("first_ts"), max("ts_us").as("last_ts"))
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
         .select("user_id", "n_events", "first_ts", "last_ts")
     },
     "q_text_quality" -> ((s, d) =>

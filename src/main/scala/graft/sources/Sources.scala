@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Input-source readers for the engine's table surface.
+  *
+  * The cache layer is format-agnostic (freshness probes sit on
+  * `df.inputFiles`, which every file source provides); these helpers pin
+  * the formats the reference exercises — Parquet and JSON
+  * (`README.md:131-134`) — plus CSV, with schemas supplied explicitly so
+  * reads are deterministic (no sampling-based inference drift between
+  * runs, which would change the analyzed plan and thus the cache
+  * fingerprint).
+  */
+object Sources {
+
+  /** Parquet table by name under a testdata-style directory. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table: stored as TIMESTAMP(NANOS) parquet, which Spark
+    * only reads via the legacy nanos-as-long conf; converts to a proper
+    * µs timestamp with integer division (a double roundtrip would lose
+    * precision above 2^53 ns). */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read
+      .parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** JSON lines with an explicit schema (no inference). */
+  def json(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def json(spark: SparkSession, path: String, ddl: String): DataFrame =
+    json(spark, path, StructType.fromDDL(ddl))
+
+  /** CSV with an explicit schema (no inference). */
+  def csv(
+      spark: SparkSession,
+      path: String,
+      schema: StructType,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(schema).option("header", header.toString).csv(path)
+
+  def csv(spark: SparkSession, path: String, ddl: String): DataFrame =
+    csv(spark, path, StructType.fromDDL(ddl))
+}

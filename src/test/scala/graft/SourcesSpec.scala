@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.extensions._
+import graft.sources.Sources
+
+/** Format coverage: JSON and CSV sources flow through the cache loop
+  * with the same fingerprint/freshness semantics as parquet (the
+  * reference's tested formats are Parquet and JSON, `README.md:131-134`). */
+class SourcesSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def cacheIt(df: org.apache.spark.sql.DataFrame) =
+    df.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+
+  test("JSON source: cache write, hit, and invalidate-on-overwrite") {
+    val d = Files.createTempDirectory("graft-json").toString
+    spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet")
+      .write.mode("overwrite").json(s"$d/nation")
+    val ddl = "n_nationkey INT, n_name STRING, n_regionkey INT"
+
+    def q() = Sources.json(spark, s"$d/nation", ddl).groupBy("n_regionkey").count()
+    cacheIt(q())
+    val h0 = CacheIO.tableHash(q())
+    assert(CacheIO.readCacheIfExist(q()).isDefined, "identical JSON query hits")
+
+    Thread.sleep(1100)
+    spark.read.parquet(s"${TestSpark.sf0001}/nation.parquet")
+      .write.mode("overwrite").json(s"$d/nation")
+    assert(CacheIO.tableHash(q()) != h0, "JSON overwrite must invalidate")
+    assert(CacheIO.readCacheIfExist(q()).isEmpty)
+  }
+
+  test("CSV source round-trips with explicit schema and caches") {
+    val d = Files.createTempDirectory("graft-csv").toString
+    spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+      .write.mode("overwrite").option("header", "true").csv(s"$d/region")
+    val df = Sources.csv(spark, s"$d/region", "r_regionkey INT, r_name STRING")
+    assert(df.count() == 5)
+    val cached = cacheIt(df.orderBy("r_regionkey"))
+    assert(cached.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
+  }
+
+  test("events source converts nanos and feeds the corpus queries") {
+    val e = Sources.events(spark, TestSpark.sf0001)
+    assert(e.schema("ts").dataType.typeName == "timestamp")
+    assert(e.count() > 0)
+  }
+}
