@@ -84,6 +84,64 @@ object Streaming {
       }
   }
 
+  /** A closed user session emitted by [[expiringSessions]]. */
+  final case class ClosedSession(
+      user_id: Long, n_events: Long, total_value: Double,
+      first_ms: Long, last_ms: Long)
+
+  /** Custom sessionization with `flatMapGroupsWithState` + event-time
+    * timeout: a session's state accumulates while events keep arriving
+    * within `gapMs` of each other (by event time); when the watermark
+    * passes the gap, the timeout fires and the CLOSED session is
+    * emitted — nothing is emitted for still-open sessions. This is the
+    * shape to reach for when `session_window` can't express the
+    * semantics (e.g. emit-once-on-close with custom payload). State is
+    * one small record per active user. */
+  def expiringSessions(
+      events: Dataset[Event],
+      gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClosedSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[ClosedSession]) =>
+          if (state.hasTimedOut) {
+            val closed = state.get
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val evs = batch.toSeq
+            if (evs.isEmpty) Iterator.empty
+            else {
+              val lo = evs.map(_.ts.getTime).min
+              val hi = evs.map(_.ts.getTime).max
+              val prev = state.getOption
+              val next = prev match {
+                case Some(p) if lo - p.last_ms <= gapMs =>
+                  ClosedSession(userId, p.n_events + evs.size,
+                    p.total_value + evs.map(_.value).sum,
+                    math.min(p.first_ms, lo), math.max(p.last_ms, hi))
+                case _ =>
+                  ClosedSession(userId, evs.size.toLong,
+                    evs.map(_.value).sum, lo, hi)
+              }
+              state.update(next)
+              state.setTimeoutTimestamp(next.last_ms + gapMs)
+              // emit the PREVIOUS session if this batch started a new one
+              prev match {
+                case Some(p) if lo - p.last_ms > gapMs => Iterator.single(p)
+                case _ => Iterator.empty
+              }
+            }
+          }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

@@ -82,6 +82,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(last(200L).n_events == 2L)
   }
 
+  test("flatMapGroupsWithState emits closed sessions when watermark passes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = graft.streaming.Streaming
+      .expiringSessions(stream.toDS(), gapMs = 15L * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("closed")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // session 1 for user 100 at :00-:05; user 200 at :10
+      stream.addData(batch1: _*); q.processAllAvailable()
+      assert(spark.table("closed").count() == 0, "nothing closed yet")
+      // :50/:55 events start NEW sessions (gap 15m) and push the
+      // watermark past the old sessions' timeouts
+      stream.addData(batch2: _*); q.processAllAvailable()
+      // one more far-future event advances the watermark further so the
+      // timed-out states flush
+      stream.addData(Event(99L, ts(59), 300L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("closed").as[graft.streaming.Streaming.ClosedSession]
+      .collect().map(s => s.user_id -> s.n_events).toMap
+    assert(closed.get(100L).contains(2L), s"user 100 first session closed: $closed")
+    assert(closed.get(200L).contains(1L), s"user 200 first session closed: $closed")
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
