@@ -90,6 +90,22 @@ object PipelineQueries {
     "q_fingerprint" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.fingerprintMd5(col("text")).as("fp"))),
+    // --- as-of (point-in-time) join: each event matched to the user's
+    //     latest order at-or-before the event time ---
+    "q_asof_join" -> { (s, d) =>
+      val e = graft.sources.Sources.events(s, d)
+        .select("event_id", "user_id", "ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_custkey", "o_orderdate")
+        .orderBy(col("o_orderkey").desc)
+      val o = s.read.parquet(s"$d/orders.parquet")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1) // one order per (custkey, date): determinism
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_totalprice")
+      AsOfJoin.asofJoin(e, o, "user_id", "o_custkey", "ts", "o_orderdate",
+          Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")
+    },
     // --- multimodal binary plumbing ---
     "q_multimodal" -> ((s, d) =>
       Multimodal.assetStats(
@@ -180,6 +196,13 @@ object PipelineQueries {
          |FROM sc""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) rn
+        |  FROM orders) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+        |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q_multimodal" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS digest FROM documents"
   )

@@ -168,6 +168,43 @@ class OperatorsSpec extends AnyFunSuite {
       orders.filter(col("o_orderstatus") === "F").count())
   }
 
+  test("asofJoin matches each left row to the latest right row at-or-before") {
+    val s = spark
+    import s.implicits._
+    val trades = Seq(
+      (1L, 100L, 10, "t1"), // key 100, time 10
+      (2L, 100L, 20, "t2"),
+      (3L, 100L, 5, "t3"), // before any quote
+      (4L, 200L, 15, "t4")
+    ).toDF("trade_id", "k", "t", "tag")
+    val quotes = Seq(
+      (100L, 10, 1.0), // equal time => inclusive match for trade 1
+      (100L, 12, 2.0),
+      (200L, 1, 9.0),
+      (200L, 15, 8.0)
+    ).toDF("k", "t", "px")
+    val out = AsOfJoin.asofJoin(trades, quotes, "k", "k", "t", "t", Seq("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(4)).map(_.asInstanceOf[Double])).toMap
+    assert(out(1L).contains(1.0), "equal timestamp matches inclusively")
+    assert(out(2L).contains(2.0), "latest quote <= t wins")
+    assert(out(3L).isEmpty, "no quote at-or-before => null")
+    assert(out(4L).contains(8.0))
+  }
+
+  test("asofJoin plan: one shuffle on the key, no join node") {
+    val s = spark
+    import s.implicits._
+    val a = Seq((1L, 1, "x")).toDF("id", "t", "v")
+    val b = Seq((1L, 1, 2.0)).toDF("id", "t", "px")
+    val plan = AsOfJoin.asofJoin(
+      a.withColumnRenamed("id", "k"), b.withColumnRenamed("id", "k"),
+      "k", "k", "t", "t", Seq("px"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"composition must not plan a join:\n$plan")
+    assert(plan.split("Exchange hashpartitioning").length <= 3,
+      s"one hash exchange per union branch at most:\n$plan")
+  }
+
   test("text analysis: tokens, quality, language id") {
     val out = docs.select(
       col("doc_id"),
