@@ -64,13 +64,25 @@ object CacheIO {
     * instead of scanning the whole materialization. Partitioning is
     * physical layout only — it does not participate in the fingerprint.
     */
-  def writeCacheData(dfW: DataFrame, tbl: String, partitionBy: Seq[String] = Nil): Unit = {
+  def writeCacheData(
+      dfW: DataFrame,
+      tbl: String,
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None): Unit = {
     val spark = dfW.sparkSession
     val cfg = CacheConfig.current
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.cacheDatabase}")
-    val w = dfW.write.format(cfg.cacheFormat).mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .saveAsTable(tbl)
+    val w0 = dfW.write.format(cfg.cacheFormat).mode("overwrite")
+    val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
+    // Bucketing co-locates equal keys: two cache tables bucketed the
+    // same way join with NO exchange — at 100 TB this removes the
+    // dominant shuffle from repeated joins on the cached results.
+    val w2 = bucketBy match {
+      case Some((n, cols)) =>
+        w1.bucketBy(n, cols.head, cols.tail: _*).sortBy(cols.head, cols.tail: _*)
+      case None => w1
+    }
+    w2.saveAsTable(tbl)
   }
 
   /** Write table + metadata, skipping entirely when the metadata text is
@@ -82,14 +94,16 @@ object CacheIO {
       hashName: String,
       metadataFilePath: String,
       metadataTxt: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None): Unit = {
     val conf = hadoopConf(df.sparkSession)
     val lastMeta = readTextIfExists(metadataFilePath, conf)
     if (lastMeta.contains(metadataTxt)) {
       PlanFingerprint.log(s"Meta identical $hashName. Skip.")
       return
     }
-    writeCacheData(df, CacheConfig.current.tableNameFromHash(hashName), partitionBy)
+    writeCacheData(df, CacheConfig.current.tableNameFromHash(hashName),
+      partitionBy, bucketBy)
     writeText(metadataFilePath, metadataTxt, conf)
   }
 
@@ -123,13 +137,15 @@ object CacheIO {
       inputDirModDatetime: Option[ListMap[String, String]] = None,
       hashName: Option[String] = None,
       cachePath: Option[String] = None,
-      partitionBy: Seq[String] = Nil): DataFrame = {
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None): DataFrame = {
     val sources = inputDirModDatetime.getOrElse(Freshness.inputDirModTimes(df))
     val plan = if (queryPlan.nonEmpty) queryPlan else PlanFingerprint.getQueryPlan(df)
     val (finalHash, _, metadataFilePath, metadataTxt) =
       CacheMetadata.tableCacheInfo(sources, plan, hashName, cachePath)
     val tableName = CacheConfig.current.tableNameFromHash(finalHash)
-    writeStandardCache(df, finalHash, metadataFilePath, metadataTxt, partitionBy)
+    writeStandardCache(df, finalHash, metadataFilePath, metadataTxt,
+      partitionBy, bucketBy)
     // Make the entry visible to the analysis-phase substitution rule.
     graft.plans.AutoSubstitute.register(plan, finalHash)
     if (replace)

@@ -54,7 +54,8 @@ object extensions {
           CacheConfig.current.defaultMultiplierThreshold,
         hashName: Option[String] = None,
         cachePath: Option[String] = None,
-        partitionBy: Seq[String] = Nil): DataFrame = {
+        partitionBy: Seq[String] = Nil,
+        bucketBy: Option[(Int, Seq[String])] = None): DataFrame = {
       val plan = PlanFingerprint.getQueryPlan(df)
       if (isUncacheableSource(plan)) return df
       // A pure direct-data cache read is already materialized — bypass
@@ -90,7 +91,8 @@ object extensions {
       else
         CacheIO.writeCache(df, replace = true, queryPlan = plan,
           inputDirModDatetime = Some(inputInfo), hashName = hashName,
-          cachePath = cachePath, partitionBy = partitionBy)
+          cachePath = cachePath, partitionBy = partitionBy,
+          bucketBy = bucketBy)
     }
 
     /** Threshold-gated cache without display — README/Changelog name this

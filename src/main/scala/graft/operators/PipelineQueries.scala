@@ -106,6 +106,25 @@ object PipelineQueries {
           Seq("o_orderkey", "o_totalprice"))
         .select("event_id", "user_id", "o_orderkey", "o_totalprice")
     },
+    // --- range join: assign each event to its 30-min session interval
+    //     (bucketed equi-join, never a per-key nested loop) ---
+    "q_range_join" -> { (s, d) =>
+      val e = graft.sources.Sources.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .withColumn("t_us", unix_micros(col("ts")))
+      val sessions = graft.sources.Sources.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .select(col("user_id").as("s_user"),
+          unix_micros(col("first_ts")).as("s_start"),
+          unix_micros(col("last_ts")).as("s_end"),
+          col("first_ts"))
+      RangeJoin.bucketedRangeJoin(e, sessions,
+          "user_id", "s_user", "t_us", "s_start", "s_end",
+          bucketWidth = 3600L * 1000 * 1000) // 1 hour in µs
+        .select(col("event_id"), col("user_id"),
+          col("first_ts").as("session_start"))
+    },
     // --- multimodal binary plumbing ---
     "q_multimodal" -> ((s, d) =>
       Multimodal.assetStats(
@@ -204,6 +223,18 @@ object PipelineQueries {
         |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
         |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q_multimodal" ->
-      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS digest FROM documents"
+      "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS digest FROM documents",
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+        |         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT event_id, user_id, ts,
+        |        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+        |      FROM e)
+        |SELECT event_id, user_id, CAST(min(ts) OVER (PARTITION BY user_id, session_id) AS TIMESTAMP) AS session_start
+        |FROM s""".stripMargin
   )
 }

@@ -150,6 +150,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf == brute, s"ivf=$ivf brute=$brute")
   }
 
+  test("bucketed cache tables join co-located: no shuffle exchange") {
+    import graft.extensions._
+    val s = spark
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val orders = s.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .withColumn("bk", lit(1))
+      val customer = s.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+        .withColumn("bk", lit(2))
+      val co = orders.cacheToDbfs(
+        overridePreferSparkCache = true,
+        dbfsCacheComplexityThreshold = None,
+        dbfsCacheMultiplierThreshold = None,
+        bucketBy = Some((4, Seq("o_custkey"))))
+      val cc = customer.cacheToDbfs(
+        overridePreferSparkCache = true,
+        dbfsCacheComplexityThreshold = None,
+        dbfsCacheMultiplierThreshold = None,
+        bucketBy = Some((4, Seq("c_custkey"))))
+      val joined = co.join(cc, col("o_custkey") === col("c_custkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"same-bucketing join must be co-located (no shuffle):\n$plan")
+      assert(joined.count() ==
+        orders.join(customer, col("o_custkey") === col("c_custkey")).count())
+    } finally s.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("partitioned cache write prunes partitions on filtered reads") {
     import graft.extensions._
     val orders = spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
@@ -189,6 +217,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(2L).contains(2.0), "latest quote <= t wins")
     assert(out(3L).isEmpty, "no quote at-or-before => null")
     assert(out(4L).contains(8.0))
+  }
+
+  test("bucketedRangeJoin equals the naive between-join, without nested loop") {
+    val s = spark
+    import s.implicits._
+    val points = Seq(
+      (1L, 10L, 5L), (2L, 10L, 15L), (3L, 10L, 25L), (4L, 20L, 12L)
+    ).toDF("pid", "k", "t")
+    val intervals = Seq(
+      (10L, 0L, 10L, "a"), (10L, 11L, 20L, "b"), (10L, 14L, 30L, "c"),
+      (20L, 0L, 100L, "d")
+    ).toDF("k2", "s", "e", "tag")
+    val naive = points.join(intervals,
+      col("k") === col("k2") && col("t") >= col("s") && col("t") <= col("e"))
+      .select("pid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val bucketed = RangeJoin.bucketedRangeJoin(
+      points, intervals, "k", "k2", "t", "s", "e", bucketWidth = 8L)
+      .select("pid", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(bucketed == naive, s"bucketed=$bucketed naive=$naive")
+    assert(bucketed.contains((2L, "b")) && bucketed.contains((2L, "c")),
+      "overlapping intervals both match")
+    val plan = RangeJoin.bucketedRangeJoin(
+      points, intervals, "k", "k2", "t", "s", "e", 8L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join must be an equi-join on (key, bucket):\n$plan")
   }
 
   test("asofJoin plan: one shuffle on the key, no join node") {
