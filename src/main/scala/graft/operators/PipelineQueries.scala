@@ -39,7 +39,8 @@ object PipelineQueries {
     },
     "q_embed_topk" -> { (s, d) =>
       val e = embs(s, d)
-      Similarity.bruteForceTopK(
+      // partial-aggregating variant: map-side top-k before the shuffle
+      Similarity.bruteForceTopKAgg(
         e.select(col("vec_id"), col("embedding")),
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),

@@ -78,6 +78,35 @@ object Similarity {
       array_to_vector(transform(vd, x => x / nrm)))
   }
 
+  /** Brute-force cosine top-k via the partial-aggregating
+    * [[graft.functions.TopKAggregator]]: every map task pre-reduces its
+    * scored rows to ≤ k candidates before the shuffle, so a query group
+    * moves O(k × partitions) rows — the window formulation in
+    * [[bruteForceTopK]] ships every scored row of a query to a single
+    * task (few queries ⇒ few hot partitions). Same output contract. */
+  def bruteForceTopKAgg(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int): DataFrame = {
+    val scored = corpus
+      .join(broadcast(queries), col(idCol) =!= col(qidCol))
+      .withColumn("sim", round(cosine(col(qvecCol), col(vecCol)), 6))
+    val topk = graft.functions.TopKAggregator.topK(k)
+    scored
+      .groupBy(col(qidCol))
+      .agg(topk(col(idCol), col("sim")).as("top"))
+      .select(col(qidCol), posexplode(col("top")))
+      .select(
+        col(qidCol),
+        col("col._1").as(idCol),
+        col("col._2").as("sim"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** IVF (inverted-file) approximate cosine top-k — the scale path for
     * 100 TB corpora: a k-means coarse quantizer partitions the corpus
     * into `nLists` cells once; each query probes only its `nProbe`

@@ -119,6 +119,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top(3).getDouble(2) == -1.0)
   }
 
+  test("aggregator top-k equals the window top-k and partially aggregates") {
+    val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val c = e.select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val viaWindow = rows(Similarity.bruteForceTopK(c, q, "vec_id", "embedding", "qid", "qvec", 4))
+    val viaAgg = rows(Similarity.bruteForceTopKAgg(c, q, "vec_id", "embedding", "qid", "qvec", 4))
+    assert(viaAgg == viaWindow)
+    val plan = Similarity.bruteForceTopKAgg(c, q, "vec_id", "embedding", "qid", "qvec", 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"must partially aggregate map-side:\n$plan")
+  }
+
   test("ANN LSH top-k agrees with brute force on an easy corpus") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
