@@ -167,6 +167,61 @@ object Dedup {
     verified.select("id_a", "id_b", "jaccard")
   }
 
+  /** Connected components over near-duplicate pairs by min-label
+    * propagation: every document's representative is the smallest doc id
+    * reachable through the pair graph (itself when un-paired).
+    *
+    * Pregel-style driver loop with distributed steps — each iteration is
+    * one join + grouped min, labels are `localCheckpoint`ed so the plan
+    * doesn't grow with iterations, and convergence needs only
+    * graph-diameter rounds (near-dup clusters are shallow; the 20-round
+    * cap is a safety net). This is how dedup becomes actionable: keep
+    * exactly one representative per duplicate CLUSTER, not per pair. */
+  def nearDupComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val neighborMin = edges
+        .join(labels, col("dst") === col("doc_id"))
+        .groupBy("src")
+        .agg(min("rep").as("nmin"))
+      val updated = labels.as("l")
+        .join(neighborMin, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.rep"), coalesce(col("nmin"), col("l.rep"))).as("rep"))
+        .localCheckpoint(true)
+      converged = updated.as("u")
+        .join(labels.as("o"), col("u.doc_id") === col("o.doc_id"))
+        .filter(col("u.rep") =!= col("o.rep"))
+        .isEmpty
+      labels = updated
+      iter += 1
+    }
+    labels
+  }
+
+  /** Full corpus dedup: exact dups collapse via content hash, near-dup
+    * clusters (MinHash candidates verified by exact Jaccard) collapse to
+    * their min-id representative. Returns the surviving rows. */
+  def dedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.8): DataFrame = {
+    val exact = dropExactDuplicates(df, textCol, idCol)
+    val pairs = nearDupPairs(exact, idCol, textCol, k, threshold = threshold)
+      .select("id_a", "id_b")
+    val reps = nearDupComponents(exact.select(col(idCol).as("doc_id")), pairs)
+      .filter(col("doc_id") === col("rep"))
+      .select(col("doc_id").as(idCol))
+    df.join(reps, idCol)
+  }
+
   /** Embedding-cosine near-duplicate pairs (semantic dedup).
     *
     * `exact = true` scores every (i < j) pair with the native fused

@@ -28,6 +28,13 @@ object PipelineQueries {
       Dedup.simHashNearDupPairs(docs(s, d), "doc_id", "text", maxHamming = 3)),
     "q_dedup_neardup" -> ((s, d) =>
       Dedup.nearDupPairs(docs(s, d), "doc_id", "text", k = 3, threshold = 0.8)),
+    "q_dedup_components" -> { (s, d) =>
+      val dd = docs(s, d)
+      Dedup.nearDupComponents(
+        dd.select("doc_id"),
+        Dedup.nearDupPairs(dd, "doc_id", "text", k = 3, threshold = 0.8)
+          .select("id_a", "id_b"))
+    },
     // --- similarity search ---
     "q_embed_threshold" -> { (s, d) =>
       val e = embs(s, d)
@@ -166,6 +173,24 @@ object PipelineQueries {
         |         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.45""".stripMargin,
+    "q_dedup_components" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM (
+        |  SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM cand JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src)
+        |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+        |FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id""".stripMargin,
     "q_embed_threshold" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 10)
         |SELECT qid, vec_id, sim FROM (

@@ -77,6 +77,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"composed=$composed exact=$exact (jaccard values must be the exact ones)")
   }
 
+  test("nearDupComponents collapses transitive clusters to min-id reps") {
+    val s = spark
+    import s.implicits._
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("doc_id")
+    // chain 1-2-3 (transitive), pair 4-5, singleton 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val reps = Dedup.nearDupComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
+  }
+
+  test("dedupCorpus keeps one representative per exact+near cluster") {
+    val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(1L) && !kept.contains(5L), "exact dup dropped")
+    assert(!kept.contains(2L), "near dup (1,2) collapsed to doc 1")
+    assert(kept.contains(3L) && kept.contains(4L) && kept.contains(6L) &&
+      kept.contains(7L), s"non-duplicates survive: $kept")
+  }
+
   test("saltedJoin equals plain join and spreads the hot key") {
     val s = spark
     import s.implicits._
