@@ -92,6 +92,12 @@ object PipelineQueries {
     "q_text_quality" -> ((s, d) =>
       docs(s, d).select(
         col("doc_id") +: TextAnalysis.qualityFeatures(col("text")): _*)),
+    "q_quality_filter" -> ((s, d) =>
+      docs(s, d)
+        .filter(TextAnalysis.qualityFilter(col("text"),
+          minTokens = 20, maxTokens = 500, minTtr = 0.15,
+          minAvgTokenLen = 2.0, maxAvgTokenLen = 8.0))
+        .select("doc_id")),
     "q_lang_id" -> ((s, d) =>
       docs(s, d).select(col("doc_id"),
         TextAnalysis.languageId(col("text")).as("lang_pred"))),
@@ -224,6 +230,12 @@ object PipelineQueries {
          |  CAST(len(list_filter(toks, t -> t IN ('the','a','and','of','to','in'))) AS DOUBLE) / len(toks) AS stop_ratio,
          |  CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) AS avg_token_len
          |FROM t""".stripMargin,
+    "q_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents)
+         |SELECT doc_id FROM t
+         |WHERE len(toks) BETWEEN 20 AND 500
+         |  AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.15
+         |  AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 8.0""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $toksSql toks FROM documents),
          |sc AS (SELECT doc_id,

@@ -79,6 +79,27 @@ object TextAnalysis {
     }
   }
 
+  /** Heuristic quality gate for training-data filtering: token-count
+    * band, type-token-ratio floor (repetition filter) and mean-token-
+    * length band (gibberish/binary filter). Pure expression — composes
+    * into the scan's filter and pushes nothing to a UDF. */
+  def qualityFilter(
+      text: Column,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minTtr: Double = 0.1,
+      minAvgTokenLen: Double = 2.0,
+      maxAvgTokenLen: Double = 12.0): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val avgLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / nTok
+    nTok.between(minTokens, maxTokens) &&
+      ttr >= minTtr &&
+      avgLen.between(minAvgTokenLen, maxAvgTokenLen)
+  }
+
   /** Exact content fingerprint (md5 hex of UTF-8 text) — the unit for
     * exact dedup and cache keys. */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))
