@@ -149,6 +149,47 @@ class CacheBehaviorSpec extends AnyFunSuite {
     out.unpersist()
   }
 
+  test("seeded sample fingerprints deterministically (reference caveat: no invalidation)") {
+    // README.md:199: sample() does not invalidate — the seed is part of
+    // the plan, so identical seeded samples hash equal by construction.
+    def samp() = spark.read
+      .parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .sample(withReplacement = false, 0.5, 42)
+    assert(CacheIO.tableHash(samp()) == CacheIO.tableHash(samp()))
+    def samp2() = spark.read
+      .parquet(s"${TestSpark.sf0001}/orders.parquet")
+      .sample(withReplacement = false, 0.5, 43)
+    assert(CacheIO.tableHash(samp()) != CacheIO.tableHash(samp2()),
+      "different seed => different plan => different hash")
+  }
+
+  test("UDF body changes do NOT invalidate (documented reference limitation)") {
+    // README.md:196 / core_caching.py:318-319: closure bytecode isn't
+    // hashed; only the plan shape is. Pin the limitation so a future
+    // change is a conscious decision.
+    import org.apache.spark.sql.functions.udf
+    val doubleIt = udf((x: Double) => x * 2)
+    val tripleIt = udf((x: Double) => x * 3)
+    def q(u: org.apache.spark.sql.expressions.UserDefinedFunction) =
+      spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet")
+        .select(u(col("o_totalprice")).as("v"))
+    assert(CacheIO.tableHash(q(doubleIt)) == CacheIO.tableHash(q(tripleIt)))
+  }
+
+  test("estimate end-to-end: real input sizes and keyword multiplier agree") {
+    val df = spark.read
+      .parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+      .join(spark.read.parquet(s"${TestSpark.sf0001}/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+    val (complexity, multiplier, sizeGb) = Complexity.estimate(df)
+    assert(sizeGb > 0, "real parquet inputs must size > 0")
+    assert(multiplier > 1.0, "a join plan must score above baseline")
+    assert(math.abs(complexity - sizeGb * multiplier) < 1e-9)
+    val expected = Complexity.calculateFromPlan(
+      PlanFingerprint.extendedPlanText(df).toLowerCase, sizeGb)._2
+    assert(multiplier == expected)
+  }
+
   test("wcd caches when triggered and returns chainable DF") {
     val df = ordersAgg().withColumn("z", lit(4))
     val out = df.wcd(skipDisplay = true)
