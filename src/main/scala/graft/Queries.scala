@@ -127,6 +127,15 @@ object Queries {
       sources.Sources.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n"))),
+    // --- sliding windows (each event lands in width/slide windows,
+    //     epoch-aligned — the DuckDB oracle replicates the alignment
+    //     arithmetic in µs) ---
+    "q_events_sliding" -> ((s, d) =>
+      sources.Sources.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("win.start").as("w_start"), col("event_type"), col("n"))),
     // --- approximate distinct (HLL sketch; rows-only — approximate
     //     values differ across engines by design) ---
     "q_approx_distinct" -> ((s, d) =>
@@ -217,6 +226,14 @@ object Queries {
     "q_events_agg" ->
       "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total FROM events GROUP BY event_type",
     "q_events_hourly" ->
-      "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2"
+      "SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n FROM events GROUP BY 1, 2",
+    "q_events_sliding" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) us FROM events),
+        |w AS (SELECT event_type,
+        |        unnest(generate_series(us - (us % 900000000) - 2700000000,
+        |                               us - (us % 900000000), 900000000)) ws
+        |      FROM e)
+        |SELECT make_timestamp(ws) AS w_start, event_type, count(*) AS n
+        |FROM w GROUP BY 1, 2""".stripMargin
   )
 }

@@ -109,6 +109,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.get(200L).contains(1L), s"user 200 first session closed: $closed")
   }
 
+  test("parquet file sink with checkpoint recovers across query restarts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val out = s"$dir/out"
+    val ckpt = s"$dir/ckpt"
+    val stream = MemoryStream[Event]
+    def start() = stream.toDF().writeStream
+      .format("parquet")
+      .option("checkpointLocation", ckpt)
+      .option("path", out)
+      .outputMode(OutputMode.Append())
+      .start()
+    val q1 = start()
+    try { stream.addData(batch1: _*); q1.processAllAvailable() } finally q1.stop()
+    // restart against the SAME checkpoint: offsets resume, no replays
+    val q2 = start()
+    try { stream.addData(batch2: _*); q2.processAllAvailable() } finally q2.stop()
+    val rows = spark.read.parquet(out)
+    assert(rows.count() == (batch1.size + batch2.size),
+      "exactly-once across restart: no loss, no duplication")
+    assert(rows.select("event_id").distinct().count() == 5)
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
