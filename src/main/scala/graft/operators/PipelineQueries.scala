@@ -139,6 +139,9 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"),
           col("first_ts").as("session_start"))
     },
+    // --- the whole cleaning pipeline, verified end-to-end ---
+    "q_pipeline" -> ((s, d) =>
+      Pipeline.cleanCorpus(docs(s, d), "doc_id", "text").select("doc_id")),
     // --- multimodal binary plumbing ---
     "q_multimodal" -> ((s, d) =>
       Multimodal.assetStats(
@@ -197,6 +200,31 @@ object PipelineQueries {
         |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src)
         |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
         |FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id""".stripMargin,
+    "q_pipeline" ->
+      """WITH RECURSIVE t0 AS (SELECT doc_id, text, regexp_extract_all(text, '\S+') toks FROM documents),
+        |f AS (SELECT doc_id, text FROM t0
+        |  WHERE len(toks) BETWEEN 20 AND 500
+        |    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.15
+        |    AND CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 8.0),
+        |exmin AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text),
+        |surv AS (SELECT f.doc_id, f.text FROM f JOIN exmin ON f.doc_id = exmin.doc_id),
+        |toks2 AS (SELECT doc_id, string_split(text, ' ') ts FROM surv),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks2),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM (
+        |  SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM cand JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src)
+        |SELECT s.doc_id FROM surv s LEFT JOIN rep r ON s.doc_id = r.doc_id
+        |WHERE coalesce(r.rep, s.doc_id) = s.doc_id""".stripMargin,
     "q_embed_threshold" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 10)
         |SELECT qid, vec_id, sim FROM (
