@@ -40,6 +40,36 @@ class AutoSubstituteSpec extends AnyFunSuite {
       == expected.map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet)
   }
 
+  test("two distinct cached subtrees substitute inside one join") {
+    val suppAgg = spark.read
+      .parquet(s"${TestSpark.sf0001}/supplier.parquet")
+      .groupBy("s_nationkey").agg(sum("s_acctbal").as("s_bal"))
+    val custAgg = spark.read
+      .parquet(s"${TestSpark.sf0001}/customer.parquet")
+      .groupBy("c_nationkey").agg(sum("c_acctbal").as("c_bal"))
+    def cacheIt(df: DataFrame) = df.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+    cacheIt(suppAgg); cacheIt(custAgg)
+    val expected = suppAgg
+      .join(custAgg, col("s_nationkey") === col("c_nationkey"))
+      .collect().length
+    val (planText, n) = withAutoSub {
+      // both sides re-derived from scratch
+      val s2 = spark.read.parquet(s"${TestSpark.sf0001}/supplier.parquet")
+        .groupBy("s_nationkey").agg(sum("s_acctbal").as("s_bal"))
+      val c2 = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+        .groupBy("c_nationkey").agg(sum("c_acctbal").as("c_bal"))
+      val j = s2.join(c2, col("s_nationkey") === col("c_nationkey"))
+      (j.queryExecution.analyzed.toString, j.collect().length)
+    }
+    val db = CacheConfig.current.cacheDatabase + "."
+    assert(planText.sliding(db.length).count(_ == db) >= 2,
+      s"both subtrees must be served from cache tables:\n$planText")
+    assert(n == expected)
+  }
+
   test("flag off: no substitution happens") {
     agg().cacheToDbfs(
       overridePreferSparkCache = true,
