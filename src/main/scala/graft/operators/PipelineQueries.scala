@@ -142,6 +142,11 @@ object PipelineQueries {
     // --- the whole cleaning pipeline, verified end-to-end ---
     "q_pipeline" -> ((s, d) =>
       Pipeline.cleanCorpus(docs(s, d), "doc_id", "text").select("doc_id")),
+    // --- deterministic content-hash train/val/test split ---
+    "q_split" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        Splits.assignSplit(col("doc_id"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))),
     // --- multimodal binary plumbing ---
     "q_multimodal" -> ((s, d) =>
       Multimodal.assetStats(
@@ -290,6 +295,14 @@ object PipelineQueries {
         |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q_multimodal" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS digest FROM documents",
+    "q_split" ->
+      """SELECT doc_id, CASE
+        |  WHEN bucket < 9000 THEN 'train'
+        |  WHEN bucket < 9500 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INTEGER) AS bucket
+        |FROM documents)""".stripMargin,
     "q_range_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, ts,

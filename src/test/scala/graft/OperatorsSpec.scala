@@ -307,6 +307,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out(6L)._2 == "und", "no markers => undetermined")
   }
 
+  test("assignSplit: deterministic, covering, and roughly proportional") {
+    val docs01 = spark.read.parquet(s"${TestSpark.sf001}/documents.parquet")
+    val split = Splits.assignSplit(col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    val counts = docs01.groupBy(split.as("s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500, "every row gets exactly one split")
+    assert(counts("train") > 400 && counts("train") < 490,
+      s"~90% train: $counts")
+    // repartitioning must NOT change assignments (the sample() pitfall)
+    val a = docs01.select(col("doc_id"), split.as("s")).collect().toSet
+    val b = docs01.repartition(13).select(col("doc_id"), split.as("s"))
+      .collect().toSet
+    assert(a == b)
+  }
+
   test("multimodal: asset schema round-trip and partition-parallel features") {
     val assets = Multimodal.toAssets(docs, "doc_id", "text", "lang")
     assert(assets.schema.fieldNames.toSeq == Seq("doc_id", "payload", "meta"))
