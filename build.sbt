@@ -13,6 +13,11 @@ Test / fork := true
 // Suites share one SparkSession + a process-wide CacheConfig; run serially.
 Test / parallelExecution := false
 run / fork := true
+// Bench/Verify emit machine-parsed JSON on stdout: pass the forked
+// process's stdout through verbatim (no "[info] " prefix) and drop the
+// trailing "[success] Total time" line so the JSON line is last.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

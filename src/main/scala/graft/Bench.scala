@@ -102,9 +102,11 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
+    // Stop Spark BEFORE printing so the JSON line is the process's last
+    // stdout line (the driver parses it; shutdown logs go to stderr).
+    spark.stop()
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
-    spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
 }

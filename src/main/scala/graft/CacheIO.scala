@@ -166,6 +166,31 @@ object CacheIO {
       .collectFirst { case t if DirectData.isPureScanOf(df, t) => t }
   }
 
+  /** A cache hit returns the stored table as-is; if the caller asked for
+    * a partitioned/bucketed layout the stored table doesn't have, the
+    * documented no-exchange co-located-join property silently wouldn't
+    * hold. Surface the mismatch (layout is physical only and not part of
+    * the fingerprint, so the hit itself is correct). */
+  def warnOnLayoutMismatch(
+      spark: SparkSession,
+      tableName: String,
+      partitionBy: Seq[String],
+      bucketBy: Option[(Int, Seq[String])]): Boolean =
+    try {
+      val cols = spark.catalog.listColumns(tableName).collect()
+      val storedPart = cols.filter(_.isPartition).map(_.name).toSeq
+      val storedBucket = cols.filter(_.isBucket).map(_.name).toSeq
+      val wantBucket = bucketBy.map(_._2).getOrElse(Nil)
+      val mismatch = storedPart != partitionBy || storedBucket != wantBucket
+      if (mismatch)
+        PlanFingerprint.log(
+          s"Cache hit $tableName but stored layout (partitionBy=$storedPart, " +
+            s"bucketBy=$storedBucket) differs from requested " +
+            s"(partitionBy=$partitionBy, bucketBy=$wantBucket); returning the " +
+            "stored layout. clearDbfsCache() then re-cache to relayout.")
+      mismatch
+    } catch { case _: Throwable => false }
+
   /** Spark-cache (memory/disk) marker check (reference
     * `core_caching.py:519-524`). */
   def isSparkCached(df: DataFrame): Boolean =

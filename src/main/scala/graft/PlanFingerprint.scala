@@ -26,7 +26,12 @@ object PlanFingerprint {
   // explain text had no plan_id (`core_caching.py:315-316`).
   private val planIdRe = "\\[plan_id=\\d+\\]".r
   private val cteIdRe = "CTERelation(Def|Ref) \\d+".r
-  private val objAddrRe = "@[0-9a-f]{6,}".r
+  // Object addresses print as `SimpleClassName@hexhash`. Anchor on an
+  // uppercase-initial identifier so data literals in analyzed plans
+  // (printed unquoted, e.g. `user@abcdef12` in a Filter) are NOT
+  // stripped — two queries differing only in such literals must not
+  // fingerprint identically.
+  private val objAddrRe = "([A-Z][A-Za-z0-9_$]*)@[0-9a-f]{6,}".r
   private val wsRe = "\\s+".r
 
   /** Apply the fingerprint cleaning to arbitrary plan text (used when
@@ -34,8 +39,9 @@ object PlanFingerprint {
   private[graft] def cleanPlanText(raw: String): String = clean(raw)
 
   private def clean(raw: String): String = {
-    val noIds = Seq(exprIdRe, planIdRe, cteIdRe, objAddrRe)
-      .foldLeft(raw)((t, re) => re.replaceAllIn(t, ""))
+    val noAddr = objAddrRe.replaceAllIn(raw, m => m.group(1))
+    val noIds = Seq(exprIdRe, planIdRe, cteIdRe)
+      .foldLeft(noAddr)((t, re) => re.replaceAllIn(t, ""))
     wsRe.replaceAllIn(noIds, " ").trim
   }
 
@@ -55,7 +61,14 @@ object PlanFingerprint {
     */
   def getQueryPlan(df: DataFrame): String =
     try {
-      val raw = df.queryExecution.analyzed.toString
+      // `toString` truncates node field lists at
+      // spark.sql.debug.maxToStringFields (default 25): two distinct
+      // wide plans sharing a 25-column prefix would render as
+      // `... N more fields` and hash EQUAL — a silent wrong cache hit.
+      // Render with an explicit non-truncating maxFields instead.
+      val raw = df.queryExecution.analyzed.treeString(
+        verbose = true, addSuffix = false, maxFields = Int.MaxValue,
+        printOperatorId = false)
       if (raw.contains("UDF"))
         log(
           "UDF detected in query plan, cache invalidation for UDF code " +

@@ -72,6 +72,11 @@ object extensions {
       CacheIO.readCacheIfExist(df, Some(plan), Some(inputInfo)) match {
         case Some(hit) =>
           PlanFingerprint.log("Returning existing cache.")
+          if (partitionBy.nonEmpty || bucketBy.isDefined) {
+            val (h, _, _, _) = CacheMetadata.tableCacheInfo(inputInfo, plan)
+            CacheIO.warnOnLayoutMismatch(df.sparkSession,
+              CacheConfig.current.tableNameFromHash(h), partitionBy, bucketBy)
+          }
           return hit
         case None => ()
       }

@@ -25,8 +25,15 @@ object Sources {
     * µs timestamp with integer division (a double roundtrip would lose
     * precision above 2^53 ns). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read
+    // The legacy conf has no per-read DataFrameReader equivalent and is
+    // consulted lazily at execution time, so a set/restore around the
+    // read would race the (lazy) scan. Scope it to a cloned session
+    // instead: `newSession()` shares the SparkContext and warehouse but
+    // has its own SQLConf, so unrelated nanos-typed parquet reads in
+    // the caller's session keep their configured behavior.
+    val isolated = spark.newSession()
+    isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    isolated.read
       .parquet(s"$dir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

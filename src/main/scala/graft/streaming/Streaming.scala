@@ -115,28 +115,47 @@ object Streaming {
             state.remove()
             Iterator.single(closed)
           } else {
-            val evs = batch.toSeq
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
             if (evs.isEmpty) Iterator.empty
             else {
-              val lo = evs.map(_.ts.getTime).min
-              val hi = evs.map(_.ts.getTime).max
-              val prev = state.getOption
-              val next = prev match {
-                case Some(p) if lo - p.last_ms <= gapMs =>
-                  ClosedSession(userId, p.n_events + evs.size,
-                    p.total_value + evs.map(_.value).sum,
-                    math.min(p.first_ms, lo), math.max(p.last_ms, hi))
-                case _ =>
-                  ClosedSession(userId, evs.size.toLong,
-                    evs.map(_.value).sum, lo, hi)
+              // Split the batch on INTRA-batch gaps first: a single
+              // micro-batch can span hours (backfill/catch-up), so
+              // collapsing it to one [lo, hi] range would merge
+              // sessions and make output depend on batch boundaries.
+              val runs = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+              var cur: ClosedSession = null
+              evs.foreach { e =>
+                val ms = e.ts.getTime
+                if (cur == null)
+                  cur = ClosedSession(userId, 1L, e.value, ms, ms)
+                else if (ms - cur.last_ms <= gapMs)
+                  cur = ClosedSession(userId, cur.n_events + 1,
+                    cur.total_value + e.value, cur.first_ms, ms)
+                else {
+                  runs += cur
+                  cur = ClosedSession(userId, 1L, e.value, ms, ms)
+                }
               }
-              state.update(next)
-              state.setTimeoutTimestamp(next.last_ms + gapMs)
-              // emit the PREVIOUS session if this batch started a new one
-              prev match {
-                case Some(p) if lo - p.last_ms > gapMs => Iterator.single(p)
-                case _ => Iterator.empty
+              runs += cur
+              // Merge the first run with prior state when it continues
+              // that session; otherwise the prior session is closed.
+              val (fromPrev, sessions) = state.getOption match {
+                case Some(p) if runs.head.first_ms - p.last_ms <= gapMs =>
+                  val h = runs.head
+                  val merged = ClosedSession(userId, p.n_events + h.n_events,
+                    p.total_value + h.total_value,
+                    math.min(p.first_ms, h.first_ms),
+                    math.max(p.last_ms, h.last_ms))
+                  (Nil, merged :: runs.tail.toList)
+                case Some(p) => (List(p), runs.toList)
+                case None => (Nil, runs.toList)
               }
+              val open = sessions.last
+              state.update(open)
+              state.setTimeoutTimestamp(open.last_ms + gapMs)
+              // every closed session is emitted; only the final run
+              // stays open in state
+              (fromPrev ++ sessions.init).iterator
             }
           }
       }

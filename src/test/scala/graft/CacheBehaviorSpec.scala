@@ -190,6 +190,27 @@ class CacheBehaviorSpec extends AnyFunSuite {
     assert(multiplier == expected)
   }
 
+  test("cache hit with a different requested layout is detected") {
+    val df = ordersAgg().withColumn("lay", lit(8))
+    cacheIt(df) // stored unpartitioned, unbucketed
+    val tbl = CacheConfig.current.tableNameFromHash(CacheIO.tableHash(df))
+    assert(!CacheIO.warnOnLayoutMismatch(spark, tbl, Nil, None),
+      "matching (empty) layout must not flag")
+    assert(CacheIO.warnOnLayoutMismatch(spark, tbl,
+      Seq("o_orderstatus"), None),
+      "requested partitioning absent from the stored table must flag")
+    assert(CacheIO.warnOnLayoutMismatch(spark, tbl, Nil,
+      Some((4, Seq("o_orderstatus")))),
+      "requested bucketing absent from the stored table must flag")
+    // The hit path itself must still return the stored table.
+    val hit = df.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None,
+      bucketBy = Some((4, Seq("o_orderstatus"))))
+    assert(hit.count() == df.count())
+  }
+
   test("wcd caches when triggered and returns chainable DF") {
     val df = ordersAgg().withColumn("z", lit(4))
     val out = df.wcd(skipDisplay = true)

@@ -55,4 +55,33 @@ class PlanStabilitySpec extends AnyFunSuite {
     val b = PlanFingerprint.getQueryPlan(base.groupBy("l_linestatus").count())
     assert(a != b)
   }
+
+  test("wide projections (>25 cols) differing only in the tail hash differently") {
+    // Default spark.sql.debug.maxToStringFields=25 truncates node field
+    // lists to "... N more fields": without an explicit maxFields the
+    // fingerprint of two distinct wide plans collides → wrong cache hit.
+    val spark = TestSpark.spark
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/lineitem.parquet")
+    def wide(tail: String): DataFrame = {
+      val cols = (1 to 30).map(i => (col("l_quantity") + i).as(s"c$i")) :+
+        col(tail).as("tailcol")
+      base.select(cols: _*)
+    }
+    val a = PlanFingerprint.getQueryPlan(wide("l_returnflag"))
+    val b = PlanFingerprint.getQueryPlan(wide("l_linestatus"))
+    assert(!a.contains("more fields"), "fingerprint text must not be truncated")
+    assert(a != b, "wide plans differing only past field 25 must not collide")
+  }
+
+  test("string literals that look like object addresses are preserved") {
+    // Analyzed plans print string literals unquoted; `user@abcdef12` must
+    // not be stripped by the object-address regex, or two queries
+    // differing only in such literals would fingerprint identically.
+    val spark = TestSpark.spark
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+    val a = PlanFingerprint.getQueryPlan(base.filter(col("c_name") === "user@abcdef12"))
+    val b = PlanFingerprint.getQueryPlan(base.filter(col("c_name") === "user@deadbeef99"))
+    assert(a != b, "literal-only differences must produce distinct fingerprints")
+    assert(a.contains("user@abcdef12"), s"literal mangled in: $a")
+  }
 }

@@ -54,4 +54,13 @@ class SourcesSpec extends AnyFunSuite {
     assert(e.schema("ts").dataType.typeName == "timestamp")
     assert(e.count() > 0)
   }
+
+  test("events source does not mutate the caller session's conf") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val before = spark.conf.getOption(key)
+    val e = Sources.events(spark, TestSpark.sf0001)
+    assert(e.count() > 0) // force execution through the isolated session
+    assert(spark.conf.getOption(key) == before,
+      "legacy nanos conf must stay scoped to the isolated read session")
+  }
 }

@@ -109,6 +109,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(closed.get(200L).contains(1L), s"user 200 first session closed: $closed")
   }
 
+  test("intra-batch gaps split sessions (no batch-boundary dependence)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val sessions = Streaming.expiringSessions(stream.toDS(), gapMs = 15L * 60 * 1000)
+    val q = sessions.writeStream.format("memory").queryName("closed_intra")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // ONE micro-batch spanning two sessions for user 100 (:00/:05 then
+      // :40/:45, gap 35min > 15min): the first session must be emitted
+      // even though no batch boundary separates them (backfill shape).
+      stream.addData(
+        Event(1L, ts(0), 100L, "view", 1.0),
+        Event(2L, ts(5), 100L, "click", 2.0),
+        Event(3L, ts(40), 100L, "view", 3.0),
+        Event(4L, ts(45), 100L, "view", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val closed = spark.table("closed_intra")
+      .as[graft.streaming.Streaming.ClosedSession].collect()
+    assert(closed.exists(s => s.user_id == 100L && s.n_events == 2L &&
+      s.total_value == 3.0),
+      s"intermediate session must close on intra-batch gap: ${closed.toSeq}")
+  }
+
   test("parquet file sink with checkpoint recovers across query restarts") {
     val spark = TestSpark.spark
     import spark.implicits._
