@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-3 widening of the relational corpus (SURVEY §2.B/§2.C): reshaping
+  * (pivot/unpivot/explode), multi-set grouping, exact percentiles, the
+  * full window-function family, scalar string/date/conditional coverage,
+  * and higher-order array functions. Same contract as [[Queries]]: every
+  * entry is declarative DataFrame API (Catalyst plans it), every
+  * computed column is aliased identically in the DuckDB oracle, and
+  * cross-engine FP/type pitfalls (round-at-.xx5, BIGINT-vs-INT, window
+  * sum segment trees) are designed out rather than papered over.
+  */
+object QueriesExtra {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- pivot: one output column per pivot value (values pinned so the
+    //     schema is static — at scale an unpinned pivot needs an extra
+    //     distinct pass over the data just to learn the columns) ---
+    "q_pivot" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnRenamed("F", "n_f")
+        .withColumnRenamed("O", "n_o")
+        .withColumnRenamed("P", "n_p")),
+    // --- unpivot / melt: wide metrics to long (id, metric, value) ---
+    "q_unpivot" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "value")),
+    // --- explode / lateral view: one row per token ---
+    "q_explode" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")),
+    // --- grouping sets (beyond rollup/cube: explicit set list) ---
+    "q_grouping_sets" -> { (s, d) =>
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    },
+    // --- exact percentiles (interpolated; both engines use the same
+    //     (1-f)*lo + f*hi linear interpolation on doubles) ---
+    "q_percentile" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_quantity, 0.5D)").as("med_qty"),
+          expr("percentile(l_extendedprice, 0.25D)").as("p25_price"),
+          expr("percentile(l_extendedprice, 0.75D)").as("p75_price"))),
+    // --- window-function family: lag/lead/rank/dense_rank/ntile +
+    //     order-insensitive running aggregates (running MAX/COUNT, not
+    //     SUM: DuckDB evaluates moving sums with a segment tree whose
+    //     addition order differs from Spark's sequential scan — max and
+    //     count are associative-commutative-idempotent-safe) ---
+    "q_window_funcs" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders").select(
+        col("o_orderkey"), col("o_custkey"),
+        lag("o_totalprice", 1).over(w).as("prev_price"),
+        lead("o_totalprice", 1).over(w).as("next_price"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        max("o_totalprice").over(run).as("run_max"),
+        count(lit(1)).over(run).as("run_n"))
+    },
+    // --- scalar string functions ---
+    "q_string_fns" -> ((s, d) =>
+      t(s, d, "customer").select(
+        col("c_custkey"),
+        upper(col("c_name")).as("name_up"),
+        lower(col("c_mktsegment")).as("seg_lo"),
+        substring(col("c_name"), 1, 10).as("name10"),
+        length(col("c_name")).as("name_len"),
+        lpad(col("c_custkey").cast("string"), 12, "0").as("key_pad"),
+        reverse(col("c_name")).as("name_rev"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("tagged"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"))),
+    // --- scalar date/time functions (sources are TIMESTAMP-typed) ---
+    "q_date_fns" -> ((s, d) =>
+      t(s, d, "orders").select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("y"),
+        quarter(col("o_orderdate")).as("q"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dom"),
+        dayofyear(col("o_orderdate")).as("doy"),
+        date_trunc("month", col("o_orderdate")).as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+        datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+          .as("days_since"))),
+    // --- conditional expressions ---
+    "q_conditional" -> ((s, d) =>
+      t(s, d, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_quantity") >= 30, "bulk")
+          .when(col("l_quantity") >= 10, "mid")
+          .otherwise("small").as("band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"))),
+    // --- grouped array aggregation (sorted so the set, not the
+    //     nondeterministic collection order, is the contract) ---
+    "q_collect_list" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_custkey")
+        .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))),
+    // --- higher-order array functions over embeddings (sequential left
+    //     folds in both engines => bit-identical doubles; see
+    //     SNIPPETS/memory: no CSE across lambda boundaries, so the
+    //     cast is hoisted once) ---
+    "q_array_fns" -> { (s, d) =>
+      val vd = col("embedding").cast("array<double>")
+      t(s, d, "embeddings").select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        round(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x), 6)
+          .as("sq_norm"),
+        size(filter(vd, _ > 0)).as("n_pos"),
+        array_max(vd).as("vmax"),
+        array_min(vd).as("vmin"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem""".stripMargin,
+    "q_explode" ->
+      """SELECT doc_id, token FROM (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token <> ''""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS med_qty,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25_price,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(rank() OVER w AS INTEGER) AS rnk,
+        |  CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  max(o_totalprice) OVER (w ROWS UNBOUNDED PRECEDING) AS run_max,
+        |  count(*) OVER (w ROWS UNBOUNDED PRECEDING) AS run_n
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_string_fns" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS name_up,
+        |  lower(c_mktsegment) AS seg_lo,
+        |  substring(c_name, 1, 10) AS name10,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS key_pad,
+        |  reverse(c_name) AS name_rev,
+        |  c_name || '|' || c_mktsegment AS tagged,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked
+        |FROM customer""".stripMargin,
+    "q_date_fns" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS q,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS dom,
+        |  CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since
+        |FROM orders""".stripMargin,
+    "q_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity >= 30 THEN 'bulk'
+        |       WHEN l_quantity >= 10 THEN 'mid'
+        |       ELSE 'small' END AS band,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate
+        |FROM lineitem""".stripMargin,
+    "q_collect_list" ->
+      "SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios FROM orders GROUP BY o_custkey",
+    "q_array_fns" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS INTEGER) AS dim,
+        |  round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6) AS sq_norm,
+        |  CAST(len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS INTEGER) AS n_pos,
+        |  list_max(CAST(embedding AS DOUBLE[])) AS vmax,
+        |  list_min(CAST(embedding AS DOUBLE[])) AS vmin
+        |FROM embeddings""".stripMargin
+  )
+}

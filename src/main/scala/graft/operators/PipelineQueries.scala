@@ -230,6 +230,15 @@ object PipelineQueries {
         |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src)
         |SELECT s.doc_id FROM surv s LEFT JOIN rep r ON s.doc_id = r.doc_id
         |WHERE coalesce(r.rep, s.doc_id) = s.doc_id""".stripMargin,
+    // Brute-force top-k is EXACT (deterministic (sim desc, id asc)
+    // ranking in both engines), so unlike the LSH/IVF variants it
+    // carries a full oracle.
+    "q_embed_topk" ->
+      """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 10),
+        |sc AS (SELECT q.qid, e.vec_id, round(list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])), 6) AS sim
+        |       FROM q, embeddings e WHERE q.qid <> e.vec_id),
+        |r AS (SELECT qid, vec_id, sim, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id ASC) rn FROM sc)
+        |SELECT qid, vec_id, sim, CAST(rn AS INTEGER) AS rn FROM r WHERE rn <= 5""".stripMargin,
     "q_embed_threshold" ->
       """WITH q AS (SELECT vec_id qid, CAST(embedding AS DOUBLE[]) qe FROM embeddings WHERE vec_id < 10)
         |SELECT qid, vec_id, sim FROM (
