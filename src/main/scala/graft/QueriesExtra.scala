@@ -123,6 +123,14 @@ object QueriesExtra {
       t(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))),
+    // --- custom Catalyst operator: grouped top-k via the
+    //     GroupedTopK logical node + partial/final physical pair
+    //     (bounded map-side heaps instead of a full per-group sort) ---
+    "q_grouped_topk" -> ((s, d) =>
+      plans.GroupedTopK.topKPerGroup(
+        t(s, d, "orders"), Seq("o_custkey"),
+        Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 2)
+        .select("o_custkey", "o_orderkey", "o_totalprice")),
     // --- higher-order array functions over embeddings (sequential left
     //     folds in both engines => bit-identical doubles; see
     //     SNIPPETS/memory: no CSE across lambda boundaries, so the
@@ -210,6 +218,11 @@ object QueriesExtra {
         |FROM lineitem""".stripMargin,
     "q_collect_list" ->
       "SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios FROM orders GROUP BY o_custkey",
+    "q_grouped_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
     "q_array_fns" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,

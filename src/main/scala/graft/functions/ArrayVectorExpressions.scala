@@ -177,5 +177,7 @@ class GraftSparkExtensions
     // spark.graft.autoSubstitute at runtime).
     ext.injectPostHocResolutionRule(session =>
       graft.plans.AutoSubstitute.SubstituteCachedPlans(session))
+    // Custom whole-operator: grouped top-k (partial/final physical pair).
+    ext.injectPlannerStrategy(_ => new graft.plans.GroupedTopKStrategy)
   }
 }

@@ -1,0 +1,145 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Attribute, Expression, RowOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Grouped top-k as a first-class Catalyst operator: logical node +
+  * planner strategy + physical operator, installed via
+  * [[graft.functions.GraftSparkExtensions]].
+  *
+  * Spark has no native "top k rows per group" — the idiomatic
+  * `row_number().over(Window.partitionBy(g).orderBy(o)) <= k` ships
+  * EVERY row of a group to one task and sorts it there. This operator
+  * plans the same semantics as a two-phase reduction, mirroring
+  * partial aggregation: a map-side pass reduces each partition to ≤ k
+  * rows per group (a bounded heap, no sort), the shuffle then moves
+  * O(k × partitions) rows per group instead of all of them, and a final
+  * pass re-reduces after clustering. At 100 TB with hot groups this is
+  * the difference between a bounded shuffle and a straggler task.
+  *
+  * (The reference's engine has no such operator; this follows the
+  * brief's preference order (c): custom LogicalPlan + Strategy +
+  * SparkPlan for whole-operator semantics. The aggregator-based
+  * [[graft.functions.TopKAggregator]] covers the same shape when an
+  * `agg()` output (id, score) suffices; this operator keeps ALL columns
+  * of the winning rows.)
+  */
+case class GroupedTopK(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, "k must be positive")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): GroupedTopK =
+    copy(child = newChild)
+}
+
+object GroupedTopK {
+
+  /** Public API: `topKPerGroup(orders, Seq("o_custkey"),
+    * Seq(col("o_totalprice").desc, col("o_orderkey").asc), 3)`.
+    * The ordering should be a TOTAL order (include a unique tie-break
+    * column) or ties at the k-boundary are resolved arbitrarily.
+    * Requires [[graft.functions.GraftSparkExtensions]] in the session.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderBy: Seq[Column],
+      k: Int): DataFrame = {
+    // Route the user's Columns through an analyzed Sort node so the
+    // ordering arrives as pure, resolved catalyst SortOrders — a direct
+    // Column→Expression conversion would embed Connect-side ColumnNode
+    // AST objects (e.g. sql.internal.SortOrder$NullsLast$) that are not
+    // serializable into executor closures.
+    val analyzedSort = df.sortWithinPartitions(orderBy: _*).queryExecution.analyzed
+    val (sortOrders, base) = analyzedSort match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => (s.order, s.child)
+      case other =>
+        throw new IllegalStateException(s"expected a Sort node, got: $other")
+    }
+    val groupExprs: Seq[Expression] = groupCols.map { c =>
+      base.output.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"group column $c not in ${base.output.map(_.name).mkString(", ")}"))
+    }
+    Bridge.ofRows(df.sparkSession, GroupedTopK(groupExprs, sortOrders, k, base))
+  }
+}
+
+/** Plans [[GroupedTopK]] as partial-then-final [[GroupedTopKExec]]; the
+  * final node's clustered distribution requirement makes
+  * EnsureRequirements insert the (now bounded) exchange between them. */
+class GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopK(groupExprs, order, k, child) =>
+      val partial = GroupedTopKExec(groupExprs, order, k, planLater(child), partial = true)
+      GroupedTopKExec(groupExprs, order, k, partial, partial = false) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap top-k per group within each partition. `partial = true`
+  * runs map-side with no distribution requirement; `partial = false`
+  * requires clustering on the group keys and produces the exact global
+  * answer. Memory per task is O(groups-in-partition × k rows). */
+case class GroupedTopKExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan,
+    partial: Boolean) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupE = groupExprs
+    val orderE = order
+    val kk = k
+    child.execute().mapPartitions { iter =>
+      // Generated per partition on the executor (codegen'd comparator
+      // and projection are not serializable-safe across tasks).
+      val ord = RowOrdering.create(orderE, childOutput)
+      val keyProj = UnsafeProjection.create(groupE, childOutput)
+      // Max-heap under the rank ordering: head is the WORST retained
+      // row, so replacement is an O(log k) peek-compare-swap.
+      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        val heap = heaps.getOrElseUpdate(
+          key.copy(), mutable.PriorityQueue.empty[InternalRow](ord))
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (ord.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GroupedTopKExec =
+    copy(child = newChild)
+
+  override def simpleString(maxFields: Int): String =
+    s"GroupedTopKExec(${if (partial) "partial" else "final"}, k=$k)"
+}

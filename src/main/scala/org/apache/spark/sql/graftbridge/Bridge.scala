@@ -14,6 +14,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan in a DataFrame (`Dataset.ofRows` is
+    * `private[sql]` in Spark 4) — needed to expose custom logical
+    * operators ([[graft.plans.GroupedTopK]]) through the public API. */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register a native function in an existing session's registry (the
     * registry is also behind `private[sql]` session state). */
   def registerFunction(
