@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the PHYSICAL plan properties that make the corpus scale: filters
+  * reach the parquet scan, projections prune the read schema, dimension
+  * joins broadcast, aggregations partial-aggregate map-side, and the
+  * banded/LSH self-joins never degenerate to a cartesian product. A
+  * correctness-green query whose plan regressed on any of these would
+  * still pass the oracle — these tests are the 100×-scale gate. */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, TestSpark.sf0001)
+
+  test("filter is pushed down to the parquet scan") {
+    val p = plan(q("q_filter"))
+    assert(p.contains("PushedFilters:") &&
+      (p.contains("GreaterThanOrEqual(l_quantity") || p.contains("IsNotNull(l_quantity")),
+      s"expected l_quantity pushdown in:\n$p")
+  }
+
+  test("projection prunes the read schema to referenced columns") {
+    val p = plan(q("q_projection"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_shipdate"),
+      s"unused columns must not be read: $readSchema")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val p = plan(q("q_join_multi"))
+    assert(p.contains("BroadcastHashJoin"),
+      s"customer/orders dims should broadcast:\n$p")
+  }
+
+  test("grouped aggregation partial-aggregates before the shuffle") {
+    val p = plan(q("q_agg_grouped"))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final HashAggregate pair:\n$p")
+  }
+
+  test("exact dedup is a hash aggregate, not a sort or collect") {
+    val p = plan(q("q_dedup_exact"))
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("banded minhash/simhash candidate joins are never cartesian") {
+    for (name <- Seq("q_dedup_minhash", "q_dedup_simhash", "q_dedup_neardup")) {
+      val p = plan(q(name))
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name must join on (band, value) equality, got:\n$p")
+    }
+  }
+
+  test("whole-stage codegen covers the scalar/text hot paths") {
+    for (name <- Seq("q_scalar_fn", "q_token_count", "q_fingerprint")) {
+      // formatted mode tags codegen'd operators with "[codegen id : N]"
+      val p = plan(q(name))
+      assert(p.contains("[codegen id :"), s"$name fell out of codegen:\n$p")
+    }
+  }
+
+  test("grouped top-k plans exactly one exchange between partial and final") {
+    val p = q("q_grouped_topk").queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(p.contains("GroupedTopKExec(partial") && p.contains("GroupedTopKExec(final"), p)
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+  }
+
+  test("events source prunes partitions of the scan to referenced columns") {
+    val p = plan(q("q_events_agg"))
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
+    assert(!readSchema.contains("event_id"),
+      s"aggregation over (event_type, value) must not read event_id: $readSchema")
+  }
+}
