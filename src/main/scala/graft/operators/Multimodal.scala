@@ -80,4 +80,73 @@ object Multimodal {
       }
       .toDF()
   }
+
+  /** Batch-shaped feature extraction — the Scala analogue of
+    * `mapInPandas`: rows are grouped into size-`batchSize` batches
+    * within each partition and the (stub) codec is invoked ONCE per
+    * batch, the shape vectorized decoders need (a real image model
+    * wants a tensor of N images per call, not N calls). Output rows
+    * stay 1:1 with input rows; only the call granularity changes. */
+  def extractFeaturesBatched(assets: DataFrame, batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // === STUB batch decode: one call per batch of payloads ===
+          batch.map { case (id, bytes) =>
+            val safe = if (bytes == null) Array.empty[Byte] else bytes
+            val mean =
+              if (safe.isEmpty) 0.0
+              else safe.map(_ & 0xFF).sum.toDouble / safe.length
+            val crc = new java.util.zip.CRC32()
+            crc.update(safe)
+            AssetFeatures(id, safe.length, mean, crc.getValue)
+          }
+          // === end STUB ===
+        }
+      }
+      .toDF()
+  }
+
+  /** One sampled frame of a video/audio payload. */
+  final case class Frame(doc_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Frame sampling: each payload fans out to `nFrames` evenly-spaced
+    * slices (one output row per frame), the partition-parallel shape of
+    * video frame extraction — the fan-out happens on the executors, the
+    * frame rows shuffle-partition independently of their source asset.
+    *
+    * ==== STUB ====
+    * A real implementation seeks to container keyframes; here a frame is
+    * a deterministic byte-range slice of the payload.
+    */
+  def sampleFrames(assets: DataFrame, nFrames: Int = 4): DataFrame = {
+    require(nFrames > 0, "nFrames must be positive")
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets
+      .select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val safe = if (bytes == null) Array.empty[Byte] else bytes
+          if (safe.isEmpty) Iterator.empty
+          else {
+            // === STUB frame seek: evenly-spaced byte slices ===
+            val span = math.max(1, safe.length / nFrames)
+            (0 until math.min(nFrames, safe.length)).iterator.map { i =>
+              val from = i * span
+              val until = math.min(safe.length, from + span)
+              Frame(id, i, java.util.Arrays.copyOfRange(safe, from, until))
+            }
+            // === end STUB ===
+          }
+        }
+      }
+      .toDF()
+  }
 }

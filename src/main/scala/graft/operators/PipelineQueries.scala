@@ -150,7 +150,14 @@ object PipelineQueries {
     // --- multimodal binary plumbing ---
     "q_multimodal" -> ((s, d) =>
       Multimodal.assetStats(
-        Multimodal.toAssets(docs(s, d), "doc_id", "text", "source")))
+        Multimodal.toAssets(docs(s, d), "doc_id", "text", "source"))),
+    // frame sampling: executor-side fan-out to byte-range slices; the
+    // oracle replicates the slicing arithmetic over the UTF-8 lengths
+    "q_multimodal_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(
+        Multimodal.toAssets(docs(s, d), "doc_id", "text", "source"), nFrames = 4)
+        .select(col("doc_id"), col("frame_idx"),
+          length(col("frame_bytes")).as("n_bytes")))
   )
 
   private val toksSql = "regexp_extract_all(text, '\\S+')"
@@ -304,6 +311,14 @@ object PipelineQueries {
         |FROM events e ASOF LEFT JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""".stripMargin,
     "q_multimodal" ->
       "SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, sha256(text) AS digest FROM documents",
+    "q_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+        |           WHERE octet_length(encode(text)) > 0),
+        |f AS (SELECT doc_id, len, greatest(1, len // 4) AS span FROM d),
+        |x AS (SELECT doc_id, span, len, unnest(range(least(4, len))) AS fi FROM f)
+        |SELECT doc_id, CAST(fi AS INTEGER) AS frame_idx,
+        |       CAST(least(len, fi * span + span) - fi * span AS INTEGER) AS n_bytes
+        |FROM x""".stripMargin,
     "q_split" ->
       """SELECT doc_id, CASE
         |  WHEN bucket < 9000 THEN 'train'

@@ -127,14 +127,27 @@ object Similarity {
       nLists: Int = 16,
       nProbe: Int = 2,
       seed: Long = 42L,
-      maxIter: Int = 8): DataFrame = {
+      maxIter: Int = 8,
+      fitSampleFraction: Double = 0.25): DataFrame = {
     val corpusU = unitVectors(corpus, vecCol)
     // A coarse quantizer doesn't need converged centroids — cells just
-    // need to partition the space roughly; cap the iterations.
+    // need to partition the space roughly. So: random init (k-means||
+    // costs ~5 extra distributed passes for quality we don't need),
+    // capped iterations, and the fit runs on a SAMPLE in few partitions
+    // — at 100 TB fitting the quantizer on the full corpus is never the
+    // plan; only the one-pass cell ASSIGNMENT below must see every row.
+    val fitInput =
+      (if (fitSampleFraction < 1.0)
+         corpusU.sample(withReplacement = false, fitSampleFraction, seed)
+       else corpusU)
+        .select("__unit").coalesce(8).cache()
     val km = new KMeans()
       .setK(nLists).setSeed(seed).setMaxIter(maxIter)
+      .setInitMode("random")
       .setFeaturesCol("__unit").setPredictionCol("__cell")
-    val model = km.fit(corpusU)
+    val model =
+      try km.fit(fitInput)
+      finally fitInput.unpersist(blocking = false)
     val assigned = model.transform(corpusU)
       .select(col(idCol), col(vecCol), col("__cell"))
     // Tiny centroid table: (cell, centroid) — broadcast everywhere.

@@ -335,6 +335,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(stats.getString(2).length == 64) // sha-256 hex
   }
 
+  test("multimodal: batched extraction matches row-wise exactly") {
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "lang")
+    val rowWise = Multimodal.extractFeatures(assets).collect().toSet
+    for (batchSize <- Seq(1, 3, 100)) {
+      val batched = Multimodal.extractFeaturesBatched(assets, batchSize).collect().toSet
+      assert(batched == rowWise, s"batchSize=$batchSize must not change results")
+    }
+  }
+
+  test("multimodal: frame sampling fans out slices that reassemble the payload") {
+    val assets = Multimodal.toAssets(docs, "doc_id", "text", "lang")
+    val frames = Multimodal.sampleFrames(assets, nFrames = 4)
+    assert(frames.schema.fieldNames.toSeq == Seq("doc_id", "frame_idx", "frame_bytes"))
+    val doc1 = frames.filter(col("doc_id") === 1L)
+      .orderBy("frame_idx").collect()
+    assert(doc1.length == 4)
+    val text = "the quick brown fox jumps over the lazy dog"
+    val reassembled = doc1.flatMap(_.getAs[Array[Byte]]("frame_bytes"))
+    // evenly-spaced non-overlapping slices cover a len/n*n prefix
+    val span = text.length / 4
+    assert(new String(reassembled, "UTF-8") == text.take(4 * span))
+    // a 2-byte payload yields 2 single-byte frames, not 4
+    assert(frames.filter(col("doc_id") === 7L).count() == 2)
+  }
+
   test("broadcast hint survives into the physical plan for topk scoring") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
