@@ -123,6 +123,15 @@ object QueriesExtra {
       t(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))),
+    // --- salted skew join: result-identical to the plain equi-join
+    //     (same oracle shape), hot keys spread over saltFactor tasks ---
+    "q_skew_join" -> ((s, d) =>
+      operators.Skew.saltedJoin(
+        t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+          col("l_linenumber"), col("l_quantity")),
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority"),
+        "o_orderkey", saltFactor = 4)
+        .select("o_orderkey", "l_linenumber", "l_quantity", "o_orderpriority")),
     // --- custom Catalyst operator: grouped top-k via the
     //     GroupedTopK logical node + partial/final physical pair
     //     (bounded map-side heaps instead of a full per-group sort) ---
@@ -131,6 +140,14 @@ object QueriesExtra {
         t(s, d, "orders"), Seq("o_custkey"),
         Seq(col("o_totalprice").desc, col("o_orderkey").asc), k = 2)
         .select("o_custkey", "o_orderkey", "o_totalprice")),
+    // --- custom TypedImperativeAggregate: exact distinct via mergeable
+    //     set sketch (one partial/final aggregation; count(DISTINCT)
+    //     plans two shuffles) ---
+    "q_sketch_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(functions.DistinctSketch.distinctSketch(col("o_custkey"))
+          .as("n_cust"))),
     // --- higher-order array functions over embeddings (sequential left
     //     folds in both engines => bit-identical doubles; see
     //     SNIPPETS/memory: no CSE across lambda boundaries, so the
@@ -218,11 +235,16 @@ object QueriesExtra {
         |FROM lineitem""".stripMargin,
     "q_collect_list" ->
       "SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios FROM orders GROUP BY o_custkey",
+    "q_skew_join" ->
+      """SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_orderpriority
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
     "q_grouped_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) rn
         |  FROM orders) WHERE rn <= 2""".stripMargin,
+    "q_sketch_distinct" ->
+      "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY o_orderstatus",
     "q_array_fns" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS INTEGER) AS dim,

@@ -152,7 +152,12 @@ object functions {
       (es: Seq[Expression]) => ArrayCosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1)))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0)))
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    // aggregate: the analyzer wraps a bare AggregateFunction from the
+    // registry in an AggregateExpression automatically
+    (FunctionIdentifier("distinct_sketch"),
+      new ExpressionInfo(classOf[DistinctLongSketch].getName, "distinct_sketch"),
+      (es: Seq[Expression]) => DistinctLongSketch(es(0)))
   )
 
   /** Make the functions callable from SQL text in an existing session
