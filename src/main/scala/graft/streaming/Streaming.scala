@@ -161,6 +161,42 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: re-deliveries of the same `event_id` are
+    * dropped for as long as the watermark horizon keeps their state —
+    * the ingestion-side guard of the corpus dedup operators
+    * ([[graft.operators.Dedup]] handles the at-rest side). State is
+    * bounded: ids older than the watermark are evicted, so memory scales
+    * with the event rate × horizon, not the stream's lifetime. */
+  def dedupEventStream(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: each purchase attributes to the SAME
+    * user's views within the preceding `window`. Both sides carry
+    * watermarks and the join condition bounds event time on both sides,
+    * so Spark can evict join state — an unbounded stream-stream join
+    * would otherwise buffer both streams forever. */
+  def purchaseAttribution(
+      events: DataFrame,
+      window: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val views = events
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("view_user"), col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", watermark)
+    purchases.join(
+      views,
+      expr(s"""view_user = user_id AND
+               purchase_ts >= view_ts AND
+               purchase_ts <= view_ts + INTERVAL $window"""))
+      .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

@@ -160,6 +160,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.select("event_id").distinct().count() == 5)
   }
 
+  test("dropDuplicatesWithinWatermark dedups re-delivered events across batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val deduped = Streaming.dedupEventStream(stream.toDF(), watermark = "2 hours")
+    val q = deduped.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(batch1: _*); q.processAllAvailable()
+      // re-deliver batch1 (same event_ids) plus one new event
+      stream.addData(batch1 :+ Event(10L, ts(20), 300L, "view", 7.0): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("dedup_stream").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L, 10L),
+      s"re-delivered ids must be dropped, got ${ids.toSeq}")
+  }
+
+  test("stream-stream interval join attributes purchases to preceding views") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val attributed = Streaming.purchaseAttribution(
+      stream.toDF(), window = "50 minutes", watermark = "1 hour")
+    val q = attributed.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 100: views at :00 (batch1) then purchase at :50 (batch2) —
+      // inside the 50-minute window; user 200 never purchases.
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+      // push the watermark so joined results flush in Append mode
+      stream.addData(Event(98L, ts(59), 300L, "view", 0.0))
+      q.processAllAvailable()
+      stream.addData(
+        Event(99L, Timestamp.valueOf("2026-01-01 13:00:00"), 300L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("attrib").collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).toSet
+    assert(rows == Set((100L, 10.0)),
+      s"exactly user 100's purchase attributes to its view, got ${rows.toSeq}")
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
