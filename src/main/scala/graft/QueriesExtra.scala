@@ -123,6 +123,45 @@ object QueriesExtra {
       t(s, d, "orders")
         .groupBy("o_custkey")
         .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))),
+    // --- outer joins: null-extended rows on the customer side ---
+    "q_outer_join" -> ((s, d) =>
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderstatus") === "P"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey", "o_totalprice")),
+    "q_full_outer" -> { (s, d) =>
+      val big = t(s, d, "customer").filter(col("c_acctbal") > 4000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val ord = t(s, d, "orders").filter(col("o_orderstatus") === "P")
+        .select(col("o_custkey"), col("o_orderkey"))
+      big.join(ord, col("c_custkey") === col("o_custkey"), "full")
+        .select("c_custkey", "c_acctbal", "o_custkey", "o_orderkey")
+    },
+    // --- cross join (tiny dims; the one shape where cartesian is right) ---
+    "q_cross_join" -> ((s, d) =>
+      t(s, d, "region").crossJoin(t(s, d, "nation"))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")),
+    // --- scalar subquery (exact: max, not an FP-order-dependent avg) ---
+    "q_scalar_subquery" -> { (s, d) =>
+      t(s, d, "orders").createOrReplaceTempView("orders_sq")
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders_sq
+              |WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders_sq)""".stripMargin)
+    },
+    // --- arg-min/arg-max with composite tie-break (struct ordering) ---
+    "q_argminmax" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("max_order"),
+          min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+            .as("min_order"))),
+    // --- ordered string aggregation ---
+    "q_string_agg" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(array_join(sort_array(collect_list(col("n_name"))), ",")
+          .as("nations"))),
     // --- salted skew join: result-identical to the plain equi-join
     //     (same oracle shape), hot keys spread over saltFactor tasks ---
     "q_skew_join" -> ((s, d) =>
@@ -235,6 +274,32 @@ object QueriesExtra {
         |FROM lineitem""".stripMargin,
     "q_collect_list" ->
       "SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios FROM orders GROUP BY o_custkey",
+    "q_outer_join" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o
+        |ON c_custkey = o_custkey""".stripMargin,
+    "q_full_outer" ->
+      """SELECT c_custkey, c_acctbal, o_custkey, o_orderkey
+        |FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 4000) c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_orderstatus = 'P') o
+        |ON c_custkey = o_custkey""".stripMargin,
+    "q_cross_join" ->
+      "SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation",
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice = (SELECT max(o_totalprice) FROM orders)""".stripMargin,
+    "q_argminmax" ->
+      """WITH r AS (SELECT o_orderstatus, o_orderkey,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey DESC) rmax,
+        |  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice ASC, o_orderkey ASC) rmin
+        |FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rmax = 1 THEN o_orderkey END) AS max_order,
+        |  max(CASE WHEN rmin = 1 THEN o_orderkey END) AS min_order
+        |FROM r GROUP BY o_orderstatus""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey""".stripMargin,
     "q_skew_join" ->
       """SELECT l_orderkey AS o_orderkey, l_linenumber, l_quantity, o_orderpriority
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
