@@ -139,6 +139,11 @@ object PipelineQueries {
         .select(col("event_id"), col("user_id"),
           col("first_ts").as("session_start"))
     },
+    // --- stream-stream interval join, verified on the batch frame (the
+    //     operator is source-agnostic; watermarks no-op in batch) ---
+    "q_attribution" -> ((s, d) =>
+      graft.streaming.Streaming.purchaseAttribution(
+        graft.sources.Sources.events(s, d), window = "30 minutes")),
     // --- the whole cleaning pipeline, verified end-to-end ---
     "q_pipeline" -> ((s, d) =>
       Pipeline.cleanCorpus(docs(s, d), "doc_id", "text").select("doc_id")),
@@ -302,6 +307,11 @@ object PipelineQueries {
          |FROM sc""".stripMargin,
     "q_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents",
+    "q_attribution" ->
+      """SELECT p.user_id, v.ts AS view_ts, p.ts AS purchase_ts, p.value
+        |FROM (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+        |ON v.user_id = p.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE""".stripMargin,
     "q_asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
