@@ -74,6 +74,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
 
+  test("join strategy follows the broadcast threshold, not a hardcoded hint") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val p = q("q_join").queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"),
+        s"with broadcast disabled the planner must pick a shuffle join:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("events source prunes partitions of the scan to referenced columns") {
     val p = plan(q("q_events_agg"))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
