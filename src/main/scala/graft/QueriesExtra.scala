@@ -121,6 +121,20 @@ object QueriesExtra {
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag"),
         greatest(col("l_tax"), col("l_discount")).as("max_rate"),
         least(col("l_tax"), col("l_discount")).as("min_rate"))),
+    // --- JSON construction + extraction round trip ---
+    "q_json" -> ((s, d) =>
+      t(s, d, "nation").select(
+        col("n_nationkey"),
+        to_json(struct(col("n_nationkey").as("k"), col("n_name").as("nm")))
+          .as("j"))
+        .withColumn("nm_back", get_json_object(col("j"), "$.nm"))),
+    // --- regex extraction + LIKE predicates ---
+    "q_regex" -> ((s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id"),
+        regexp_extract(col("text"), "the ([a-z]+)", 1).as("after_the"),
+        col("text").like("%the%").as("has_the"),
+        col("text").rlike("[0-9]").as("has_digit"))),
     // --- grouped array aggregation (sorted so the set, not the
     //     nondeterministic collection order, is the contract) ---
     "q_collect_list" -> ((s, d) =>
@@ -278,6 +292,17 @@ object QueriesExtra {
         |FROM lineitem""".stripMargin,
     "q_collect_list" ->
       "SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios FROM orders GROUP BY o_custkey",
+    "q_json" ->
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(k := n_nationkey, nm := n_name)) AS j,
+        |  json_extract_string(to_json(struct_pack(k := n_nationkey, nm := n_name)), '$.nm') AS nm_back
+        |FROM nation""".stripMargin,
+    "q_regex" ->
+      """SELECT doc_id,
+        |  regexp_extract(text, 'the ([a-z]+)', 1) AS after_the,
+        |  text LIKE '%the%' AS has_the,
+        |  regexp_matches(text, '[0-9]') AS has_digit
+        |FROM documents""".stripMargin,
     "q_outer_join" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
         |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'P') o

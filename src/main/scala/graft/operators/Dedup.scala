@@ -245,10 +245,24 @@ object Dedup {
       threshold: Double,
       exact: Boolean = false): DataFrame =
     if (exact) {
-      val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-      val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      // Norms are precomputed ONCE per vector instead of inside the
+      // pair loop — the fused cosine would re-derive both norms for
+      // every one of the n²/2 pairs. `sqrt(Σx²)` here is the same
+      // sequential left fold the fused expression runs, and the final
+      // `dot / (na·nb)` is the same arithmetic, so the values (and the
+      // DuckDB oracle match) are bit-identical.
+      def norm(vec: org.apache.spark.sql.Column) = {
+        val vd = vec.cast("array<double>")
+        sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (acc, x) => acc + x))
+      }
+      val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+        norm(col(vecCol)).as("__na"))
+      val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+        norm(col(vecCol)).as("__nb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim", round(Similarity.cosine(col("__va"), col("__vb")), 6))
+        .withColumn("sim",
+          round(Similarity.dot(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb")), 6))
         .filter(col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     } else {

@@ -18,4 +18,22 @@ class QueriesExtraSpec extends AnyFunSuite {
       assert(n > 0, s"$name returned no rows")
     }
   }
+
+  test("rows-only q_approx_distinct estimates within HLL tolerance of exact") {
+    // The driver can only row-count this query (approximate values differ
+    // across engines by design); pin the accuracy contract here instead.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val approx = Queries.all("q_approx_distinct")(spark, TestSpark.sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = spark.read.parquet(s"${TestSpark.sf001}/orders.parquet")
+      .groupBy("o_orderstatus")
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      val est = approx(k).toDouble
+      assert(math.abs(est - n) / n <= 0.15,
+        s"$k: estimate $est vs exact $n beyond 15% (default rsd is 5%)")
+    }
+  }
 }
