@@ -39,7 +39,12 @@ object PlanFingerprint {
   private[graft] def cleanPlanText(raw: String): String = clean(raw)
 
   private def clean(raw: String): String = {
-    val noAddr = objAddrRe.replaceAllIn(raw, m => m.group(1))
+    // The replacer's return value is a replacement TEMPLATE: a literal
+    // `$` in the captured class name (legal in Scala object/inner-class
+    // toStrings like `Foo$@1a2b3c`) would throw and collapse different
+    // queries onto one "Error: ..." fingerprint — a silent wrong hit.
+    val noAddr = objAddrRe.replaceAllIn(
+      raw, m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
     val noIds = Seq(exprIdRe, planIdRe, cteIdRe)
       .foldLeft(noAddr)((t, re) => re.replaceAllIn(t, ""))
     wsRe.replaceAllIn(noIds, " ").trim

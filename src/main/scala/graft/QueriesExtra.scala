@@ -136,11 +136,13 @@ object QueriesExtra {
         col("text").like("%the%").as("has_the"),
         col("text").rlike("[0-9]").as("has_digit"))),
     // --- grouped array aggregation (sorted so the set, not the
-    //     nondeterministic collection order, is the contract) ---
+    //     nondeterministic collection order, is the contract; joined to a
+    //     string because the driver's pandas compare can't sort array cells) ---
     "q_collect_list" -> ((s, d) =>
       t(s, d, "orders")
         .groupBy("o_custkey")
-        .agg(sort_array(collect_list(col("o_orderpriority"))).as("prios"))),
+        .agg(array_join(sort_array(collect_list(col("o_orderpriority"))), "|")
+          .as("prios"))),
     // --- outer joins: null-extended rows on the customer side ---
     "q_outer_join" -> ((s, d) =>
       t(s, d, "customer")
@@ -291,7 +293,7 @@ object QueriesExtra {
         |  least(l_tax, l_discount) AS min_rate
         |FROM lineitem""".stripMargin,
     "q_collect_list" ->
-      "SELECT o_custkey, list_sort(list(o_orderpriority)) AS prios FROM orders GROUP BY o_custkey",
+      "SELECT o_custkey, array_to_string(list_sort(list(o_orderpriority)), '|') AS prios FROM orders GROUP BY o_custkey",
     "q_json" ->
       """SELECT n_nationkey,
         |  to_json(struct_pack(k := n_nationkey, nm := n_name)) AS j,

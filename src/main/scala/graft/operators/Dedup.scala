@@ -237,7 +237,14 @@ object Dedup {
     * cosine — O(n²), the verify/small-corpus path (the oracle-checkable
     * one). `exact = false` goes through the euclidean-LSH bucket join on
     * unit vectors ([[Similarity.annCosineTopK]]'s machinery) and only
-    * scores within-bucket candidates — the 100 TB path. */
+    * scores within-bucket candidates — the 100 TB path.
+    *
+    * Contract: all vectors in `vecCol` must have EQUAL dimension. The
+    * exact path precomputes each vector's norm over its full length,
+    * while the fused [[Similarity.cosine]] folds over the common prefix
+    * `min(len(a), len(b))` — on ragged inputs the two paths would
+    * disagree. Equal dimension is the only shape under which "cosine
+    * similarity" is well-defined anyway. */
   def embeddingNearDupPairs(
       df: DataFrame,
       idCol: String,

@@ -59,6 +59,9 @@ object GroupedTopK {
       groupCols: Seq[String],
       orderBy: Seq[Column],
       k: Int): DataFrame = {
+    require(groupCols.nonEmpty,
+      "topKPerGroup requires at least one group column (for a global " +
+        "top-k just sort().limit(k))")
     // Route the user's Columns through an analyzed Sort node so the
     // ordering arrives as pure, resolved catalyst SortOrders — a direct
     // Column→Expression conversion would embed Connect-side ColumnNode
@@ -70,9 +73,13 @@ object GroupedTopK {
       case other =>
         throw new IllegalStateException(s"expected a Sort node, got: $other")
     }
+    // Match Spark's default case-insensitive column resolution
+    // (df.groupBy("O_CUSTKEY") works; so should this), but prefer an
+    // exact-case match when both exist.
     val groupExprs: Seq[Expression] = groupCols.map { c =>
-      base.output.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
+      base.output.find(_.name == c)
+        .orElse(base.output.find(_.name.equalsIgnoreCase(c)))
+        .getOrElse(throw new IllegalArgumentException(
           s"group column $c not in ${base.output.map(_.name).mkString(", ")}"))
     }
     Bridge.ofRows(df.sparkSession, GroupedTopK(groupExprs, sortOrders, k, base))
@@ -125,8 +132,16 @@ case class GroupedTopKExec(
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
       iter.foreach { row =>
         val key = keyProj(row)
-        val heap = heaps.getOrElseUpdate(
-          key.copy(), mutable.PriorityQueue.empty[InternalRow](ord))
+        // Probe with the reused projection buffer first; copy the key
+        // only when inserting a new group — key.copy() per input row
+        // would allocate garbage on every hash hit in this hot loop.
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[InternalRow](ord)
+            heaps.put(key.copy(), h)
+            h
+        }
         if (heap.size < kk) heap.enqueue(row.copy())
         else if (ord.compare(row, heap.head) < 0) {
           heap.dequeue()
