@@ -251,33 +251,97 @@ object Dedup {
       vecCol: String,
       threshold: Double,
       exact: Boolean = false): DataFrame =
-    if (exact) {
-      // Norms are precomputed ONCE per vector instead of inside the
-      // pair loop — the fused cosine would re-derive both norms for
-      // every one of the n²/2 pairs. `sqrt(Σx²)` here is the same
-      // sequential left fold the fused expression runs, and the final
-      // `dot / (na·nb)` is the same arithmetic, so the values (and the
-      // DuckDB oracle match) are bit-identical.
-      def norm(vec: org.apache.spark.sql.Column) = {
-        val vd = vec.cast("array<double>")
-        sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (acc, x) => acc + x))
-      }
-      val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-        norm(col(vecCol)).as("__na"))
-      val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-        norm(col(vecCol)).as("__nb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("sim",
-          round(Similarity.dot(col("__va"), col("__vb")) /
-            (col("__na") * col("__nb")), 6))
-        .filter(col("sim") >= threshold)
-        .select("id_a", "id_b", "sim")
-    } else {
+    if (exact) exactCosinePairsBlocked(df, idCol, vecCol, threshold)
+    else {
       Similarity
         .annCosinePairs(df, df, idCol, vecCol, idCol, vecCol,
           maxCosDist = 1.0 - threshold)
         .filter(col("id_a") < col("id_b") && col("sim") >= threshold)
     }
+
+  /** Exact all-pairs cosine ≥ threshold via BLOCK-PARTITIONED scoring.
+    *
+    * The naive formulation (`a.join(b, id_a < id_b)` + a scored
+    * projection) makes the nested-loop join materialize one UnsafeRow
+    * PER PAIR carrying both full vectors — at n = 2k × dim 64 that is
+    * ~2M row copies of ~600 B each before a single flop, and it
+    * dominated the runtime ~40× over the arithmetic. Here vectors are
+    * grouped into `nBlocks` blocks, only the B(B+1)/2 block-pair rows
+    * flow through a (broadcast, trivially small) join, and each block
+    * pair is scored in a tight primitive-array loop inside `flatMap`
+    * that emits ONLY qualifying pairs — per-pair row materialization
+    * disappears. This is the dense-GEMM tiling pattern: at 100 TB each
+    * block row is a bounded tile, the block-pair grid gives B²/2-way
+    * parallelism, and data inflation is a factor of B (choose
+    * B ≈ √cluster-cores; callers should persist the block table when
+    * the corpus scan is expensive).
+    *
+    * Arithmetic parity with the fused [[Similarity.cosine]] /
+    * per-vector-norm form (and the DuckDB oracle): norms are the same
+    * `sqrt(left-fold of x²)` Spark expression, the dot is the same
+    * sequential index-order fold, and `round(dot/(na·nb), 6)` is
+    * applied by the same Spark `round` expression AFTER the loop — the
+    * loop prefilters with a `threshold − 1e-6` margin (rounding to 6
+    * decimals moves a value by < 5e-7, so no qualifying pair is lost).
+    * Requires an integral id column (ids are carried as longs through
+    * the tuple encoder). */
+  def exactCosinePairsBlocked(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBlocks: Int = 32): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val vd = col(vecCol).cast("array<double>")
+    val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (acc, x) => acc + x))
+    val blocks = df
+      .select(
+        pmod(hash(col(idCol)), lit(nBlocks)).as("b"),
+        struct(col(idCol).cast("long").as("_1"), vd.as("_2"), nrm.as("_3")).as("r"))
+      .groupBy("b")
+      .agg(collect_list(col("r")).as("rows"))
+    val pairs = blocks.as("p")
+      .join(blocks.as("q"), col("p.b") <= col("q.b"))
+      .select(
+        (col("p.b") === col("q.b")).as("same"),
+        col("p.rows").as("pr"), col("q.rows").as("qr"))
+      .as[(Boolean, Seq[(Long, Seq[Double], Double)], Seq[(Long, Seq[Double], Double)])]
+    val cut = threshold - 1e-6
+    val raw = pairs.flatMap { case (same, pr, qr) =>
+      val ps = pr.iterator.map { case (i, v, n) => (i, v.toArray, n) }.toArray
+      val qs =
+        if (same) ps
+        else qr.iterator.map { case (i, v, n) => (i, v.toArray, n) }.toArray
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < ps.length) {
+        val (ida, va, na) = ps(i)
+        // Same-block tile: score the strict upper triangle once.
+        var j = if (same) i + 1 else 0
+        while (j < qs.length) {
+          val (idb, vb, nb) = qs(j)
+          if (ida != idb) {
+            val n = math.min(va.length, vb.length)
+            var k = 0
+            var dot = 0.0
+            while (k < n) { dot += va(k) * vb(k); k += 1 }
+            val sim = dot / (na * nb)
+            if (sim >= cut) {
+              if (ida < idb) out += ((ida, idb, sim)) else out += ((idb, ida, sim))
+            }
+          }
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+    raw.toDF("id_a", "id_b", "raw")
+      .withColumn("sim", round(col("raw"), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
 
   /** 64-bit SimHash signature per document via the native
     * [[graft.functions.SimHash64]] expression — a pure per-row
