@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-4 corpus additions: statistical aggregates, correlated
+  * EXISTS/LATERAL subqueries, RANGE window frames, map functions,
+  * positional window functions, bloom-pruned semi join, and two more
+  * training-data operators (PII-style redaction, repetition metrics).
+  * Same contract as [[Queries]]: every entry has a DuckDB oracle with
+  * identical column names; FP aggregates are rounded in both engines
+  * because cross-engine summation order differs.
+  */
+object QueriesR4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- statistical aggregates (stddev/var/corr/covar) ---
+    "q_stats_agg" -> ((s, d) =>
+      t(s, d, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("covar_qd"))),
+    // --- correlated EXISTS + NOT EXISTS (planned as semi/anti joins) ---
+    "q_exists" -> { (s, d) =>
+      t(s, d, "customer").createOrReplaceTempView("customer_ex")
+      t(s, d, "orders").createOrReplaceTempView("orders_ex")
+      s.sql("""SELECT c_custkey, c_name FROM customer_ex c
+              |WHERE EXISTS (SELECT 1 FROM orders_ex o
+              |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+              |  AND NOT EXISTS (SELECT 1 FROM orders_ex o2
+              |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin)
+    },
+    // --- LATERAL correlated subquery in the FROM clause ---
+    "q_lateral" -> { (s, d) =>
+      t(s, d, "nation").createOrReplaceTempView("nation_lat")
+      t(s, d, "customer").createOrReplaceTempView("customer_lat")
+      s.sql("""SELECT n_name, cnt FROM nation_lat n,
+              |LATERAL (SELECT count(*) AS cnt FROM customer_lat c
+              |         WHERE c.c_nationkey = n.n_nationkey) t""".stripMargin)
+    },
+    // --- RANGE window frame (value-based, not row-based): orders per
+    //     customer within the trailing 90 days ---
+    "q_window_range" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+      t(s, d, "orders")
+        .withColumn("d", datediff(col("o_orderdate"), to_date(lit("1992-01-01"))))
+        .withColumn("cnt", count(lit(1)).over(w))
+        .select("o_custkey", "o_orderkey", "d", "cnt")
+    },
+    // --- map construction + iteration (map_from_entries → explode) ---
+    "q_map_fns" -> ((s, d) =>
+      t(s, d, "nation")
+        .groupBy("n_regionkey")
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("n_name"), col("n_nationkey")))))
+          .as("m"))
+        .select(col("n_regionkey"), explode(col("m")))
+        .withColumnRenamed("key", "n_name")
+        .withColumnRenamed("value", "n_nationkey")),
+    // --- positional window functions over the full-partition frame ---
+    "q_first_last" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          last(col("o_orderkey")).over(w).as("last_ok"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+    },
+    // --- ntile bucketing (deterministic: unique order key) ---
+    "q_ntile" -> { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey")
+      t(s, d, "orders")
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          ntile(4).over(w).as("nt"))
+    },
+    // --- bloom-pruned semi join (exact result; see BloomJoin scaladoc) ---
+    "q_bloom_join" -> { (s, d) =>
+      val big = t(s, d, "lineitem")
+      val small = t(s, d, "orders").filter(col("o_totalprice") > 400000)
+      operators.BloomJoin
+        .bloomSemiJoin(big, small, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    },
+    // --- PII-style redaction (digit runs masked) — training-data scrub ---
+    "q_redact" -> ((s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 80)
+            .as("red"))),
+    // --- repetition/diversity metrics (gopher-style quality signals):
+    //     distinct-unigram and distinct-trigram ratios per document ---
+    "q_repetition" -> { (s, d) =>
+      val ts = split(col("text"), " ")
+      val tri = operators.Shingles.wordShinglesAll(col("text"), 3)
+      t(s, d, "documents")
+        .filter(size(ts) >= 3)
+        .select(col("doc_id"),
+          round(size(array_distinct(ts)).cast("double") / size(ts), 6)
+            .as("uni_ratio"),
+          round(size(array_distinct(tri)).cast("double") / size(tri), 6)
+            .as("tri_ratio"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS covar_qd
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_exists" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o2
+        |                  WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')""".stripMargin,
+    "q_lateral" ->
+      """SELECT n_name, cnt FROM nation n,
+        |LATERAL (SELECT count(*) AS cnt FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey) t""".stripMargin,
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS INTEGER) AS d,
+        |  count(*) OVER (PARTITION BY o_custkey
+        |                 ORDER BY datediff('day', DATE '1992-01-01', o_orderdate)
+        |                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS cnt
+        |FROM orders""".stripMargin,
+    "q_map_fns" ->
+      "SELECT n_regionkey, n_name, n_nationkey FROM nation",
+    "q_first_last" ->
+      """SELECT o_custkey, o_orderkey,
+        |  first_value(o_orderkey) OVER w AS first_ok,
+        |  last_value(o_orderkey) OVER w AS last_ok,
+        |  nth_value(o_orderkey, 2) OVER w AS second_ok
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
+    "q_ntile" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  CAST(ntile(4) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS INTEGER) AS nt
+        |FROM orders""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 80) AS red
+        |FROM documents""".stripMargin,
+    "q_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |tri AS (SELECT doc_id, ts,
+        |  list_transform(generate_series(1, len(ts) - 2),
+        |                 i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) tg
+        |  FROM toks WHERE len(ts) >= 3)
+        |SELECT doc_id,
+        |  round(CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts), 6) AS uni_ratio,
+        |  round(CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6) AS tri_ratio
+        |FROM tri""".stripMargin
+  )
+}

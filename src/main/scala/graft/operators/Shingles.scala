@@ -19,13 +19,18 @@ object Shingles {
     * way). `zip_with` pads the shorter (shifted) side with null and
     * `concat` propagates it, so off-the-end shingles drop in the filter.
     */
-  def wordShingles(text: Column, k: Int = 3): Column = {
+  def wordShingles(text: Column, k: Int = 3): Column =
+    array_distinct(wordShinglesAll(text, k))
+
+  /** All k-word shingles in order, duplicates retained (the repetition
+    * metrics need the multiset; dedup keeps only the distinct set). */
+  def wordShinglesAll(text: Column, k: Int = 3): Column = {
     require(k >= 1, "shingle size must be positive")
     val toks = split(text, " ")
     val joined = (1 until k).foldLeft(toks) { (acc, j) =>
       val shifted = slice(toks, lit(j + 1), greatest(size(toks) - j, lit(0)))
       zip_with(acc, shifted, (a, b) => concat(a, lit(" "), b))
     }
-    array_distinct(filter(joined, x => x.isNotNull))
+    filter(joined, x => x.isNotNull)
   }
 }
