@@ -91,6 +91,22 @@ object QueriesR4 {
           expectedItems = 100000L)
         .select("l_orderkey", "l_linenumber", "l_quantity")
     },
+    // --- non-parquet sources: JSON / CSV round trips through
+    //     Sources.json / Sources.csv with explicit schemas (schema
+    //     inference is a full extra pass at 100 TB — never rely on it) ---
+    "q_json_source" -> { (s, d) =>
+      val out = s"/tmp/graft_src/json_nation_${d.replaceAll("[^0-9a-z]", "_")}"
+      t(s, d, "nation").write.mode("overwrite").json(out)
+      sources.Sources.json(s, out,
+        "n_nationkey INT, n_name STRING, n_regionkey INT")
+        .select("n_nationkey", "n_name", "n_regionkey")
+    },
+    "q_csv_source" -> { (s, d) =>
+      val out = s"/tmp/graft_src/csv_region_${d.replaceAll("[^0-9a-z]", "_")}"
+      t(s, d, "region").write.mode("overwrite").option("header", "true").csv(out)
+      sources.Sources.csv(s, out, "r_regionkey INT, r_name STRING")
+        .select("r_regionkey", "r_name")
+    },
     // --- PII-style redaction (digit runs masked) — training-data scrub ---
     "q_redact" -> ((s, d) =>
       t(s, d, "documents")
@@ -155,6 +171,10 @@ object QueriesR4 {
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)""".stripMargin,
+    "q_json_source" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    "q_csv_source" ->
+      "SELECT r_regionkey, r_name FROM region",
     "q_redact" ->
       """SELECT doc_id,
         |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 80) AS red
