@@ -139,6 +139,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(top(3).getDouble(2) == -1.0)
   }
 
+  test("blocked exact cosine pairs equal the naive all-pairs formulation") {
+    val e = spark.read.parquet(TestSpark.sf0001 + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    def norm(vec: org.apache.spark.sql.Column) = {
+      val vd = vec.cast("array<double>")
+      sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x))
+    }
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("__va"),
+      norm(col("embedding")).as("__na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("__vb"),
+      norm(col("embedding")).as("__nb"))
+    val naive = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", round(
+        Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6))
+      .filter(col("sim") >= 0.45)
+      .select("id_a", "id_b", "sim")
+    val blocked =
+      Dedup.exactCosinePairsBlocked(e, "vec_id", "embedding", 0.45, nBlocks = 7)
+    assert(naive.count() > 0, "fixture produced no qualifying pairs")
+    // Set equality INCLUDING the sim values (bit-identical arithmetic).
+    assert(naive.exceptAll(blocked).isEmpty && blocked.exceptAll(naive).isEmpty)
+  }
+
   test("aggregator top-k equals the window top-k and partially aggregates") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)
