@@ -113,6 +113,15 @@ object QueriesR4 {
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 80)
             .as("red"))),
+    // --- token-budget training shards via distributed prefix sum
+    //     (two-pass: per-partition totals + offset broadcast — NOT the
+    //     single-task global window) ---
+    "q_shard" -> { (s, d) =>
+      val base = t(s, d, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      operators.Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
+        .select("doc_id", "n_tok", "shard")
+    },
     // --- repetition/diversity metrics (gopher-style quality signals):
     //     distinct-unigram and distinct-trigram ratios per document ---
     "q_repetition" -> { (s, d) =>
@@ -179,6 +188,13 @@ object QueriesR4 {
       """SELECT doc_id,
         |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 80) AS red
         |FROM documents""".stripMargin,
+    "q_shard" ->
+      """WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
+        |SELECT doc_id, CAST(n AS INTEGER) AS n_tok,
+        |  CAST(floor((CAST(sum(n) OVER (ORDER BY doc_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - n)
+        |       / 2048.0) AS BIGINT) AS shard
+        |FROM toks""".stripMargin,
     "q_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |tri AS (SELECT doc_id, ts,

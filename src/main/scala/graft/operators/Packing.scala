@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Token-budget sharding for training-data pipelines: assign documents
+  * (ordered by a sort key) to contiguous shards of ~`budget` tokens —
+  * the step that turns a cleaned corpus into fixed-size training shards.
+  *
+  * The semantics are a GLOBAL running token count, but the naive
+  * formulation (`sum over (ORDER BY id ROWS UNBOUNDED PRECEDING)` with
+  * no partition key) plans a single-task window — the whole corpus
+  * through one reducer, the canonical 100 TB anti-pattern. This
+  * operator computes the same prefix sum in two distributed passes:
+  *
+  *   1. range-partition by the sort key (so partition p holds a
+  *      contiguous key range) and take ONE total per partition — a
+  *      driver-side array of numPartitions longs, nothing more;
+  *   2. broadcast the per-partition prefix offsets back and run the
+  *      running sum as a per-partition window (parallel), adding the
+  *      offset.
+  *
+  * A document whose tokens straddle a budget boundary belongs to the
+  * shard its PRECEDING cumulative count falls in (documents are never
+  * split): `shard = floor((cum − tokens) / budget)`.
+  */
+object Packing {
+
+  def tokenShards(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    // Freeze the range partitioning: the per-partition totals job and
+    // the final running-sum job must see the SAME partition boundaries
+    // (RangePartitioner samples its bounds, so two executions of the
+    // lineage could differ).
+    val ranged = df
+      .repartitionByRange(numPartitions, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    // Pass 1: one row per partition — O(numPartitions) driver state.
+    val totals = ranged
+      .groupBy("__pid")
+      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+      .toMap
+    val pids = totals.keys.toSeq.sorted
+    val offsets: Map[Int, Long] = pids
+      .scanLeft((-1, 0L)) { case ((_, acc), p) => (p, acc + totals(p)) }
+      .sliding(2)
+      .collect { case Seq((_, acc), (p, _)) => p -> acc }
+      .toMap
+    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, off)) =>
+      when(col("__pid") === p, lit(off)).otherwise(e)
+    }
+    // Pass 2: per-partition running sum (parallel) + broadcast offset.
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
+      .withColumn("shard",
+        floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble)))
+      .drop("__pid", "__cum")
+  }
+}

