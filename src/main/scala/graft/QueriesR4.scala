@@ -113,6 +113,10 @@ object QueriesR4 {
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 80)
             .as("red"))),
+    // --- corpus-unigram LM score (cheap perplexity-proxy quality signal) ---
+    "q_unigram_lm" -> ((s, d) =>
+      operators.TextAnalysis.unigramLogProbs(
+        t(s, d, "documents"), "doc_id", "text")),
     // --- token-budget training shards via distributed prefix sum
     //     (two-pass: per-partition totals + offset broadcast — NOT the
     //     single-task global window) ---
@@ -188,6 +192,15 @@ object QueriesR4 {
       """SELECT doc_id,
         |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 80) AS red
         |FROM documents""".stripMargin,
+    "q_unigram_lm" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS n FROM freq)
+        |SELECT t.doc_id, count(*) AS n_tok,
+        |  round(sum(ln(CAST(f.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 6) AS logprob,
+        |  round(sum(ln(CAST(f.c AS DOUBLE) / CAST(tot.n AS DOUBLE))) / count(*), 6) AS avg_lp
+        |FROM toks t JOIN freq f USING (tok) CROSS JOIN tot
+        |GROUP BY t.doc_id""".stripMargin,
     "q_shard" ->
       """WITH toks AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents)
         |SELECT doc_id, CAST(n AS INTEGER) AS n_tok,

@@ -111,4 +111,35 @@ object TextAnalysis {
     val sh = Shingles.wordShingles(text, k)
     array_min(transform(sh, s => xxhash64(s)))
   }
+
+  /** Corpus-unigram language-model score per document: each token's
+    * log probability under the corpus's own unigram distribution,
+    * summed per doc (and averaged — a perplexity proxy). The standard
+    * cheap quality signal: gibberish and boilerplate-heavy documents
+    * sit far from the corpus mode.
+    *
+    * Two-phase, both distributed: (1) one shuffle builds the frequency
+    * table; (2) the token stream joins back to it — Catalyst/AQE
+    * broadcasts the vocabulary when it is small (Zipf: usually yes); at
+    * web scale apply a min-count cut to bound it. Space tokenization
+    * (not `\S+`) so the DuckDB `string_split` oracle tokenizes
+    * identically. Log-prob sums are rounded (summation order differs
+    * across engines); each term is a single `ln` of one exact ratio. */
+  def unigramLogProbs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tot = freq.agg(sum("c").as("n"))
+    val lp = log(col("c").cast("double") / col("n").cast("double"))
+    toks
+      .join(freq, "tok")
+      .crossJoin(tot)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        round(sum(lp), 6).as("logprob"),
+        round(sum(lp) / count(lit(1)), 6).as("avg_lp"))
+  }
 }
