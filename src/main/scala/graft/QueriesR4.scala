@@ -113,6 +113,13 @@ object QueriesR4 {
         .select(col("doc_id"),
           substring(regexp_replace(col("text"), "[0-9]+", "#"), 1, 80)
             .as("red"))),
+    // --- HLL register sketch (rows-only: engine-pinned hash; tolerance
+    //     + partition-invariance pinned in DistinctSketchSpec) ---
+    "q_hll_distinct" -> ((s, d) =>
+      t(s, d, "orders")
+        .groupBy("o_orderstatus")
+        .agg(graft.functions.DistinctSketch.hllSketch(col("o_custkey"))
+          .as("approx_custs"))),
     // --- corpus-unigram LM score (cheap perplexity-proxy quality signal) ---
     "q_unigram_lm" -> ((s, d) =>
       operators.TextAnalysis.unigramLogProbs(

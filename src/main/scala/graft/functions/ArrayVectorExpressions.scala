@@ -157,7 +157,10 @@ object functions {
     // registry in an AggregateExpression automatically
     (FunctionIdentifier("distinct_sketch"),
       new ExpressionInfo(classOf[DistinctLongSketch].getName, "distinct_sketch"),
-      (es: Seq[Expression]) => DistinctLongSketch(es(0)))
+      (es: Seq[Expression]) => DistinctLongSketch(es(0))),
+    (FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllLongSketch].getName, "hll_sketch"),
+      (es: Seq[Expression]) => HllLongSketch(es(0)))
   )
 
   /** Make the functions callable from SQL text in an existing session

@@ -38,6 +38,36 @@ class DistinctSketchSpec extends AnyFunSuite {
     assert(n == orders.select(countDistinct(col("o_custkey"))).collect().head.getLong(0))
   }
 
+  test("hll sketch: within 5% of exact and partitioning-invariant") {
+    import graft.functions.DistinctSketch.hllSketch
+    val exact = orders.select(countDistinct(col("o_custkey")))
+      .collect().head.getLong(0)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      df.agg(hllSketch(col("o_custkey")).as("n")).collect().head.getLong(0)
+    val est = run(orders)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"hll estimate $est vs exact $exact")
+    // Registers merge by max (commutative, idempotent): the estimate
+    // must be EXACTLY the same under any partitioning.
+    assert(run(orders.repartition(1)) == est)
+    assert(run(orders.repartition(17, col("o_orderkey"))) == est)
+  }
+
+  test("hll sketch registered for SQL and fixed-size state") {
+    orders.createOrReplaceTempView("orders_hll")
+    val viaSql = spark.sql(
+      "SELECT hll_sketch(o_custkey) AS n FROM orders_hll").collect().head.getLong(0)
+    val viaCol = orders
+      .agg(graft.functions.DistinctSketch.hllSketch(col("o_custkey")))
+      .collect().head.getLong(0)
+    assert(viaSql == viaCol)
+    // State is 2^P bytes regardless of cardinality.
+    val sk = graft.functions.HllLongSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L))
+    assert(sk.serialize(sk.createAggregationBuffer()).length ==
+      graft.functions.HllLongSketch.M)
+  }
+
   test("plans one partial/final aggregation, not count-distinct's expand") {
     val p = orders.groupBy("o_orderstatus")
       .agg(distinctSketch(col("o_custkey")))
