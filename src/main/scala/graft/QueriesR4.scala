@@ -133,6 +133,15 @@ object QueriesR4 {
       operators.Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
         .select("doc_id", "n_tok", "shard")
     },
+    // --- weighted training-mix interleave (rank/weight positions via
+    //     the same distributed prefix sum — no global row_number) ---
+    "q_mix" -> { (s, d) =>
+      operators.Packing.weightedMix(
+        Seq(
+          ("docs", t(s, d, "documents"), 0.7),
+          ("embs", t(s, d, "embeddings").withColumnRenamed("vec_id", "doc_id"), 0.3)),
+        "doc_id")
+    },
     // --- repetition/diversity metrics (gopher-style quality signals):
     //     distinct-unigram and distinct-trigram ratios per document ---
     "q_repetition" -> { (s, d) =>
@@ -199,6 +208,14 @@ object QueriesR4 {
       """SELECT doc_id,
         |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 80) AS red
         |FROM documents""".stripMargin,
+    "q_mix" ->
+      """SELECT 'docs' AS source, doc_id AS rid,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS DOUBLE) / 0.7 AS pos
+        |FROM documents
+        |UNION ALL
+        |SELECT 'embs' AS source, vec_id AS rid,
+        |  CAST(row_number() OVER (ORDER BY vec_id) AS DOUBLE) / 0.3 AS pos
+        |FROM embeddings""".stripMargin,
     "q_unigram_lm" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
         |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),

@@ -27,13 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  def tokenShards(
+  /** Global running sum of `valueCol` in `idCol` order, as column
+    * `__cum`, computed with the two-pass pattern above — never a
+    * single-task global window. */
+  def runningTotal(
       df: DataFrame,
       idCol: String,
-      tokenCol: String,
-      budget: Long,
+      valueCol: String,
       numPartitions: Int = 32): DataFrame = {
-    require(budget > 0, "token budget must be positive")
     // Freeze the range partitioning: the per-partition totals job and
     // the final running-sum job must see the SAME partition boundaries
     // (RangePartitioner samples its bounds, so two executions of the
@@ -45,7 +46,7 @@ object Packing {
     // Pass 1: one row per partition — O(numPartitions) driver state.
     val totals = ranged
       .groupBy("__pid")
-      .agg(sum(col(tokenCol).cast("long")).as("t"))
+      .agg(sum(col(valueCol).cast("long")).as("t"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
@@ -62,9 +63,46 @@ object Packing {
     val w = Window.partitionBy("__pid").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
-      .withColumn("__cum", sum(col(tokenCol).cast("long")).over(w) + offsetExpr)
+      .withColumn("__cum", sum(col(valueCol).cast("long")).over(w) + offsetExpr)
+      .drop("__pid")
+  }
+
+  def tokenShards(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    runningTotal(df, idCol, tokenCol, numPartitions)
       .withColumn("shard",
         floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble)))
-      .drop("__pid", "__cum")
+      .drop("__cum")
+  }
+
+  /** Deterministic weighted interleave of corpora — the training-mix
+    * step ("70% web, 30% code"). Every source's rows get positions
+    * `rank / weight` (rank = 1-based position in `idCol` order, via the
+    * distributed prefix sum — a global row_number would be one task);
+    * consuming the union in `pos` order yields each source at its
+    * weight's rate. Sources must share the id/output schema produced
+    * here: (source, rid, pos). */
+  def weightedMix(
+      sources: Seq[(String, DataFrame, Double)],
+      idCol: String,
+      numPartitions: Int = 32): DataFrame = {
+    require(sources.nonEmpty, "need at least one source")
+    require(sources.forall(_._3 > 0), "weights must be positive")
+    sources
+      .map { case (tag, df, weight) =>
+        runningTotal(
+          df.select(col(idCol)).withColumn("__one", lit(1)),
+          idCol, "__one", numPartitions)
+          .select(
+            lit(tag).as("source"),
+            col(idCol).cast("long").as("rid"),
+            (col("__cum").cast("double") / lit(weight)).as("pos"))
+      }
+      .reduce(_ unionByName _)
   }
 }

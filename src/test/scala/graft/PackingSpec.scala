@@ -45,6 +45,23 @@ class PackingSpec extends AnyFunSuite {
     assert(ranges.forall(_.getLong(3) > 0))
   }
 
+  test("weightedMix interleaves sources at their weights") {
+    val docs = spark.read.parquet(TestSpark.sf001 + "/documents.parquet")
+    val embs = spark.read.parquet(TestSpark.sf001 + "/embeddings.parquet")
+      .withColumnRenamed("vec_id", "doc_id")
+    val mixed = Packing.weightedMix(
+      Seq(("docs", docs, 0.7), ("embs", embs, 0.3)), "doc_id")
+    // In any pos-ordered prefix long enough to smooth boundary effects,
+    // source proportions track the weights (normalized by source sizes:
+    // a source is exhausted when rank > n, so test within range).
+    val head = mixed.orderBy("pos").limit(200).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracDocs = head.getOrElse("docs", 0L).toDouble / 200
+    assert(math.abs(fracDocs - 0.7) < 0.05, s"docs fraction $fracDocs, want ~0.7")
+    // Every source row appears exactly once.
+    assert(mixed.count() == docs.count() + embs.count())
+  }
+
   test("no single-task global window in the plan") {
     val plan = Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
       .queryExecution.executedPlan.toString
