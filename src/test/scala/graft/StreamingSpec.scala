@@ -61,6 +61,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(byUser(200L) == 2)
   }
 
+  test("late events beyond the watermark are dropped, windows emit once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Event]
+    val counts = Streaming.hourlyEventCounts(stream.toDF(), watermark = "10 minutes")
+    // Append mode: a window row is emitted exactly once, when the
+    // watermark passes its end — the strictest late-data contract.
+    val q = counts.writeStream.format("memory").queryName("late_drop")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Three views in the 10:00 window.
+      stream.addData(batch1: _*); q.processAllAvailable()
+      // 12:00 event pushes the watermark to 11:50 — past the 10:00
+      // window's end, scheduling its emission.
+      stream.addData(Event(6L, Timestamp.valueOf("2026-01-01 12:00:00"), 300L, "view", 1.0))
+      q.processAllAvailable()
+      // LATE: a 10:20 view, far behind the 11:50 watermark — must be
+      // dropped, not appended to the already-emitted window.
+      stream.addData(Event(7L, ts(20), 100L, "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late_drop").collect()
+      .map(r => (r.getStruct(0).getTimestamp(0), r.getString(1), r.getLong(2)))
+    val tenOclock = rows.filter(_._1 == Timestamp.valueOf("2026-01-01 10:00:00"))
+    assert(tenOclock.map(t => t._2 -> t._3).toMap == Map("view" -> 2L, "click" -> 1L)
+      && tenOclock.length == 2,
+      s"10:00 window must hold exactly batch1's events, got ${tenOclock.toSeq}")
+    // The 12:00 window is still open (watermark 11:50) — not emitted.
+    assert(!rows.exists(_._1 == Timestamp.valueOf("2026-01-01 12:00:00")))
+  }
+
   test("mapGroupsWithState keeps per-user running stats across batches") {
     val spark = TestSpark.spark
     import spark.implicits._
