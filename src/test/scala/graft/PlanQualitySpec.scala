@@ -59,6 +59,35 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("stats aggregates partial-aggregate before the shuffle") {
+    val p = plan(q("q_stats_agg"))
+    val aggs = p.linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs >= 2, s"stddev/corr/covar should plan partial+final:\n$p")
+  }
+
+  test("correlated EXISTS plans as semi/anti joins, not subquery loops") {
+    val p = plan(q("q_exists"))
+    assert(p.toLowerCase.contains("semi") && p.toLowerCase.contains("anti"),
+      s"EXISTS/NOT EXISTS must decorrelate to semi+anti joins:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("RANGE window frame shuffles once on the partition key") {
+    val p = plan(q("q_window_range"))
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2, s"range-frame window over-shuffles:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("blocked exact cosine never materializes a per-pair vector row") {
+    val p = plan(q("q_embed_neardup"))
+    // The block-pair join may be nested-loop (tiny: B(B+1)/2 rows of
+    // collected tiles) but the per-pair scoring lives in a typed
+    // flatMap, so no Project of both vectors per output pair exists.
+    assert(p.contains("SerializeFromObject"),
+      s"expected the flatMap scoring stage in:\n$p")
+  }
+
   test("whole-stage codegen covers the scalar/text hot paths") {
     for (name <- Seq("q_scalar_fn", "q_token_count", "q_fingerprint")) {
       // formatted mode tags codegen'd operators with "[codegen id : N]"
