@@ -133,6 +133,27 @@ object QueriesR4 {
       operators.Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
         .select("doc_id", "n_tok", "shard")
     },
+    // --- int8 embedding quantization (4× storage/shuffle cut; exact
+    //     floor-based codes so the oracle checks them bit-for-bit) ---
+    "q_quantize" -> { (s, d) =>
+      operators.Quantize
+        .int8Quantize(
+          s.read.parquet(s"$d/embeddings.parquet")
+            .select(col("vec_id"), col("embedding")),
+          "embedding")
+        .select(col("vec_id"), col("scale"),
+          array_join(transform(col("qvec"), _.cast("string")), ",").as("qstr"))
+    },
+    // --- quantized-shortlist top-k with exact float rerank (rows-only:
+    //     the shortlist is approximate; recall pinned in QuantizeSpec) ---
+    "q_embed_int8" -> { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+      operators.Quantize.int8CosineTopK(
+        e.select(col("vec_id"), col("embedding")),
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "vec_id", "embedding", "qid", "qvec", k = 5)
+    },
     // --- weighted training-mix interleave (rank/weight positions via
     //     the same distributed prefix sum — no global row_number) ---
     "q_mix" -> { (s, d) =>
@@ -208,6 +229,16 @@ object QueriesR4 {
       """SELECT doc_id,
         |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 80) AS red
         |FROM documents""".stripMargin,
+    "q_quantize" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+        |m AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v)
+        |SELECT vec_id, scale,
+        |  array_to_string(list_transform(e, x ->
+        |    CAST(CASE WHEN scale = 0 THEN 0
+        |         ELSE greatest(-127, least(127, CAST(floor(x / scale + 0.5) AS BIGINT)))
+        |         END AS VARCHAR)), ',') AS qstr
+        |FROM m""".stripMargin,
     "q_mix" ->
       """SELECT 'docs' AS source, doc_id AS rid,
         |  CAST(row_number() OVER (ORDER BY doc_id) AS DOUBLE) / 0.7 AS pos
