@@ -133,6 +133,19 @@ object QueriesR4 {
       operators.Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
         .select("doc_id", "n_tok", "shard")
     },
+    // --- leakage-free splits: split by near-dup CLUSTER representative,
+    //     so near-duplicates can never straddle train/test (the classic
+    //     eval-contamination bug when splitting by raw doc id) ---
+    "q_split_leakfree" -> { (s, d) =>
+      val dd = t(s, d, "documents")
+      val reps = operators.Dedup.nearDupComponents(
+        dd.select("doc_id"),
+        operators.Dedup.nearDupPairs(dd, "doc_id", "text", k = 3, threshold = 0.8)
+          .select("id_a", "id_b"))
+      reps.select(col("doc_id"), col("rep"),
+        operators.Splits.assignSplit(col("rep"),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+    },
     // --- int8 embedding quantization (4× storage/shuffle cut; exact
     //     floor-based codes so the oracle checks them bit-for-bit) ---
     "q_quantize" -> { (s, d) =>
@@ -229,6 +242,31 @@ object QueriesR4 {
       """SELECT doc_id,
         |  substr(regexp_replace(text, '[0-9]+', '#', 'g'), 1, 80) AS red
         |FROM documents""".stripMargin,
+    "q_split_leakfree" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM (
+        |  SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM cand JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src),
+        |allreps AS (SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep
+        |         FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id)
+        |SELECT doc_id, rep, CASE
+        |  WHEN bucket < 9000 THEN 'train'
+        |  WHEN bucket < 9500 THEN 'val'
+        |  ELSE 'test' END AS split
+        |FROM (SELECT doc_id, rep,
+        |  CAST(CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INTEGER) AS bucket
+        |FROM allreps)""".stripMargin,
     "q_quantize" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
         |m AS (SELECT vec_id, e,
