@@ -327,7 +327,11 @@ object Dedup {
             var dot = 0.0
             while (k < n) { dot += va(k) * vb(k); k += 1 }
             val sim = dot / (na * nb)
-            if (sim >= cut) {
+            // NaN (zero-norm vector ⇒ undefined cosine) must survive to
+            // the Spark-side filter: Spark SQL and DuckDB both order NaN
+            // ABOVE every value, so `sim >= threshold` keeps it there —
+            // Java's `NaN >= cut` (false) would silently diverge.
+            if (sim >= cut || java.lang.Double.isNaN(sim)) {
               if (ida < idb) out += ((ida, idb, sim)) else out += ((idb, ida, sim))
             }
           }

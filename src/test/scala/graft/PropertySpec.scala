@@ -83,4 +83,51 @@ class PropertySpec extends AnyFunSuite {
       assert(PlanFingerprint.findCatalogTablePattern(txt, "other_db").isEmpty)
     }
   }
+
+  test("blocked exact cosine equals the naive formulation on random frames") {
+    import org.apache.spark.sql.functions._
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Small random corpora including degenerate shapes: a zero vector
+    // (NaN cosine — dropped by both forms), duplicate vectors (sim 1.0),
+    // nBlocks larger than the corpus.
+    val vecGen: Gen[List[List[Float]]] =
+      Gen.listOfN(12, Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f)))
+    forAll(vecGen, n = 10) { vecs =>
+      whenever(vecs.nonEmpty) {
+        val rows = (List.fill(8)(0.0f) :: vecs.head :: vecs)
+          .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        val df = rows.toDF("vec_id", "embedding")
+        def norm(c: org.apache.spark.sql.Column) = {
+          val vd = c.cast("array<double>")
+          sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x))
+        }
+        val a = df.select(col("vec_id").as("id_a"), col("embedding").as("__va"),
+          norm(col("embedding")).as("__na"))
+        val b = df.select(col("vec_id").as("id_b"), col("embedding").as("__vb"),
+          norm(col("embedding")).as("__nb"))
+        // Zero-norm guard: under ANSI mode (Spark 4 default) the SQL
+        // Divide throws DIVIDE_BY_ZERO; the non-ANSI/DuckDB value is
+        // NaN, which the >= filter KEEPS (NaN orders above everything
+        // in both engines) — produce that NaN explicitly.
+        val denom = col("__na") * col("__nb")
+        val naive = a.join(b, col("id_a") < col("id_b"))
+          .withColumn("sim", round(
+            when(denom === 0.0, lit(Double.NaN))
+              .otherwise(graft.operators.Similarity.dot(
+                col("__va"), col("__vb")) / denom), 6))
+          .filter(col("sim") >= 0.3)
+          .select("id_a", "id_b", "sim")
+        for (nBlocks <- Seq(3, 64)) {
+          val blocked = graft.operators.Dedup
+            .exactCosinePairsBlocked(df, "vec_id", "embedding", 0.3, nBlocks)
+          val onlyNaive = naive.exceptAll(blocked).collect().toSeq
+          val onlyBlocked = blocked.exceptAll(naive).collect().toSeq
+          assert(onlyNaive.isEmpty && onlyBlocked.isEmpty,
+            s"mismatch at nBlocks=$nBlocks: naive-only=$onlyNaive " +
+              s"blocked-only=$onlyBlocked corpus=${rows.map(_._2)}")
+        }
+      }
+    }
+  }
 }
