@@ -167,6 +167,14 @@ object QueriesR4 {
           .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
         "vec_id", "embedding", "qid", "qvec", k = 5)
     },
+    // --- SRP-LSH near-dup pairs (rows-only: candidate recall is
+    //     probabilistic; exact verify bounds precision — see SrpSpec) ---
+    "q_embed_srp" -> { (s, d) =>
+      operators.Similarity.srpCosinePairs(
+        s.read.parquet(s"$d/embeddings.parquet")
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.45)
+    },
     // --- weighted training-mix interleave (rank/weight positions via
     //     the same distributed prefix sum — no global row_number) ---
     "q_mix" -> { (s, d) =>

@@ -176,6 +176,67 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("sim"), col("rn"))
   }
 
+  /** Signed-random-projection (SRP) LSH near-dup pairs with EXACT
+    * verification — cosine's native LSH family, with NO model fit:
+    * the hyperplanes are seeded Rademacher (±1) literal vectors, the
+    * signature is `numBands` bands of `rowsPerBand` sign bits computed
+    * as a pure codegen'd projection, candidates join on (band, value)
+    * equality, and every candidate is re-scored with the exact fused
+    * cosine. Contrast `annCosinePairs`: spark.ml's
+    * BucketedRandomProjectionLSH needs a driver-side `fit` pass and a
+    * broadcast model — at 100 TB that is an extra full job before any
+    * candidate is produced; SRP needs none (a plane collides with
+    * probability `1 − θ/π` per bit, so band collision = `(1−θ/π)^r`,
+    * AND-amplified exactly like the banded MinHash). Output is
+    * exact-cosine-thresholded with SRP recall. Seeded ⇒ deterministic. */
+  def srpCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      rowsPerBand: Int = 6,
+      numBands: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    // One-row probe for the dimension (embedding width is a table
+    // constant; reading one row is O(1), not a scan).
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val planes: Seq[Array[Double]] =
+      (0 until rowsPerBand * numBands).map { p =>
+        Array.tabulate(dim) { i =>
+          val h = graft.functions.HllLongSketch.splitmix64(
+            seed * 1000003L + p.toLong * 131071L + i.toLong)
+          if (h < 0) -1.0 else 1.0
+        }
+      }
+    val bits: Seq[Column] =
+      planes.map(pl => dot(col(vecCol), lit(pl)) > 0)
+    val bandVals: Seq[Column] = (0 until numBands).map { b =>
+      bits.slice(b * rowsPerBand, (b + 1) * rowsPerBand).zipWithIndex
+        .map { case (bit, j) => when(bit, lit(1L << j)).otherwise(lit(0L)) }
+        .reduce(_ + _)
+    }
+    val sigs = df
+      .select(col(idCol).as("__id"), posexplode(array(bandVals: _*)))
+      .withColumnRenamed("pos", "__band")
+      .withColumnRenamed("col", "__bval")
+    val cand = sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.__band") === col("b.__band") && col("a.__bval") === col("b.__bval") &&
+          col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    // Exact verify on candidates only (vectors joined back by id, so
+    // the banded explode never carries vector payloads).
+    val va = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val vb = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cand
+      .join(va, "id_a")
+      .join(vb, "id_b")
+      .withColumn("sim", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b", "sim")
+  }
+
   /** LSH-bucketed candidate PAIRS with approximate cosine ≥ 1 −
     * `maxCosDist`: unit-normalize both sides, euclidean-LSH bucket join,
     * convert distance back to cosine. Returns `(id_a, id_b, sim)` —
