@@ -135,12 +135,16 @@ object QueriesR4 {
     },
     // --- leakage-free splits: split by near-dup CLUSTER representative,
     //     so near-duplicates can never straddle train/test (the classic
-    //     eval-contamination bug when splitting by raw doc id) ---
+    //     eval-contamination bug when splitting by raw doc id).
+    //     Pairs come from the EXACT Jaccard operator so the semantics
+    //     provably match the all-pairs DuckDB oracle — the banded
+    //     MinHash composition (probabilistic candidate recall) is
+    //     exercised by q_pipeline/q_dedup_neardup instead. ---
     "q_split_leakfree" -> { (s, d) =>
       val dd = t(s, d, "documents")
       val reps = operators.Dedup.nearDupComponents(
         dd.select("doc_id"),
-        operators.Dedup.nearDupPairs(dd, "doc_id", "text", k = 3, threshold = 0.8)
+        operators.Dedup.ngramJaccardPairs(dd, "doc_id", "text", k = 3, threshold = 0.8)
           .select("id_a", "id_b"))
       reps.select(col("doc_id"), col("rep"),
         operators.Splits.assignSplit(col("rep"),

@@ -26,12 +26,13 @@ object SparkEntry {
     * LLM-pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesExtra.all ++ operators.PipelineQueries.all ++
-      QueriesR4.all
+      QueriesR4.all ++ QueriesR5.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (seeded sample, LSH/minhash approximations). */
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesExtra.oracles ++
-      operators.PipelineQueries.oracles ++ QueriesR4.oracles
+      operators.PipelineQueries.oracles ++ QueriesR4.oracles ++
+      QueriesR5.oracles
 }

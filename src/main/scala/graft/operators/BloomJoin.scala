@@ -1,7 +1,12 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.Cast
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.BloomMightContainLong
 
 /** Explicit bloom-filter join pruning.
   *
@@ -33,9 +38,13 @@ object BloomJoin {
       fpp: Double = 0.01): DataFrame = {
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((k: Long) => bc.value.mightContainLong(k))
+    // Native codegen'd probe (see [[BloomMightContainLong]]): the
+    // per-row scan filter must not box keys or break whole-stage
+    // codegen — a UDF here would do both.
+    val might = Bridge.column(BloomMightContainLong(
+      Cast(Bridge.expression(col(bigKey)), LongType), bc))
     big
-      .filter(col(bigKey).isNotNull && might(col(bigKey)))
+      .filter(col(bigKey).isNotNull && might)
       .join(small, big(bigKey) === small(smallKey), "leftsemi")
   }
 }

@@ -168,16 +168,27 @@ object Dedup {
   }
 
   /** Connected components over near-duplicate pairs by min-label
-    * propagation: every document's representative is the smallest doc id
-    * reachable through the pair graph (itself when un-paired).
+    * propagation WITH pointer jumping: every document's representative
+    * is the smallest doc id reachable through the pair graph (itself
+    * when un-paired).
     *
-    * Pregel-style driver loop with distributed steps — each iteration is
-    * one join + grouped min, labels are `localCheckpoint`ed so the plan
-    * doesn't grow with iterations, and convergence needs only
-    * graph-diameter rounds (near-dup clusters are shallow; the 20-round
-    * cap is a safety net). This is how dedup becomes actionable: keep
-    * exactly one representative per duplicate CLUSTER, not per pair. */
-  def nearDupComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    * Pregel-style driver loop with distributed steps — each round is
+    * (a) one edge join + grouped min (labels flow one hop) and (b) one
+    * label self-join (`rep ← rep(rep)`, the pointer-jumping shortcut
+    * that makes label distance roughly double per round), so
+    * convergence needs O(log diameter) rounds, not diameter rounds —
+    * a 2^maxIter-hop chain fits in the cap. Labels are
+    * `localCheckpoint`ed so the plan doesn't grow with iterations.
+    * Exhausting the cap THROWS instead of returning non-minimal
+    * representatives: a silent partial answer here would let near-dups
+    * straddle train/test in [[graft.operators.Splits]] — the exact
+    * contamination bug components exist to prevent. This is how dedup
+    * becomes actionable: keep exactly one representative per duplicate
+    * CLUSTER, not per pair. */
+  def nearDupComponents(
+      ids: DataFrame,
+      pairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
     // Materialize the edge list ONCE: `pairs` is typically the whole
     // MinHash-candidate + exact-verify pipeline, and without this every
     // iteration of the loop below would re-execute it from the parquet
@@ -190,22 +201,41 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    while (!converged && iter < 20) {
+    while (!converged && iter < maxIter) {
       val neighborMin = edges
         .join(labels, col("dst") === col("doc_id"))
         .groupBy("src")
         .agg(min("rep").as("nmin"))
       // Carry the previous label through the update so convergence is
       // read off the SAME materialization — no second join per round.
-      val updated = labels.as("l")
+      val hopped = labels.as("l")
         .join(neighborMin, col("l.doc_id") === col("src"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.rep"), coalesce(col("nmin"), col("l.rep"))).as("rep"),
           col("l.rep").as("prev_rep"))
+        // Materialized so the self-join below reads it, not the hop
+        // join twice.
+        .localCheckpoint(true)
+      // Pointer jump: rep ← rep(rep). Every label is itself a doc id,
+      // so the lookup is a self-join on the label table; labels only
+      // decrease, hence rep(rep) ≤ rep and `least` is for safety only.
+      val updated = hopped.as("u")
+        .join(hopped.select(col("doc_id").as("__jid"), col("rep").as("__jrep")),
+          col("u.rep") === col("__jid"), "left")
+        .select(col("u.doc_id").as("doc_id"),
+          least(col("u.rep"), coalesce(col("__jrep"), col("u.rep"))).as("rep"),
+          col("u.prev_rep").as("prev_rep"))
         .localCheckpoint(true)
       converged = updated.filter(col("rep") =!= col("prev_rep")).isEmpty
       labels = updated.drop("prev_rep")
       iter += 1
+    }
+    if (!converged) {
+      throw new IllegalStateException(
+        s"nearDupComponents did not converge after $maxIter rounds — " +
+          "component diameter exceeds 2^maxIter hops (pathological chain " +
+          "graph?); raise maxIter rather than accept non-minimal " +
+          "representatives")
     }
     labels
   }

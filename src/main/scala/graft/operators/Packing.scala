@@ -44,9 +44,12 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
     // Pass 1: one row per partition — O(numPartitions) driver state.
+    // Nulls count as 0 here (an all-null partition must yield total 0,
+    // not a driver-side NPE on getLong); the window pass below
+    // propagates nulls per-row like any SQL running sum.
     val totals = ranged
       .groupBy("__pid")
-      .agg(sum(col(valueCol).cast("long")).as("t"))
+      .agg(sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("t"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap

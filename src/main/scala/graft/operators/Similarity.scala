@@ -188,18 +188,34 @@ object Similarity {
     * candidate is produced; SRP needs none (a plane collides with
     * probability `1 − θ/π` per bit, so band collision = `(1−θ/π)^r`,
     * AND-amplified exactly like the banded MinHash). Output is
-    * exact-cosine-thresholded with SRP recall. Seeded ⇒ deterministic. */
+    * exact-cosine-thresholded with SRP recall. Seeded ⇒ deterministic.
+    *
+    * Default band shape 16×4 puts recall at the threshold itself around
+    * 0.95 for cos = 0.45 (p_bit = 1 − 1.104/π = 0.649, band = 0.649⁴ =
+    * 0.177, recall = 1 − (1−0.177)¹⁶); the earlier 8×6 shape measured
+    * only ~0.44 pooled recall at sf0.01/sf0.1 — AND-amplification too
+    * aggressive for barely-over-threshold pairs. [[graft.QueriesR5]]'s
+    * q_srp_recall gates the pooled recall ≥ 0.8 in the driver. */
   def srpCosinePairs(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      rowsPerBand: Int = 6,
-      numBands: Int = 8,
+      rowsPerBand: Int = 4,
+      numBands: Int = 16,
       seed: Long = 42L): DataFrame = {
     // One-row probe for the dimension (embedding width is a table
-    // constant; reading one row is O(1), not a scan).
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    // constant; reading one row is O(1), not a scan). Empty input ⇒
+    // empty pair set, same schema. Like [[Dedup.embeddingNearDupPairs]],
+    // the contract is equal-dimension vectors — a ragged corpus gets
+    // that row's width applied everywhere.
+    val dimOpt = df.select(size(col(vecCol))).limit(1).collect()
+      .headOption.map(_.getInt(0))
+    if (dimOpt.isEmpty) {
+      return df.select(col(idCol).as("id_a"), col(idCol).as("id_b"),
+        lit(0.0).as("sim")).limit(0)
+    }
+    val dim = dimOpt.get
     val planes: Seq[Array[Double]] =
       (0 until rowsPerBand * numBands).map { p =>
         Array.tabulate(dim) { i =>

@@ -73,12 +73,17 @@ object GroupedTopK {
       case other =>
         throw new IllegalStateException(s"expected a Sort node, got: $other")
     }
-    // Match Spark's default case-insensitive column resolution
-    // (df.groupBy("O_CUSTKEY") works; so should this), but prefer an
-    // exact-case match when both exist.
+    // Match the session's column resolution (df.groupBy("O_CUSTKEY")
+    // works under the default case-insensitive analyzer; so should
+    // this) — but only fall back to case-insensitive matching when the
+    // session itself is case-insensitive, and prefer an exact-case
+    // match when both exist.
+    val caseSensitive =
+      df.sparkSession.conf.get("spark.sql.caseSensitive", "false").toBoolean
     val groupExprs: Seq[Expression] = groupCols.map { c =>
       base.output.find(_.name == c)
-        .orElse(base.output.find(_.name.equalsIgnoreCase(c)))
+        .orElse(if (caseSensitive) None
+                else base.output.find(_.name.equalsIgnoreCase(c)))
         .getOrElse(throw new IllegalArgumentException(
           s"group column $c not in ${base.output.map(_.name).mkString(", ")}"))
     }

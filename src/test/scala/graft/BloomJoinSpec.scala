@@ -28,9 +28,10 @@ class BloomJoinSpec extends AnyFunSuite {
     val plan = BloomJoin
       .bloomSemiJoin(big, small, "l_orderkey", "o_orderkey", expectedItems = 100000L)
       .queryExecution.executedPlan.toString
-    // The UDF filter must appear (scan-side pruning), and the join must
-    // still be there to remove the false positives.
-    assert(plan.contains("UDF"), s"no bloom prefilter in plan:\n$plan")
+    // The native probe must appear (scan-side pruning), and the join
+    // must still be there to remove the false positives.
+    assert(plan.contains("bloom_might_contain_long"),
+      s"no bloom prefilter in plan:\n$plan")
     assert(plan.toLowerCase.contains("semi"), s"no semi join in plan:\n$plan")
   }
 

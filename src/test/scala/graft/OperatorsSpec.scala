@@ -88,6 +88,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 6L))
   }
 
+  test("nearDupComponents converges on a chain far longer than the round cap") {
+    val s = spark
+    import s.implicits._
+    // Path graph 0-1-2-...-63: diameter 63, which plain one-hop
+    // propagation could not finish inside the default round cap —
+    // pointer jumping must (label distance ~doubles per round).
+    val n = 64
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    val reps = Dedup.nearDupComponents(ids, pairs, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps.size == n && reps.values.forall(_ == 0L),
+      s"all chain members must collapse to rep 0: $reps")
+  }
+
+  test("nearDupComponents fails loudly when the round cap is exhausted") {
+    val s = spark
+    import s.implicits._
+    val n = 16
+    val ids = (0 until n).map(_.toLong).toDF("doc_id")
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("id_a", "id_b")
+    // One round cannot finish a 15-hop chain — must throw, never return
+    // non-minimal representatives (train/test contamination downstream).
+    val e = intercept[IllegalStateException] {
+      Dedup.nearDupComponents(ids, pairs, maxIter = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dedupCorpus keeps one representative per exact+near cluster") {
     val out = Dedup.dedupCorpus(docs, "doc_id", "text", threshold = 0.5)
     val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet

@@ -26,22 +26,38 @@ class PackingSpec extends AnyFunSuite {
 
   test("shards are contiguous in key order and within token bounds") {
     val shards = Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
-    // Contiguity: per shard, the doc_id ranges must not interleave —
-    // max(doc_id) of shard s < min(doc_id) of shard s+1.
+    // The straddle property needs each shard's LAST document's tokens:
+    // a doc may push a shard past the budget only if it is the final
+    // (straddling) one.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("doc_id").desc)
+    val lastTok = shards
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("shard"), col("n_tok").cast("long").as("last_tok"))
     val ranges = shards.groupBy("shard")
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
         sum(col("n_tok").cast("long")).as("tok"))
+      .join(lastTok, "shard")
       .orderBy("shard")
       .collect()
+    // Contiguity: per shard, the doc_id ranges must not interleave —
+    // max(doc_id) of shard s < min(doc_id) of shard s+1.
     ranges.sliding(2).foreach {
       case Array(a, b) =>
-        assert(a.getLong(1) < b.getLong(1),
-          s"shard ${a.getLong(0)} hi=${a.getLong(2)} overlaps ${b.getLong(0)}")
+        assert(a.getLong(2) < b.getLong(1),
+          s"shard ${a.getLong(0)} hi=${a.getLong(2)} overlaps " +
+            s"shard ${b.getLong(0)} lo=${b.getLong(1)}")
       case _ => ()
     }
-    // Budget: every shard except possibly the last holds ≥ budget only
-    // through its final (straddling) doc — i.e. tokens minus the last
-    // doc's tokens must be < budget.
+    // Budget: tokens minus the last (straddling) doc's tokens < budget
+    // for every shard — i.e. no shard was already over budget BEFORE
+    // its final document arrived.
+    ranges.foreach { r =>
+      assert(r.getLong(3) - r.getLong(4) < 2048L,
+        s"shard ${r.getLong(0)} holds ${r.getLong(3)} tokens, " +
+          s"${r.getLong(3) - r.getLong(4)} before its last doc — over budget")
+    }
     assert(ranges.forall(_.getLong(3) > 0))
   }
 

@@ -103,6 +103,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
   }
 
+  test("bloom-pruned scan stage stays codegen'd with no UDF in the probe") {
+    // The probe must be the native BloomMightContainLong expression:
+    // still inside whole-stage codegen, never a boxed Scala UDF
+    // (BatchEvalPython is the pyspark shape of the same mistake).
+    // Executed first: the AQE plan only carries codegen markers
+    // (`*(n)`) once the final plan is materialized.
+    val df = q("q_bloom_join")
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val filterLine = p.linesIterator
+      .find(_.contains("bloom_might_contain_long")).getOrElse("")
+    assert(filterLine.nonEmpty, s"expected the native bloom probe in:\n$p")
+    assert(filterLine.contains("*("),
+      s"bloom probe filter fell out of codegen: $filterLine\n$p")
+    assert(!p.contains("BatchEvalPython") && !filterLine.contains("UDF"),
+      s"bloom probe must not be a UDF:\n$p")
+  }
+
   test("join strategy follows the broadcast threshold, not a hardcoded hint") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
