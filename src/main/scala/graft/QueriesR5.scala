@@ -102,6 +102,16 @@ object QueriesR5 {
         .select(col("o_orderstatus"), col("exact_nd"),
           (abs(col("__est") - col("exact_nd")) <= col("exact_nd") * 0.05)
             .as("tol_ok"))),
+    // --- ORC source round trip through Sources.orc with an explicit
+    //     schema (completes the columnar-format matrix: parquet native,
+    //     ORC via Spark's vectorized ORC reader) ---
+    "q_orc_source" -> { (s, d) =>
+      val out = s"/tmp/graft_src/orc_supplier_${d.replaceAll("[^0-9a-z]", "_")}"
+      t(s, d, "supplier").write.mode("overwrite").orc(out)
+      sources.Sources.orc(s, out,
+        "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    },
     // --- Spark's built-in HLL++ (approx_count_distinct) within 5% ---
     "q_approx_distinct_tolerance" -> ((s, d) =>
       t(s, d, "orders")
@@ -137,6 +147,8 @@ object QueriesR5 {
         |                                 CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.45""".stripMargin,
+    "q_orc_source" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q_hll_tolerance" ->
       """SELECT o_orderstatus, count(DISTINCT o_custkey) AS exact_nd,
         |  TRUE AS tol_ok

@@ -45,8 +45,8 @@ object Packing {
       .localCheckpoint(true)
     // Pass 1: one row per partition — O(numPartitions) driver state.
     // Nulls count as 0 here (an all-null partition must yield total 0,
-    // not a driver-side NPE on getLong); the window pass below
-    // propagates nulls per-row like any SQL running sum.
+    // not a driver-side NPE on getLong) — consistent with the window
+    // pass below, whose sum() skips nulls like any SQL aggregate.
     val totals = ranged
       .groupBy("__pid")
       .agg(sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("t"))
@@ -59,9 +59,18 @@ object Packing {
       .sliding(2)
       .collect { case Seq((_, acc), (p, _)) => p -> acc }
       .toMap
-    val offsetExpr = offsets.foldLeft(lit(0L)) { case (e, (p, off)) =>
-      when(col("__pid") === p, lit(off)).otherwise(e)
-    }
+    // Literal pid→offset map + element_at, not a chained when(): a
+    // when-chain is O(numPartitions) deep in generated code (codegen
+    // blowup at 10k partitions), while a literal CreateMap constant-
+    // folds into one map lookup. Every __pid seen in pass 2 exists in
+    // the map (both passes read the same frozen partitioning), so the
+    // lookup never misses.
+    val offsetExpr =
+      if (offsets.isEmpty) lit(0L)
+      else element_at(
+        map(offsets.toSeq.sortBy(_._1)
+          .flatMap { case (p, off) => Seq(lit(p), lit(off)) }: _*),
+        col("__pid"))
     // Pass 2: per-partition running sum (parallel) + broadcast offset.
     val w = Window.partitionBy("__pid").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

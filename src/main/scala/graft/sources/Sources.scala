@@ -55,4 +55,14 @@ object Sources {
 
   def csv(spark: SparkSession, path: String, ddl: String): DataFrame =
     csv(spark, path, StructType.fromDDL(ddl))
+
+  /** ORC with an explicit schema — the other columnar format Spark
+    * ships a vectorized reader for; like parquet it carries its own
+    * schema, but pinning one keeps the analyzed plan (and thus the
+    * cache fingerprint) independent of file-footer details. */
+  def orc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def orc(spark: SparkSession, path: String, ddl: String): DataFrame =
+    orc(spark, path, StructType.fromDDL(ddl))
 }
