@@ -49,6 +49,21 @@ class SourcesSpec extends AnyFunSuite {
     assert(cached.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2, 3, 4))
   }
 
+  test("ORC source round-trips with explicit schema and caches") {
+    val d = Files.createTempDirectory("graft-orc").toString
+    spark.read.parquet(s"${TestSpark.sf0001}/supplier.parquet")
+      .write.mode("overwrite").orc(s"$d/supplier")
+    val df = Sources.orc(spark, s"$d/supplier",
+      "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
+    val orig = spark.read.parquet(s"${TestSpark.sf0001}/supplier.parquet")
+      .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    assert(df.exceptAll(orig).isEmpty && orig.exceptAll(df).isEmpty,
+      "ORC round trip must preserve every row")
+    val cached = cacheIt(df.groupBy("s_nationkey")
+      .agg(sum("s_acctbal").as("bal")))
+    assert(cached.count() > 0)
+  }
+
   test("events source converts nanos and feeds the corpus queries") {
     val e = Sources.events(spark, TestSpark.sf0001)
     assert(e.schema("ts").dataType.typeName == "timestamp")
