@@ -197,6 +197,25 @@ object Streaming {
       .select(col("user_id"), col("view_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** Stream-static enrichment: join a live event stream against a
+    * batch dimension table (user → segment, doc → license, …). The
+    * static side is planned per micro-batch like any batch join — small
+    * dims broadcast, so NO stream state and no watermark is needed
+    * (unlike stream-stream joins); a dim refresh is picked up at the
+    * next micro-batch because the batch plan re-executes. The
+    * left join keeps unmatched events (`dimCol` null) rather than
+    * silently dropping them. */
+  def enrichEvents(
+      events: DataFrame,
+      dim: DataFrame,
+      eventKey: String = "user_id",
+      dimKey: String = "user_id"): DataFrame =
+    events.join(
+      broadcast(dim),
+      events(eventKey) === dim(dimKey),
+      "left")
+      .drop(dim(dimKey))
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

@@ -238,6 +238,29 @@ class StreamingSpec extends AnyFunSuite {
       s"exactly user 100's purchase attributes to its view, got ${rows.toSeq}")
   }
 
+  test("stream-static enrichment joins a batch dim without stream state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((100L, "gold"), (300L, "trial")).toDF("user_id", "segment")
+    val stream = MemoryStream[Event]
+    val enriched = Streaming.enrichEvents(stream.toDF(), dim)
+      .select("event_id", "user_id", "segment")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(batch1: _*); q.processAllAvailable()
+      stream.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toMap
+    assert(rows.size == 5, s"every event passes through, got $rows")
+    assert(rows(1L).contains("gold") && rows(4L).contains("gold"),
+      "user 100's events enrich with its segment")
+    assert(rows(3L).isEmpty && rows(5L).isEmpty,
+      "unmatched users keep null segment (left join), not dropped")
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
