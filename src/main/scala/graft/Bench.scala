@@ -83,6 +83,11 @@ object Bench {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // Settle the heap between queries: without this, a heavy
+      // predecessor's GC debt lands inside the NEXT query's measured
+      // window (observed 2-3x inflation of cheap queries in a full
+      // sweep vs the same query isolated).
+      System.gc()
       val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
       var i = 0
