@@ -121,6 +121,18 @@ class PlanQualitySpec extends AnyFunSuite {
       s"bloom probe must not be a UDF:\n$p")
   }
 
+  test("approx percentile partial-aggregates its fixed-state sketch") {
+    // The whole point of percentile_approx over exact percentile is
+    // mergeable fixed-size partial state: the plan must carry a
+    // partial+final aggregate pair (sketches merge map-side), never a
+    // single final aggregation buffering raw values.
+    val p = plan(q("q_approx_percentile"))
+    val aggs = p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate") ||
+        l.contains("HashAggregate"))
+    assert(aggs >= 2, s"expected partial+final aggregate pair:\n$p")
+  }
+
   test("join strategy follows the broadcast threshold, not a hardcoded hint") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
     val prev = spark.conf.get(key)
