@@ -97,7 +97,9 @@ object Bench {
         err = e
         i += 1
       }
-      timings(name) = runs.sorted.apply((runs.size - 1) / 2)
+      // A failed query reports ONLY its error — a median over runs that
+      // include the aborted attempt would record a misleading timing.
+      if (err.isEmpty) timings(name) = runs.sorted.apply((runs.size - 1) / 2)
       err.foreach(errors(name) = _)
     }
 
@@ -124,11 +126,45 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v)}" }
       .mkString("{", ",", "}")
     val total = timings.values.sum
+
+    // Full per-query detail — every timing at 3 decimals plus every
+    // error — goes to a file; the stdout line can't carry it (below).
+    val detailPath = "BENCH_DETAIL.json"
+    val detail =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+      (detail + "\n").getBytes("UTF-8"))
+
+    // The harness stores only the LAST 2000 chars of stdout and parses
+    // the JSON line out of that window — a full 100+-query map is ~2.6k
+    // chars and gets its head truncated (observed: BENCH_r04/r05
+    // "parsed": null). Budget the line well under the window: always
+    // carry the headline numbers and the cache phases, then add queries
+    // slowest-first (the ones worth regression-reading) until the
+    // budget is spent; everything is still in BENCH_DETAIL.json.
+    val budget = 1600
+    val cachePhases = timings.filter(_._1.startsWith("cache_")).toSeq
+    val slowestFirst = timings.toSeq
+      .filterNot(_._1.startsWith("cache_"))
+      .sortBy { case (k, v) => (-v, k) }
+    val compactErr = errors.take(3)
+      .map { case (k, v) => s"${jsonStr(k)}:${jsonStr(v.take(60))}" }
+      .mkString("{", ",", "}")
+    def render(qEntries: Seq[(String, Double)]): String = {
+      val m = (cachePhases ++ qEntries)
+        .map { case (k, v) => s"${jsonStr(k)}:${f"$v%.3f"}" }
+        .mkString("{", ",", "}")
+      val omitted = slowestFirst.size - qEntries.size
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$m,"queries_omitted":$omitted,"detail":${jsonStr(detailPath)},"errors":$compactErr,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
+    }
+    var keep = slowestFirst.size
+    while (keep > 0 && render(slowestFirst.take(keep)).length > budget) keep -= 1
+    val line = render(slowestFirst.take(keep))
+
     // Stop Spark BEFORE printing so the JSON line is the process's last
-    // stdout line (the driver parses it; shutdown logs go to stderr).
+    // stdout line (shutdown logs go to stderr).
     spark.stop()
-    println(
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}""")
+    println(line)
     if (errors.nonEmpty) sys.exit(1)
   }
 }
