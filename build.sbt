@@ -33,5 +33,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] puts driver + all 32 executor threads in ONE JVM; 8g was
+  // underprovisioned for the shuffle-heavy corpus queries (the host has
+  // 128 GiB — a real cluster would give 32 cores far more than 8g).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

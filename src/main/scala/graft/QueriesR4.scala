@@ -95,16 +95,13 @@ object QueriesR4 {
     //     Sources.json / Sources.csv with explicit schemas (schema
     //     inference is a full extra pass at 100 TB — never rely on it) ---
     "q_json_source" -> { (s, d) =>
-      val out = s"/tmp/graft_src/json_nation_${d.replaceAll("[^0-9a-z]", "_")}"
-      t(s, d, "nation").write.mode("overwrite").json(out)
-      sources.Sources.json(s, out,
+      sources.Sources.json(s, Fixtures.jsonNation(s, d),
         "n_nationkey INT, n_name STRING, n_regionkey INT")
         .select("n_nationkey", "n_name", "n_regionkey")
     },
     "q_csv_source" -> { (s, d) =>
-      val out = s"/tmp/graft_src/csv_region_${d.replaceAll("[^0-9a-z]", "_")}"
-      t(s, d, "region").write.mode("overwrite").option("header", "true").csv(out)
-      sources.Sources.csv(s, out, "r_regionkey INT, r_name STRING")
+      sources.Sources.csv(s, Fixtures.csvRegion(s, d),
+        "r_regionkey INT, r_name STRING")
         .select("r_regionkey", "r_name")
     },
     // --- PII-style redaction (digit runs masked) — training-data scrub ---

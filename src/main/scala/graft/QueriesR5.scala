@@ -30,18 +30,6 @@ object QueriesR5 {
     t(s, d, "embeddings").filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
 
-  /** One ORC copy of `supplier` per (JVM, sf dir), under a fresh temp
-    * dir owned by this process. */
-  private val orcFixtures =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def orcFixture(s: SparkSession, d: String): String =
-    orcFixtures.computeIfAbsent(d, { dir =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-orc-fixture").toString + "/supplier"
-      t(s, dir, "supplier").write.mode("overwrite").orc(out)
-      out
-    })
-
   /** Exact brute-force top-k — the baseline every approximate top-k
     * companion compares against (same k / query set as the corpus
     * queries). */
@@ -117,12 +105,13 @@ object QueriesR5 {
     // --- ORC source round trip through Sources.orc with an explicit
     //     schema (completes the columnar-format matrix: parquet native,
     //     ORC via Spark's vectorized ORC reader). The ORC copy is a
-    //     FIXTURE, materialized once per (JVM, sf dir) into a private
-    //     temp dir — the query itself is read-only, so Bench's
-    //     median-of-3 times the read (not a rewrite), and concurrent
-    //     harness runs never share a path. ---
+    //     FIXTURE ([[Fixtures.orcSupplier]]): materialized once per
+    //     (JVM, sf dir) into a private temp dir removed on JVM exit —
+    //     the query itself is read-only, Bench warms it eagerly so all
+    //     timed runs measure the read, and concurrent harness runs
+    //     never share a path. ---
     "q_orc_source" -> { (s, d) =>
-      val out = orcFixture(s, d)
+      val out = Fixtures.orcSupplier(s, d)
       sources.Sources.orc(s, out,
         "s_suppkey BIGINT, s_name STRING, s_nationkey INT, s_acctbal DOUBLE")
         .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
