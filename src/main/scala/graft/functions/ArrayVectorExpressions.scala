@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Native Catalyst expressions for the similarity-search hot loop.
@@ -18,24 +18,51 @@ import org.apache.spark.sql.{Column, SparkSession}
   * functions can't express the shape efficiently (custom `Expression`
   * with `doGenCode` beats a UDF). The sequential accumulation order
   * matches a left fold exactly, so results are bit-identical with the
-  * composable form (and the DuckDB oracle). Inputs must be
-  * `array<double>`; the Column/SQL wrappers below insert the cast so
-  * `array<float>` embedding columns work transparently.
+  * composable form (and the DuckDB oracle).
+  *
+  * `array<float>` inputs are read NATIVELY (`getFloat` + an exact
+  * float→double widening per element). The earlier design inserted
+  * `Cast(array<float> → array<double>)` instead, which is correct but
+  * a hot-loop trap: outside `ProjectExec` (generator inputs, join-side
+  * projections) Spark performs no subexpression elimination, so a plan
+  * with k dots against the same embedding column re-ran the cast — a
+  * boxed 64-element array allocation — k times per row. Measured on the
+  * SRP signature projection (64 dots/row, sf0.1): ~2× end-to-end.
+  * Widening is exact, so results are unchanged vs the cast path.
   */
 abstract class ArrayPairLoopExpression extends BinaryExpression with Serializable {
 
   override def dataType: DataType = DoubleType
 
+  private def elemOk(dt: DataType): Boolean = dt match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(DoubleType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(e => elemOk(e.dataType))) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects two array<double> arguments, got " +
+      s"$prettyName expects array<double> or array<float> arguments, got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
+
+  /** True when the side stores floats (read with `getFloat`, widened). */
+  protected final def leftIsFloat: Boolean =
+    left.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+  protected final def rightIsFloat: Boolean =
+    right.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
+
+  /** Interpreted-mode element accessors resolved once per instance. */
+  @transient protected final lazy val getA: (ArrayData, Int) => Double =
+    if (leftIsFloat) (a, i) => a.getFloat(i).toDouble else (a, i) => a.getDouble(i)
+  @transient protected final lazy val getB: (ArrayData, Int) => Double =
+    if (rightIsFloat) (b, i) => b.getFloat(i).toDouble else (b, i) => b.getDouble(i)
+
+  /** Codegen element accessors: `(double) arr.getFloat(i)` widens exactly. */
+  protected final def genGetA(arr: String, i: String): String =
+    if (leftIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+  protected final def genGetB(arr: String, i: String): String =
+    if (rightIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
 
   /** Scalar kernel over the two arrays. */
   protected def combine(a: ArrayData, b: ArrayData): Double
@@ -55,7 +82,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     val n = math.min(a.numElements(), b.numElements())
     var i = 0
     var sum = 0.0
-    while (i < n) { sum += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) { sum += getA(a, i) * getB(b, i); i += 1 }
     sum
   }
 
@@ -68,7 +95,7 @@ case class ArrayDotProduct(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $sum = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $sum += $a.getDouble($i) * $b.getDouble($i);
+         |  $sum += ${genGetA(a, i)} * ${genGetB(b, i)};
          |}
          |${ev.value} = $sum;
        """.stripMargin
@@ -95,7 +122,7 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
     var na = 0.0
     var nb = 0.0
     while (i < n) {
-      val x = a.getDouble(i); val y = b.getDouble(i)
+      val x = getA(a, i); val y = getB(b, i)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
@@ -115,7 +142,7 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = $a.getDouble($i); double $y = $b.getDouble($i);
+         |  double $x = ${genGetA(a, i)}; double $y = ${genGetB(b, i)};
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -132,6 +159,7 @@ object functions {
 
   private def toDoubleArray(e: Expression): Expression = e.dataType match {
     case ArrayType(DoubleType, _) => e
+    case ArrayType(FloatType, _) => e // read natively, no per-eval cast
     case _ => Cast(e, ArrayType(DoubleType))
   }
 
