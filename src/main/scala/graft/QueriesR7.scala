@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-7 corpus queries: the remaining canonical training-data-
+  * pipeline operations — eval-set decontamination, per-domain caps, and
+  * deterministic stratified sampling. All three are exact (integer /
+  * hash arithmetic), so each carries a full DuckDB oracle.
+  */
+object QueriesR7 {
+
+  private def t(s: SparkSession, d: String, name: String): DataFrame =
+    s.read.parquet(s"$d/$name.parquet")
+
+  /** Deterministic eval split: every 97th doc id forms the held-out
+    * eval pool the decontamination query screens against. */
+  private val evalMod = 97
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- decontamination: flag training docs sharing >= 5 distinct
+    //     3-gram shingles with the pooled eval set. Eval pool is tiny by
+    //     design -> its distinct shingle set broadcasts; the 100 TB side
+    //     is one scan + map-side semi join (operators/Decontaminate). ---
+    "q_decontam" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Decontaminate.ngramOverlap(
+        train = docs.filter(col("doc_id") % evalMod =!= 0),
+        eval = docs.filter(col("doc_id") % evalMod === 0),
+        idCol = "doc_id", textCol = "text", k = 3, minShared = 5)
+    },
+    // --- per-domain caps: keep the 3 longest docs per (source, lang)
+    //     cell — the crawl-curation "no domain dominates the mix" cap,
+    //     via the single-exchange GroupedTopK custom operator (partial
+    //     top-k before the shuffle; a row_number window would shuffle
+    //     every row). ---
+    "q_domain_cap" -> { (s, d) =>
+      plans.GroupedTopK.topKPerGroup(
+        t(s, d, "documents"), Seq("source", "lang"),
+        Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
+        .select("source", "lang", "doc_id", "n_chars")
+    },
+    // --- deterministic stratified sample: ceil(10%) of every language,
+    //     selected by md5 rank — reproducible across runs/engines (no
+    //     RNG), proportional allocation exact per stratum. Integer
+    //     `div` arithmetic so the cutoff is float-free. ---
+    "q_stratified" -> { (s, d) =>
+      val byLang = Window.partitionBy("lang")
+      val rank = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, d, "documents")
+        .withColumn("rn", row_number().over(rank))
+        .withColumn("n_lang", count(lit(1)).over(byLang))
+        .filter(col("rn") <= expr("(n_lang + 9) div 10"))
+        .select(col("lang"), col("doc_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+         |ev AS (SELECT DISTINCT unnest(s) g FROM sh WHERE doc_id % $evalMod = 0),
+         |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % $evalMod <> 0),
+         |ex AS (SELECT doc_id, unnest(s) g FROM tr),
+         |shared AS (SELECT doc_id, count(*) c FROM ex JOIN ev USING (g) GROUP BY 1)
+         |SELECT tr.doc_id,
+         |       len(tr.s)::BIGINT AS n_shingles,
+         |       coalesce(shared.c, 0)::BIGINT AS n_shared,
+         |       coalesce(shared.c, 0) >= 5 AS contaminated
+         |FROM tr LEFT JOIN shared ON tr.doc_id = shared.doc_id""".stripMargin,
+    "q_domain_cap" ->
+      """SELECT source, lang, doc_id, n_chars FROM (
+        |  SELECT source, lang, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY source, lang
+        |                            ORDER BY n_chars DESC, doc_id) rn
+        |  FROM documents)
+        |WHERE rn <= 3""".stripMargin,
+    "q_stratified" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(doc_id::VARCHAR), doc_id) rn,
+        |         count(*) OVER (PARTITION BY lang) n_lang
+        |  FROM documents)
+        |WHERE rn <= (n_lang + 9) // 10""".stripMargin
+  )
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Training-data decontamination: flag training documents that overlap
+  * an evaluation set in k-word shingles (the classic "benchmark leaked
+  * into the crawl" check run before every LLM training job; see the
+  * n-gram-overlap decontamination described in public LM reports).
+  *
+  * Scale design (100 TB corpus, small eval set): the eval side is
+  * reduced to its DISTINCT pooled shingle set — eval benchmarks are
+  * MBs, so this set is broadcast; the training side then needs exactly
+  * one map-side hash semi-join over its exploded shingles plus one
+  * `groupBy(doc)` partial-aggregated count. No shuffle ever carries the
+  * corpus text, and the corpus is scanned once. If the eval set ever
+  * outgrows the broadcast threshold, drop the `broadcast` hint and
+  * Spark falls back to a shuffle join on the shingle — same semantics.
+  *
+  * Reference scope: dbfs-spark-cache has no decontamination operator;
+  * this belongs to the beyond-parity LLM-pipeline surface
+  * (SURVEY.md §7.5) alongside dedup/splits.
+  */
+object Decontaminate {
+
+  /** Per-training-doc overlap with the pooled eval shingle set.
+    *
+    * Returns `(doc_id, n_shingles, n_shared, contaminated)` — one row
+    * per training document: its distinct-shingle count, how many of
+    * those shingles occur anywhere in the eval pool, and the
+    * `n_shared >= minShared` flag. Exact integer arithmetic throughout,
+    * so the result is engine-independent.
+    */
+  def ngramOverlap(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minShared: Int = 5): DataFrame = {
+    val sh = Shingles.wordShingles(col(textCol), k)
+    val evalGrams = eval
+      .select(explode(sh).as("g"))
+      .distinct()
+    val counts = train
+      .select(col(idCol).as("doc_id"), size(sh).as("n_shingles"))
+    val shared = train
+      .select(col(idCol).as("doc_id"), explode(sh).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+    counts
+      .join(shared, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_shingles").cast("long").as("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Decontaminate
+
+/** Round-7 pipeline operators: decontamination, per-domain caps,
+  * deterministic stratified sampling. */
+class QueriesR7Spec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ngramOverlap flags a planted eval copy and spares disjoint text") {
+    val s = spark
+    import s.implicits._
+    val eval = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      // full copy of the eval doc: every one of its 4 shingles is shared
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      // one shared shingle window
+      (2L, "unrelated words alpha beta gamma other tail here"),
+      // disjoint
+      (3L, "totally different tokens nothing common at all")
+    ).toDF("doc_id", "text")
+    val out = Decontaminate
+      .ngramOverlap(train, eval, "doc_id", "text", k = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((4L, true)), "full copy shares all 4 shingles")
+    assert(out(2L) == ((1L, false)), "one window shares exactly 1 shingle")
+    assert(out(3L) == ((0L, false)))
+  }
+
+  test("ngramOverlap broadcasts the eval shingle set") {
+    val df = Decontaminate.ngramOverlap(
+      spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") % 97 =!= 0),
+      spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") % 97 === 0),
+      "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"eval side must broadcast, got:\n$plan")
+  }
+
+  test("q_domain_cap keeps at most k rows per cell with deterministic ties") {
+    val out = QueriesR7.all("q_domain_cap")(spark, sf)
+    val byCell = out.groupBy("source", "lang").count().collect()
+    assert(byCell.nonEmpty && byCell.forall(_.getLong(2) <= 3))
+    // determinism across invocations (total order includes doc_id)
+    val again = QueriesR7.all("q_domain_cap")(spark, sf).collect().toSet
+    assert(QueriesR7.all("q_domain_cap")(spark, sf).collect().toSet == again)
+  }
+
+  test("q_stratified takes ceil(10%) of every language deterministically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val expected = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> (r.getLong(1) + 9) / 10).toMap
+    val got = QueriesR7.all("q_stratified")(spark, sf)
+      .groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected, s"per-stratum allocation: got $got expected $expected")
+    val a = QueriesR7.all("q_stratified")(spark, sf).collect().toSet
+    val b = QueriesR7.all("q_stratified")(spark, sf).collect().toSet
+    assert(a == b, "hash-ranked selection is deterministic")
+  }
+}
