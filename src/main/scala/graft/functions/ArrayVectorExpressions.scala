@@ -3,10 +3,10 @@ package graft.functions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 import org.apache.spark.sql.{Column, SparkSession}
 
 /** Native Catalyst expressions for the similarity-search hot loop.
@@ -35,34 +35,43 @@ abstract class ArrayPairLoopExpression extends BinaryExpression with Serializabl
   override def dataType: DataType = DoubleType
 
   private def elemOk(dt: DataType): Boolean = dt match {
-    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType | FloatType | IntegerType | LongType, _) => true
     case _ => false
   }
 
   override def checkInputDataTypes(): TypeCheckResult = {
     if (Seq(left, right).forall(e => elemOk(e.dataType))) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<double> or array<float> arguments, got " +
+      s"$prettyName expects array<double|float|int|bigint> arguments " +
+        s"(cast other element types explicitly), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
 
-  /** True when the side stores floats (read with `getFloat`, widened). */
-  protected final def leftIsFloat: Boolean =
-    left.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
-  protected final def rightIsFloat: Boolean =
-    right.dataType match { case ArrayType(FloatType, _) => true; case _ => false }
-
-  /** Interpreted-mode element accessors resolved once per instance. */
+  /** Interpreted-mode element accessors resolved once per instance;
+    * widening to double matches `Cast` exactly for every accepted type. */
+  private def accessor(dt: DataType): (ArrayData, Int) => Double = dt match {
+    case ArrayType(FloatType, _) => (a, i) => a.getFloat(i).toDouble
+    case ArrayType(IntegerType, _) => (a, i) => a.getInt(i).toDouble
+    case ArrayType(LongType, _) => (a, i) => a.getLong(i).toDouble
+    case _ => (a, i) => a.getDouble(i)
+  }
   @transient protected final lazy val getA: (ArrayData, Int) => Double =
-    if (leftIsFloat) (a, i) => a.getFloat(i).toDouble else (a, i) => a.getDouble(i)
+    accessor(left.dataType)
   @transient protected final lazy val getB: (ArrayData, Int) => Double =
-    if (rightIsFloat) (b, i) => b.getFloat(i).toDouble else (b, i) => b.getDouble(i)
+    accessor(right.dataType)
 
-  /** Codegen element accessors: `(double) arr.getFloat(i)` widens exactly. */
+  /** Codegen element accessors: `(double) arr.getFloat(i)` etc. widen
+    * exactly like the removed `Cast`. */
+  private def genAccessor(dt: DataType, arr: String, i: String): String = dt match {
+    case ArrayType(FloatType, _) => s"(double) $arr.getFloat($i)"
+    case ArrayType(IntegerType, _) => s"(double) $arr.getInt($i)"
+    case ArrayType(LongType, _) => s"(double) $arr.getLong($i)"
+    case _ => s"$arr.getDouble($i)"
+  }
   protected final def genGetA(arr: String, i: String): String =
-    if (leftIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    genAccessor(left.dataType, arr, i)
   protected final def genGetB(arr: String, i: String): String =
-    if (rightIsFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+    genAccessor(right.dataType, arr, i)
 
   /** Scalar kernel over the two arrays. */
   protected def combine(a: ArrayData, b: ArrayData): Double
@@ -157,27 +166,26 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
 /** Column-API and SQL registration for the native expressions. */
 object functions {
 
-  private def toDoubleArray(e: Expression): Expression = e.dataType match {
-    case ArrayType(DoubleType, _) => e
-    case ArrayType(FloatType, _) => e // read natively, no per-eval cast
-    case _ => Cast(e, ArrayType(DoubleType))
-  }
+  // No eager Cast wrapping: the Column may be unresolved here (its type
+  // unknown), and the expressions read float/int/long arrays natively —
+  // an unconditional Cast(array<double>) re-ran per evaluation wherever
+  // Spark does no subexpression elimination (generator inputs,
+  // join-side projections). Non-numeric arrays fail analysis with the
+  // expression's own type-check message.
 
   def dotProduct(a: Column, b: Column): Column =
-    Bridge.column(ArrayDotProduct(
-      toDoubleArray(Bridge.expression(a)), toDoubleArray(Bridge.expression(b))))
+    Bridge.column(ArrayDotProduct(Bridge.expression(a), Bridge.expression(b)))
 
   def cosineSimilarity(a: Column, b: Column): Column =
-    Bridge.column(ArrayCosineSimilarity(
-      toDoubleArray(Bridge.expression(a)), toDoubleArray(Bridge.expression(b))))
+    Bridge.column(ArrayCosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   private[graft] val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "dot_product"),
-      (es: Seq[Expression]) => ArrayDotProduct(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+      (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))),
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[ArrayCosineSimilarity].getName, "cosine_similarity"),
-      (es: Seq[Expression]) => ArrayCosineSimilarity(toDoubleArray(es(0)), toDoubleArray(es(1)))),
+      (es: Seq[Expression]) => ArrayCosineSimilarity(es(0), es(1))),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),

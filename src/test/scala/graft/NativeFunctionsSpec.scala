@@ -119,4 +119,53 @@ class NativeFunctionsSpec extends AnyFunSuite {
       .collect().head.getDouble(0)
     assert(z.isNaN)
   }
+
+  test("srp_packed_bands is bit-identical with the 64-separate-dots formulation") {
+    val s = spark
+    import s.implicits._
+    val seed = 42L; val r = 4; val b = 16; val dim = 8
+    // random-ish deterministic float vectors
+    val rows = (0 until 50).map { id =>
+      (id.toLong, Array.tabulate(dim)(i =>
+        (graft.functions.HllLongSketch.splitmix64(id * 97L + i) % 1000L).toFloat / 250.0f))
+    }
+    val df = rows.toDF("id", "v")
+    // reference: the literal-plane dot formulation srpCosinePairs used
+    // before packing (plane p element i sign from the same splitmix64)
+    val planes = (0 until r * b).map { p =>
+      Array.tabulate(dim) { i =>
+        if (graft.functions.HllLongSketch.splitmix64(
+          seed * 1000003L + p.toLong * 131071L + i.toLong) < 0) -1.0 else 1.0
+      }
+    }
+    val expected = rows.map { case (id, v) =>
+      var packed = 0L
+      planes.zipWithIndex.foreach { case (pl, p) =>
+        var dot = 0.0; var i = 0
+        while (i < dim) { dot += pl(i) * v(i).toDouble; i += 1 }
+        if (dot > 0) packed |= 1L << p
+      }
+      id -> packed
+    }.toMap
+    val got = df.select(col("id"),
+      graft.functions.SrpPackedBands.srpPackedBands(col("v"), seed, r, b).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == expected, "packed bits must match the plane-dot reference exactly")
+    // double input takes the non-float accessor path — same bits
+    val gotD = df.select(col("id"),
+      graft.functions.SrpPackedBands
+        .srpPackedBands(col("v").cast("array<double>"), seed, r, b).as("p"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(gotD == expected)
+  }
+
+  test("dot_product reads array<float> natively without a cast in the plan") {
+    val df = vecs.select(
+      graft.functions.functions.dotProduct(col("a"), col("b")).as("d"))
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(!analyzed.contains("cast(a"),
+      s"float input must not be wrapped in a cast:\n$analyzed")
+    // and the value still widens exactly
+    assert(df.collect().map(_.getDouble(0)).sorted.last == 4.0)
+  }
 }
