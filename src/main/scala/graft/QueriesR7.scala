@@ -41,6 +41,21 @@ object QueriesR7 {
         Seq(col("n_chars").desc, col("doc_id").asc), k = 3)
         .select("source", "lang", "doc_id", "n_chars")
     },
+    // --- canonical selection: ONE survivor per exact-Jaccard near-dup
+    //     cluster, keeping the longest doc (tie: min doc_id) — the
+    //     "keep the best copy" step after clustering. Exact pair source
+    //     so the recursive-CTE oracle provably matches
+    //     (q_dedup_components precedent). ---
+    "q_canonical" -> { (s, d) =>
+      val dd = t(s, d, "documents")
+      operators.Dedup.keepCanonical(
+        dd.select("doc_id", "n_chars"),
+        operators.Dedup.ngramJaccardPairs(dd, "doc_id", "text", k = 3, threshold = 0.8)
+          .select("id_a", "id_b"),
+        "doc_id",
+        Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("rep", "doc_id", "n_chars")
+    },
     // --- deterministic stratified sample: ceil(10%) of every language,
     //     selected by md5 rank — reproducible across runs/engines (no
     //     RNG), proportional allocation exact per stratum. Integer
@@ -70,6 +85,30 @@ object QueriesR7 {
          |       coalesce(shared.c, 0)::BIGINT AS n_shared,
          |       coalesce(shared.c, 0) >= 5 AS contaminated
          |FROM tr LEFT JOIN shared ON tr.doc_id = shared.doc_id""".stripMargin,
+    "q_canonical" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM (
+        |  SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM cand JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |edges AS (SELECT ia AS src, ib AS dst FROM pairs UNION ALL SELECT ib, ia FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |rep AS (SELECT src AS doc_id, least(src, min(dst)) AS rep FROM reach GROUP BY src),
+        |labeled AS (SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS rep, d.n_chars
+        |            FROM documents d LEFT JOIN rep r ON d.doc_id = r.doc_id)
+        |SELECT rep, doc_id, n_chars FROM (
+        |  SELECT rep, doc_id, n_chars,
+        |         row_number() OVER (PARTITION BY rep
+        |                            ORDER BY n_chars DESC, doc_id) rn
+        |  FROM labeled)
+        |WHERE rn = 1""".stripMargin,
     "q_domain_cap" ->
       """SELECT source, lang, doc_id, n_chars FROM (
         |  SELECT source, lang, doc_id, n_chars,

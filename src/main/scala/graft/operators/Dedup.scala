@@ -1,8 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Deduplication operators for training-data pipelines, each designed for
   * the 100 TB case:
@@ -426,5 +426,34 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sa").bitwiseXOR(col("sb"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Canonical selection: ONE surviving document per near-dup cluster,
+    * chosen by the caller's quality ordering (longest / highest-scoring
+    * / freshest) instead of the arbitrary min-id representative — the
+    * "keep the best copy" step that follows clustering in every dedup
+    * pipeline.
+    *
+    * `df` must contain `idCol` plus every column the ordering touches;
+    * `pairs` is any `(id_a, id_b)` near-dup pair set (exact or banded).
+    * Output = the full `df` row of each survivor plus its cluster `rep`.
+    *
+    * Scale: components are O(log diameter) rounds over the pair set
+    * ([[nearDupComponents]]); the selection itself is the GroupedTopK
+    * custom operator with k = 1, so each partition forwards at most one
+    * candidate row per cluster to the single exchange — no full
+    * row_number sort of the corpus. Give the ordering a unique
+    * tie-break column to keep the survivor deterministic. */
+  def keepCanonical(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      orderBy: Seq[Column],
+      maxIter: Int = 25): DataFrame = {
+    val reps = nearDupComponents(
+      df.select(col(idCol).as("doc_id")), pairs, maxIter)
+      .select(col("doc_id").as(idCol), col("rep"))
+    graft.plans.GroupedTopK.topKPerGroup(
+      df.join(reps, idCol), Seq("rep"), orderBy, k = 1)
   }
 }

@@ -52,6 +52,23 @@ class QueriesR7Spec extends AnyFunSuite {
     assert(QueriesR7.all("q_domain_cap")(spark, sf).collect().toSet == again)
   }
 
+  test("keepCanonical keeps exactly the best row of each cluster") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, 10L), (2L, 30L), (3L, 30L), // cluster {1,2,3}: 2 wins (len tie -> min id)
+      (4L, 5L),                        // singleton
+      (5L, 7L), (6L, 9L)               // cluster {5,6}: 6 wins
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = operators.Dedup.keepCanonical(
+      docs, pairs, "doc_id",
+      Seq(org.apache.spark.sql.functions.col("n_chars").desc,
+        org.apache.spark.sql.functions.col("doc_id").asc))
+      .select("rep", "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 2L, 4L -> 4L, 5L -> 6L))
+  }
+
   test("q_stratified takes ceil(10%) of every language deterministically") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val expected = docs.groupBy("lang").count()
