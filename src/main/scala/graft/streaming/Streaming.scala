@@ -216,6 +216,39 @@ object Streaming {
       "left")
       .drop(dim(dimKey))
 
+  /** Streaming decontamination: drop documents from an incoming crawl
+    * stream that share at least `minShared` distinct k-word shingles
+    * with a STATIC eval pool — the online form of
+    * [[graft.operators.Decontaminate.ngramOverlap]].
+    *
+    * Shape matters in streaming: the batch operator's explode → join →
+    * `groupBy(doc)` count would be a STATEFUL streaming aggregation
+    * (doc ids are unique, so state grows with stream lifetime). This
+    * form is fully STATELESS: the eval pool collapses to one row
+    * holding its distinct shingle array (eval benchmarks are MBs),
+    * which a broadcast stream-static cross join attaches to every doc;
+    * the shared-shingle count is then a per-row
+    * `size(array_intersect(...))` projection. No watermark, no state
+    * store, nothing buffered across micro-batches. Sub-k-token docs
+    * have an empty shingle set and always survive. */
+  def decontaminateStream(
+      docs: DataFrame,
+      evalPool: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      k: Int = 3,
+      minShared: Int = 5): DataFrame = {
+    val sh = graft.operators.Shingles.wordShingles(col(textCol), k)
+    val evalGrams = evalPool
+      .select(explode(sh).as("__g"))
+      .agg(collect_set(col("__g")).as("__eval_grams"))
+    docs
+      .crossJoin(broadcast(evalGrams))
+      .filter(
+        size(array_intersect(sh, col("__eval_grams"))) < minShared)
+      .drop("__eval_grams")
+  }
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

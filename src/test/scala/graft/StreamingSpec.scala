@@ -261,6 +261,32 @@ class StreamingSpec extends AnyFunSuite {
       "unmatched users keep null segment (left join), not dropped")
   }
 
+  test("streaming decontamination drops eval-overlapping docs statelessly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalPool = Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val clean = Streaming.decontaminateStream(
+      stream.toDF().toDF("doc_id", "text"), evalPool, minShared = 3)
+    val q = clean.writeStream.format("memory").queryName("decontam")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"), // full copy: dropped
+        (2L, "some alpha beta gamma tail"),                    // 2 shared < 3: kept
+        (3L, "nothing in common whatsoever here"))             // kept
+      q.processAllAvailable()
+      stream.addData((4L, "beta gamma delta epsilon zeta tail")) // 4 shared: dropped
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "decontamination must not register a stateful streaming operator")
+    } finally q.stop()
+    val kept = spark.table("decontam").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
