@@ -85,6 +85,14 @@ object Bench {
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
       } catch { case _: Throwable => () }
+      // Two GC cycles with a short pause: ContextCleaner cleans shuffle
+      // files and broadcasts from a weak-reference queue on its OWN
+      // thread, so the first gc only enqueues the work — an immediate
+      // next query races the cleanup inside its measured window. The
+      // pause lets the cleaner drain; the second gc collects what the
+      // cleanup itself released.
+      System.gc()
+      try Thread.sleep(300) catch { case _: InterruptedException => () }
       System.gc()
     }
 

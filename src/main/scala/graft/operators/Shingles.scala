@@ -12,15 +12,16 @@ object Shingles {
     * oracle (`string_split(text, ' ')`) tokenizes identically. Documents
     * with fewer than k tokens yield an empty array.
     *
-    * Built by zipping k−1 shifted copies of the token array rather than
-    * indexing with `element_at` inside a `transform` lambda — the lambda
-    * form re-evaluates the `split` per element (O(n²) splits per doc,
-    * measured 14 s for a 5000-doc shingle explode at sf0.1 vs <1 s this
-    * way). `zip_with` pads the shorter (shifted) side with null and
-    * `concat` propagates it, so off-the-end shingles drop in the filter.
-    */
+    * Served by the native one-pass [[graft.functions.WordShingles]]
+    * expression — the composable `split → zip_with×(k−1) → filter →
+    * array_distinct` chain (kept below as [[wordShinglesAll]] for the
+    * multiset consumers) materializes k+2 intermediate arrays per row
+    * and is re-evaluated once per USE in the Jaccard-family operators
+    * (both posting-join sides + the size projection). Output is
+    * bit-identical with `array_distinct(wordShinglesAll(...))`
+    * (spec-pinned, including empty-token runs from repeated spaces). */
   def wordShingles(text: Column, k: Int = 3): Column =
-    array_distinct(wordShinglesAll(text, k))
+    graft.functions.WordShingles.wordShingles(text, k)
 
   /** All k-word shingles in order, duplicates retained (the repetition
     * metrics need the multiset; dedup keeps only the distinct set). */

@@ -159,6 +159,25 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(gotD == expected)
   }
 
+  test("word_shingles is bit-identical with the composable chain on testdata and edges") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      "", " ", "  ", "one", "one two", "one two three",
+      "one two three four", "a  b c", " leading", "trailing ",
+      "x x x x", "a b a b a b"
+    ).toDF("text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text")
+    for (df <- Seq(edges, real); k <- Seq(1, 2, 3)) {
+      val chain = array_distinct(operators.Shingles.wordShinglesAll(col("text"), k))
+      val native = graft.functions.WordShingles.wordShingles(col("text"), k)
+      val diff = df.select(chain.as("a"), native.as("b"))
+        .filter(not(col("a") === col("b"))).count()
+      assert(diff == 0, s"k=$k: native shingles diverge from the chain")
+    }
+  }
+
   test("dot_product reads array<float> natively without a cast in the plan") {
     val df = vecs.select(
       graft.functions.functions.dotProduct(col("a"), col("b")).as("d"))
