@@ -166,6 +166,21 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
 /** Column-API and SQL registration for the native expressions. */
 object functions {
 
+  /** Extract a required int/long literal parameter from a SQL call. */
+  private def foldableLong(e: Expression, fn: String, param: String): Long = e match {
+    case lit if lit.foldable =>
+      lit.eval() match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => throw new IllegalArgumentException(
+          s"$fn: $param must be an integer literal, got $other")
+      }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $param must be a literal")
+  }
+  private def foldableInt(e: Expression, fn: String, param: String): Int =
+    foldableLong(e, fn, param).toInt
+
   // No eager Cast wrapping: the Column may be unresolved here (its type
   // unknown), and the expressions read float/int/long arrays natively —
   // an unconditional Cast(array<double>) re-ran per evaluation wherever
@@ -189,6 +204,18 @@ object functions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),
+    // word_shingles(text, k) — k must be a foldable int literal
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (es: Seq[Expression]) => WordShingles(es(0), foldableInt(es(1), "word_shingles", "k"))),
+    // srp_packed_bands(vec, seed, rowsPerBand, numBands) — literal params
+    (FunctionIdentifier("srp_packed_bands"),
+      new ExpressionInfo(classOf[SrpPackedBands].getName, "srp_packed_bands"),
+      (es: Seq[Expression]) => SrpPackedBands(
+        es(0),
+        foldableLong(es(1), "srp_packed_bands", "seed"),
+        foldableInt(es(2), "srp_packed_bands", "rowsPerBand"),
+        foldableInt(es(3), "srp_packed_bands", "numBands"))),
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry in an AggregateExpression automatically
     (FunctionIdentifier("distinct_sketch"),

@@ -178,6 +178,24 @@ class NativeFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("word_shingles and srp_packed_bands are callable from SQL") {
+    val s = spark
+    import s.implicits._
+    graft.functions.functions.register(s)
+    Seq(("a b c d", Array(1.0f, -2.0f))).toDF("text", "vec")
+      .createOrReplaceTempView("sql_reg_probe")
+    val r = s.sql(
+      """SELECT word_shingles(text, 3) AS sh,
+        |       srp_packed_bands(vec, 42L, 4, 16) AS p
+        |FROM sql_reg_probe""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("a b c", "b c d"))
+    // same packed value as the Column API
+    val viaCol = Seq(Array(1.0f, -2.0f)).toDF("vec")
+      .select(graft.functions.SrpPackedBands.srpPackedBands(col("vec"), 42L, 4, 16))
+      .collect().head.getLong(0)
+    assert(r.getLong(1) == viaCol)
+  }
+
   test("dot_product reads array<float> natively without a cast in the plan") {
     val df = vecs.select(
       graft.functions.functions.dotProduct(col("a"), col("b")).as("d"))

@@ -130,4 +130,25 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("native word_shingles equals the composable chain on random spaced text") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    // Texts with runs of spaces, empty tokens, and short inputs — the
+    // exact edge population where substring-based shingling could
+    // diverge from split/zip_with/concat.
+    val tokenGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(4)), Gen.const(""))
+    val textGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(20, textGen), n = 10) { texts =>
+      val df = texts.toDF("text")
+      for (k <- Seq(1, 2, 3, 5)) {
+        val diff = df.select(
+          array_distinct(operators.Shingles.wordShinglesAll(col("text"), k)).as("a"),
+          graft.functions.WordShingles.wordShingles(col("text"), k).as("b"))
+          .filter(not(col("a") === col("b"))).count()
+        assert(diff == 0, s"k=$k diverged on: $texts")
+      }
+    }
+  }
 }
