@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -58,16 +57,18 @@ object QueriesR7 {
     },
     // --- deterministic stratified sample: ceil(10%) of every language,
     //     selected by md5 rank — reproducible across runs/engines (no
-    //     RNG), proportional allocation exact per stratum. Integer
-    //     `div` arithmetic so the cutoff is float-free. ---
+    //     RNG), proportional allocation exact per stratum in integer
+    //     arithmetic. Served by the two-pass prefix-sum operator, NOT a
+    //     per-stratum window (10 language strata would mean 10 hot
+    //     reducers at 100 TB); the selected set is identical
+    //     (spec-pinned), so the window-formulation oracle applies. ---
     "q_stratified" -> { (s, d) =>
-      val byLang = Window.partitionBy("lang")
-      val rank = Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      t(s, d, "documents")
-        .withColumn("rn", row_number().over(rank))
-        .withColumn("n_lang", count(lit(1)).over(byLang))
-        .filter(col("rn") <= expr("(n_lang + 9) div 10"))
+      operators.Splits.stratifiedSampleExact(
+        t(s, d, "documents"),
+        stratumCol = "lang",
+        rankCol = md5(col("doc_id").cast("string")),
+        tieCol = "doc_id",
+        fracNum = 1, fracDen = 10)
         .select(col("lang"), col("doc_id"))
     }
   )

@@ -81,4 +81,24 @@ class QueriesR7Spec extends AnyFunSuite {
     val b = QueriesR7.all("q_stratified")(spark, sf).collect().toSet
     assert(a == b, "hash-ranked selection is deterministic")
   }
+
+  test("stratifiedSampleExact selects the same rows as the per-stratum window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    for ((num, den) <- Seq((1, 10), (1, 3), (2, 5))) {
+      val rank = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val byLang = Window.partitionBy("lang")
+      val windowed = docs
+        .withColumn("rn", row_number().over(rank))
+        .withColumn("n", count(lit(1)).over(byLang))
+        .filter(col("rn") <= expr(s"(n * $num + $den - 1) div $den"))
+        .select("lang", "doc_id").collect().toSet
+      val prefixed = operators.Splits.stratifiedSampleExact(
+        docs, "lang", md5(col("doc_id").cast("string")), "doc_id", num, den)
+        .select("lang", "doc_id").collect().toSet
+      assert(prefixed == windowed, s"selection diverged at $num/$den")
+    }
+  }
 }
