@@ -151,4 +151,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!readSchema.contains("event_id"),
       s"aggregation over (event_type, value) must not read event_id: $readSchema")
   }
+
+  test("stratified sample never windows on the bare stratum") {
+    // Every window in the plan must partition by MORE than the stratum —
+    // a Window.partitionBy(lang) alone concentrates each language on one
+    // reducer (the exact hot-task shape stratifiedSampleExact exists to
+    // avoid).
+    import org.apache.spark.sql.catalyst.plans.logical
+    val df = q("q_stratified")
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: logical.Window => w.partitionSpec.length
+    }
+    assert(windows.nonEmpty && windows.forall(_ >= 2),
+      s"window partition specs must include the physical partition id, got arities: $windows")
+  }
+
+  test("domain cap and canonical selection run through the partial top-k exec") {
+    for (name <- Seq("q_domain_cap", "q_canonical")) {
+      val p = plan(q(name))
+      assert(p.contains("GroupedTopK"),
+        s"$name must plan the GroupedTopK custom exec:\n${p.take(2000)}")
+      assert(!p.contains("CartesianProduct"), s"$name must not go cartesian")
+    }
+  }
+
+  test("decontamination scan side never shuffles corpus text") {
+    val p = plan(q("q_decontam"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"eval shingle set must broadcast:\n${p.take(2000)}")
+  }
 }
