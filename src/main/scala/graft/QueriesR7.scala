@@ -70,6 +70,25 @@ object QueriesR7 {
         tieCol = "doc_id",
         fracNum = 1, fracDen = 10)
         .select(col("lang"), col("doc_id"))
+    },
+    // --- winnowing fingerprints: distinct window-min rolling hashes per
+    //     doc (SIGMOD'03) — shared runs of w+k-1 tokens guarantee a
+    //     common fingerprint, catching containment that set-Jaccard
+    //     misses. Pure integer polynomial hash (no engine hash), so the
+    //     oracle reproduces it bit-for-bit; entirely row-local in Spark
+    //     (zero shuffle before the driver's sort). ---
+    "q_winnow" -> { (s, d) =>
+      t(s, d, "documents").select(col("doc_id"),
+        explode(operators.TextAnalysis
+          .winnowFingerprints(col("text"), k = 3, w = 4)).as("fp"))
+    },
+    // --- TF-IDF top-5 terms per doc: keyword extraction over the
+    //     corpus's own document frequencies; ranked on the ROUNDED score
+    //     with term tiebreak so both engines rank identically. ---
+    "q_tfidf" -> { (s, d) =>
+      operators.TextAnalysis
+        .tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", topK = 5)
+        .select("doc_id", "term", "tfidf")
     }
   )
 
@@ -124,6 +143,25 @@ object QueriesR7 {
         |                            ORDER BY md5(doc_id::VARCHAR), doc_id) rn,
         |         count(*) OVER (PARTITION BY lang) n_lang
         |  FROM documents)
-        |WHERE rn <= (n_lang + 9) // 10""".stripMargin
+        |WHERE rn <= (n_lang + 9) // 10""".stripMargin,
+    "q_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) gs FROM toks WHERE len(ts) >= 3),
+        |h AS (SELECT doc_id, list_transform(gs, g -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(g, ''), c -> unicode(c)::BIGINT)), (a, x) -> (a * 257 + x) % 1000000007)) hs FROM sh),
+        |wnd AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)), i -> list_min(hs[i:i+3]))) fps FROM h)
+        |SELECT doc_id, unnest(fps)::BIGINT AS fp FROM wnd""".stripMargin,
+    "q_tfidf" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) tf FROM toks WHERE term <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) n FROM documents),
+        |scored AS (SELECT doc_id, term, round(tf * ln((n + 1.0) / (df + 1)), 6) tfidf
+        |           FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tfidf FROM (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, term) rn
+        |  FROM scored)
+        |WHERE rn <= 5""".stripMargin
   )
 }

@@ -112,6 +112,75 @@ object TextAnalysis {
     array_min(transform(sh, s => xxhash64(s)))
   }
 
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): hash every k-token shingle with a polynomial rolling
+    * hash, slide a window of `w` consecutive shingle hashes, keep each
+    * window's minimum, return the distinct selected hashes. Guarantees:
+    * any shared run of w+k-1 tokens between two documents contributes at
+    * least one COMMON fingerprint, so fingerprint overlap lower-bounds
+    * long shared substrings — the unit for plagiarism-style / boilerplate
+    * containment detection, where set-Jaccard (MinHash) misses
+    * contained-but-small overlaps.
+    *
+    * The hash is `fold(chars, 0, h*257+cp mod 1e9+7)` over the shingle's
+    * characters — pure 64-bit integer arithmetic (max intermediate
+    * ≈ 2.6e11), so any engine reproduces it bit-for-bit; no xxhash64 /
+    * md5 dependence. Entirely row-local (one projection, no shuffle):
+    * shingle → hash → window-min → distinct all happen inside the row's
+    * array. Cost per doc is O(tokens · w); window-min via slice+array_min
+    * keeps it expression-only — at w ≤ 16 that beats breaking codegen
+    * with a UDF monotonic-deque. */
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, "shingle size and window must be positive")
+    val hashes = transform(Shingles.wordShinglesAll(text, k), g =>
+      aggregate(
+        split(g, ""),
+        lit(0L),
+        (acc, c) => (acc * 257L + ascii(c)) % 1000000007L))
+    val nWin = greatest(size(hashes) - lit(w - 1), lit(1))
+    val mins = transform(sequence(lit(1), nWin), i =>
+      array_min(slice(hashes, i, lit(w))))
+    when(size(hashes) > 0, array_distinct(mins))
+      .otherwise(array().cast("array<bigint>"))
+  }
+
+  /** TF-IDF top-`topK` terms per document: tf = in-doc term count,
+    * idf = ln((N+1)/(df+1)) with df = number of documents containing the
+    * term. The ranking signal for keyword extraction / topic tagging in
+    * a cleaning pipeline.
+    *
+    * Shuffle budget at 100 TB: ONE corpus-wide shuffle builds tf (map-
+    * side combined: key (doc, term) collapses each doc's repeats before
+    * the exchange); df aggregates FROM tf (vocabulary-sized input, never
+    * a second pass over the corpus — and Spark reuses tf's exchange for
+    * both branches); N is a broadcast scalar; the tf⋈df join keys on the
+    * term (AQE broadcasts the Zipf-small df side); the final per-doc
+    * top-k runs on [[graft.plans.GroupedTopK]] — partial per-partition
+    * heaps, ≤ k rows per doc through the single clustered exchange,
+    * never a full per-doc sort. Ranking uses the ROUNDED score (term
+    * asc tiebreak), so rank order is reproducible across engines. */
+  def tfIdfTopTerms(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int = 5): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        round(col("tf") *
+          log((col("n") + lit(1)).cast("double") / (col("df") + lit(1))), 6)
+          .as("tfidf"))
+    graft.plans.GroupedTopK.topKPerGroup(
+      scored, Seq("doc_id"), Seq(col("tfidf").desc, col("term").asc), k = topK)
+  }
+
   /** Corpus-unigram language-model score per document: each token's
     * log probability under the corpus's own unigram distribution,
     * summed per doc (and averaged — a perplexity proxy). The standard

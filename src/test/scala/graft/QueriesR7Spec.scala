@@ -82,6 +82,55 @@ class QueriesR7Spec extends AnyFunSuite {
     assert(a == b, "hash-ranked selection is deterministic")
   }
 
+  test("winnowing guarantees a shared fingerprint for a shared token run") {
+    val s = spark
+    import s.implicits._
+    // k=3, w=4: any shared run of w+k-1 = 6 tokens must yield >= 1
+    // common selected fingerprint (the winnowing coverage guarantee).
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"completely unrelated prefix words here $shared and a suffix"),
+      (2L, s"$shared totally different ending tokens follow now"),
+      (3L, "no overlap at all with either document above period")
+    ).toDF("doc_id", "text")
+    val fp = docs.select(col("doc_id"),
+      operators.TextAnalysis.winnowFingerprints(col("text"), k = 3, w = 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared 6-token run must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty,
+      "disjoint text shares nothing")
+  }
+
+  test("winnowFingerprints is a row-local projection and short docs are empty") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      operators.TextAnalysis.winnowFingerprints(col("text"), k = 3, w = 4).as("fps"))
+    val m = out.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m(1L).isEmpty, "doc with < k tokens has no shingles")
+    assert(m(2L).size == 1, "2 shingles < w -> one window, one min")
+    // no exchange in the plan: pure projection over the scan
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"),
+      "winnowing must not shuffle")
+  }
+
+  test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "common common common rareword"),
+      (2L, "common filler text body"),
+      (3L, "common other words here"),
+      (4L, "common yet more padding")
+    ).toDF("doc_id", "text")
+    val top = operators.TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", topK = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "common" is in all docs (df=4, idf=0) — the doc-1 winner must be
+    // the rare term even though "common" has 3x its term frequency.
+    assert(top(1L) == "rareword", s"expected rareword, got ${top(1L)}")
+  }
+
   test("stratifiedSampleExact selects the same rows as the per-stratum window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
