@@ -180,4 +180,40 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"eval shingle set must broadcast:\n${p.take(2000)}")
   }
+
+  test("exact Jaccard pairs come from posting lists, not an exploded self-join") {
+    // The pair stage must cluster each shingle's docs ONCE (object-hash
+    // collect_list aggregate) and emit pairs through back-to-back
+    // generators with no exchange between them — the exploded self-join
+    // it replaced shuffled the full posting set twice and sorted both
+    // sides.
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val df = operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+    val p = plan(df)
+    assert(p.contains("ObjectHashAggregate"),
+      s"postings must cluster via collect_list:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      "pair generation must not sort-merge the posting set against itself")
+    val gen = p.linesIterator.count(_.matches(".*\\bGenerate\\b.*"))
+    assert(gen >= 3, s"expected shingle + two pair generators, got $gen")
+  }
+
+  test("tf-idf shuffles the corpus once and tops-k through the partial heap exec") {
+    val p = plan(q("q_tfidf"))
+    assert(p.contains("GroupedTopK"),
+      s"per-doc ranking must use the partial top-k exec:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), "tf-idf must never go cartesian")
+    // The 1-row corpus count appears as a broadcast cross join — assert
+    // the tf(doc,term) join side broadcasts the Zipf-small df side
+    // rather than shuffling the corpus-sized tf again.
+    assert(p.contains("BroadcastHashJoin"),
+      s"df(term) side must broadcast into tf:\n${p.take(2000)}")
+    // df(term) derives from tf, so the token stream is exploded at most
+    // twice statically (AQE reuses the identical tf exchange at runtime).
+    import org.apache.spark.sql.catalyst.plans.logical
+    val gen = q("q_tfidf").queryExecution.optimizedPlan.collect {
+      case g: logical.Generate => g
+    }.length
+    assert(gen <= 2, s"token stream must not re-explode per branch, got $gen generators")
+  }
 }
