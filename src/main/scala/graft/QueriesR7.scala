@@ -89,6 +89,18 @@ object QueriesR7 {
       operators.TextAnalysis
         .tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", topK = 5)
         .select("doc_id", "term", "tfidf")
+    },
+    // --- embedding-space decontamination: training vectors near any
+    //     eval vector in cosine — the paraphrase-robust companion to
+    //     q_decontam's n-gram screen. Eval pool broadcasts; corpus side
+    //     is one map-side fused-cosine scan + partial-agg counts. ---
+    "q_embed_decontam" -> { (s, d) =>
+      val e = t(s, d, "embeddings")
+      operators.Similarity.embeddingDecontam(
+        train = e.filter(col("vec_id") % evalMod =!= 0),
+        eval = e.filter(col("vec_id") % evalMod === 0),
+        idCol = "vec_id", vecCol = "embedding", threshold = 0.35)
+        .select("vec_id", "n_near", "max_sim", "contaminated")
     }
   )
 
@@ -162,6 +174,15 @@ object QueriesR7 {
         |         row_number() OVER (PARTITION BY doc_id
         |                            ORDER BY tfidf DESC, term) rn
         |  FROM scored)
-        |WHERE rn <= 5""".stripMargin
+        |WHERE rn <= 5""".stripMargin,
+    "q_embed_decontam" ->
+      s"""WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id % $evalMod = 0),
+         |sc AS (SELECT t.vec_id, round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), ev.e), 6) AS c
+         |       FROM embeddings t CROSS JOIN ev WHERE t.vec_id % $evalMod <> 0)
+         |SELECT vec_id,
+         |       sum(CASE WHEN c >= 0.35 THEN 1 ELSE 0 END)::BIGINT AS n_near,
+         |       round(max(c), 6) AS max_sim,
+         |       (sum(CASE WHEN c >= 0.35 THEN 1 ELSE 0 END) > 0) AS contaminated
+         |FROM sc GROUP BY 1""".stripMargin
   )
 }

@@ -51,6 +51,37 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col(qidCol), col(idCol), col("sim"))
 
+  /** Embedding-space decontamination: per training vector, how many
+    * eval-set vectors sit within cosine `threshold` (and the max
+    * similarity seen). The semantic companion to
+    * [[graft.operators.Decontaminate.ngramOverlap]] — n-gram overlap
+    * misses paraphrases; embedding proximity catches them.
+    *
+    * Scale shape mirrors the n-gram screen: the eval pool is tiny by
+    * contract, so it BROADCASTS; the corpus side is one scan with the
+    * fused-cosine expression evaluated map-side, and the per-id counts
+    * partial-aggregate to ≤ 1 row per training vector before the only
+    * shuffle. No corpus embedding ever crosses the wire. Comparisons use
+    * the rounded similarity so the contamination flag is reproducible
+    * across engines. */
+  def embeddingDecontam(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double): DataFrame = {
+    val ev = broadcast(eval.select(col(vecCol).as("__evec")))
+    val sim = round(cosine(col(vecCol), col("__evec")), 6)
+    train
+      .select(col(idCol), col(vecCol))
+      .crossJoin(ev)
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(sim >= threshold, 1L).otherwise(0L)).as("n_near"),
+        round(max(sim), 6).as("max_sim"))
+      .withColumn("contaminated", col("n_near") > 0)
+  }
+
   /** Brute-force cosine top-k per query. Deterministic: ranked by
     * (similarity desc, corpus id asc). */
   def bruteForceTopK(

@@ -131,6 +131,26 @@ class QueriesR7Spec extends AnyFunSuite {
     assert(top(1L) == "rareword", s"expected rareword, got ${top(1L)}")
   }
 
+  test("embeddingDecontam flags a planted near-copy and broadcasts the eval pool") {
+    val s = spark
+    import s.implicits._
+    val ev = Seq((100L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val tr = Seq(
+      (1L, Array(0.99f, 0.1f, 0.0f)),  // near-copy of the eval vector
+      (2L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val out = operators.Similarity
+      .embeddingDecontam(tr, ev, "vec_id", "embedding", threshold = 0.9)
+    val m = out.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(3)))).toMap
+    assert(m(1L)._1 == 1L && m(1L)._2, "near-copy must be flagged")
+    assert(m(2L)._1 == 0L && !m(2L)._2, "orthogonal vector is clean")
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastExchange"), s"eval pool must broadcast:\n$p")
+    assert(p.split("HashAggregate").length >= 3,
+      "per-id counts must partial-aggregate before the shuffle")
+  }
+
   test("stratifiedSampleExact selects the same rows as the per-stratum window") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
