@@ -90,6 +90,38 @@ object QueriesR7 {
         .tfIdfTopTerms(t(s, d, "documents"), "doc_id", "text", topK = 5)
         .select("doc_id", "term", "tfidf")
     },
+    // --- within-doc chunked substring dedup (w=2): remove repeated
+    //     aligned 2-word chunks inside each document, first occurrence
+    //     kept in order — boilerplate-run removal document dedup
+    //     misses. Pure projection: zero shuffle at any scale. ---
+    "q_chunk_dedup_doc" -> { (s, d) =>
+      operators.SubstringDedup.dedupChunksWithinDoc(
+        t(s, d, "documents"), "doc_id", "text", w = 2)
+    },
+    // --- corpus-wide chunked substring dedup (w=3): a chunk value
+    //     survives only at its globally-first (doc_id, idx) occurrence —
+    //     the fixed-granularity form of Lee et al.'s exact substring
+    //     dedup. Two shuffles: partial-agg first-occurrence election +
+    //     per-doc rebuild. ---
+    "q_chunk_dedup" -> { (s, d) =>
+      operators.SubstringDedup.chunkDedupGlobal(
+        t(s, d, "documents"), "doc_id", "text", w = 3)
+    },
+    // --- word-entropy quality score: per-doc Shannon entropy of the
+    //     word distribution (gibberish / keyword-stuffing signal),
+    //     computed entirely inside the row — map-only at 100 TB. ---
+    "q_entropy" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id") +:
+          operators.TextAnalysis.entropyFeatures(col("text")): _*)
+    },
+    // --- boilerplate phrase mining: top-20 most frequent 3-word
+    //     shingles corpus-wide. One shuffle (partial-agg counts) and a
+    //     TakeOrderedAndProject top-N — never a global sort. ---
+    "q_top_phrases" -> { (s, d) =>
+      operators.TextAnalysis.topPhrases(
+        t(s, d, "documents"), "text", k = 3, topN = 20)
+    },
     // --- embedding-space decontamination: training vectors near any
     //     eval vector in cosine — the paraphrase-robust companion to
     //     q_decontam's n-gram screen. Eval pool broadcasts; corpus side
@@ -175,6 +207,38 @@ object QueriesR7 {
         |                            ORDER BY tfidf DESC, term) rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+    "q_top_phrases" ->
+      """WITH toks AS (SELECT string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) phrase FROM toks WHERE len(ts) >= 3)
+        |SELECT phrase, count(*)::BIGINT AS n FROM sh GROUP BY 1
+        |ORDER BY n DESC, phrase LIMIT 20""".stripMargin,
+    "q_chunk_dedup_doc" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+        |c AS (SELECT doc_id, list_transform(generate_series(0, CAST(ceil(len(l) / 2.0) AS INT) - 1), k -> array_to_string(l[k*2+1 : k*2+2], ' ')) chunks FROM t),
+        |k AS (SELECT doc_id, chunks, list_filter(chunks, (x, i) -> list_position(chunks, x) = i) kept FROM c)
+        |SELECT doc_id, len(chunks)::BIGINT AS n_chunks, len(kept)::BIGINT AS n_kept,
+        |       array_to_string(kept, ' ') AS text_dedup FROM k""".stripMargin,
+    "q_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+        |c AS (SELECT doc_id, list_transform(generate_series(0, CAST(ceil(len(l) / 3.0) AS INT) - 1), k -> array_to_string(l[k*3+1 : k*3+3], ' ')) chunks FROM t),
+        |e AS (SELECT doc_id, unnest(list_transform(chunks, (x, i) -> {'idx': i - 1, 'chunk': x}), recursive := true) FROM c),
+        |f AS (SELECT doc_id, idx, chunk,
+        |        row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) rn FROM e),
+        |r AS (SELECT doc_id, count(*) n_kept, string_agg(chunk, ' ' ORDER BY idx) text_dedup
+        |      FROM f WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+        |       coalesce(r.text_dedup, '') AS text_dedup
+        |FROM documents d LEFT JOIN r ON d.doc_id = r.doc_id""".stripMargin,
+    "q_entropy" ->
+      """WITH w AS (SELECT doc_id, list_sort(string_split(text, ' ')) ws FROM documents),
+        |s AS (SELECT doc_id, ws, len(ws) n,
+        |        list_filter(generate_series(1, len(ws)), i -> i = 1 OR ws[i] != ws[i-1]) starts FROM w),
+        |l AS (SELECT doc_id, n, starts,
+        |        list_transform(generate_series(1, len(starts)),
+        |          j -> (CASE WHEN j = len(starts) THEN n + 1 ELSE starts[j+1] END) - starts[j]) lens FROM s)
+        |SELECT doc_id, n::BIGINT AS n_words, len(starts)::BIGINT AS n_unique,
+        |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(lens, c -> (c::DOUBLE / n) * log2(c::DOUBLE / n))), (a, x) -> a - x) + 0, 6) AS entropy
+        |FROM l""".stripMargin,
     "q_embed_decontam" ->
       s"""WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id % $evalMod = 0),
          |sc AS (SELECT t.vec_id, round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]), ev.e), 6) AS c

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Chunked exact-substring deduplication — the fixed-granularity
+  * approximation of suffix-array substring dedup (Lee et al. 2022,
+  * "Deduplicating Training Data Makes Language Models Better"): split
+  * every document into aligned `w`-word chunks, then remove repeated
+  * chunks either within a document or corpus-wide (first occurrence
+  * wins). This is the curation step document-level dedup misses —
+  * boilerplate runs repeated inside otherwise-distinct documents.
+  *
+  * Scale design:
+  *   - chunking is a pure row-local projection (split → slice →
+  *     array_join inside whole-stage codegen), so the within-document
+  *     variant is a map-only pass — fingerprinting 100 TB never
+  *     shuffles;
+  *   - the corpus-wide variant shuffles each chunk ONCE to elect its
+  *     first occurrence via a partial `min(struct(id, idx))`
+  *     aggregation (map-side combine reduces every partition to one
+  *     candidate per chunk before the exchange — the window-function
+  *     formulation would ship every occurrence of a hot boilerplate
+  *     chunk to a single task), then one clustered exchange rebuilds
+  *     documents. At web scale, key the election on a 64/128-bit chunk
+  *     hash instead of the chunk text to keep the shuffle narrow (the
+  *     oracle-checked variant keys on the text so the contract is
+  *     provably exact).
+  */
+object SubstringDedup {
+
+  /** Aligned `w`-word chunks of `text`, each re-joined with single
+    * spaces: chunk k = words [k·w, (k+1)·w). The last chunk may be
+    * short. Row-local; no shuffle. */
+  def wordChunks(text: Column, w: Int): Column = {
+    require(w > 0, s"chunk width must be positive, got $w")
+    val toks = split(text, " ")
+    val nChunks = ceil(size(toks).cast("double") / w).cast("int")
+    when(nChunks > lit(0),
+      transform(sequence(lit(0), nChunks - lit(1)),
+        k => array_join(slice(toks, k * w + 1, lit(w)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Remove repeated chunks WITHIN each document, keeping first
+    * occurrences in order (`array_distinct` preserves first-appearance
+    * order). Pure projection — zero shuffle at any scale. */
+  def dedupChunksWithinDoc(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val chunks = wordChunks(col(textCol), w)
+    val kept = array_distinct(chunks)
+    df.select(
+      col(idCol),
+      size(chunks).cast("long").as("n_chunks"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, " ").as("text_dedup"))
+  }
+
+  /** Corpus-wide chunk dedup: a chunk value survives only at its
+    * globally first occurrence — minimal (id, position) lexicographic,
+    * so the winner is deterministic. Documents whose every chunk
+    * appeared earlier elsewhere come back with empty text (they are the
+    * fully-boilerplate rows a curation pipeline drops next).
+    *
+    * Exactly two shuffles: the per-chunk first-occurrence election
+    * (partial agg) and the per-document rebuild; the rebuild's
+    * partitioning is reused by the final left join. */
+  def chunkDedupGlobal(
+      df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val exploded = df.select(
+      col(idCol),
+      posexplode(wordChunks(col(textCol), w)).as(Seq("idx", "chunk")))
+    val firsts = exploded
+      .groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("idx"))).as("f"))
+      .select(col("f")(idCol).as(idCol), col("f")("idx").as("idx"),
+        col("chunk"))
+    val rebuilt = firsts
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("idx"), col("chunk"))).as("ps"))
+      .select(
+        col(idCol),
+        size(col("ps")).cast("long").as("n_kept"),
+        array_join(
+          transform(array_sort(col("ps")), _.getField("chunk")), " ")
+          .as("text_dedup"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
+}

@@ -181,6 +181,61 @@ object TextAnalysis {
       scored, Seq("doc_id"), Seq(col("tfidf").desc, col("term").asc), k = topK)
   }
 
+  /** Word-level Shannon entropy per document — the classic gibberish /
+    * keyword-stuffing detector (low entropy = few words dominate; high
+    * entropy at fixed length = near-uniform noise). Returns
+    * (n_words, n_unique, entropy-in-bits).
+    *
+    * Fully row-local — sort the token array, find run starts, derive
+    * run lengths, fold `-Σ p·log2(p)` — so scoring 100 TB is a map-only
+    * projection inside whole-stage codegen, zero shuffle. All indexing
+    * is 1-based `element_at`, mirroring the SQL oracle's list indexing
+    * operation for operation; the fold subtracts terms left-to-right,
+    * which IEEE-matches the oracle's negated sequential sum, and the
+    * result is rounded (with `+0.0` so a single-word doc's `-0.0`
+    * normalizes). Space tokenization so `string_split` oracles tokenize
+    * identically; `split` never yields an empty array, so n ≥ 1. */
+  def entropyFeatures(text: Column): Seq[Column] = {
+    val ws = sort_array(split(text, " "))
+    val n = size(ws)
+    val starts = filter(sequence(lit(1), n),
+      i => (i === lit(1)) || element_at(ws, i) =!= element_at(ws, i - 1))
+    val m = size(starts)
+    val lens = transform(sequence(lit(1), m), j =>
+      when(j === m, n + lit(1)).otherwise(element_at(starts, j + 1)) -
+        element_at(starts, j))
+    val ent = aggregate(lens, lit(0.0), (acc, c) => {
+      val p = c.cast("double") / n.cast("double")
+      acc - p * log2(p)
+    })
+    Seq(
+      n.cast("long").as("n_words"),
+      m.cast("long").as("n_unique"),
+      round(ent + lit(0.0), 6).as("entropy"))
+  }
+
+  /** Corpus-level boilerplate phrase mining: the `topN` most frequent
+    * k-word shingles (all occurrences, not per-doc distinct) — the
+    * report that feeds stop-shingle lists and template detection in a
+    * crawl-curation pipeline.
+    *
+    * One shuffle total: shingling is row-local, the phrase count is a
+    * partial/final hash aggregate (map-side combine collapses each hot
+    * boilerplate phrase per partition), and the global top-N plans as
+    * `TakeOrderedAndProject` — per-partition bounded heaps, never a
+    * corpus-wide sort shuffle. Total order (count desc, phrase asc) so
+    * the cut at rank `topN` is deterministic across engines. */
+  def topPhrases(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      k: Int = 3,
+      topN: Int = 20): org.apache.spark.sql.DataFrame =
+    df.select(explode(Shingles.wordShinglesAll(col(textCol), k)).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("phrase").asc)
+      .limit(topN)
+
   /** Corpus-unigram language-model score per document: each token's
     * log probability under the corpus's own unigram distribution,
     * summed per doc (and averaged — a perplexity proxy). The standard

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{SubstringDedup, TextAnalysis}
+
+/** Chunked exact-substring dedup (within-doc and corpus-wide) and the
+  * row-local word-entropy quality score. */
+class SubstringDedupSpec extends AnyFunSuite {
+  private def spark = TestSpark.spark
+
+  test("wordChunks slices aligned w-word chunks with a short tail") {
+    val s = spark
+    import s.implicits._
+    val out = Seq("a b c d e").toDF("text")
+      .select(SubstringDedup.wordChunks(col("text"), 2).as("c"))
+      .as[Seq[String]].head()
+    assert(out == Seq("a b", "c d", "e"))
+  }
+
+  test("dedupChunksWithinDoc keeps first occurrences in order") {
+    val s = spark
+    import s.implicits._
+    val out = SubstringDedup.dedupChunksWithinDoc(
+      Seq((1L, "a b a b c d a b")).toDF("doc_id", "text"),
+      "doc_id", "text", w = 2).collect().head
+    assert(out.getLong(1) == 4L, "n_chunks")
+    assert(out.getLong(2) == 2L, "n_kept")
+    assert(out.getString(3) == "a b c d")
+  }
+
+  test("chunkDedupGlobal: first (doc_id, idx) occurrence wins; empty docs survive") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // owns both chunks
+      (2L, "a b x y"), // loses "a b" to doc 1
+      (3L, "c d a b")  // loses everything -> empty text, still present
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup
+      .chunkDedupGlobal(docs, "doc_id", "text", w = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(out(1L) == ((2L, "a b c d")))
+    assert(out(2L) == ((1L, "x y")))
+    assert(out(3L) == ((0L, "")))
+  }
+
+  test("within-doc dedup and entropy are zero-shuffle projections") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (df <- Seq(
+        SubstringDedup.dedupChunksWithinDoc(docs, "doc_id", "text", 2),
+        docs.select(col("doc_id") +:
+          TextAnalysis.entropyFeatures(col("text")): _*))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"expected map-only plan, got:\n$p")
+      // higher-order lambdas sit outside whole-stage codegen by design;
+      // the pin is the SHAPE: one projection straight over the scan
+      assert(p.contains("Project") && p.contains("FileScan"),
+        s"expected a single projection over the scan, got:\n$p")
+    }
+  }
+
+  test("chunkDedupGlobal shuffles at most 3 times and never goes cartesian") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = SubstringDedup.chunkDedupGlobal(docs, "doc_id", "text", 3)
+    df.collect()
+    // AQE's toString repeats the plan under "== Initial Plan ==" —
+    // count shuffles in the final plan only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val shuffles = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 3, s"expected <=3 shuffle exchanges, got $shuffles:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs join:\n$p")
+  }
+
+  test("topPhrases counts all occurrences and plans a heap-based top-N") {
+    val s = spark
+    import s.implicits._
+    // "a b c" appears twice in doc 1 (overlapping shingles) + once in doc 2
+    val docs = Seq(
+      (1L, "a b c a b c"),
+      (2L, "a b c x y z")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topPhrases(docs, "text", k = 3, topN = 3)
+    val rows = out.collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(rows.head == ("a b c" -> 3L))
+    assert(rows.length == 3)
+    val p = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"global top-N must use bounded heaps, not a sort shuffle:\n$p")
+    val shuffles = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected one count shuffle, got $shuffles:\n$p")
+  }
+
+  test("entropyFeatures matches hand-computed Shannon entropy") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((1L, "a a b"), (2L, "a a a"), (3L, "w x y z"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.entropyFeatures(col("text")): _*)
+      .collect().map(r =>
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // -(2/3·log2(2/3) + 1/3·log2(1/3)) = 0.9182958... -> 0.918296
+    assert(rows(1L) == ((3L, 2L, 0.918296)))
+    assert(rows(3L) == ((4L, 4L, 2.0)))
+    // single-repeated-word doc: exactly +0.0, not -0.0 (oracle hashing
+    // compares the serialized value)
+    val (n, u, e) = rows(2L)
+    assert((n, u) == ((3L, 1L)))
+    assert(java.lang.Double.doubleToRawLongBits(e) == 0L, s"got $e")
+  }
+}
