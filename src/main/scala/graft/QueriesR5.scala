@@ -92,6 +92,40 @@ object QueriesR5 {
       Quality.pairRecallCounts(exact, srp)
         .select(col("n_exact"), Quality.recallOk(bps = 8000).as("recall_ok"))
     },
+    // --- banded-MinHash candidate recall vs the exact Jaccard >= 0.8
+    //     pair set (the same exact set q_dedup_neardup verifies
+    //     against). Measured 0.996-1.0 at sf0.001-sf0.1; gated at 0.90.
+    //     This makes the q_dedup_minhash rows-only query's QUALITY a
+    //     driver-gated contract, not just a spec assertion. ---
+    "q_minhash_recall" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val exact = operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.8)
+      val cand = operators.Dedup
+        .minHashNearDupPairs(docs, "doc_id", "text")
+      Quality.pairRecallCounts(exact, cand)
+        .select(col("n_exact"), Quality.recallOk(bps = 9000).as("recall_ok"))
+    },
+    // --- SimHash banding completeness: the 4x16-bit pigeonhole split
+    //     GUARANTEES every pair at hamming <= 3 shares a band, so the
+    //     banded candidate set must equal the brute-force hamming <= 3
+    //     pair set EXACTLY (bps=10000 = no miss at all). The signature
+    //     is engine-specific, so the exact side is computed in-Spark
+    //     and only the completeness verdict is driver-gated. ---
+    "q_simhash_complete" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      val sig = operators.Dedup.simHash64(docs, "doc_id", "text")
+      val a = sig.select(col("id").as("id_a"), col("simhash").as("sa"))
+      val b = sig.select(col("id").as("id_b"), col("simhash").as("sb"))
+      val exact = a.crossJoin(b)
+        .filter(col("id_a") < col("id_b") &&
+          bit_count(col("sa").bitwiseXOR(col("sb"))) <= 3)
+        .select("id_a", "id_b")
+      val cand = operators.Dedup
+        .simHashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      Quality.pairRecallCounts(exact, cand)
+        .select(Quality.recallOk(bps = 10000).as("recall_ok"))
+    },
     // --- HLL register sketch within 5% of exact per group ---
     "q_hll_tolerance" -> ((s, d) =>
       t(s, d, "orders")
@@ -151,6 +185,18 @@ object QueriesR5 {
         |                                 CAST(b.embedding AS DOUBLE[])), 6) AS sim
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
         |WHERE sim >= 0.45""".stripMargin,
+    "q_minhash_recall" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok FROM (
+        |  SELECT round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM cand JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin,
+    "q_simhash_complete" ->
+      "SELECT TRUE AS recall_ok",
     "q_orc_source" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
     "q_hll_tolerance" ->

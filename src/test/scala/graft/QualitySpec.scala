@@ -22,6 +22,15 @@ class QualitySpec extends AnyFunSuite {
       "2 queries, 4 exact rows, 3 recovered (99 and the extra qid never count)")
   }
 
+  test("minhash recall and simhash completeness gates hold at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val mh = QueriesR5.all("q_minhash_recall")(spark, sf).collect().head
+    assert(mh.getBoolean(1), s"minhash recall gate (n_exact=${mh.getLong(0)})")
+    val sh = QueriesR5.all("q_simhash_complete")(spark, sf).collect().head
+    assert(sh.getBoolean(0),
+      "4x16 banding must find every hamming<=3 pair (pigeonhole)")
+  }
+
   test("pairRecallCounts counts oriented pair hits exactly") {
     val s = spark
     import s.implicits._
