@@ -237,7 +237,7 @@ object QueriesR7 {
         |        list_transform(generate_series(1, len(starts)),
         |          j -> (CASE WHEN j = len(starts) THEN n + 1 ELSE starts[j+1] END) - starts[j]) lens FROM s)
         |SELECT doc_id, n::BIGINT AS n_words, len(starts)::BIGINT AS n_unique,
-        |       round(list_reduce(list_prepend(0.0::DOUBLE, list_transform(lens, c -> (c::DOUBLE / n) * log2(c::DOUBLE / n))), (a, x) -> a - x) + 0, 6) AS entropy
+        |       round(log2(n::DOUBLE) - list_reduce(list_prepend(0.0::DOUBLE, list_transform(lens, c -> c::DOUBLE * log2(c::DOUBLE))), (a, x) -> a + x) / n::DOUBLE + 0, 6) AS entropy
         |FROM l""".stripMargin,
     "q_embed_decontam" ->
       s"""WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id % $evalMod = 0),

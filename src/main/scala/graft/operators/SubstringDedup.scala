@@ -29,12 +29,15 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
-  /** Aligned `w`-word chunks of `text`, each re-joined with single
-    * spaces: chunk k = words [k·w, (k+1)·w). The last chunk may be
-    * short. Row-local; no shuffle. */
-  def wordChunks(text: Column, w: Int): Column = {
+  /** Aligned `w`-word chunks of a token ARRAY, each re-joined with
+    * single spaces: chunk k = tokens [k·w, (k+1)·w). The last chunk may
+    * be short. Pass a MATERIALIZED column when the lambda cost matters:
+    * interpreted higher-order eval re-runs whatever expression `toks`
+    * is once per chunk (no common-subexpression elimination inside
+    * lambdas), so handing it `split(...)` directly costs O(n²/w) per
+    * row, while a pre-projected attribute is a row-field read. */
+  def tokenChunks(toks: Column, w: Int): Column = {
     require(w > 0, s"chunk width must be positive, got $w")
-    val toks = split(text, " ")
     val nChunks = ceil(size(toks).cast("double") / w).cast("int")
     when(nChunks > lit(0),
       transform(sequence(lit(0), nChunks - lit(1)),
@@ -42,18 +45,30 @@ object SubstringDedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** [[tokenChunks]] over space-split `text` — the expression form for
+    * one-shot/test use; the operators below pre-project the token array
+    * so per-chunk lambda evaluation stays O(w). */
+  def wordChunks(text: Column, w: Int): Column =
+    tokenChunks(split(text, " "), w)
+
   /** Remove repeated chunks WITHIN each document, keeping first
     * occurrences in order (`array_distinct` preserves first-appearance
     * order). Pure projection — zero shuffle at any scale. */
   def dedupChunksWithinDoc(
       df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val chunks = wordChunks(col(textCol), w)
+    // Two-step projection ON PURPOSE: the chunking lambda references the
+    // token array once per chunk, and `__toks` as a materialized
+    // attribute is a row-field read where the inlined `split` would be
+    // re-evaluated per chunk (CollapseProject keeps the split un-inlined
+    // here because `__toks` is referenced by several output columns).
+    val chunks = tokenChunks(col("__toks"), w)
     val kept = array_distinct(chunks)
-    df.select(
-      col(idCol),
-      size(chunks).cast("long").as("n_chunks"),
-      size(kept).cast("long").as("n_kept"),
-      array_join(kept, " ").as("text_dedup"))
+    df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(
+        col(idCol),
+        size(chunks).cast("long").as("n_chunks"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("text_dedup"))
   }
 
   /** Corpus-wide chunk dedup: a chunk value survives only at its
@@ -67,9 +82,12 @@ object SubstringDedup {
     * partitioning is reused by the final left join. */
   def chunkDedupGlobal(
       df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    val exploded = df.select(
-      col(idCol),
-      posexplode(wordChunks(col(textCol), w)).as(Seq("idx", "chunk")))
+    val exploded = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(
+        col(idCol), col("__toks"),
+        posexplode(tokenChunks(col("__toks"), w)).as(Seq("idx", "chunk")))
+      .drop("__toks")
     val firsts = exploded
       .groupBy(col("chunk"))
       .agg(min(struct(col(idCol), col("idx"))).as("f"))

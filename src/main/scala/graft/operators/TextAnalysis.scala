@@ -186,32 +186,49 @@ object TextAnalysis {
     * entropy at fixed length = near-uniform noise). Returns
     * (n_words, n_unique, entropy-in-bits).
     *
-    * Fully row-local — sort the token array, find run starts, derive
-    * run lengths, fold `-Σ p·log2(p)` — so scoring 100 TB is a map-only
-    * projection inside whole-stage codegen, zero shuffle. All indexing
-    * is 1-based `element_at`, mirroring the SQL oracle's list indexing
-    * operation for operation; the fold subtracts terms left-to-right,
-    * which IEEE-matches the oracle's negated sequential sum, and the
-    * result is rounded (with `+0.0` so a single-word doc's `-0.0`
+    * Fully row-local, ONE `aggregate` fold over the sorted token array
+    * carrying (prev word, run length, Σ c·log2 c, distinct count). The
+    * lambda reads only the accumulator and the element — this matters:
+    * interpreted higher-order-function eval has NO common-subexpression
+    * elimination, so a lambda that referenced the sorted array (e.g.
+    * `element_at(ws, i)`) would re-run the sort once per ELEMENT —
+    * O(n²·log n) per row, measured as a multi-minute stall at sf0.1.
+    * The fold keeps the sort a one-shot argument: O(n log n) per row,
+    * map-only at any corpus size.
+    *
+    * Entropy via the identity H = log2(n) − (Σ c·log2 c)/n over run
+    * lengths c. The oracle mirrors the same runs-in-sorted-order sum
+    * left-to-right, so both engines produce bit-identical doubles;
+    * results are rounded (with `+0.0` so a single-word doc's `-0.0`
     * normalizes). Space tokenization so `string_split` oracles tokenize
     * identically; `split` never yields an empty array, so n ≥ 1. */
   def entropyFeatures(text: Column): Seq[Column] = {
-    val ws = sort_array(split(text, " "))
-    val n = size(ws)
-    val starts = filter(sequence(lit(1), n),
-      i => (i === lit(1)) || element_at(ws, i) =!= element_at(ws, i - 1))
-    val m = size(starts)
-    val lens = transform(sequence(lit(1), m), j =>
-      when(j === m, n + lit(1)).otherwise(element_at(starts, j + 1)) -
-        element_at(starts, j))
-    val ent = aggregate(lens, lit(0.0), (acc, c) => {
-      val p = c.cast("double") / n.cast("double")
-      acc - p * log2(p)
-    })
+    val n = size(split(text, " "))
+    def cLog2c(c: Column): Column =
+      when(c <= 0, lit(0.0))
+        .otherwise(c.cast("double") * log2(c.cast("double")))
+    def fin(acc: Column) = struct(
+      (acc.getField("s") + cLog2c(acc.getField("c"))).as("s"),
+      acc.getField("u").as("u"))
+    def folded = aggregate(
+      sort_array(split(text, " ")),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("c"),
+        lit(0.0).as("s"), lit(0L).as("u")),
+      (acc, w) => when(
+        acc.getField("c") > 0 && w === acc.getField("prev"),
+        struct(acc.getField("prev").as("prev"),
+          (acc.getField("c") + lit(1L)).as("c"),
+          acc.getField("s").as("s"), acc.getField("u").as("u")))
+        .otherwise(struct(w.as("prev"), lit(1L).as("c"),
+          (acc.getField("s") + cLog2c(acc.getField("c"))).as("s"),
+          (acc.getField("u") + lit(1L)).as("u"))),
+      fin)
     Seq(
       n.cast("long").as("n_words"),
-      m.cast("long").as("n_unique"),
-      round(ent + lit(0.0), 6).as("entropy"))
+      folded.getField("u").cast("long").as("n_unique"),
+      round(log2(n.cast("double")) -
+        folded.getField("s") / n.cast("double") + lit(0.0), 6)
+        .as("entropy"))
   }
 
   /** Corpus-level boilerplate phrase mining: the `topN` most frequent
