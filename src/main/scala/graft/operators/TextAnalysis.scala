@@ -127,9 +127,19 @@ object TextAnalysis {
     * ≈ 2.6e11), so any engine reproduces it bit-for-bit; no xxhash64 /
     * md5 dependence. Entirely row-local (one projection, no shuffle):
     * shingle → hash → window-min → distinct all happen inside the row's
-    * array. Cost per doc is O(tokens · w); window-min via slice+array_min
-    * keeps it expression-only — at w ≤ 16 that beats breaking codegen
-    * with a UDF monotonic-deque. */
+    * array.
+    *
+    * Window-min is a zip_with SHIFT CHAIN (elementwise `least` of the
+    * w shifted copies), not `transform(…, i => array_min(slice(hashes,
+    * i, w)))`: interpreted lambda eval has no common-subexpression
+    * elimination, so a lambda referencing `hashes` would recompute the
+    * whole rolling-hash array once per WINDOW — O(tokens²·chars) per
+    * row. As zip_with arguments the shifted slices are evaluated once
+    * per level: O(w · tokens · chars) per row, linear in document
+    * length. `least` skips the nulls zip_with pads with, and partial
+    * tail windows are cut by the final slice, so the selected minima
+    * are identical to the slice+array_min formulation (oracle
+    * unchanged). */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, "shingle size and window must be positive")
     val hashes = transform(Shingles.wordShinglesAll(text, k), g =>
@@ -137,9 +147,13 @@ object TextAnalysis {
         split(g, ""),
         lit(0L),
         (acc, c) => (acc * 257L + ascii(c)) % 1000000007L))
-    val nWin = greatest(size(hashes) - lit(w - 1), lit(1))
-    val mins = transform(sequence(lit(1), nWin), i =>
-      array_min(slice(hashes, i, lit(w))))
+    val chain = (1 until w).foldLeft(hashes) { (acc, j) =>
+      zip_with(acc,
+        slice(hashes, lit(j + 1), greatest(size(hashes) - j, lit(0))),
+        (a, b) => least(a, b))
+    }
+    val mins =
+      slice(chain, lit(1), greatest(size(hashes) - lit(w - 1), lit(1)))
     when(size(hashes) > 0, array_distinct(mins))
       .otherwise(array().cast("array<bigint>"))
   }
