@@ -140,13 +140,30 @@ object TextAnalysis {
     * tail windows are cut by the final slice, so the selected minima
     * are identical to the slice+array_min formulation (oracle
     * unchanged). */
-  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column = {
-    require(k >= 1 && w >= 1, "shingle size and window must be positive")
-    val hashes = transform(Shingles.wordShinglesAll(text, k), g =>
+  def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
+    windowMinDistinct(shingleHashes(text, k), w)
+
+  /** Polynomial rolling hash of every k-token shingle (the winnowing
+    * hash stream). O(tokens · chars) interpreted work per row — callers
+    * that feed [[windowMinDistinct]] should materialize this as a
+    * projection column so it is computed exactly once. */
+  def shingleHashes(text: Column, k: Int = 3): Column = {
+    require(k >= 1, "shingle size must be positive")
+    transform(Shingles.wordShinglesAll(text, k), g =>
       aggregate(
         split(g, ""),
         lit(0L),
         (acc, c) => (acc * 257L + ascii(c)) % 1000000007L))
+  }
+
+  /** Distinct window-minima of `hashes` (window width `w`) — the
+    * winnowing selection step. Pass a MATERIALIZED column: each shift
+    * level evaluates `hashes` once more, and interpreted eval has no
+    * common-subexpression elimination, so an inline expression is
+    * recomputed w+1 times (measured 13 s for q_winnow at sf0.1 vs
+    * sub-second with the pre-projected column). */
+  def windowMinDistinct(hashes: Column, w: Int): Column = {
+    require(w >= 1, "window must be positive")
     val chain = (1 until w).foldLeft(hashes) { (acc, j) =>
       zip_with(acc,
         slice(hashes, lit(j + 1), greatest(size(hashes) - j, lit(0))),
