@@ -131,6 +131,50 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("wordChunks round-trips: rejoined chunks reproduce the text exactly") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    // Includes empty tokens (runs of spaces) — array_join restores the
+    // original spacing, so chunking must lose nothing at any width.
+    val tokenGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(4)), Gen.const(""))
+    val textGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(20, textGen), n = 10) { texts =>
+      val df = texts.toDF("text")
+      for (w <- Seq(1, 2, 3, 7)) {
+        val bad = df.select(col("text"),
+          array_join(operators.SubstringDedup.wordChunks(col("text"), w), " ")
+            .as("rt"))
+          .filter(col("rt") =!= col("text")).count()
+        assert(bad == 0, s"w=$w chunking lost content on: $texts")
+      }
+    }
+  }
+
+  test("entropy is permutation-invariant and bounded by log2(n_unique)") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val tokenGen = Gen.oneOf("a", "b", "c", "dd", "ee")
+    val textGen = Gen.nonEmptyListOf(tokenGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(20, textGen), n = 10) { texts =>
+      val df = texts.toDF("text")
+      def entCols(c: org.apache.spark.sql.Column) =
+        operators.TextAnalysis.entropyFeatures(c)
+      val out = df.select(
+        entCols(col("text"))(2).as("h"),
+        entCols(array_join(reverse(split(col("text"), " ")), " "))(2)
+          .as("h_rev"),
+        entCols(col("text"))(1).as("u"))
+      assert(out.filter(col("h") =!= col("h_rev")).count() == 0,
+        "entropy must not depend on word order")
+      // rounded to 6 dp, so the log2 bound gets the half-ulp 5e-7
+      assert(out.filter(col("h") > log2(col("u")) + lit(5e-7)).count() == 0,
+        "H <= log2(distinct words)")
+      assert(out.filter(col("h") < 0).count() == 0)
+    }
+  }
+
   test("native word_shingles equals the composable chain on random spaced text") {
     import org.apache.spark.sql.functions._
     val s = TestSpark.spark
