@@ -78,13 +78,9 @@ object QueriesR7 {
     //     oracle reproduces it bit-for-bit; entirely row-local in Spark
     //     (zero shuffle before the driver's sort). ---
     "q_winnow" -> { (s, d) =>
-      t(s, d, "documents")
-        .select(col("doc_id"),
-          operators.TextAnalysis.shingleHashes(col("text"), k = 3)
-            .as("__h"))
-        .select(col("doc_id"),
-          explode(operators.TextAnalysis
-            .windowMinDistinct(col("__h"), w = 4)).as("fp"))
+      t(s, d, "documents").select(col("doc_id"),
+        explode(operators.TextAnalysis
+          .winnowFingerprints(col("text"), k = 3, w = 4)).as("fp"))
     },
     // --- TF-IDF top-5 terms per doc: keyword extraction over the
     //     corpus's own document frequencies; ranked on the ROUNDED score

@@ -216,6 +216,13 @@ object functions {
         foldableLong(es(1), "srp_packed_bands", "seed"),
         foldableInt(es(2), "srp_packed_bands", "rowsPerBand"),
         foldableInt(es(3), "srp_packed_bands", "numBands"))),
+    // winnow_fingerprints(text, k, w) — k and w must be foldable ints
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),
+      (es: Seq[Expression]) => WinnowFingerprints(
+        es(0),
+        foldableInt(es(1), "winnow_fingerprints", "k"),
+        foldableInt(es(2), "winnow_fingerprints", "w"))),
     // aggregate: the analyzer wraps a bare AggregateFunction from the
     // registry in an AggregateExpression automatically
     (FunctionIdentifier("distinct_sketch"),

@@ -141,7 +141,13 @@ object TextAnalysis {
     * are identical to the slice+array_min formulation (oracle
     * unchanged). */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
-    windowMinDistinct(shingleHashes(text, k), w)
+    graft.functions.WinnowFingerprints.winnowFingerprints(text, k, w)
+
+  /** The composable-expression reference form of [[winnowFingerprints]]
+    * (spec-pinned bit-identical to the native expression): pre-project
+    * [[shingleHashes]], then [[windowMinDistinct]] over the column. */
+  def winnowFingerprintsChain(hashes: Column, w: Int): Column =
+    windowMinDistinct(hashes, w)
 
   /** Polynomial rolling hash of every k-token shingle (the winnowing
     * hash stream). O(tokens · chars) interpreted work per row — callers

@@ -175,6 +175,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native winnow_fingerprints equals the composable chain on random spaced text") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val tokenGen = Gen.oneOf(Gen.alphaNumStr.map(_.take(4)), Gen.const(""))
+    val textGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(20, textGen), n = 10) { texts =>
+      val df = texts.toDF("text")
+      for ((k, w) <- Seq((1, 1), (2, 3), (3, 4), (5, 2))) {
+        val diff = df
+          .select(col("text"),
+            operators.TextAnalysis.shingleHashes(col("text"), k).as("__h"))
+          .select(
+            sort_array(operators.TextAnalysis
+              .winnowFingerprintsChain(col("__h"), w)).as("a"),
+            sort_array(graft.functions.WinnowFingerprints
+              .winnowFingerprints(col("text"), k, w)).as("b"))
+          .filter(not(col("a") === col("b"))).count()
+        assert(diff == 0, s"k=$k w=$w diverged on: $texts")
+      }
+    }
+  }
+
   test("native word_shingles equals the composable chain on random spaced text") {
     import org.apache.spark.sql.functions._
     val s = TestSpark.spark
