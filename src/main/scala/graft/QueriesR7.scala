@@ -115,6 +115,13 @@ object QueriesR7 {
         col("doc_id") +:
           operators.TextAnalysis.entropyFeatures(col("text")): _*)
     },
+    // --- containment pairs: docs sharing >= 3 winnow fingerprints —
+    //     catches pasted-run overlap that whole-doc Jaccard dilutes.
+    //     Posting-list join on the bare long fingerprint key. ---
+    "q_containment" -> { (s, d) =>
+      operators.TextAnalysis.winnowContainmentPairs(
+        t(s, d, "documents"), "doc_id", "text", k = 3, w = 4, minShared = 3)
+    },
     // --- boilerplate phrase mining: top-20 most frequent 3-word
     //     shingles corpus-wide. One shuffle (partial-agg counts) and a
     //     TakeOrderedAndProject top-N — never a global sort. ---
@@ -207,6 +214,18 @@ object QueriesR7 {
         |                            ORDER BY tfidf DESC, term) rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+    "q_containment" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) gs FROM toks WHERE len(ts) >= 3),
+        |h AS (SELECT doc_id, list_transform(gs, g -> list_reduce(list_prepend(0::BIGINT, list_transform(string_split(g, ''), c -> unicode(c)::BIGINT)), (a, x) -> (a * 257 + x) % 1000000007)) hs FROM sh),
+        |wnd AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, greatest(len(hs) - 3, 1)), i -> list_min(hs[i:i+3]))) fps FROM h),
+        |cnt AS (SELECT doc_id, len(fps) n FROM wnd WHERE len(fps) > 0),
+        |ex AS (SELECT doc_id, unnest(fps) fp FROM wnd),
+        |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) ns FROM ex a JOIN ex b ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia AS id_a, ib AS id_b, ns::BIGINT AS n_shared,
+        |       round(ns * 1.0 / least(ca.n, cb.n), 6) AS containment
+        |FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
+        |WHERE ns >= 3""".stripMargin,
     "q_top_phrases" ->
       """WITH toks AS (SELECT string_split(text, ' ') ts FROM documents),
         |sh AS (SELECT unnest(list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) phrase FROM toks WHERE len(ts) >= 3)

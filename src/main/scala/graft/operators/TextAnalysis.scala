@@ -268,6 +268,53 @@ object TextAnalysis {
         .as("entropy"))
   }
 
+  /** Containment-pair detection over winnowing fingerprints: document
+    * pairs sharing at least `minShared` distinct fingerprints, scored
+    * by containment = shared / min(|fpA|, |fpB|). The winnowing
+    * guarantee makes this catch CONTAINED overlaps (a paragraph of A
+    * pasted into B) that whole-document set-Jaccard dilutes away —
+    * every shared run of w+k−1 tokens contributes a common fingerprint.
+    *
+    * Posting-list shape, same scaling as the exact n-gram pair stage:
+    * fingerprinting is the native one-pass expression (map-only), ONE
+    * shuffle clusters each fingerprint's posting list (a bare long
+    * key), pairs are emitted by pipelined local generators, and
+    * singleton postings emit nothing. At web scale bound the block size
+    * with `maxDf` exactly as ngramJaccardPairs documents. */
+  def winnowContainmentPairs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      w: Int = 4,
+      minShared: Int = 3,
+      maxDf: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    val fps = df
+      .select(col(idCol).as("doc"),
+        winnowFingerprints(col(textCol), k, w).as("fps"))
+      .filter(size(col("fps")) > 0)
+    val counts = fps.select(col("doc"), size(col("fps")).as("n"))
+    val postings = fps
+      .select(col("doc"), explode(col("fps")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(collect_list(col("doc")).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val kept = maxDf.fold(postings)(m => postings.filter(size(col("docs")) <= m))
+    val pairs = kept
+      .select(col("docs"), explode(col("docs")).as("a"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(counts.as("ca"), col("id_a") === col("ca.doc"))
+      .join(counts.as("cb"), col("id_b") === col("cb.doc"))
+      .withColumn("containment",
+        round(col("n_shared") / least(col("ca.n"), col("cb.n")), 6))
+      .select("id_a", "id_b", "n_shared", "containment")
+  }
+
   /** Corpus-level boilerplate phrase mining: the `topN` most frequent
     * k-word shingles (all occurrences, not per-doc distinct) — the
     * report that feeds stop-shingle lists and template detection in a

@@ -115,6 +115,24 @@ class QueriesR7Spec extends AnyFunSuite {
       "winnowing must not shuffle")
   }
 
+  test("winnowContainmentPairs finds a pasted run and spares disjoint docs") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      // B contains A's 6-token run (w+k-1 = 6 guarantees >= 1 shared fp)
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "intro words alpha beta gamma delta epsilon zeta trailing tail"),
+      (3L, "completely different tokens nothing here matches at all")
+    ).toDF("doc_id", "text")
+    val pairs = operators.TextAnalysis
+      .winnowContainmentPairs(docs, "doc_id", "text", k = 3, w = 4,
+        minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "the shared run must surface")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "disjoint doc pairs with nobody")
+  }
+
   test("tfIdfTopTerms ranks rare terms above ubiquitous ones") {
     val s = spark
     import s.implicits._
