@@ -62,9 +62,36 @@ object Fixtures {
         .option("header", "true").csv(out)
     }
 
+  /** JSONL copy of `nation` with every (rank % 5 == 4)-th line (by
+    * n_nationkey order) deliberately MALFORMED — the fixture behind the
+    * permissive-ingestion query. Line content is a pure function of the
+    * key, so the DuckDB oracle reproduces the expected parse result
+    * from the nation table alone (no file access): good lines carry
+    * (n_nationkey, n_name); bad lines are `{"n_nationkey": <k>, INVALID`.
+    * Written with plain file IO (one file, key order) — content
+    * determinism is the point, not write parallelism. */
+  def jsonlMixedNation(s: SparkSession, d: String): String =
+    once(s"jsonl_mixed:$d") { out =>
+      val rows = table(s, d, "nation")
+        .select("n_nationkey", "n_name")
+        .collect()
+        .map(r => (r.getInt(0), r.getString(1)))
+        .sortBy(_._1)
+      val lines = rows.zipWithIndex.map { case ((k, name), i) =>
+        if (i % 5 == 4) s"""{"n_nationkey": $k, INVALID"""
+        else s"""{"n_nationkey":$k,"n_name":"$name"}"""
+      }
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(out, "part-00000.json"),
+        lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+
   /** Materialize every fixture now — Bench calls this from its warmup
     * block so all timed runs of the source queries are read-only. */
   def warm(s: SparkSession, d: String): Unit = {
-    orcSupplier(s, d); jsonNation(s, d); csvRegion(s, d); ()
+    orcSupplier(s, d); jsonNation(s, d); csvRegion(s, d)
+    jsonlMixedNation(s, d); ()
   }
 }

@@ -115,6 +115,19 @@ object QueriesR7 {
         col("doc_id") +:
           operators.TextAnalysis.entropyFeatures(col("text")): _*)
     },
+    // --- permissive JSONL ingestion: malformed lines captured (fields
+    //     null + raw text in _corrupt), never dropped or fatal — the
+    //     crawl-batch contract. Fixture derives bad lines from the
+    //     nation key, so the oracle reproduces the parse result from
+    //     the table alone. ---
+    "q_jsonl_robust" -> { (s, d) =>
+      val path = Fixtures.jsonlMixedNation(s, d)
+      sources.Sources
+        .jsonPermissive(s, path, "n_nationkey BIGINT, n_name STRING")
+        .select(col("n_nationkey"), col("n_name"),
+          col("_corrupt").isNotNull.as("is_bad"),
+          coalesce(col("_corrupt"), lit("")).as("raw_corrupt"))
+    },
     // --- containment pairs: docs sharing >= 3 winnow fingerprints —
     //     catches pasted-run overlap that whole-doc Jaccard dilutes.
     //     Posting-list join on the bare long fingerprint key. ---
@@ -214,6 +227,15 @@ object QueriesR7 {
         |                            ORDER BY tfidf DESC, term) rn
         |  FROM scored)
         |WHERE rn <= 5""".stripMargin,
+    "q_jsonl_robust" ->
+      """WITH r AS (SELECT n_nationkey, n_name,
+        |             row_number() OVER (ORDER BY n_nationkey) - 1 AS i
+        |           FROM nation)
+        |SELECT (CASE WHEN i % 5 = 4 THEN NULL ELSE n_nationkey END)::BIGINT AS n_nationkey,
+        |       CASE WHEN i % 5 = 4 THEN NULL ELSE n_name END AS n_name,
+        |       (i % 5 = 4) AS is_bad,
+        |       CASE WHEN i % 5 = 4 THEN '{"n_nationkey": ' || n_nationkey || ', INVALID' ELSE '' END AS raw_corrupt
+        |FROM r""".stripMargin,
     "q_containment" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |sh AS (SELECT doc_id, list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) gs FROM toks WHERE len(ts) >= 3),

@@ -56,6 +56,25 @@ object Sources {
   def csv(spark: SparkSession, path: String, ddl: String): DataFrame =
     csv(spark, path, StructType.fromDDL(ddl))
 
+  /** JSON lines read PERMISSIVELY with malformed records CAPTURED
+    * instead of dropped: schema fields come back null for a corrupt
+    * line and the raw text lands in `_corrupt` — the crawl-ingestion
+    * contract at 100 TB, where some fraction of every batch is
+    * malformed and silent drops (DROPMALFORMED) or job aborts
+    * (FAILFAST) are both wrong. Explicit schema as everywhere else, so
+    * the analyzed plan (and cache fingerprint) is inference-free. */
+  def jsonPermissive(
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  def jsonPermissive(
+      spark: SparkSession, path: String, ddl: String): DataFrame =
+    jsonPermissive(spark, path, StructType.fromDDL(ddl))
+
   /** ORC with an explicit schema — the other columnar format Spark
     * ships a vectorized reader for; like parquet it carries its own
     * schema, but pinning one keeps the analyzed plan (and thus the

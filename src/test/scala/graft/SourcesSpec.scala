@@ -64,6 +64,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(cached.count() > 0)
   }
 
+  test("permissive JSONL captures malformed lines instead of dropping them") {
+    import org.apache.spark.sql.functions._
+    val path = Fixtures.jsonlMixedNation(spark, TestSpark.sf0001)
+    // cache the parsed result: Spark disallows queries whose referenced
+    // columns reduce to only the corrupt-record column on a raw scan
+    val df = Sources.jsonPermissive(
+      spark, path, "n_nationkey BIGINT, n_name STRING").cache()
+    val total = df.count()
+    val bad = df.filter(col("_corrupt").isNotNull)
+    val good = df.filter(col("_corrupt").isNull)
+    assert(bad.count() == total / 5,
+      "every 5th fixture line is malformed and must be captured, not dropped")
+    assert(bad.filter(col("n_nationkey").isNotNull).count() == 0,
+      "schema fields of a corrupt row are null")
+    assert(good.filter(col("n_nationkey").isNull).count() == 0,
+      "good rows parse fully")
+    assert(bad.filter(not(col("_corrupt").startsWith("{\"n_nationkey\":")))
+      .count() == 0, "_corrupt holds the raw line")
+  }
+
   test("events source converts nanos and feeds the corpus queries") {
     val e = Sources.events(spark, TestSpark.sf0001)
     assert(e.schema("ts").dataType.typeName == "timestamp")
