@@ -216,4 +216,28 @@ class PlanQualitySpec extends AnyFunSuite {
     }.length
     assert(gen <= 2, s"token stream must not re-explode per branch, got $gen generators")
   }
+
+  test("containment pairs cluster fingerprint postings and never go cartesian") {
+    val p = plan(q("q_containment"))
+    assert(p.contains("ObjectHashAggregate"),
+      s"fingerprint postings must cluster via collect_list:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "pair generation must stay posting-local, never all-pairs")
+    // fingerprinting itself is the native expression — no per-shingle
+    // explode before the posting stage beyond the fps explode + the two
+    // pair generators
+    val gen = p.linesIterator.count(_.matches(".*\\bGenerate\\b.*"))
+    assert(gen >= 3, s"expected fps + two pair generators, got $gen")
+  }
+
+  test("permissive JSONL scan reads once with no shuffle") {
+    val p = plan(q("q_jsonl_robust"))
+    assert(!p.contains("Exchange"),
+      s"ingestion projection must be map-only:\n${p.take(2000)}")
+    // formatted explain prints the node once in the tree and once in
+    // the detail section — count the tree entries only
+    assert(p.linesIterator.count(_.matches("\\(\\d+\\) Scan json.*")) == 1,
+      s"exactly one JSON scan:\n${p.take(2000)}")
+  }
 }
