@@ -216,6 +216,9 @@ object functions {
         foldableLong(es(1), "srp_packed_bands", "seed"),
         foldableInt(es(2), "srp_packed_bands", "rowsPerBand"),
         foldableInt(es(3), "srp_packed_bands", "numBands"))),
+    (FunctionIdentifier("entropy_features"),
+      new ExpressionInfo(classOf[EntropyFeatures].getName, "entropy_features"),
+      (es: Seq[Expression]) => EntropyFeatures(es(0))),
     // winnow_fingerprints(text, k, w) — k and w must be foldable ints
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),

@@ -238,8 +238,26 @@ object TextAnalysis {
     * left-to-right, so both engines produce bit-identical doubles;
     * results are rounded (with `+0.0` so a single-word doc's `-0.0`
     * normalizes). Space tokenization so `string_split` oracles tokenize
-    * identically; `split` never yields an empty array, so n ≥ 1. */
+    * identically; `split` never yields an empty array, so n ≥ 1.
+    *
+    * Served by the native one-pass `entropy_features` expression
+    * (tokenize → binary-order sort → run fold in one codegen'd call);
+    * rounding stays Spark's own `round` over the raw double, so the
+    * native and composable forms can never drift in rounding. The fold
+    * chain below ([[entropyFeaturesChain]]) is the spec-pinned
+    * reference. */
   def entropyFeatures(text: Column): Seq[Column] = {
+    val f = graft.functions.EntropyFeatures.entropyFeatures(text)
+    Seq(
+      f.getField("n_words").as("n_words"),
+      f.getField("n_unique").as("n_unique"),
+      round(f.getField("entropy_raw") + lit(0.0), 6).as("entropy"))
+  }
+
+  /** The composable-expression reference form of [[entropyFeatures]]
+    * (one `aggregate` fold; see the no-CSE-in-lambdas notes in
+    * SCALE.md). Spec-pinned bit-identical to the native expression. */
+  def entropyFeaturesChain(text: Column): Seq[Column] = {
     val n = size(split(text, " "))
     def cLog2c(c: Column): Column =
       when(c <= 0, lit(0.0))

@@ -151,6 +151,25 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("native entropy_features equals the fold chain on random spaced text") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val tokenGen = Gen.oneOf(Gen.oneOf("a", "b", "cc", "ddd"),
+      Gen.alphaNumStr.map(_.take(4)), Gen.const(""))
+    val textGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(25, textGen), n = 10) { texts =>
+      val df = texts.toDF("text")
+      val nat = operators.TextAnalysis.entropyFeatures(col("text"))
+      val ch = operators.TextAnalysis.entropyFeaturesChain(col("text"))
+      val bad = df.select(
+        struct(nat: _*).as("a"), struct(ch: _*).as("b"), col("text"))
+        .filter(not(col("a") === col("b")))
+      assert(bad.count() == 0,
+        s"diverged on: ${bad.collect().take(3).mkString(";")}")
+    }
+  }
+
   test("entropy is permutation-invariant and bounded by log2(n_unique)") {
     import org.apache.spark.sql.functions._
     val s = TestSpark.spark
