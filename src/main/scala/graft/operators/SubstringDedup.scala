@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale design:
   *   - chunking is a pure row-local projection (split → slice →
-  *     array_join inside whole-stage codegen), so the within-document
+  *     array_join in one Project over the scan), so the within-document
   *     variant is a map-only pass — fingerprinting 100 TB never
   *     shuffles;
   *   - the corpus-wide variant shuffles each chunk ONCE to elect its
