@@ -198,13 +198,19 @@ object Dedup {
     * is the smallest doc id reachable through the pair graph (itself
     * when un-paired).
     *
-    * Pregel-style driver loop with distributed steps — each round is
-    * (a) one edge join + grouped min (labels flow one hop) and (b) one
-    * label self-join (`rep ← rep(rep)`, the pointer-jumping shortcut
-    * that makes label distance roughly double per round), so
-    * convergence needs O(log diameter) rounds, not diameter rounds —
-    * a 2^maxIter-hop chain fits in the cap. Labels are
-    * `localCheckpoint`ed so the plan doesn't grow with iterations.
+    * Labels are SEEDED with the one-hop neighbor min (a single groupBy
+    * over the edge list — on identity labels the first hop and jump
+    * degenerate to exactly that), then a Pregel-style driver loop runs
+    * distributed rounds — each round is (a) one edge join + grouped min
+    * (labels flow one hop) and (b) one label self-join (`rep ←
+    * rep(rep)`, the pointer-jumping shortcut that makes label distance
+    * roughly double per round), so convergence needs O(log diameter)
+    * rounds, not diameter rounds — a 2^maxIter-hop chain fits in the
+    * cap. Clique-shaped clusters converge at the seed, so the loop runs
+    * one confirming hop and stops (convergence is read off the hop:
+    * symmetric edges make an unchanged hop a proof that labels are the
+    * exact component minima). Labels are `localCheckpoint`ed so the
+    * plan doesn't grow with iterations.
     * Exhausting the cap THROWS instead of returning non-minimal
     * representatives: a silent partial answer here would let near-dups
     * straddle train/test in [[graft.operators.Splits]] — the exact
@@ -222,13 +228,25 @@ object Dedup {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = ids.select(col("doc_id"), col("doc_id").as("rep"))
-      .localCheckpoint(true)
+    val edgesMat = Materialize.checkpoint(edges)
+    // Seed with the one-hop neighbor min: while labels are still the
+    // identity, min(neighbor labels) is just min(neighbor ids), so the
+    // whole first round collapses to one groupBy over the edge list —
+    // no hop join, no jump join (rep(rep) = rep on identity labels).
+    // On clique-shaped duplicate clusters (the common case: every copy
+    // pairs with every copy) the seed IS the fixpoint and the loop
+    // below runs exactly one confirming hop.
+    val seedMin = edgesMat.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("nmin"))
+    var labels = ids.select(col("doc_id"))
+      .join(seedMin, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        least(col("doc_id"), coalesce(col("nmin"), col("doc_id"))).as("rep"))
+    labels = Materialize.checkpoint(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      val neighborMin = edges
+      val neighborMin = edgesMat
         .join(labels, col("dst") === col("doc_id"))
         .groupBy("src")
         .agg(min("rep").as("nmin"))
@@ -239,21 +257,28 @@ object Dedup {
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.rep"), coalesce(col("nmin"), col("l.rep"))).as("rep"),
           col("l.rep").as("prev_rep"))
-        // Materialized so the self-join below reads it, not the hop
-        // join twice.
-        .localCheckpoint(true)
-      // Pointer jump: rep ← rep(rep). Every label is itself a doc id,
-      // so the lookup is a self-join on the label table; labels only
-      // decrease, hence rep(rep) ≤ rep and `least` is for safety only.
-      val updated = hopped.as("u")
-        .join(hopped.select(col("doc_id").as("__jid"), col("rep").as("__jrep")),
-          col("u.rep") === col("__jid"), "left")
-        .select(col("u.doc_id").as("doc_id"),
-          least(col("u.rep"), coalesce(col("__jrep"), col("u.rep"))).as("rep"),
-          col("u.prev_rep").as("prev_rep"))
-        .localCheckpoint(true)
-      converged = updated.filter(col("rep") =!= col("prev_rep")).isEmpty
-      labels = updated.drop("prev_rep")
+      // Materialized so the convergence read and the self-join below
+      // both hit this, not the hop join twice.
+      val hoppedMat = Materialize.checkpoint(hopped)
+      // Convergence is decidable on the HOP alone: edges are symmetric,
+      // so an unchanged hop means rep(v) <= rep(u) in both directions of
+      // every edge -> rep is constant per component, and since rep(v)
+      // <= v with the component min m giving rep(m) <= m, that constant
+      // is exactly m. Checking here (not after the jump) makes the last
+      // round 1 join + 1 scan instead of 2 joins + 1 scan.
+      converged = hoppedMat.filter(col("rep") =!= col("prev_rep")).isEmpty
+      if (converged) {
+        labels = hoppedMat.drop("prev_rep")
+      } else {
+        // Pointer jump: rep ← rep(rep). Every label is itself a doc id,
+        // so the lookup is a self-join on the label table; labels only
+        // decrease, hence rep(rep) ≤ rep and `least` is for safety only.
+        labels = Materialize.checkpoint(hoppedMat.as("u")
+          .join(hoppedMat.select(col("doc_id").as("__jid"), col("rep").as("__jrep")),
+            col("u.rep") === col("__jid"), "left")
+          .select(col("u.doc_id").as("doc_id"),
+            least(col("u.rep"), coalesce(col("__jrep"), col("u.rep"))).as("rep")))
+      }
       iter += 1
     }
     if (!converged) {
@@ -278,7 +303,7 @@ object Dedup {
     // Materialized once: the exact-dedup survivor set feeds the MinHash
     // signatures, BOTH sides of the verify join, and the component ids —
     // without this the window-dedup recomputes three times.
-    val exact = dropExactDuplicates(df, textCol, idCol).localCheckpoint(true)
+    val exact = Materialize.checkpoint(dropExactDuplicates(df, textCol, idCol))
     val pairs = nearDupPairs(exact, idCol, textCol, k, threshold = threshold)
       .select("id_a", "id_b")
     val reps = nearDupComponents(exact.select(col(idCol).as("doc_id")), pairs)

@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** The materialization primitive behind the iterative/two-pass operators
+  * ([[Dedup.nearDupComponents]], [[Packing]], [[Splits]]): pins a
+  * DataFrame's contents so (a) loop plans don't grow with iterations and
+  * (b) both passes of a prefix-sum read the SAME sampled range
+  * partitioning.
+  *
+  * `spark.graft.checkpoint` selects the storage:
+  *
+  *  - `local` (default): `localCheckpoint(eager = true)` — blocks live
+  *    in executor storage only. Fastest, and right for single-node /
+  *    short jobs, but NOT fault-tolerant: lineage is truncated, so on a
+  *    large cluster one lost executor mid-loop aborts the job
+  *    unrecoverably (Spark's own WARN: "lineage has been truncated and
+  *    cannot be recomputed").
+  *  - `reliable`: `checkpoint(eager = true)` against the cluster's
+  *    checkpoint directory (`sparkContext.setCheckpointDir`, an
+  *    HDFS/object-store path in production). Survives executor loss —
+  *    the setting to run with at 100 TB, where some executor loss per
+  *    hour is the expected case, not the exception.
+  */
+object Materialize {
+
+  val ConfKey = "spark.graft.checkpoint"
+
+  def checkpoint(df: DataFrame): DataFrame =
+    df.sparkSession.conf.get(ConfKey, "local") match {
+      case "local" => df.localCheckpoint(eager = true)
+      case "reliable" =>
+        require(
+          df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          s"$ConfKey=reliable requires sparkContext.setCheckpointDir(...) " +
+            "to point at fault-tolerant storage (HDFS/object store)")
+        df.checkpoint(eager = true)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$ConfKey must be 'local' or 'reliable', got '$other'")
+    }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Process-level cache for fitted spark.ml models (the LSH random-plane
+  * draw in [[Similarity.annCosineTopK]]/[[Similarity.annCosinePairs]],
+  * the IVF coarse quantizer in [[Similarity.ivfCosineTopK]]).
+  *
+  * A fitted model is a pure function of (input data, hyper-parameters,
+  * seed) — refitting it on every query execution repeats a full
+  * distributed pass (KMeans) or a schema-probe job + plane draw (LSH)
+  * for a bit-identical result. Keyed on the input's ANALYZED-PLAN
+  * fingerprint ([[graft.PlanFingerprint.getQueryPlan]] — stable across
+  * re-created DataFrames over the same source, insensitive to expression
+  * ids) plus every parameter that feeds the fit.
+  *
+  * Same-session mutation of an input path is the cache-invalidation gap
+  * (exactly [[graft.Freshness]]'s territory for the table cache) —
+  * `spark.graft.modelCache=false` opts out, and a changed path, seed or
+  * parameter changes the key. Bounded: models are a few KB (planes /
+  * centroids), corpora per process are few.
+  */
+object ModelCache {
+
+  val ConfKey = "spark.graft.modelCache"
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+
+  /** Fingerprint of the DataFrame a model is fit on: analyzed plan
+    * (normalized) — two DataFrames reading the same source through the
+    * same transformations share it. */
+  def inputKey(df: DataFrame): String =
+    graft.PlanFingerprint.md5Hex(graft.PlanFingerprint.getQueryPlan(df))
+
+  /** Return the cached model for `key`, or run `fit` once and cache it.
+    * With `spark.graft.modelCache=false` always refits (and does not
+    * populate the cache). */
+  def getOrFit[M <: AnyRef](df: DataFrame, params: String)(fit: => M): M = {
+    val enabled =
+      df.sparkSession.conf.get(ConfKey, "true").equalsIgnoreCase("true")
+    if (!enabled) fit
+    else {
+      val key = inputKey(df) + "|" + params
+      cache.computeIfAbsent(key, _ => fit).asInstanceOf[M]
+    }
+  }
+
+  /** Test hook. */
+  private[graft] def clear(): Unit = cache.clear()
+  private[graft] def size: Int = cache.size()
+}

@@ -39,10 +39,9 @@ object Packing {
     // the final running-sum job must see the SAME partition boundaries
     // (RangePartitioner samples its bounds, so two executions of the
     // lineage could differ).
-    val ranged = df
+    val ranged = Materialize.checkpoint(df
       .repartitionByRange(numPartitions, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
     // Pass 1: one row per partition — O(numPartitions) driver state.
     // Nulls count as 0 here (an all-null partition must yield total 0,
     // not a driver-side NPE on getLong) — consistent with the window
@@ -98,23 +97,60 @@ object Packing {
     * distributed prefix sum — a global row_number would be one task);
     * consuming the union in `pos` order yields each source at its
     * weight's rate. Sources must share the id/output schema produced
-    * here: (source, rid, pos). */
+    * here: (source, rid, pos).
+    *
+    * ONE pass over the tagged union: range-partition by (source, id) so
+    * each partition holds a contiguous slice of one or two sources, take
+    * per-(source, partition) counts in a single O(sources × partitions)
+    * driver collect, and add the broadcast offsets to a per-partition
+    * row_number. The per-source `runningTotal` formulation this replaced
+    * materialized and collected once PER SOURCE — three jobs and three
+    * checkpoints for a three-way mix, now one of each. */
   def weightedMix(
       sources: Seq[(String, DataFrame, Double)],
       idCol: String,
       numPartitions: Int = 32): DataFrame = {
     require(sources.nonEmpty, "need at least one source")
     require(sources.forall(_._3 > 0), "weights must be positive")
-    sources
-      .map { case (tag, df, weight) =>
-        runningTotal(
-          df.select(col(idCol)).withColumn("__one", lit(1)),
-          idCol, "__one", numPartitions)
-          .select(
-            lit(tag).as("source"),
-            col(idCol).cast("long").as("rid"),
-            (col("__cum").cast("double") / lit(weight)).as("pos"))
+    require(sources.map(_._1).distinct.size == sources.size,
+      "source tags must be unique")
+    val tagged = sources
+      .map { case (tag, df, _) =>
+        df.select(lit(tag).as("__src"), col(idCol).cast("long").as("rid"))
       }
       .reduce(_ unionByName _)
+    val ranged = Materialize.checkpoint(tagged
+      .repartitionByRange(numPartitions, col("__src"), col("rid"))
+      .withColumn("__pid", spark_partition_id()))
+    // Pass 1: O(sources × partitions) driver rows.
+    val counts = ranged
+      .groupBy("__src", "__pid")
+      .agg(count(lit(1)).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    val offsets: Map[(String, Int), Long] = counts.map { case ((s, p), _) =>
+      (s, p) -> counts.collect { case ((s2, p2), c) if s2 == s && p2 < p => c }.sum
+    }
+    // Separator byte: a bare concat would alias ("a", 11) with ("a1", 1).
+    val sep = "\u0001"
+    val offsetKey = concat_ws(sep, col("__src"), col("__pid"))
+    val offsetMap =
+      if (offsets.isEmpty) lit(0L) // unused; keeps map() non-empty
+      else map(offsets.toSeq.sortBy(_._1)
+        .flatMap { case ((s, p), o) => Seq(lit(s"$s$sep$p"), lit(o)) }: _*)
+    val weightMap = map(sources
+      .flatMap { case (tag, _, w) => Seq(lit(tag), lit(w)) }: _*)
+    // Pass 2: per-(source, partition) row_number — parallel across all
+    // partitions, never a global single-task window.
+    val w = Window.partitionBy("__src", "__pid").orderBy("rid")
+    ranged
+      .withColumn("__rank",
+        row_number().over(w).cast("long") +
+          (if (offsets.isEmpty) lit(0L)
+           else coalesce(element_at(offsetMap, offsetKey), lit(0L))))
+      .select(col("__src").as("source"), col("rid"),
+        (col("__rank").cast("double") / element_at(weightMap, col("__src")))
+          .as("pos"))
   }
 }

@@ -30,24 +30,33 @@ object Quality {
       approx: DataFrame,
       qidCol: String,
       idCol: String): DataFrame = {
-    val ex = exact.select(col(qidCol), col(idCol))
-    val hit = ex.join(
-      approx.select(col(qidCol), col(idCol)), Seq(qidCol, idCol), "leftsemi")
-    // Two 1-row aggregates crossed — a broadcast of one row, not a
-    // data-sized cartesian.
-    ex.agg(count_distinct(col(qidCol)).as("n_q"), count(lit(1)).as("n_exact"))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    // ONE pass over the exact side: a deduped hit-marker left join + a
+    // single aggregate. The semi-join + crossed-aggregates formulation
+    // this replaced referenced `exact` twice, so the expensive exact
+    // pipeline (a full brute-force top-k) executed twice per run.
+    // The dedup keeps the left join row-preserving (top-k/pair outputs
+    // are already distinct per key; this makes it a contract).
+    val ap = approx.select(col(qidCol), col(idCol))
+      .dropDuplicates(qidCol, idCol)
+      .withColumn("__hit", lit(1))
+    exact.select(col(qidCol), col(idCol))
+      .join(ap, Seq(qidCol, idCol), "left")
+      .agg(count_distinct(col(qidCol)).as("n_q"), count(lit(1)).as("n_exact"),
+        count(col("__hit")).as("n_hit"))
   }
 
   /** One row `(n_exact, n_hit)` for undirected pair sets `(id_a, id_b)`
     * (both inputs must use the same a < b orientation, as every graft
     * pair operator does). */
   def pairRecallCounts(exact: DataFrame, approx: DataFrame): DataFrame = {
-    val ex = exact.select(col("id_a"), col("id_b"))
-    val hit = ex.join(
-      approx.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"), "leftsemi")
-    ex.agg(count(lit(1)).as("n_exact"))
-      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+    // Same one-pass shape as [[topKRecallCounts]] — the exact pair
+    // pipeline is the expensive side and is referenced exactly once.
+    val ap = approx.select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("__hit", lit(1))
+    exact.select(col("id_a"), col("id_b"))
+      .join(ap, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
   }
 
   /** `n_hit / n_exact ≥ bps/10000`, in overflow-safe integer

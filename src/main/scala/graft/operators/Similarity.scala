@@ -167,18 +167,23 @@ object Similarity {
     // capped iterations, and the fit runs on a SAMPLE in few partitions
     // — at 100 TB fitting the quantizer on the full corpus is never the
     // plan; only the one-pass cell ASSIGNMENT below must see every row.
-    val fitInput =
-      (if (fitSampleFraction < 1.0)
-         corpusU.sample(withReplacement = false, fitSampleFraction, seed)
-       else corpusU)
-        .select("__unit").coalesce(8).cache()
-    val km = new KMeans()
-      .setK(nLists).setSeed(seed).setMaxIter(maxIter)
-      .setInitMode("random")
-      .setFeaturesCol("__unit").setPredictionCol("__cell")
-    val model =
+    // The quantizer is a pure function of (corpus, params, seed): fit it
+    // once per process and reuse across executions (ModelCache) — every
+    // refit is a full sampled KMeans job for bit-identical centroids.
+    val model = ModelCache.getOrFit[org.apache.spark.ml.clustering.KMeansModel](
+      corpusU, s"ivf|$nLists|$seed|$maxIter|$fitSampleFraction") {
+      val fitInput =
+        (if (fitSampleFraction < 1.0)
+           corpusU.sample(withReplacement = false, fitSampleFraction, seed)
+         else corpusU)
+          .select("__unit").coalesce(8).cache()
+      val km = new KMeans()
+        .setK(nLists).setSeed(seed).setMaxIter(maxIter)
+        .setInitMode("random")
+        .setFeaturesCol("__unit").setPredictionCol("__cell")
       try km.fit(fitInput)
       finally fitInput.unpersist(blocking = false)
+    }
     val assigned = model.transform(corpusU)
       .select(col(idCol), col(vecCol), col("__cell"))
     // Tiny centroid table: (cell, centroid) — broadcast everywhere.
@@ -297,10 +302,17 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val corpusU = unitVectors(corpus, vecCol).select(col(idCol).as("__idb"), col("__unit"))
     val queriesU = unitVectors(queries, qvecCol).select(col(qidCol).as("__ida"), col("__unit"))
-    val brp = new BucketedRandomProjectionLSH()
-      .setInputCol("__unit").setOutputCol("__hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
-    val model = brp.fit(corpusU)
+    // fit() here is a schema-probe job + a seeded plane draw — identical
+    // every time for the same (corpus, params); cache it per process.
+    val model = ModelCache
+      .getOrFit[org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel](
+        corpusU, s"brp|$numHashTables|$bucketLength|$seed") {
+        new BucketedRandomProjectionLSH()
+          .setInputCol("__unit").setOutputCol("__hashes")
+          .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+          .setSeed(seed)
+          .fit(corpusU)
+      }
     val maxEuclid = math.sqrt(2.0 * maxCosDist)
     model
       .approxSimilarityJoin(queriesU, corpusU, maxEuclid, "euclid")
@@ -328,10 +340,15 @@ object Similarity {
       seed: Long = 42L): DataFrame = {
     val corpusU = unitVectors(corpus, vecCol).select(col(idCol), col("__unit"))
     val queriesU = unitVectors(queries, qvecCol).select(col(qidCol), col("__unit"))
-    val brp = new BucketedRandomProjectionLSH()
-      .setInputCol("__unit").setOutputCol("__hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables).setSeed(seed)
-    val model = brp.fit(corpusU)
+    val model = ModelCache
+      .getOrFit[org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel](
+        corpusU, s"brp|$numHashTables|$bucketLength|$seed") {
+        new BucketedRandomProjectionLSH()
+          .setInputCol("__unit").setOutputCol("__hashes")
+          .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+          .setSeed(seed)
+          .fit(corpusU)
+      }
     // cos = 1 - d^2/2 on unit vectors => d = sqrt(2*(1-cos))
     val maxEuclid = math.sqrt(2.0 * maxCosDist)
     val joined = model

@@ -69,11 +69,10 @@ object Splits {
       fracDen: Int,
       numPartitions: Int = 32): DataFrame = {
     require(fracNum > 0 && fracDen > 0, "fraction must be positive")
-    val ranged = df
+    val ranged = Materialize.checkpoint(df
       .withColumn("__rank", rankCol)
       .repartitionByRange(numPartitions, col(stratumCol), col("__rank"), col(tieCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
     // Pass 1: O(partitions + strata) driver rows.
     val counts = ranged
       .groupBy("__pid", stratumCol)

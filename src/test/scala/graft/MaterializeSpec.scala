@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Materialize, Packing}
+
+/** The checkpoint-mode switch behind the iterative operators:
+  * `spark.graft.checkpoint=local` (default, executor-storage
+  * localCheckpoint) vs `reliable` (setCheckpointDir + checkpoint —
+  * survives executor loss, the 100 TB setting; see SCALE.md). */
+class MaterializeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def withMode[T](mode: String)(body: => T): T = {
+    val prev = spark.conf.getOption(Materialize.ConfKey)
+    spark.conf.set(Materialize.ConfKey, mode)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(Materialize.ConfKey, v)
+      case None => spark.conf.unset(Materialize.ConfKey)
+    }
+  }
+
+  test("reliable mode requires a checkpoint dir, then runs the " +
+    "components loop end-to-end") {
+    val ids = (1L to 8L).toDF("doc_id")
+    // (1,2,3) a triangle, (4,5) a pair, 6-8 singletons.
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L))
+      .toDF("id_a", "id_b")
+    withMode("reliable") {
+      val prevDir = spark.sparkContext.getCheckpointDir
+      spark.sparkContext.setCheckpointDir(null.asInstanceOf[String])
+      intercept[IllegalArgumentException] {
+        Materialize.checkpoint(ids)
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+      spark.sparkContext.setCheckpointDir(dir)
+      try {
+        val reps = Dedup.nearDupComponents(ids, pairs)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+          5L -> 4L, 6L -> 6L, 7L -> 7L, 8L -> 8L))
+        // Reliable checkpoints actually landed in the directory.
+        val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          .filter(java.nio.file.Files.isRegularFile(_)).count()
+        assert(files > 0, "expected checkpoint files on disk")
+      } finally prevDir.foreach(spark.sparkContext.setCheckpointDir)
+    }
+  }
+
+  test("reliable mode gives the same weightedMix as local") {
+    val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+    def mix() = Packing.weightedMix(Seq(("a", docs, 0.6), ("b", docs, 0.4)),
+      "doc_id")
+      .orderBy("source", "rid")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val local = withMode("local")(mix())
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt2").toString
+    val prevDir = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = withMode("reliable")(mix())
+      assert(local.sameElements(reliable))
+    } finally prevDir.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
+  test("unknown mode is rejected loudly") {
+    withMode("turbo") {
+      intercept[IllegalArgumentException] {
+        Materialize.checkpoint(Seq(1).toDF("x"))
+      }
+    }
+  }
+}
