@@ -98,6 +98,10 @@ object Bench {
 
     val timings = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Per-query relative spread (max−min)/median across the 3 runs —
+    // recorded in BENCH_DETAIL so a cross-round delta can be read
+    // against the query's own run-to-run noise instead of guessed at.
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // Median-of-3 per query: this host shows up to ±25% run-to-run
     // noise on the join-heavy queries; the median is robust to a single
@@ -129,7 +133,11 @@ object Bench {
       }
       // A failed query reports ONLY its error — a median over runs that
       // include the aborted attempt would record a misleading timing.
-      if (err.isEmpty) timings(name) = runs.sorted.apply((runs.size - 1) / 2)
+      if (err.isEmpty) {
+        val med = runs.sorted.apply((runs.size - 1) / 2)
+        timings(name) = med
+        if (med > 0) spreads(name) = (runs.max - runs.min) / med
+      }
       err.foreach(errors(name) = _)
     }
 
@@ -160,8 +168,10 @@ object Bench {
     // Full per-query detail — every timing at 3 decimals plus every
     // error — goes to a file; the stdout line can't carry it (below).
     val detailPath = "BENCH_DETAIL.json"
+    val spreadJson = spreads.map { case (k, v) => s"${jsonStr(k)}:${f"$v%.3f"}" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
 

@@ -51,24 +51,37 @@ object Freshness {
         .findCatalogTablePattern(plan, cfg.cacheDatabase, "data_")
         .isDefined) return ListMap.empty
 
-    val inputFiles: Array[String] =
-      try df.inputFiles
-      catch {
-        case e: Throwable if Option(e.getMessage)
-              .exists(_.contains("SCHEMA_CHANGE")) =>
-          // Delta-style schema change since analysis forces invalidation
-          // (reference core_caching.py:258-269).
-          return ListMap(
-            SchemaChangedPlaceholder -> LocalDateTime
-              .now(ZoneOffset.UTC)
-              .format(TsFormat))
-        case _: Throwable => return ListMap.empty
-      }
+    val inputFiles: Array[String] = inputFilesSafe(df.inputFiles) match {
+      case Left(special) => return special
+      case Right(files) => files
+    }
     if (inputFiles.isEmpty) return ListMap.empty
 
     dirModTimesForFiles(inputFiles,
       df.sparkSession.sparkContext.hadoopConfiguration)
   }
+
+  /** `inputFiles` fetch with the reference's error contract
+    * (`core_caching.py:258-269`): a Delta-style "schema changed since
+    * analysis" error maps to `Left(Map(SchemaChangedPlaceholder → now))`
+    * — a freshness value no cache entry can ever match, forcing
+    * invalidation — and any other failure maps to `Left(empty)` (treat
+    * as unknown source). Extracted so the Delta branch is testable in a
+    * build with no Delta jar (`FreshnessSpec` pins all three outcomes);
+    * the error-code match is on the message substring, exactly what
+    * `DELTA_SCHEMA_CHANGE_SINCE_ANALYSIS` carries on a real cluster. */
+  private[graft] def inputFilesSafe(
+      fetch: => Array[String]): Either[ListMap[String, String], Array[String]] =
+    try Right(fetch)
+    catch {
+      case e: Throwable if Option(e.getMessage)
+            .exists(_.contains("SCHEMA_CHANGE")) =>
+        Left(ListMap(
+          SchemaChangedPlaceholder -> LocalDateTime
+            .now(ZoneOffset.UTC)
+            .format(TsFormat)))
+      case _: Throwable => Left(ListMap.empty)
+    }
 
   /** Dir-level mod-time map for an explicit file list — the core of
     * [[inputDirModTimes]], also used when fingerprinting logical-plan

@@ -78,10 +78,26 @@ object PlanFingerprint {
         log(
           "UDF detected in query plan, cache invalidation for UDF code " +
             "not implemented!")
+      // Photon plan-note passthrough (reference `core_caching.py:320-321`):
+      // surface the runtime's "not fully supported" explanation so a user
+      // caching on a Photon cluster sees why the cached query may run on
+      // the non-Photon path. Unreachable locally (no Photon) — parity by
+      // inspection, pinned by PlanStabilitySpec on synthetic plan text.
+      photonNote(raw).foreach(note =>
+        log(s"Photon limitations might affect caching:\n$note"))
       clean(raw)
     } catch {
       case e: Throwable => s"Error: ${e.getMessage}"
     }
+
+  /** The Photon "not fully supported" explanation embedded in a plan
+    * text, if present (reference `core_caching.py:320-321`): everything
+    * after the marker sentence. */
+  private[graft] def photonNote(planText: String): Option[String] = {
+    val marker = "Photon does not fully support the query because:"
+    val i = planText.indexOf(marker)
+    if (i < 0) None else Some(planText.substring(i + marker.length))
+  }
 
   /** Cleaned extended-explain text (all four sections) — the input to
     * the keyword cost model, which the reference counts over the full

@@ -188,13 +188,37 @@ object Queries {
     //     RNG streams differ across engines by design, README.md:199) ---
     "q_sample" -> ((s, d) =>
       t(s, d, "lineitem").sample(withReplacement = false, 0.1, 42)
-        .select("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber")),
+    // --- q_sample's quality companion (the RNG stream itself stays
+    //     engine-specific): the sampled row count sits inside 4-sigma
+    //     binomial bounds around p·n, and re-sampling with the same seed
+    //     over the same partitioning returns the IDENTICAL multiset
+    //     (equal counts + empty exceptAll). Both booleans are
+    //     deterministic for the fixed seed, so the oracle gates them. ---
+    "q_sample_bounds" -> { (s, d) =>
+      val li = t(s, d, "lineitem").select("l_orderkey", "l_linenumber")
+      val p = 0.1
+      val s1 = li.sample(withReplacement = false, p, 42)
+      val s2 = li.sample(withReplacement = false, p, 42)
+      li.agg(count(lit(1)).as("n_total"))
+        .crossJoin(s1.agg(count(lit(1)).as("__n1")))
+        .crossJoin(s2.agg(count(lit(1)).as("__n2")))
+        .crossJoin(s1.exceptAll(s2).agg(count(lit(1)).as("__ndiff")))
+        .select(col("n_total"),
+          (abs(col("__n1") - col("n_total") * p) <=
+            sqrt(col("n_total") * p * (1 - p)) * 4 + 1).as("bounds_ok"),
+          (col("__n1") === col("__n2") && col("__ndiff") === 0)
+            .as("deterministic"))
+    }
   )
 
   /** DuckDB equivalents. Aggregate result types are cast to match Spark
     * (`count` → BIGINT on both; DuckDB `sum(BIGINT)` is HUGEINT and
     * `row_number()`/`year()` are BIGINT, so those are cast down). */
   val oracles: Map[String, String] = Map(
+    "q_sample_bounds" ->
+      """SELECT count(*) AS n_total, TRUE AS bounds_ok,
+        |  TRUE AS deterministic FROM lineitem""".stripMargin,
     "q_scan" -> "SELECT r_regionkey, r_name FROM region",
     "q_sql_scan" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_regionkey IN (0, 1)",

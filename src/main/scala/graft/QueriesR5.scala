@@ -111,7 +111,11 @@ object QueriesR5 {
     //     banded candidate set must equal the brute-force hamming <= 3
     //     pair set EXACTLY (bps=10000 = no miss at all). The signature
     //     is engine-specific, so the exact side is computed in-Spark
-    //     and only the completeness verdict is driver-gated. ---
+    //     and only the completeness verdict is driver-gated. The exact
+    //     side is an INTENTIONAL brute-force crossJoin — the only
+    //     all-pairs join in the corpus, bounded to quality-gate scale
+    //     factors by design (the production path is the banded
+    //     simHashNearDupPairs alone; see SCALE.md caveats). ---
     "q_simhash_complete" -> { (s, d) =>
       val docs = t(s, d, "documents")
       val sig = operators.Dedup.simHash64(docs, "doc_id", "text")

@@ -200,16 +200,25 @@ object Similarity {
       .withColumn("__cellrank", row_number().over(wCell))
       .filter(col("__cellrank") <= nProbe)
       .select(col(qidCol), col(qvecCol), col("__cell"))
-    // Exact rerank inside the probed cells only.
+    // Exact rerank inside the probed cells only — via the partial-
+    // aggregating TopKAggregator (same contract as bruteForceTopKAgg:
+    // ranked by (sim desc, id asc)), so each map task forwards ≤ k
+    // candidates per query instead of shipping every scored row of a
+    // query to one window task.
     val scored = assigned
       .join(broadcast(probed), Seq("__cell"))
       .filter(col(idCol) =!= col(qidCol))
       .withColumn("sim", round(cosine(col(qvecCol), col(vecCol)), 6))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
+    val topk = graft.functions.TopKAggregator.topK(k)
     scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(qidCol), col(idCol), col("sim"), col("rn"))
+      .groupBy(col(qidCol))
+      .agg(topk(col(idCol), col("sim")).as("top"))
+      .select(col(qidCol), posexplode(col("top")))
+      .select(
+        col(qidCol),
+        col("col._1").as(idCol),
+        col("col._2").as("sim"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 
   /** Signed-random-projection (SRP) LSH near-dup pairs with EXACT
@@ -358,10 +367,18 @@ object Similarity {
         col(s"datasetA.$qidCol").as(qidCol),
         col(s"datasetB.$idCol").as(idCol),
         round(lit(1.0) - col("euclid") * col("euclid") / 2.0, 6).as("sim"))
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol).asc)
+    // Partial-aggregating top-k (ranked by (sim desc, id asc), same
+    // contract as the window form): ≤ k candidate rows per query cross
+    // the exchange instead of every bucket-join survivor.
+    val topk = graft.functions.TopKAggregator.topK(k)
     joined
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(qidCol), col(idCol), col("sim"), col("rn"))
+      .groupBy(col(qidCol))
+      .agg(topk(col(idCol), col("sim")).as("top"))
+      .select(col(qidCol), posexplode(col("top")))
+      .select(
+        col(qidCol),
+        col("col._1").as(idCol),
+        col("col._2").as("sim"),
+        (col("pos") + 1).cast("int").as("rn"))
   }
 }

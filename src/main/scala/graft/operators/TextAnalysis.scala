@@ -125,21 +125,16 @@ object TextAnalysis {
     * The hash is `fold(chars, 0, h*257+cp mod 1e9+7)` over the shingle's
     * characters — pure 64-bit integer arithmetic (max intermediate
     * ≈ 2.6e11), so any engine reproduces it bit-for-bit; no xxhash64 /
-    * md5 dependence. Entirely row-local (one projection, no shuffle):
-    * shingle → hash → window-min → distinct all happen inside the row's
-    * array.
+    * md5 dependence.
     *
-    * Window-min is a zip_with SHIFT CHAIN (elementwise `least` of the
-    * w shifted copies), not `transform(…, i => array_min(slice(hashes,
-    * i, w)))`: interpreted lambda eval has no common-subexpression
-    * elimination, so a lambda referencing `hashes` would recompute the
-    * whole rolling-hash array once per WINDOW — O(tokens²·chars) per
-    * row. As zip_with arguments the shifted slices are evaluated once
-    * per level: O(w · tokens · chars) per row, linear in document
-    * length. `least` skips the nulls zip_with pads with, and partial
-    * tail windows are cut by the final slice, so the selected minima
-    * are identical to the slice+array_min formulation (oracle
-    * unchanged). */
+    * Returns the native fused
+    * [[graft.functions.WinnowFingerprints]] expression: tokenize →
+    * rolling-hash → window-min → distinct in ONE codegen'd pass over
+    * the raw UTF8String — entirely row-local (a projection, no
+    * shuffle), no intermediate shingle/hash arrays (13.4 s interpreted
+    * chain → 0.22 s at sf0.1). [[winnowFingerprintsChain]] +
+    * [[windowMinDistinct]] keep the composable-expression reference
+    * form, spec-pinned bit-identical. */
   def winnowFingerprints(text: Column, k: Int = 3, w: Int = 4): Column =
     graft.functions.WinnowFingerprints.winnowFingerprints(text, k, w)
 
@@ -163,11 +158,23 @@ object TextAnalysis {
   }
 
   /** Distinct window-minima of `hashes` (window width `w`) — the
-    * winnowing selection step. Pass a MATERIALIZED column: each shift
-    * level evaluates `hashes` once more, and interpreted eval has no
-    * common-subexpression elimination, so an inline expression is
-    * recomputed w+1 times (measured 13 s for q_winnow at sf0.1 vs
-    * sub-second with the pre-projected column). */
+    * winnowing selection step. Window-min is a zip_with SHIFT CHAIN
+    * (elementwise `least` of the w shifted copies), not `transform(…,
+    * i => array_min(slice(hashes, i, w)))`: interpreted lambda eval has
+    * no common-subexpression elimination, so a lambda referencing
+    * `hashes` would recompute the whole rolling-hash array once per
+    * WINDOW — O(tokens²·chars) per row. As zip_with arguments the
+    * shifted slices are evaluated once per level: O(w · tokens · chars)
+    * per row, linear in document length. `least` skips the nulls
+    * zip_with pads with, and partial tail windows are cut by the final
+    * slice, so the selected minima are identical to the slice+array_min
+    * formulation (oracle unchanged).
+    *
+    * Pass a MATERIALIZED column: each shift level evaluates `hashes`
+    * once more, and interpreted eval has no common-subexpression
+    * elimination, so an inline expression is recomputed w+1 times
+    * (measured 13 s for q_winnow at sf0.1 vs sub-second with the
+    * pre-projected column). */
   def windowMinDistinct(hashes: Column, w: Int): Column = {
     require(w >= 1, "window must be positive")
     val chain = (1 until w).foldLeft(hashes) { (acc, j) =>

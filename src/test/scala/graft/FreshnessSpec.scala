@@ -74,4 +74,25 @@ class FreshnessSpec extends AnyFunSuite {
       Seq(org.apache.spark.sql.Row(7, "x")), "id INT, v STRING")
     assert(Freshness.inputDirModTimes(df).isEmpty)
   }
+
+  test("Delta schema-change errors force invalidation; other errors mean unknown source") {
+    // The reference's Delta branch (core_caching.py:258-269), pinned
+    // without a Delta jar: the real error carries the
+    // DELTA_SCHEMA_CHANGE_SINCE_ANALYSIS code in its message.
+    val delta = Freshness.inputFilesSafe(throw new RuntimeException(
+      "[DELTA_SCHEMA_CHANGE_SINCE_ANALYSIS] The schema of your Delta " +
+        "table has changed in an incompatible way"))
+    assert(delta.isLeft)
+    assert(delta.swap.toOption.get.keySet ==
+      Set(Freshness.SchemaChangedPlaceholder),
+      "schema change must map to the invalidation placeholder")
+    // Any other inputFiles failure: unknown source, empty map (no
+    // placeholder, no throw).
+    val other = Freshness.inputFilesSafe(
+      throw new RuntimeException("FileNotFoundException: gone"))
+    assert(other == Left(scala.collection.immutable.ListMap.empty))
+    // Success passes the file list through untouched.
+    assert(Freshness.inputFilesSafe(Array("f1", "f2")) == Right(Array("f1", "f2")) ||
+      Freshness.inputFilesSafe(Array("f1", "f2")).toOption.get.toList == List("f1", "f2"))
+  }
 }

@@ -226,9 +226,12 @@ class PlanQualitySpec extends AnyFunSuite {
       "pair generation must stay posting-local, never all-pairs")
     // fingerprinting itself is the native expression — no per-shingle
     // explode before the posting stage beyond the fps explode + the two
-    // pair generators
-    val gen = p.linesIterator.count(_.matches(".*\\bGenerate\\b.*"))
-    assert(gen >= 3, s"expected fps + two pair generators, got $gen")
+    // pair generators. Exact pin: a lower bound could not catch a
+    // reintroduced per-shingle Generate (it would only ADD generators).
+    // Formatted explain prints each node in the tree and again in the
+    // detail section — count the numbered tree entries only.
+    val gen = p.linesIterator.count(_.matches("\\s*(:?[+-]\\s)?\\(\\d+\\) Generate\\b.*"))
+    assert(gen == 3, s"expected exactly fps + two pair generators, got $gen")
   }
 
   test("permissive JSONL scan reads once with no shuffle") {

@@ -31,6 +31,20 @@ class PlanStabilitySpec extends AnyFunSuite {
     assert(PlanFingerprint.md5Hex(p1) == PlanFingerprint.md5Hex(p2))
   }
 
+  test("Photon plan note is extracted only when the full marker is present") {
+    // Parity with the reference's Photon-limitation log passthrough
+    // (core_caching.py:320-321) - unreachable on a local session (no
+    // Photon), so pinned on synthetic plan text.
+    val note = PlanFingerprint.photonNote(
+      "== Physical Plan ==\nPhoton does not fully support the query " +
+        "because: expression Xyz is not supported")
+    assert(note.contains(" expression Xyz is not supported"))
+    assert(PlanFingerprint.photonNote("ordinary plan text").isEmpty)
+    // A normal local plan never carries the marker and getQueryPlan
+    // stays well-formed.
+    assert(!PlanFingerprint.getQueryPlan(freshAgg()).contains("Photon"))
+  }
+
   test("no volatile markers survive cleaning") {
     val p = PlanFingerprint.getQueryPlan(freshAgg())
     assert(!p.contains("plan_id="), s"plan_id leaked into fingerprint: $p")
