@@ -32,7 +32,25 @@ object PlanFingerprint {
   // stripped — two queries differing only in such literals must not
   // fingerprint identically.
   private val objAddrRe = "([A-Z][A-Za-z0-9_$]*)@[0-9a-f]{6,}".r
+  // Higher-order-function lambda variables print as `lambda x_NN` where
+  // NN is a SESSION-GLOBAL counter (`UnresolvedNamedLambdaVariable`
+  // freshVarName) — two constructions of the identical query render
+  // `lambda x_5` vs `lambda x_15` and would never re-hit the cache.
+  // Unlike `#\d+` the counter cannot simply be dropped: distinct
+  // variables in one plan must stay distinct (`x_1 * x_1` is not
+  // `x_1 * x_2`), so [[canonicalizeLambdaVars]] renumbers them by order
+  // of first appearance instead.
+  private val lambdaVarRe = "lambda ([A-Za-z$][A-Za-z0-9$]*)_(\\d+)".r
   private val wsRe = "\\s+".r
+
+  private def canonicalizeLambdaVars(s: String): String = {
+    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    lambdaVarRe.replaceAllIn(s, m => {
+      val idx = seen.getOrElseUpdate(m.matched, seen.size)
+      scala.util.matching.Regex
+        .quoteReplacement(s"lambda ${m.group(1)}_c$idx")
+    })
+  }
 
   /** Apply the fingerprint cleaning to arbitrary plan text (used when
     * fingerprinting logical-plan subtrees for auto-substitution). */
@@ -47,7 +65,7 @@ object PlanFingerprint {
       raw, m => scala.util.matching.Regex.quoteReplacement(m.group(1)))
     val noIds = Seq(exprIdRe, planIdRe, cteIdRe)
       .foldLeft(noAddr)((t, re) => re.replaceAllIn(t, ""))
-    wsRe.replaceAllIn(noIds, " ").trim
+    wsRe.replaceAllIn(canonicalizeLambdaVars(noIds), " ").trim
   }
 
   /** Cache-fingerprint plan text: the cleaned ANALYZED logical plan.

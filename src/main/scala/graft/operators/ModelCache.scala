@@ -28,10 +28,21 @@ object ModelCache {
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
   /** Fingerprint of the DataFrame a model is fit on: analyzed plan
-    * (normalized) — two DataFrames reading the same source through the
-    * same transformations share it. */
-  def inputKey(df: DataFrame): String =
-    graft.PlanFingerprint.md5Hex(graft.PlanFingerprint.getQueryPlan(df))
+    * (normalized) PLUS the sorted input directories — two DataFrames
+    * reading the same source through the same transformations share it.
+    * The directories matter: the analyzed plan prints file relations
+    * WITHOUT their paths (the cache layer covers paths via the
+    * freshness map hashed alongside the plan — `CacheMetadata.render`),
+    * so a plan-only key would hand one corpus's fitted model to a
+    * different corpus with the same shape. */
+  def inputKey(df: DataFrame): String = {
+    val dirs =
+      try df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/').max(0)))
+        .distinct.sorted.mkString(",")
+      catch { case _: Throwable => "<no-input-files>" }
+    graft.PlanFingerprint.md5Hex(
+      graft.PlanFingerprint.getQueryPlan(df) + "|" + dirs)
+  }
 
   /** Return the cached model for `key`, or run `fit` once and cache it.
     * With `spark.graft.modelCache=false` always refits (and does not

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ModelCache, Similarity}
+
+/** The fitted-model cache behind ANN/IVF: correct keying (no false
+  * sharing across inputs or params) and the opt-out switch. */
+class ModelCacheSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def embs = spark.read
+    .parquet(TestSpark.sf0001 + "/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  private def queries = embs.filter(col("vec_id") < 4)
+    .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("different seeds key different models (no false sharing)") {
+    ModelCache.clear()
+    val a = Similarity.annCosineTopK(embs, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 3, seed = 1L)
+    val b = Similarity.annCosineTopK(embs, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 3, seed = 2L)
+    a.count(); b.count()
+    assert(ModelCache.size == 2,
+      s"two seeds must fit two models, cached ${ModelCache.size}")
+  }
+
+  test("same (input, params) reuses one fit across fresh DataFrames") {
+    ModelCache.clear()
+    Similarity.annCosineTopK(embs, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 3).count()
+    // Fresh DataFrame objects over the same source + params: the plan
+    // fingerprint (not object identity) must key the hit.
+    Similarity.annCosineTopK(embs, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5).count() // k is post-fit; same model
+    assert(ModelCache.size == 1,
+      s"same corpus+LSH params must share one model, cached ${ModelCache.size}")
+  }
+
+  test("spark.graft.modelCache=false bypasses the cache") {
+    ModelCache.clear()
+    spark.conf.set(ModelCache.ConfKey, "false")
+    try {
+      Similarity.annCosineTopK(embs, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 3).count()
+      assert(ModelCache.size == 0, "opt-out must not populate the cache")
+    } finally spark.conf.unset(ModelCache.ConfKey)
+  }
+
+  test("a different input path keys a different model") {
+    ModelCache.clear()
+    val other = spark.read
+      .parquet(TestSpark.sf001 + "/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    Similarity.annCosineTopK(embs, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 3).count()
+    Similarity.annCosineTopK(other, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 3).count()
+    assert(ModelCache.size == 2,
+      s"different source paths must not share a fit, cached ${ModelCache.size}")
+  }
+}

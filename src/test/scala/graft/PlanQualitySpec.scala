@@ -79,6 +79,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Window"), p)
   }
 
+  test("IVF and ANN top-k rerank through partial aggregation, not a window") {
+    // The rerank must be the two-phase TopKAggregator (map tasks forward
+    // <= k candidates per query) - a row_number window here would ship
+    // every scored row of a query to one task. IVF keeps ONE legitimate
+    // window: the per-query cell probe ranks queries x nLists centroid
+    // rows (tiny, broadcast), never corpus-sized data.
+    for ((name, maxWindows) <- Seq("q_embed_ivf" -> 1, "q_embed_ann" -> 0)) {
+      val p = plan(q(name))
+      val windows = p.linesIterator.count(_.matches("\\s*(:?[+-]\\s)?\\(\\d+\\) Window\\b.*"))
+      assert(windows <= maxWindows,
+        s"$name reranks through a window ($windows > $maxWindows):\n${p.take(2000)}")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$name must rank through the partial TopKAggregator:\n${p.take(2000)}")
+    }
+  }
+
   test("blocked exact cosine never materializes a per-pair vector row") {
     val p = plan(q("q_embed_neardup"))
     // The block-pair join may be nested-loop (tiny: B(B+1)/2 rows of

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -43,6 +43,38 @@ class PlanStabilitySpec extends AnyFunSuite {
     // A normal local plan never carries the marker and getQueryPlan
     // stays well-formed.
     assert(!PlanFingerprint.getQueryPlan(freshAgg()).contains("Photon"))
+  }
+
+  test("lambda-bearing plans fingerprint stably across constructions") {
+    // Higher-order-function lambda variables carry a session-global
+    // counter (lambda x_5 vs lambda x_15 for the same query built
+    // twice); cleaning renumbers them by order of appearance so the
+    // fingerprint is construction-invariant.
+    val spark = TestSpark.spark
+    def mk(): DataFrame = spark.read
+      .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"),
+        aggregate(transform(col("embedding").cast("array<double>"),
+          x => x * x), lit(0.0), (a, x) => a + x).as("sq_norm"))
+    val p1 = PlanFingerprint.getQueryPlan(mk())
+    val burn = mk().count() // advance the global lambda-variable counter
+    assert(burn >= 0)
+    val p2 = PlanFingerprint.getQueryPlan(mk())
+    assert(p1 == p2, "lambda counters must not leak into the fingerprint")
+  }
+
+  test("distinct lambda variables stay distinct after cleaning") {
+    // Renumbering must preserve WHICH variable is referenced: zip_with
+    // (x, y) => x * x differs from (x, y) => x * y; dropping counters
+    // outright would collapse the two.
+    val spark = TestSpark.spark
+    def zw(f: (Column, Column) => Column): String =
+      PlanFingerprint.getQueryPlan(spark.read
+        .parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+        .select(zip_with(col("embedding"), col("embedding"), f).as("z")))
+    val xx = zw((x, _) => x * x)
+    val xy = zw((x, y) => x * y)
+    assert(xx != xy, "x*x and x*y must fingerprint differently")
   }
 
   test("no volatile markers survive cleaning") {
