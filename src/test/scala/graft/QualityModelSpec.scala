@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{ModelCache, QualityModel, TextAnalysis}
+
+/** Learned quality classifier: deterministic holdout split, output
+  * contract, real generalization (beats the majority baseline on
+  * held-out docs), and model-cache reuse across executions. */
+class QualityModelSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = spark.read
+    .parquet(TestSpark.sf001 + "/documents.parquet")
+
+  private def weakLabel = {
+    val toks = TextAnalysis.tokens(col("text"))
+    size(filter(toks, tk => tk.isInCollection(TextAnalysis.StopwordsEn)))
+      .cast("double") / size(toks) >= 0.06
+  }
+
+  private def scored = QualityModel.fitScore(
+    docs, "doc_id", "text", weakLabel)
+
+  test("every doc is scored once; probabilities are probabilities") {
+    val out = scored.cache()
+    try {
+      assert(out.count() == docs.count())
+      assert(out.select("doc_id").distinct().count() == docs.count())
+      assert(out.filter(col("prob") < 0 || col("prob") > 1).count() == 0)
+    } finally out.unpersist(blocking = false)
+  }
+
+  test("holdout split is the md5 bucket, not RNG: stable across runs") {
+    val a = scored.filter(col("holdout")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = scored.filter(col("holdout")).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.size < docs.count(),
+      s"holdout must be a proper subset (got ${a.size})")
+  }
+
+  test("holdout agreement beats the majority baseline") {
+    val out = scored.cache()
+    try {
+      val hold = out.filter(col("holdout"))
+      val n = hold.count().toDouble
+      val agree = hold
+        .filter(col("predicted") === col("weak_label")).count() / n
+      val majority = math.max(
+        hold.filter(col("weak_label")).count() / n,
+        hold.filter(!col("weak_label")).count() / n)
+      assert(agree >= 0.75, f"holdout agreement $agree%.3f < 0.75")
+      assert(agree > majority,
+        f"agreement $agree%.3f must beat majority baseline $majority%.3f")
+    } finally out.unpersist(blocking = false)
+  }
+
+  test("the fit is cached per (input, params) like LSH/IVF") {
+    ModelCache.clear()
+    scored.count()
+    scored.count()
+    assert(ModelCache.size == 1,
+      s"same corpus+params must fit once, cached ${ModelCache.size}")
+    // different regularization => different model
+    QualityModel.fitScore(docs, "doc_id", "text", weakLabel,
+      regParam = 0.5).count()
+    assert(ModelCache.size == 2)
+  }
+}
