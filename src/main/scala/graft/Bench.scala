@@ -141,12 +141,17 @@ object Bench {
       // heavy queries trace to exactly this. Cross-run state that IS
       // meant to persist (fitted models, codegen) lives on the heap,
       // not in RDD blocks, so this clears only garbage.
-      def dropRunBlocks(): Unit = {
+      // Synchronous unpersist ONLY — no System.gc() here: a full GC
+      // between runs measurably destroys JVM warm state (A/B'd +15-20%
+      // on the embed family), while the storage blocks are what caused
+      // the 100%+ outlier runs and unpersist(blocking) frees them
+      // directly. Group-level settle() keeps its GC for cross-query
+      // isolation. SPARK_GRAFT_RUN_CLEAN=0 disables (A/B hook).
+      val runClean = !sys.env.get("SPARK_GRAFT_RUN_CLEAN").contains("0")
+      def dropRunBlocks(): Unit = if (runClean) {
         try spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
         catch { case _: Throwable => () }
-        System.gc()
-        try Thread.sleep(150) catch { case _: InterruptedException => () }
       }
       var i = 0
       while (i < 3 && err.isEmpty) {
