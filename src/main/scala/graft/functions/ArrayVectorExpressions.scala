@@ -208,6 +208,11 @@ object functions {
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (es: Seq[Expression]) => WordShingles(es(0), foldableInt(es(1), "word_shingles", "k"))),
+    // minhash_signature(shingles, numHashes) — numHashes foldable int
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (es: Seq[Expression]) => MinHashSignature(
+        es(0), foldableInt(es(1), "minhash_signature", "numHashes"))),
     // srp_packed_bands(vec, seed, rowsPerBand, numBands) — literal params
     (FunctionIdentifier("srp_packed_bands"),
       new ExpressionInfo(classOf[SrpPackedBands].getName, "srp_packed_bands"),

@@ -196,6 +196,23 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(1) == viaCol)
   }
 
+  test("minhash_signature is callable from SQL and matches the Column API") {
+    val s = spark
+    import s.implicits._
+    graft.functions.functions.register(s)
+    Seq(("a b c d e", 0L)).toDF("text", "ignore")
+      .createOrReplaceTempView("sql_minhash_probe")
+    val viaSql = s.sql(
+      """SELECT minhash_signature(word_shingles(text, 3), 8) AS sig
+        |FROM sql_minhash_probe""".stripMargin)
+      .collect().head.getSeq[Long](0)
+    val viaCol = Seq("a b c d e").toDF("text")
+      .select(graft.functions.MinHashSignature.minHashSignature(
+        graft.functions.WordShingles.wordShingles(col("text"), 3), 8).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(viaSql == viaCol && viaSql.length == 8)
+  }
+
   test("dot_product reads array<float> natively without a cast in the plan") {
     val df = vecs.select(
       graft.functions.functions.dotProduct(col("a"), col("b")).as("d"))
