@@ -43,12 +43,51 @@ object PlanFingerprint {
   private val lambdaVarRe = "lambda ([A-Za-z$][A-Za-z0-9$]*)_(\\d+)".r
   private val wsRe = "\\s+".r
 
+  // Balanced-paren spans of `lambdafunction(...)` — the ONLY places
+  // Catalyst prints real lambda variables. Renumbering is scoped to
+  // them so a data literal that happens to read `lambda x_5` (analyzed
+  // plans print literals unquoted, same hazard the object-address
+  // anchor guards) is never rewritten — two queries differing only in
+  // such literals must not collide on one canonical fingerprint.
+  private def lambdaFunctionSpans(s: String): Seq[(Int, Int)] = {
+    val marker = "lambdafunction("
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var from = s.indexOf(marker)
+    while (from >= 0) {
+      var i = from + marker.length - 1 // at the opening '('
+      var depth = 0
+      var end = -1
+      while (i < s.length && end < 0) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) end = i
+          case _ => ()
+        }
+        i += 1
+      }
+      val stop = if (end >= 0) end else s.length - 1
+      spans += ((from, stop))
+      // nested lambdafunctions sit inside this span already
+      from = s.indexOf(marker, stop + 1)
+    }
+    spans.toSeq
+  }
+
   private def canonicalizeLambdaVars(s: String): String = {
+    if (!s.contains("lambdafunction(")) return s
+    val spans = lambdaFunctionSpans(s)
+    // One GLOBAL order-of-appearance map (not per span): a nested
+    // lambda referencing an outer variable must canonicalize to the
+    // same token in both spans.
     val seen = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     lambdaVarRe.replaceAllIn(s, m => {
-      val idx = seen.getOrElseUpdate(m.matched, seen.size)
-      scala.util.matching.Regex
-        .quoteReplacement(s"lambda ${m.group(1)}_c$idx")
+      val inSpan = spans.exists(sp => m.start >= sp._1 && m.start <= sp._2)
+      if (!inSpan) scala.util.matching.Regex.quoteReplacement(m.matched)
+      else {
+        val idx = seen.getOrElseUpdate(m.matched, seen.size)
+        scala.util.matching.Regex
+          .quoteReplacement(s"lambda ${m.group(1)}_c$idx")
+      }
     })
   }
 

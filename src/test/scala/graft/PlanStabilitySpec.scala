@@ -77,6 +77,20 @@ class PlanStabilitySpec extends AnyFunSuite {
     assert(xx != xy, "x*x and x*y must fingerprint differently")
   }
 
+  test("a string literal that reads like a lambda variable is preserved") {
+    // Analyzed plans print literals unquoted, so `lambda x_5` in a
+    // Filter is textually identical to a real lambda variable.
+    // Renumbering is scoped to lambdafunction(...) spans: outside them
+    // the text must survive untouched, or two queries differing only
+    // in such literals would collide on one canonical fingerprint.
+    val spark = TestSpark.spark
+    val base = spark.read.parquet(s"${TestSpark.sf0001}/customer.parquet")
+    val a = PlanFingerprint.getQueryPlan(base.filter(col("c_name") === "lambda x_5"))
+    val b = PlanFingerprint.getQueryPlan(base.filter(col("c_name") === "lambda x_9"))
+    assert(a != b, "literal-only differences must produce distinct fingerprints")
+    assert(a.contains("lambda x_5"), s"literal mangled in: $a")
+  }
+
   test("no volatile markers survive cleaning") {
     val p = PlanFingerprint.getQueryPlan(freshAgg())
     assert(!p.contains("plan_id="), s"plan_id leaked into fingerprint: $p")
