@@ -208,6 +208,11 @@ object functions {
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (es: Seq[Expression]) => WordShingles(es(0), foldableInt(es(1), "word_shingles", "k"))),
+    // tf_bucket(term, numFeatures) — HashingTF's exact feature index
+    (FunctionIdentifier("tf_bucket"),
+      new ExpressionInfo(classOf[TfBucket].getName, "tf_bucket"),
+      (es: Seq[Expression]) => TfBucket(
+        es(0), foldableInt(es(1), "tf_bucket", "numFeatures"))),
     // minhash_signature(shingles, numHashes) — numHashes foldable int
     (FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

@@ -38,6 +38,67 @@ object QualityModel {
     * `predicted` and `weak_label` on them is an unbiased generalization
     * check (the q_quality_model gate).
     */
+  /** Fit only: the LogisticRegressionModel for `df`'s non-holdout side
+    * (cached per (input, params) — see [[fitScore]] for the contract).
+    * Use with [[scoreColumn]] when the scoring pass should stay inside
+    * whole-stage codegen instead of spark.ml's transform UDF. */
+  def fit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weakLabel: Column,
+      numFeatures: Int = 1 << 10,
+      holdoutDen: Int = 4,
+      maxIter: Int = 20,
+      regParam: Double = 0.01): LogisticRegressionModel = {
+    require(holdoutDen >= 2, "holdoutDen must leave rows to train on")
+    val featured = df.select(
+      weakLabel.cast("double").as("__label"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"),
+      (Splits.hashBucket(col(idCol)) % holdoutDen === 0).as("__holdout"))
+    val tf = new HashingTF()
+      .setInputCol("__toks").setOutputCol("__features")
+      .setNumFeatures(numFeatures)
+    val vectors = tf.transform(featured)
+      .select(col("__label"), col("__holdout"), col("__features"))
+    ModelCache.getOrFit[LogisticRegressionModel](
+      vectors, s"lrq|$numFeatures|$holdoutDen|$maxIter|$regParam") {
+      val train = vectors.filter(!col("__holdout"))
+        .select("__label", "__features").coalesce(8).cache()
+      val lr = new LogisticRegression()
+        .setLabelCol("__label").setFeaturesCol("__features")
+        .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
+      try lr.fit(train)
+      finally train.unpersist(blocking = false)
+    }
+  }
+
+  /** Codegen'd map-only scoring: the fitted model's probability as a
+    * pure expression — `HashingTF`'s exact bucketing via the native
+    * [[graft.functions.TfBucket]] expression (murmur3 `hashUnsafeBytes2`
+    * seed 42 + nonNegativeMod; NOT SQL `hash()`, which uses a different
+    * byte-tail fold) and the LR margin as an array-literal dot product,
+    * so it matches `model.transform`'s probability up to double-addition
+    * reordering (spec-pinned). spark.ml's transform routes every row
+    * through a scala UDF (codegen barrier, vector boxing); this stays
+    * inside whole-stage codegen — the shape the 100 TB scoring pass
+    * should have. Coefficients ride the plan as an array literal
+    * (numFeatures ≤ ~64k keeps that sane; default 1024). */
+  def scoreColumn(
+      text: Column,
+      coefficients: Array[Double],
+      intercept: Double): Column = {
+    val n = coefficients.length
+    require(n > 0, "empty coefficient vector")
+    val coefLit = array(coefficients.map(lit(_)): _*)
+    val margin = aggregate(
+      TextAnalysis.tokens(text),
+      lit(intercept),
+      (acc, t) => acc + element_at(coefLit,
+        graft.functions.TfBucket.tfBucket(t, n) + 1))
+    lit(1.0) / (lit(1.0) + exp(-margin))
+  }
+
   def fitScore(
       df: DataFrame,
       idCol: String,
@@ -48,6 +109,8 @@ object QualityModel {
       maxIter: Int = 20,
       regParam: Double = 0.01): DataFrame = {
     require(holdoutDen >= 2, "holdoutDen must leave rows to train on")
+    val model = fit(df, idCol, textCol, weakLabel,
+      numFeatures, holdoutDen, maxIter, regParam)
     val featured = df.select(
       col(idCol),
       weakLabel.cast("double").as("__label"),
@@ -58,19 +121,6 @@ object QualityModel {
       .setNumFeatures(numFeatures)
     val vectors = tf.transform(featured)
       .select(col(idCol), col("__label"), col("__holdout"), col("__features"))
-    val model = ModelCache.getOrFit[LogisticRegressionModel](
-      vectors, s"lrq|$numFeatures|$holdoutDen|$maxIter|$regParam") {
-      // The train side is small by contract (callers pre-sample at
-      // scale); cache it across LBFGS iterations, few partitions so
-      // each iteration is not 32 near-empty tasks.
-      val train = vectors.filter(!col("__holdout"))
-        .select("__label", "__features").coalesce(8).cache()
-      val lr = new LogisticRegression()
-        .setLabelCol("__label").setFeaturesCol("__features")
-        .setMaxIter(maxIter).setRegParam(regParam).setStandardization(false)
-      try lr.fit(train)
-      finally train.unpersist(blocking = false)
-    }
     model.transform(vectors)
       .select(col(idCol), col("__holdout").as("holdout"),
         col("__label").cast("boolean").as("weak_label"),

@@ -58,6 +58,26 @@ class QualityModelSpec extends AnyFunSuite {
     } finally out.unpersist(blocking = false)
   }
 
+  test("codegen'd scoreColumn matches spark.ml transform probabilities") {
+    // Same murmur3(42) hashing + nonNegativeMod bucketing + linear
+    // margin, re-expressed in pure functions._ — only double-addition
+    // order differs from BLAS.dot, so probabilities agree to ~1e-12.
+    val model = QualityModel.fit(docs, "doc_id", "text", weakLabel)
+    val viaTransform = scored.select(col("doc_id"), col("prob"))
+    val viaExpr = docs.select(col("doc_id"),
+      round(QualityModel.scoreColumn(col("text"),
+        model.coefficients.toArray, model.intercept), 6).as("prob2"))
+    val joined = viaTransform.join(viaExpr, "doc_id")
+      .filter(abs(col("prob") - col("prob2")) > 1e-6)
+    assert(joined.count() == 0,
+      s"diverging rows: ${joined.limit(3).collect().mkString(", ")}")
+    // and the plan has no scala UDF (stays codegen'd)
+    val plan = docs.select(QualityModel.scoreColumn(col("text"),
+      model.coefficients.toArray, model.intercept))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"scoreColumn must not plan a UDF:\n$plan")
+  }
+
   test("the fit is cached per (input, params) like LSH/IVF") {
     ModelCache.clear()
     scored.count()
