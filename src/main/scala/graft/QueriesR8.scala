@@ -43,6 +43,21 @@ object QueriesR8 {
         ((count(when(col("holdout") &&
           col("predicted") === col("weak_label"), 1)).cast("double") /
           holdN) >= 0.75).as("agree_ok"))
+    },
+    // --- incremental (cross-snapshot) dedup: today's batch anti-joined
+    //     on content digest against the already-ingested reference —
+    //     the recrawl staple that never re-shuffles the historical
+    //     corpus. Reference = every 3rd doc PLUS docs 0-9 (re-ingested
+    //     content), so the drop is observable: batch docs 1,2,4,5,7,8
+    //     share exact text with the reference and must vanish. ---
+    "q_dedup_incremental" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Dedup.dedupAgainstReference(
+        batch = docs.filter(col("doc_id") % 3 =!= 0),
+        reference = docs.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10),
+        textCol = "text",
+        refTextCol = "text")
+        .select("doc_id", "source", "n_chars")
     }
   )
 
@@ -53,6 +68,14 @@ object QueriesR8 {
         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
         |      AS BIGINT) % 10000 AS INTEGER) % 4 = 0) AS n_holdout,
         |  TRUE AS agree_ok
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_dedup_incremental" ->
+      """SELECT b.doc_id, b.source, b.n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 3 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents r
+        |    WHERE (r.doc_id % 3 = 0 OR r.doc_id < 10)
+        |      AND r.text = b.text)""".stripMargin
   )
 }

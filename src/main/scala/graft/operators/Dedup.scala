@@ -28,6 +28,31 @@ object Dedup {
     df.groupBy(sha2(col(textCol).cast("binary"), 256).as("content_hash"))
       .agg(min(col(idCol)).as(idCol))
 
+  /** Incremental (cross-snapshot) exact dedup: rows of `batch` whose
+    * content does NOT already appear in `reference` — the recrawl-
+    * pipeline staple (dedup today's crawl against the corpus already
+    * ingested) where re-deduplicating the union from scratch would
+    * re-shuffle the full historical corpus every increment.
+    *
+    * Scale shape: both sides project to the 256-bit digest BEFORE the
+    * join, so the shuffle carries 32-byte hashes (the reference side's
+    * text never moves), the distinct collapses map-side, and the anti
+    * join is a plain hash semi-difference — one shuffle of digests per
+    * side at any corpus size. Batch rows survive with all columns. */
+  def dedupAgainstReference(
+      batch: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      refTextCol: String): DataFrame = {
+    val refHashes = reference
+      .select(sha2(col(refTextCol).cast("binary"), 256).as("__ref_hash"))
+      .distinct()
+    batch
+      .withColumn("__hash", sha2(col(textCol).cast("binary"), 256))
+      .join(refHashes, col("__hash") === col("__ref_hash"), "left_anti")
+      .drop("__hash")
+  }
+
   /** Full-row exact dedup keeping the lowest-id row per content hash. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window

@@ -214,6 +214,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(gen >= 3, s"expected shingle + two pair generators, got $gen")
   }
 
+  test("incremental dedup anti-joins digests; reference text never crosses the wire") {
+    val df = q("q_dedup_incremental")
+    val p = plan(df)
+    assert(p.contains("LeftAnti"), s"expected anti join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "content-hash anti join must stay an equi hash join")
+    // The reference side must reduce to its 32-byte digest BEFORE any
+    // exchange: at 100 TB the historical corpus's text staying in place
+    // is the point of incremental dedup.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exchangesCarryingText = df.queryExecution.executedPlan.collect {
+      case e: Exchange if e.child.output.exists(_.name == "text") => e
+    }
+    assert(exchangesCarryingText.isEmpty,
+      "an exchange input still carries the text column")
+  }
+
   test("tf-idf shuffles the corpus once and tops-k through the partial heap exec") {
     val p = plan(q("q_tfidf"))
     assert(p.contains("GroupedTopK"),
