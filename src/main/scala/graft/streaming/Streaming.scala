@@ -249,6 +249,30 @@ object Streaming {
       .drop("__eval_grams")
   }
 
+  /** Streaming incremental dedup: drop arriving docs whose content
+    * digest already exists in the static reference corpus — the
+    * continuous-ingestion form of
+    * [[graft.operators.Dedup.dedupAgainstReference]]. Stateless: a
+    * stream-static LEFT ANTI join against the reference's distinct
+    * 256-bit digests (the static side reduces to 32-byte hashes once;
+    * reference text never enters the stream), no watermark, no state
+    * store. Duplicates WITHIN the stream are the stateful
+    * [[dedupEventStream]]'s job — compose both for exactly-once
+    * content ingestion. */
+  def dedupAgainstReferenceStream(
+      docs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      refTextCol: String = "text"): DataFrame = {
+    val refHashes = reference
+      .select(sha2(col(refTextCol).cast("binary"), 256).as("__ref_hash"))
+      .distinct()
+    docs
+      .withColumn("__hash", sha2(col(textCol).cast("binary"), 256))
+      .join(refHashes, col("__hash") === col("__ref_hash"), "left_anti")
+      .drop("__hash")
+  }
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

@@ -287,6 +287,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L), s"got $kept")
   }
 
+  test("streaming incremental dedup anti-joins reference digests statelessly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq((100L, "already ingested content"),
+      (101L, "another known document")).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val fresh = Streaming.dedupAgainstReferenceStream(
+      stream.toDF().toDF("doc_id", "text"), reference)
+    val q = fresh.writeStream.format("memory").queryName("incdedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, "already ingested content"),   // exact ref copy: dropped
+        (2L, "already ingested content!"),  // one char off: kept
+        (3L, "brand new material"))         // kept
+      q.processAllAvailable()
+      stream.addData((4L, "another known document")) // dropped
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "reference dedup must not register a stateful streaming operator")
+    } finally q.stop()
+    val kept = spark.table("incdedup").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
