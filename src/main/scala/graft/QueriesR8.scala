@@ -8,7 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * label, gated the recall-companion way: the Spark side computes the
   * generalization verdict (holdout agreement ≥ threshold) as a boolean,
   * the oracle pins the exact deterministic parts (corpus count, md5
-  * holdout count) plus the expected-true verdict.
+  * holdout count) plus the expected-true verdict — plus the incremental
+  * dedup pair (exact + bloom-prefiltered), RefinedWeb boilerplate
+  * strip, interpolated bigram-LM scoring, and the Gopher top-token
+  * rule, all fully oracle-gated.
   */
 object QueriesR8 {
 
@@ -58,6 +61,44 @@ object QueriesR8 {
         textCol = "text",
         refTextCol = "text")
         .select("doc_id", "source", "n_chars")
+    },
+    // --- bloom-prefiltered incremental dedup: same contract as
+    //     q_dedup_incremental (same oracle — the bloom pass is provably
+    //     lossless), but batch rows missing the broadcast bloom skip
+    //     the anti-join exchange entirely — the steady-state recrawl
+    //     shape where the reference dwarfs the batch. ---
+    "q_dedup_incremental_bloom" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Dedup.dedupAgainstReferenceBloom(
+        batch = docs.filter(col("doc_id") % 3 =!= 0),
+        reference = docs.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10),
+        textCol = "text",
+        refTextCol = "text",
+        expectedItems = 100000L)
+        .select("doc_id", "source", "n_chars")
+    },
+    // --- RefinedWeb-style boilerplate strip: EVERY occurrence of any
+    //     3-word chunk appearing in > 2 distinct docs is removed (vs
+    //     q_chunk_dedup's keep-first). Hot set broadcasts; corpus text
+    //     never shuffles for the removal itself. ---
+    "q_boilerplate_strip" -> { (s, d) =>
+      operators.SubstringDedup.stripFrequentChunks(
+        t(s, d, "documents"), "doc_id", "text", w = 3, maxDf = 2)
+    },
+    // --- interpolated corpus-bigram LM score: the perplexity-proxy
+    //     quality filter one step up from q_unigram_lm; λ = 0.75 with
+    //     unigram interpolation floor, self-scored on the corpus. ---
+    "q_bigram_lm" -> { (s, d) =>
+      operators.TextAnalysis.bigramLogProbs(
+        t(s, d, "documents"), "doc_id", "text", lambda = 0.75)
+    },
+    // --- Gopher-style top-token concentration: most frequent token per
+    //     doc (deterministic lexicographic tie-break) and its fraction
+    //     — row-local fold, no shuffle. ---
+    "q_top_token" -> { (s, d) =>
+      t(s, d, "documents").select(
+        col("doc_id") +:
+          operators.TextAnalysis.topTokenFraction(col("text")): _*)
     }
   )
 
@@ -76,6 +117,58 @@ object QueriesR8 {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM documents r
         |    WHERE (r.doc_id % 3 = 0 OR r.doc_id < 10)
-        |      AND r.text = b.text)""".stripMargin
+        |      AND r.text = b.text)""".stripMargin,
+    // Same oracle as q_dedup_incremental: the bloom pass is lossless.
+    "q_dedup_incremental_bloom" ->
+      """SELECT b.doc_id, b.source, b.n_chars
+        |FROM documents b
+        |WHERE b.doc_id % 3 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents r
+        |    WHERE (r.doc_id % 3 = 0 OR r.doc_id < 10)
+        |      AND r.text = b.text)""".stripMargin,
+    "q_boilerplate_strip" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(l) / 3.0) AS INT) - 1), k -> {'idx': k, 'chunk': array_to_string(l[k*3+1 : k*3+3], ' ')}), recursive := true) FROM t),
+        |hot AS (SELECT chunk FROM (SELECT chunk, count(DISTINCT doc_id) df FROM c GROUP BY 1) WHERE df > 2),
+        |kept AS (SELECT doc_id, idx, chunk FROM c WHERE chunk NOT IN (SELECT chunk FROM hot)),
+        |r AS (SELECT doc_id, count(*) n_kept, string_agg(chunk, ' ' ORDER BY idx) text_stripped
+        |      FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(ceil(len(t.l) / 3.0) AS BIGINT) AS n_chunks,
+        |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+        |       coalesce(r.text_stripped, '') AS text_stripped
+        |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin,
+    "q_bigram_lm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |base AS (SELECT doc_id, ts FROM t WHERE len(ts) >= 2),
+        |big AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ts) - 1), i -> {'w1': ts[i], 'w2': ts[i+1]}), recursive := true) FROM base),
+        |cb AS (SELECT w1, w2, count(*) cb FROM big GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(cb) c1 FROM cb GROUP BY 1),
+        |toks AS (SELECT doc_id, unnest(ts) tok FROM t),
+        |cu AS (SELECT tok, count(*) cu FROM toks GROUP BY 1),
+        |tot AS (SELECT sum(cu) n FROM cu),
+        |bterm AS (SELECT big.doc_id,
+        |            ln(0.75 * (CAST(cb.cb AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+        |             + 0.25 * (CAST(cu.cu AS DOUBLE) / CAST(tot.n AS DOUBLE))) term
+        |          FROM big JOIN cb USING (w1, w2) JOIN c1 USING (w1)
+        |          JOIN cu ON big.w2 = cu.tok CROSS JOIN tot),
+        |bp AS (SELECT doc_id, sum(term) bsum, count(*) + 1 n_tok FROM bterm GROUP BY 1),
+        |fp AS (SELECT base.doc_id,
+        |         ln(CAST(cu.cu AS DOUBLE) / CAST(tot.n AS DOUBLE)) fterm
+        |       FROM base JOIN cu ON base.ts[1] = cu.tok CROSS JOIN tot)
+        |SELECT bp.doc_id, n_tok::BIGINT AS n_tok,
+        |       round(fterm + bsum, 6) AS logprob,
+        |       round((fterm + bsum) / n_tok, 6) AS avg_lp
+        |FROM bp JOIN fp USING (doc_id)""".stripMargin,
+    "q_top_token" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+        |cnt AS (SELECT doc_id, tok, count(*) c FROM toks GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, count(*) n FROM toks GROUP BY 1),
+        |best AS (SELECT doc_id, tok, c,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, tok) rn
+        |         FROM cnt)
+        |SELECT b.doc_id, b.tok AS top_tok, b.c::BIGINT AS top_n,
+        |       round(CAST(b.c AS DOUBLE) / tot.n, 6) AS top_frac
+        |FROM best b JOIN tot USING (doc_id) WHERE b.rn = 1""".stripMargin
   )
 }

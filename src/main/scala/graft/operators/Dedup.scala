@@ -53,6 +53,43 @@ object Dedup {
       .drop("__hash")
   }
 
+  /** [[dedupAgainstReference]] with a BLOOM prefilter — the shape to
+    * run when the reference corpus is orders of magnitude larger than
+    * the batch (the steady-state recrawl: 100 TB ingested, 100 GB new).
+    *
+    * A bloom filter over `xxhash64(reference text)` is built in one
+    * distributed aggregation and broadcast; batch rows whose 64-bit
+    * key MISSES the filter are provably new (no false negatives — the
+    * key function is identical on both sides) and bypass the anti-join
+    * entirely, so the exchange carries only the bloom-positive sliver
+    * (true duplicates + fpp·|batch| false positives + 64-bit collision
+    * odds), which the exact sha2 anti join then resolves. Result is
+    * EXACT — bit-identical to [[dedupAgainstReference]] (pinned by
+    * DedupSpec). The batch scan runs twice (once per branch of the
+    * union), the cheap trade for shrinking the shuffle ~(1-dup_rate)×.
+    * Size `expectedItems` at the reference's distinct-content count. */
+  def dedupAgainstReferenceBloom(
+      batch: DataFrame,
+      reference: DataFrame,
+      textCol: String,
+      refTextCol: String,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.LongType
+    val bf = reference
+      .select(xxhash64(col(refTextCol)).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bc = batch.sparkSession.sparkContext.broadcast(bf)
+    val might = Bridge.column(graft.functions.BloomMightContainLong(
+      Cast(Bridge.expression(xxhash64(col(textCol))), LongType), bc))
+    val definitelyNew = batch.filter(!might)
+    val needsCheck = batch.filter(might)
+    definitelyNew.unionByName(
+      dedupAgainstReference(needsCheck, reference, textCol, refTextCol))
+  }
+
   /** Full-row exact dedup keeping the lowest-id row per content hash. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window

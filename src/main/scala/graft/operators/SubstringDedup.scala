@@ -109,4 +109,52 @@ object SubstringDedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Boilerplate STRIP: remove EVERY occurrence of any `w`-word chunk
+    * whose corpus document frequency exceeds `maxDf` — the
+    * RefinedWeb-style "repeated across documents ⇒ it's boilerplate,
+    * drop all copies" rule. Distinct from [[chunkDedupGlobal]], which
+    * keeps the globally-first occurrence: a navigation header repeated
+    * in 10 000 documents is noise in ALL of them, including the first.
+    *
+    * Scale shape: the hot set is tiny by construction (a chunk needs
+    * > `maxDf` DISTINCT documents to qualify, so the set size is
+    * bounded by corpus-chunk-occurrences / maxDf and in practice by the
+    * Zipf head), so it BROADCASTS and the removal is a map-side anti
+    * join — the corpus text itself never shuffles. Two aggregations
+    * total: the df count (partial count-distinct) and the per-document
+    * rebuild. Size `maxDf` so the hot set stays broadcast-sized; if it
+    * cannot, drop the `broadcast` hint and let AQE pick the join. */
+  def stripFrequentChunks(
+      df: DataFrame, idCol: String, textCol: String, w: Int, maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val exploded = df
+      .select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(
+        col(idCol),
+        posexplode(tokenChunks(col("__toks"), w)).as(Seq("idx", "chunk")))
+    val hot = exploded
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDf)
+      .select("chunk")
+    val kept = exploded.join(broadcast(hot), Seq("chunk"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("idx"), col("chunk"))).as("ps"))
+      .select(
+        col(idCol),
+        size(col("ps")).cast("long").as("n_kept"),
+        array_join(
+          transform(array_sort(col("ps")), _.getField("chunk")), " ")
+          .as("text_stripped"))
+    df.select(col(idCol),
+        ceil(size(split(col(textCol), " ")).cast("double") / w)
+          .cast("long").as("n_chunks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_stripped"), lit("")).as("text_stripped"))
+  }
 }

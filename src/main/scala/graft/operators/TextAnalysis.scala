@@ -392,4 +392,99 @@ object TextAnalysis {
         round(sum(lp), 6).as("logprob"),
         round(sum(lp) / count(lit(1)), 6).as("avg_lp"))
   }
+
+  /** Interpolated corpus-BIGRAM language-model score per document — the
+    * next perplexity-proxy step up from [[unigramLogProbs]] (CCNet-style
+    * LM filtering without shipping a pretrained model): token `i ≥ 2`
+    * scores `ln(λ·P(wᵢ|wᵢ₋₁) + (1−λ)·P(wᵢ))` under the corpus's own
+    * bigram/unigram counts, the first token scores `ln(P(w₁))`.
+    * Interpolation with the unigram floor means unseen-bigram zeros
+    * cannot occur (every token in the corpus has a unigram count), so
+    * no discounting scheme is needed for self-scoring.
+    *
+    * Scale shape: bigrams are built ROW-LOCALLY from the token array
+    * (one explode — never a positional self-join of the token stream),
+    * counted with partial aggregation, and joined back on the bigram
+    * key, where the count exchange is reusable; the context count
+    * `c₁(w₁)` derives from the bigram table (one small second agg), so
+    * the corpus is scanned twice and shuffled only as (w1, w2) pairs.
+    * At web scale apply a min-count cut to the bigram vocabulary the
+    * same way the unigram docstring prescribes. Docs need ≥ 2 tokens.
+    *
+    * Every inner ratio is one double division of exact counts and the
+    * interpolation is written operand-for-operand as the DuckDB oracle
+    * writes it, so per-term values are bit-identical; only the final
+    * sums are rounded (summation order differs across engines). */
+  def bigramLogProbs(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      lambda: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val base = df
+      .select(col(idCol), split(col(textCol), " ").as("ts"))
+      .filter(size(col("ts")) >= 2)
+    val bigEx = base
+      .select(col(idCol), explode(
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(
+            element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = bigEx.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val c1 = cb.groupBy("w1").agg(sum("cb").as("c1"))
+    val toksEx = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val cu = toksEx.groupBy("tok").agg(count(lit(1)).as("cu"))
+    val tot = cu.agg(sum("cu").as("n"))
+    val term = log(
+      lit(lambda) * (col("cb").cast("double") / col("c1").cast("double")) +
+        lit(1.0 - lambda) * (col("cu").cast("double") / col("n").cast("double")))
+    val bPart = bigEx
+      .join(cb, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .join(cu, col("w2") === col("tok"))
+      .crossJoin(tot)
+      .groupBy(col(idCol))
+      .agg(sum(term).as("bsum"), (count(lit(1)) + 1).as("n_tok"))
+    val fPart = base
+      .select(col(idCol), element_at(col("ts"), 1).as("tok"))
+      .join(cu, Seq("tok"))
+      .crossJoin(tot)
+      .select(col(idCol),
+        log(col("cu").cast("double") / col("n").cast("double")).as("fterm"))
+    bPart
+      .join(fPart, Seq(idCol))
+      .select(
+        col(idCol),
+        col("n_tok").cast("long").as("n_tok"),
+        round(col("fterm") + col("bsum"), 6).as("logprob"),
+        round((col("fterm") + col("bsum")) / col("n_tok"), 6).as("avg_lp"))
+  }
+
+  /** Gopher-style top-token concentration: the single most frequent
+    * token in the document (lexicographic min on count ties, so the
+    * winner is deterministic), its count, and its fraction of all
+    * tokens — the "fraction of tokens in the most common word" rule
+    * that catches keyword-stuffed and template documents which
+    * distinct-ratio metrics ([[graft.QueriesR4]] q_repetition) dilute.
+    *
+    * Entirely row-local — one fold over the distinct tokens per row
+    * (O(n·distinct) comparisons inside codegen, no shuffle at any
+    * scale). The fold seeds with count 0 so any real token wins. */
+  def topTokenFraction(text: Column): Seq[Column] = {
+    val ts = split(text, " ")
+    val d = array_distinct(ts)
+    val counted = transform(d, t =>
+      struct(size(filter(ts, x => x === t)).as("c"), t.as("t")))
+    val best = aggregate(
+      counted,
+      struct(lit(0).as("c"), lit("").as("t")),
+      (acc, x) =>
+        when(x("c") > acc("c") ||
+          (x("c") === acc("c") && x("t") < acc("t")), x)
+          .otherwise(acc))
+    Seq(
+      best.getField("t").as("top_tok"),
+      best.getField("c").cast("long").as("top_n"),
+      round(best.getField("c").cast("double") / size(ts), 6).as("top_frac"))
+  }
 }

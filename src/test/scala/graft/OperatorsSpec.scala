@@ -37,6 +37,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.columns.toSeq == Seq("doc_id", "text", "lang"))
   }
 
+  test("dedupAgainstReferenceBloom is bit-identical to the exact anti join") {
+    val s = spark
+    import s.implicits._
+    val batch = docs
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en"), // dup of 1/5
+      (101L, "le chat et le chien dans la maison", "fr"),          // dup of 3
+      (102L, "reference only content never in batch", "en")
+    ).toDF("doc_id", "text", "lang")
+    val exact = Dedup.dedupAgainstReference(batch, reference, "text", "text")
+    val bloom = Dedup.dedupAgainstReferenceBloom(
+      batch, reference, "text", "text", expectedItems = 1000L)
+    val ex = exact.collect().map(_.getLong(0)).toSet
+    val bl = bloom.collect().map(_.getLong(0)).toSet
+    assert(ex == Set(2L, 4L, 6L, 7L))
+    assert(bl == ex, "bloom prefilter must not change the result")
+    assert(bloom.columns.toSeq == batch.columns.toSeq)
+  }
+
+  test("bigramLogProbs matches an in-memory reference model") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "c a"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProbs(corpus, "doc_id", "text", lambda = 0.75)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    // In-memory model over the same corpus
+    val toks = Map(1L -> Seq("a", "b", "a", "b"), 2L -> Seq("a", "b", "c"), 3L -> Seq("c", "a"))
+    val all = toks.values.flatten.toSeq
+    val cu = all.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val n = all.size.toDouble
+    val bigrams = toks.values.flatMap(ts => ts.zip(ts.tail)).toSeq
+    val cb = bigrams.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    def lp(ts: Seq[String]): Double =
+      math.log(cu(ts.head) / n) +
+        ts.zip(ts.tail).map { case (w1, w2) =>
+          math.log(0.75 * (cb((w1, w2)) / c1(w1)) + 0.25 * (cu(w2) / n))
+        }.sum
+    for ((id, ts) <- toks) {
+      val (nTok, logprob, avgLp) = out(id)
+      assert(nTok == ts.size.toLong, s"doc $id n_tok")
+      val want = BigDecimal(lp(ts)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(math.abs(logprob - want.toDouble) < 2e-6, s"doc $id: $logprob vs $want")
+      assert(math.abs(avgLp - logprob / nTok) < 2e-6, s"doc $id avg")
+    }
+  }
+
+  test("topTokenFraction: deterministic lexicographic tie-break, no shuffle") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "b a b a c"), (2L, "z z z y"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id") +: TextAnalysis.topTokenFraction(col("text")): _*)
+    val rows = df.collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(rows(1L) == (("a", 2L, 0.4)), "tie a/b at 2 -> lexicographic min a")
+    assert(rows(2L) == (("z", 3L, 0.75)))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"expected map-only plan:\n$p")
+  }
+
   test("ngramJaccardPairs finds near-dups, not unrelated docs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -99,6 +99,46 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(shuffles <= 1, s"expected one count shuffle, got $shuffles:\n$p")
   }
 
+  test("stripFrequentChunks removes ALL occurrences of hot chunks, first included") {
+    val s = spark
+    import s.implicits._
+    // "a b" appears in docs 1, 2, 3 (df=3 > maxDf=2) -> stripped from
+    // every doc, including its first occurrence; "c d" (df=2) survives.
+    val docs = Seq(
+      (1L, "a b c d"),
+      (2L, "a b x y"),
+      (3L, "c d a b")
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup
+      .stripFrequentChunks(docs, "doc_id", "text", w = 2, maxDf = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((2L, 1L, "c d")))
+    assert(out(2L) == ((2L, 1L, "x y")))
+    assert(out(3L) == ((2L, 1L, "c d")))
+    // contrast with keep-first: chunkDedupGlobal would keep "a b" in doc 1
+    val keepFirst = SubstringDedup
+      .chunkDedupGlobal(docs, "doc_id", "text", w = 2)
+      .filter(col("doc_id") === 1L).collect().head.getString(2)
+    assert(keepFirst == "a b c d")
+  }
+
+  test("stripFrequentChunks: hot-set join broadcasts; text never shuffles for removal") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = SubstringDedup.stripFrequentChunks(docs, "doc_id", "text", 3, 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"hot-set anti join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"no all-pairs join:\n$p")
+    // df count + rebuild + outer join = bounded hash exchanges
+    val shuffles = p.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 4, s"expected <=4 shuffle exchanges, got $shuffles:\n$p")
+  }
+
   test("entropyFeatures matches hand-computed Shannon entropy") {
     val s = spark
     import s.implicits._
