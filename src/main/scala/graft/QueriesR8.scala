@@ -77,6 +77,21 @@ object QueriesR8 {
         expectedItems = 100000L)
         .select("doc_id", "source", "n_chars")
     },
+    // --- incremental NEAR-dup dedup: batch rows near-duplicating
+    //     (exact 3-shingle Jaccard >= 0.8) ANY reference doc are
+    //     dropped — the fuzzy companion to q_dedup_incremental (a
+    //     recrawled page with one changed word survives exact-digest
+    //     dedup; it must not survive this). Exact cross-corpus pair
+    //     operator so the oracle provably matches; at scale feed the
+    //     anti join banded-MinHash candidates instead. ---
+    "q_dedup_incremental_near" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Dedup.nearDupAgainstReference(
+        batch = docs.filter(col("doc_id") % 3 =!= 0),
+        reference = docs.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10),
+        idCol = "doc_id", textCol = "text", k = 3, threshold = 0.8)
+        .select("doc_id", "source", "n_chars")
+    },
     // --- RefinedWeb-style boilerplate strip: EVERY occurrence of any
     //     3-word chunk appearing in > 2 distinct docs is removed (vs
     //     q_chunk_dedup's keep-first). Hot set broadcasts; corpus text
@@ -127,6 +142,23 @@ object QueriesR8 {
         |    SELECT 1 FROM documents r
         |    WHERE (r.doc_id % 3 = 0 OR r.doc_id < 10)
         |      AND r.text = b.text)""".stripMargin,
+    "q_dedup_incremental_near" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |a AS (SELECT doc_id, s FROM sh WHERE doc_id % 3 <> 0 AND len(s) > 0),
+        |b AS (SELECT doc_id, s FROM sh WHERE (doc_id % 3 = 0 OR doc_id < 10) AND len(s) > 0),
+        |exa AS (SELECT doc_id, unnest(s) g FROM a),
+        |exb AS (SELECT doc_id, unnest(s) g FROM b),
+        |cand AS (SELECT exa.doc_id ia, exb.doc_id ib, count(*) common
+        |         FROM exa JOIN exb USING (g) GROUP BY 1, 2),
+        |contaminated AS (
+        |  SELECT DISTINCT ia FROM cand
+        |  JOIN (SELECT doc_id, len(s) n FROM a) ca ON ia = ca.doc_id
+        |  JOIN (SELECT doc_id, len(s) n FROM b) cb ON ib = cb.doc_id
+        |  WHERE round(common * 1.0 / (ca.n + cb.n - common), 6) >= 0.8)
+        |SELECT d.doc_id, d.source, d.n_chars FROM documents d
+        |WHERE d.doc_id % 3 <> 0
+        |  AND d.doc_id NOT IN (SELECT ia FROM contaminated)""".stripMargin,
     "q_boilerplate_strip" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') l FROM documents),
         |c AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(l) / 3.0) AS INT) - 1), k -> {'idx': k, 'chunk': array_to_string(l[k*3+1 : k*3+3], ' ')}), recursive := true) FROM t),

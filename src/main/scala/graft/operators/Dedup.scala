@@ -157,6 +157,83 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** CROSS-corpus exact k-shingle Jaccard pairs: every (batch, ref)
+    * pair with similarity ≥ `threshold` — the verify stage for
+    * incremental NEAR-dup dedup (is today's crawl a near-copy of
+    * anything already ingested?). Same posting-list formulation as
+    * [[ngramJaccardPairs]] (ONE shuffle clusters each shingle's docs,
+    * pairs generated locally per list), but the two corpora are tagged
+    * into separate sub-lists so only batch×ref pairs are emitted —
+    * cost is Σ(|batch_g|·|ref_g|) per shingle g, never within-corpus
+    * quadratic, and never all-pairs. `maxDf` drops posting lists whose
+    * combined length exceeds the cutoff (stop-shingle approximation,
+    * same contract as [[ngramJaccardPairs]]). */
+  def ngramJaccardPairsAgainst(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.8,
+      maxDf: Option[Int] = None): DataFrame = {
+    def shingled(df: DataFrame, isBatch: Boolean) = df
+      .select(col(idCol).as("doc"), Shingles.wordShingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("is_batch", lit(isBatch))
+    val shA = shingled(batch, isBatch = true)
+    val shB = shingled(reference, isBatch = false)
+    val countsA = shA.select(col("doc"), size(col("sh")).as("n"))
+    val countsB = shB.select(col("doc"), size(col("sh")).as("n"))
+    val ex = shA.unionByName(shB)
+      .select(col("is_batch"), col("doc"), explode(col("sh")).as("g"))
+    // collect_list skips nulls, so the two `when`s split each posting
+    // list by side inside ONE aggregation.
+    val postings = ex
+      .groupBy(xxhash64(col("g")).as("h"), col("g"))
+      .agg(
+        collect_list(when(col("is_batch"), col("doc"))).as("adocs"),
+        collect_list(when(!col("is_batch"), col("doc"))).as("bdocs"))
+      .filter(size(col("adocs")) > 0 && size(col("bdocs")) > 0)
+    val kept = maxDf.fold(postings)(m =>
+      postings.filter(size(col("adocs")) + size(col("bdocs")) <= m))
+    val pairs = kept
+      .select(col("bdocs"), explode(col("adocs")).as("a"))
+      .select(col("a"), explode(col("bdocs")).as("b"))
+      .groupBy(col("a").as("id_batch"), col("b").as("id_ref"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(countsA.as("ca"), col("id_batch") === col("ca.doc"))
+      .join(countsB.as("cb"), col("id_ref") === col("cb.doc"))
+      .withColumn("jaccard",
+        round(col("common") / (col("ca.n") + col("cb.n") - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select("id_batch", "id_ref", "jaccard")
+  }
+
+  /** Incremental NEAR-dup dedup: rows of `batch` that are not a
+    * near-duplicate (k-shingle Jaccard ≥ `threshold`) of ANY document
+    * already in `reference` — [[dedupAgainstReference]]'s fuzzy
+    * companion for the recrawl pipeline (a re-crawled page with a new
+    * timestamp survives exact-digest dedup; it must not survive this).
+    *
+    * The declared query feeds the EXACT cross-corpus pair operator so
+    * the DuckDB oracle provably matches; at 100 TB swap the pair
+    * source for banded-MinHash batch×ref candidates + exact verify —
+    * the anti join at the end accepts any (id_batch, id_ref) pair set. */
+  def nearDupAgainstReference(
+      batch: DataFrame,
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      threshold: Double = 0.8,
+      maxDf: Option[Int] = None): DataFrame = {
+    val contaminated = ngramJaccardPairsAgainst(
+      batch, reference, idCol, textCol, k, threshold, maxDf)
+      .select(col("id_batch")).distinct()
+    batch.join(contaminated, col(idCol) === col("id_batch"), "left_anti")
+  }
+
   /** MinHash signature matrix: `numHashes` seeded min-hashes over the
     * document's k-shingles, computed by the native
     * [[graft.functions.MinHashSignature]] expression — a pure per-row

@@ -56,6 +56,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(bloom.columns.toSeq == batch.columns.toSeq)
   }
 
+  test("nearDupAgainstReference drops fuzzy matches, keeps unrelated and short docs") {
+    val s = spark
+    import s.implicits._
+    val reference = Seq((100L, "the quick brown fox jumps over the lazy dog", "en"))
+      .toDF("doc_id", "text", "lang")
+    // docs 1/5 are exact copies of ref (jaccard 1.0); doc 2 differs by
+    // one word (6 of 7 shingles shared -> 0.75); doc 7 is too short to
+    // shingle and must survive by construction.
+    val pairs = Dedup.ngramJaccardPairsAgainst(
+      docs, reference, "doc_id", "text", k = 3, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L), (2L, 100L), (5L, 100L)),
+      s"cross-corpus pairs only, got $pairs")
+    val kept = Dedup.nearDupAgainstReference(
+      docs, reference, "doc_id", "text", k = 3, threshold = 0.7)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L, 6L, 7L))
+  }
+
   test("bigramLogProbs matches an in-memory reference model") {
     val s = spark
     import s.implicits._
