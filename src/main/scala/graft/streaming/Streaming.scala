@@ -273,6 +273,56 @@ object Streaming {
       .drop("__hash")
   }
 
+  /** Streaming incremental NEAR-dup screen: drop arriving docs that
+    * share ANY banded-MinHash bucket with the static reference corpus —
+    * the continuous-ingestion form of
+    * [[graft.operators.Dedup.nearDupAgainstReference]].
+    *
+    * Streaming cannot run the exact verify stage (counting shared
+    * shingles per (stream, ref) pair is an aggregation, i.e. a state
+    * store); instead the banded CANDIDATE test itself is the filter —
+    * the conservative, recall-oriented screen (any true near-dup above
+    * the banding's design threshold shares a band and is dropped;
+    * unrelated docs are dropped only at the ~b·j^r false-candidate
+    * rate, ≈10⁻⁵ with the r = 3 default). Route survivors through the
+    * batch verify if precision matters.
+    *
+    * Fully STATELESS: the signature is a per-row projection, the
+    * reference reduces once to `numBands` distinct band-value sets, and
+    * the "no band matches" predicate is `numBands` chained stream-static
+    * LEFT ANTI joins — no watermark, no state store, identical physics
+    * to [[dedupAgainstReferenceStream]] per band. Docs too short to
+    * shingle survive by construction (they cannot near-dup anything). */
+  def nearDupAgainstReferenceStream(
+      docs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      refTextCol: String = "text",
+      k: Int = 3,
+      rowsPerBand: Int = 3,
+      numBands: Int = 6): DataFrame = {
+    import graft.operators.Shingles
+    val nHash = rowsPerBand * numBands
+    def sig(c: org.apache.spark.sql.Column) =
+      graft.functions.MinHashSignature
+        .minHashSignature(Shingles.wordShingles(c, k), nHash)
+    def band(s: org.apache.spark.sql.Column, b: Int) =
+      xxhash64(slice(s, b * rowsPerBand + 1, rowsPerBand), lit(b))
+    val refSig = reference
+      .filter(size(Shingles.wordShingles(col(refTextCol), k)) > 0)
+      .select(sig(col(refTextCol)).as("__sig"))
+    var out = docs.withColumn("__sig",
+      when(size(Shingles.wordShingles(col(textCol), k)) > 0,
+        sig(col(textCol))))
+    for (b <- 0 until numBands) {
+      val refBand = refSig.select(band(col("__sig"), b).as(s"__rb$b")).distinct()
+      // NULL signature (short doc) never equals anything -> survives.
+      out = out.join(refBand,
+        band(col("__sig"), b) === col(s"__rb$b"), "left_anti")
+    }
+    out.drop("__sig")
+  }
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

@@ -313,6 +313,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(2L, 3L), s"got $kept")
   }
 
+  test("streaming near-dup screen drops banded matches statelessly, keeps short docs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // One word edited in a 22-word doc: shingle Jaccard ≈ 17/23 ≈ 0.74,
+    // comfortably above the (r=2, b=8) banding threshold (1/8)^(1/2) ≈ 0.35,
+    // so the near-dup collides deterministically under the fixed hash family.
+    val base = "the quick brown fox jumps over the lazy dog tonight again " +
+      "while the pale moon rises slowly above the silent sleeping town"
+    val reference = Seq((100L, base)).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val fresh = Streaming.nearDupAgainstReferenceStream(
+      stream.toDF().toDF("doc_id", "text"), reference,
+      rowsPerBand = 2, numBands = 8)
+    val q = fresh.writeStream.format("memory").queryName("neardedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, base),                                                        // exact: dropped
+        (2L, base.replace("lazy dog", "lazy cat")),                        // near: dropped
+        (3L, "completely unrelated words appear in this document here now and nothing matches the other text at all"), // kept
+        (4L, "too short"))                                                 // un-shingleable: kept
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "near-dup screen must not register a stateful streaming operator")
+    } finally q.stop()
+    val kept = spark.table("neardedup").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"got $kept")
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
