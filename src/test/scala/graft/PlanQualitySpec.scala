@@ -210,8 +210,10 @@ class PlanQualitySpec extends AnyFunSuite {
       s"postings must cluster via collect_list:\n${p.take(2000)}")
     assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
       "pair generation must not sort-merge the posting set against itself")
-    val gen = p.linesIterator.count(_.matches(".*\\bGenerate\\b.*"))
-    assert(gen >= 3, s"expected shingle + two pair generators, got $gen")
+    // Exact pin (same rationale as the q_containment test below): a
+    // lower bound could not catch reintroduced per-shingle Generates.
+    val gen = p.linesIterator.count(_.matches("\\s*(:?[+-]\\s)?\\(\\d+\\) Generate\\b.*"))
+    assert(gen == 3, s"expected exactly shingle + two pair generators, got $gen")
   }
 
   test("incremental dedup anti-joins digests; reference text never crosses the wire") {
