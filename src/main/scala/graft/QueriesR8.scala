@@ -11,7 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * holdout count) plus the expected-true verdict — plus the incremental
   * dedup pair (exact + bloom-prefiltered), RefinedWeb boilerplate
   * strip, interpolated bigram-LM scoring, and the Gopher top-token
-  * rule, all fully oracle-gated.
+  * rule, all fully oracle-gated — and the [[operators.Curation]]
+  * family (filter-funnel attrition, curriculum sampling, deterministic
+  * shuffle order, token-budget selection), all exact hash/integer
+  * arithmetic with full DuckDB oracles.
   */
 object QueriesR8 {
 
@@ -114,6 +117,45 @@ object QueriesR8 {
       t(s, d, "documents").select(
         col("doc_id") +:
           operators.TextAnalysis.topTokenFraction(col("text")): _*)
+    },
+    // --- filter-chain attrition report: per-stage rows_in/rows_out for
+    //     an ORDERED curation funnel, from ONE corpus scan (first
+    //     failing stage per row -> <= k+1 partial-agg counts -> tiny
+    //     broadcast join against the literal stage table). ---
+    "q_funnel" -> { (s, d) =>
+      operators.Curation.filterFunnel(t(s, d, "documents"), Seq(
+        "min_len" -> (col("n_chars") >= 100),
+        "lang" -> (col("lang") =!= "zh"),
+        "min_toks" -> (operators.TextAnalysis.tokenCount(col("text")) >= 40)))
+    },
+    // --- quality-binned curriculum sampling: rank by n_chars (two-pass
+    //     distributed prefix rank, never a single-task global window),
+    //     quartile bins, md5-hash keep rates 25/50/75/100% — the
+    //     deterministic curriculum-mix step. ---
+    "q_curriculum" -> { (s, d) =>
+      operators.Curation.curriculumSample(
+        t(s, d, "documents").select("doc_id", "n_chars"),
+        "doc_id", col("n_chars"), keepPerMille = Seq(250, 500, 750, 1000))
+        .select("doc_id", "bin")
+    },
+    // --- deterministic global shuffle: training-order position under a
+    //     seeded md5 permutation, assigned by the distributed prefix
+    //     rank (row_number over a global ORDER BY is one window task). ---
+    "q_shuffle_order" -> { (s, d) =>
+      operators.Curation.shuffleOrder(
+        t(s, d, "documents").select("doc_id"), "doc_id", seed = "s42")
+        .select("doc_id", "pos")
+    },
+    // --- token-budget selection: greedy highest-n_chars docs while the
+    //     running token total fits 12k — "the best B tokens", exact
+    //     budget accounting via the descending-order prefix sum. ---
+    "q_budget_select" -> { (s, d) =>
+      val docs = t(s, d, "documents").select(
+        col("doc_id"), col("n_chars"),
+        operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      operators.Curation.budgetSelect(
+        docs, "doc_id", "n_tokens", col("n_chars"), budget = 12000L)
+        .select("doc_id", "n_tokens", "cum_tokens")
     }
   )
 
@@ -201,6 +243,44 @@ object QueriesR8 {
         |         FROM cnt)
         |SELECT b.doc_id, b.tok AS top_tok, b.c::BIGINT AS top_n,
         |       round(CAST(b.c AS DOUBLE) / tot.n, 6) AS top_frac
-        |FROM best b JOIN tot USING (doc_id) WHERE b.rn = 1""".stripMargin
+        |FROM best b JOIN tot USING (doc_id) WHERE b.rn = 1""".stripMargin,
+    "q_funnel" ->
+      """WITH f AS (SELECT CASE
+        |    WHEN NOT coalesce(n_chars >= 100, false) THEN 0
+        |    WHEN NOT coalesce(lang <> 'zh', false) THEN 1
+        |    WHEN NOT coalesce(len(regexp_extract_all(text, '\S+')) >= 40, false) THEN 2
+        |    ELSE 3 END AS fail FROM documents),
+        |a AS (SELECT fail, count(*) AS c FROM f GROUP BY fail),
+        |t AS (SELECT count(*) AS total FROM f),
+        |s AS (SELECT * FROM (VALUES (0, 'min_len'), (1, 'lang'), (2, 'min_toks'))
+        |      v(stage_idx, stage))
+        |SELECT s.stage_idx, s.stage,
+        |  CAST(t.total - coalesce((SELECT sum(c) FROM a WHERE fail < s.stage_idx), 0) AS BIGINT) AS rows_in,
+        |  CAST(t.total - coalesce((SELECT sum(c) FROM a WHERE fail <= s.stage_idx), 0) AS BIGINT) AS rows_out
+        |FROM s, t""".stripMargin,
+    "q_curriculum" ->
+      """WITH r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |b AS (SELECT doc_id, CAST((rk * 4) // n AS INTEGER) AS bin FROM r)
+        |SELECT doc_id, bin FROM b
+        |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INTEGER)
+        |  < (CASE bin WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 750 ELSE 1000 END) * 10""".stripMargin,
+    "q_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY md5('s42' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS BIGINT) AS pos
+        |FROM documents""".stripMargin,
+    "q_budget_select" ->
+      """WITH c AS (SELECT doc_id, n_chars,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        |  FROM c)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM r WHERE cum_tokens <= 12000""".stripMargin
   )
 }

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Corpus-curation operators for training-data pipelines: the
+  * observability and selection steps that sit between cleaning
+  * ([[Pipeline]], [[Dedup]]) and packing ([[Packing]], [[Splits]]) —
+  * which filter dropped what, which quality tier feeds which epoch,
+  * what order the trainer reads, and which docs fit the token budget.
+  *
+  * Everything here is either a per-row projection or reuses the
+  * two-pass distributed prefix sum ([[Packing.runningTotalBy]]) — no
+  * operator plans a single-task global window, no driver state beyond
+  * O(partitions) offsets, so every shape survives a 1000-executor
+  * 100 TB run unchanged.
+  */
+object Curation {
+
+  /** Attrition report for an ORDERED filter chain — the per-stage
+    * "how many docs did stage k see / pass" funnel every curation
+    * pipeline reports (the number that explains why 100 TB in became
+    * 31 TB out).
+    *
+    * ONE scan of the corpus: each row is classified by its FIRST
+    * failing stage (a NULL predicate counts as a failure, exactly as a
+    * `WHERE` would drop it; rows passing all k stages get index k), the
+    * classification reduces to ≤ k+1 counts via partial aggregation,
+    * and the report joins those counts against a k-row literal stage
+    * table — tiny × tiny, both sides broadcast. Running the chain as k
+    * separate `count()`s would scan the corpus k times and still race
+    * the stages' interaction; this is exact, ordered, and linear.
+    *
+    * Returns `(stage_idx, stage, rows_in, rows_out)` where
+    * `rows_in(0) = |df|` and `rows_in(i) = rows_out(i-1)`. */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "stage names must be unique")
+    val n = stages.length
+    val failIdx = stages.zipWithIndex.foldRight(lit(n): Column) {
+      case (((_, pred), i), els) =>
+        when(!coalesce(pred, lit(false)), lit(i)).otherwise(els)
+    }
+    val perFail = df.select(failIdx.as("__fail"))
+      .groupBy("__fail").agg(count(lit(1)).as("__c"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stageDf = stages.map(_._1).zipWithIndex
+      .map { case (name, i) => (i, name) }.toDF("stage_idx", "stage")
+    val total = perFail.agg(sum("__c").as("__total"))
+    // rows_in(i) = total − (rows that already failed a stage < i);
+    // rows_out(i) additionally subtracts stage i's own failures. The
+    // left join keeps zero-failure stages (sum over no rows → 0).
+    stageDf
+      .crossJoin(broadcast(total))
+      .join(broadcast(perFail), col("__fail") <= col("stage_idx"), "left")
+      .groupBy("stage_idx", "stage")
+      .agg(
+        (first("__total") - coalesce(
+          sum(when(col("__fail") < col("stage_idx"), col("__c"))),
+          lit(0L))).as("rows_in"),
+        (first("__total") - coalesce(sum(col("__c")), lit(0L))).as("rows_out"))
+  }
+
+  /** Quality-binned curriculum sampling: rank the corpus by
+    * `scoreCol` (ascending, `idCol` tiebreak), cut the ranking into
+    * `keepPerMille.length` equal-size bins, and keep each bin at its
+    * per-mille rate — "train mostly on the best tier, keep a taper of
+    * the rest", the curriculum-mix step, with CONTENT-HASH determinism
+    * (the kept set is a pure function of the rows — stable across
+    * runs, partitionings and engines, like [[Splits.assignSplit]]).
+    *
+    * The global rank comes from [[Packing.globalRank]] (two-pass
+    * prefix sum — never a single-task `row_number() OVER (ORDER BY)`),
+    * the bin is integer arithmetic on (rank, corpus size), and the
+    * keep decision is [[Splits.hashBucket]] against the bin's rate —
+    * one extra O(1)-row broadcast for the corpus count, no second
+    * shuffle. Adds the `bin` column to kept rows. */
+  def curriculumSample(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: Column,
+      keepPerMille: Seq[Int],
+      numPartitions: Int = 32): DataFrame = {
+    require(keepPerMille.nonEmpty, "need at least one bin")
+    require(keepPerMille.forall(r => r >= 0 && r <= 1000),
+      "rates are per-mille: 0..1000")
+    val bins = keepPerMille.length
+    val ranked = Packing.globalRank(df, Seq(scoreCol, col(idCol)), numPartitions)
+    val total = ranked.agg(count(lit(1)).as("__n"))
+    val rateMap = map(keepPerMille.zipWithIndex
+      .flatMap { case (r, i) => Seq(lit(i), lit(r)) }: _*)
+    ranked
+      .crossJoin(broadcast(total))
+      .withColumn("bin",
+        floor(((col("__rank") - 1) * bins).cast("double") / col("__n"))
+          .cast("int"))
+      .filter(Splits.hashBucket(col(idCol)) <
+        element_at(rateMap, col("bin")) * 10)
+      .drop("__rank", "__n")
+  }
+
+  /** Deterministic global shuffle order for training: `pos` is the
+    * document's 0-based position under a seeded content-hash
+    * permutation (`md5(seed ‖ id)` order, id tiebreak) — the "shuffle
+    * the corpus before sharding" step, reproducible bit-for-bit from
+    * the seed alone, independent of partitioning, cluster size or
+    * engine (a `repartition`-and-hope shuffle is none of those).
+    *
+    * Position assignment is the [[Packing.globalRank]] two-pass prefix
+    * sum over the hash order — the naive `row_number() OVER (ORDER BY
+    * md5(...))` funnels 100 TB through one window task. Feed `pos` to
+    * [[Packing.tokenShards]] (as the order key) to get shuffled
+    * fixed-budget shards. */
+  def shuffleOrder(
+      df: DataFrame,
+      idCol: String,
+      seed: String,
+      numPartitions: Int = 32): DataFrame = {
+    val key = md5(concat(lit(seed), col(idCol).cast("string")))
+    Packing.globalRank(df, Seq(key, col(idCol)), numPartitions)
+      .withColumn("pos", col("__rank") - 1)
+      .drop("__rank")
+  }
+
+  /** Token-budget selection: keep the highest-`scoreCol` documents
+    * whose RUNNING token total fits `budget` — "the best B tokens", the
+    * data-constrained-scaling selection step (greedy by quality, exact
+    * budget accounting, no sampling noise).
+    *
+    * The running total in (score DESC, id) order is
+    * [[Packing.runningTotalBy]]'s two-pass prefix sum — the same
+    * descending sort-order expressions drive the range partitioning
+    * and the per-partition window, so no global single-task window
+    * exists in the plan. A document straddling the boundary is
+    * EXCLUDED (`cum ≤ budget`): the kept set never exceeds the budget.
+    * Emits kept rows plus `cum_tokens`, the inclusive running total. */
+  def budgetSelect(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      scoreCol: Column,
+      budget: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    Packing.runningTotalBy(
+      df, Seq(scoreCol.desc, col(idCol)), col(tokenCol), numPartitions)
+      .filter(col("__cum") <= budget)
+      .withColumnRenamed("__cum", "cum_tokens")
+  }
+}

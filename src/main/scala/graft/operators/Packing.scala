@@ -34,13 +34,40 @@ object Packing {
       df: DataFrame,
       idCol: String,
       valueCol: String,
+      numPartitions: Int = 32): DataFrame =
+    runningTotalBy(df, Seq(col(idCol)), col(valueCol), numPartitions)
+
+  /** Global 1-based rank in `orderCols` order, as column `__rank` —
+    * [[runningTotalBy]] of a constant 1. The distributed replacement
+    * for `row_number() OVER (ORDER BY ...)` with no partition key (a
+    * single-task window): per-partition row numbers run in parallel and
+    * the broadcast offsets make them global. `orderCols` should be a
+    * total order (append a unique tiebreaker) or ranks within a tie
+    * group depend on the partitioning. */
+  def globalRank(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      numPartitions: Int = 32): DataFrame =
+    runningTotalBy(df, orderCols, lit(1L), numPartitions)
+      .withColumnRenamed("__cum", "__rank")
+
+  /** [[runningTotal]] generalized to ANY ordering — a `Seq` of order
+    * columns, descending (`col.desc`) included: the same sort-order
+    * expressions drive both the range partitioning and the
+    * per-partition window, so the two passes agree on the global order.
+    * Emits the running sum of `value` (nulls count 0) as `__cum`. */
+  def runningTotalBy(
+      df: DataFrame,
+      orderCols: Seq[org.apache.spark.sql.Column],
+      value: org.apache.spark.sql.Column,
       numPartitions: Int = 32): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
     // Freeze the range partitioning: the per-partition totals job and
     // the final running-sum job must see the SAME partition boundaries
     // (RangePartitioner samples its bounds, so two executions of the
     // lineage could differ).
     val ranged = Materialize.checkpoint(df
-      .repartitionByRange(numPartitions, col(idCol))
+      .repartitionByRange(numPartitions, orderCols: _*)
       .withColumn("__pid", spark_partition_id()))
     // Pass 1: one row per partition — O(numPartitions) driver state.
     // Nulls count as 0 here (an all-null partition must yield total 0,
@@ -48,7 +75,7 @@ object Packing {
     // pass below, whose sum() skips nulls like any SQL aggregate.
     val totals = ranged
       .groupBy("__pid")
-      .agg(sum(coalesce(col(valueCol).cast("long"), lit(0L))).as("t"))
+      .agg(sum(coalesce(value.cast("long"), lit(0L))).as("t"))
       .collect()
       .map(r => r.getInt(0) -> r.getLong(1))
       .toMap
@@ -71,10 +98,10 @@ object Packing {
           .flatMap { case (p, off) => Seq(lit(p), lit(off)) }: _*),
         col("__pid"))
     // Pass 2: per-partition running sum (parallel) + broadcast offset.
-    val w = Window.partitionBy("__pid").orderBy(idCol)
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ranged
-      .withColumn("__cum", sum(col(valueCol).cast("long")).over(w) + offsetExpr)
+      .withColumn("__cum", sum(value.cast("long")).over(w) + offsetExpr)
       .drop("__pid")
   }
 

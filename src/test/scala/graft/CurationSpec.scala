@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Curation
+
+/** Curation operators: the funnel report cross-checked against direct
+  * cumulative filters, and the prefix-sum-backed selection operators
+  * (curriculum / shuffle / budget) pinned EQUAL to their single-task
+  * global-window formulations — plus the plan pin that the distributed
+  * version never actually plans that global window. */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs = spark.read
+    .parquet(TestSpark.sf001 + "/documents.parquet")
+
+  private val stages = Seq(
+    "min_len" -> (col("n_chars") >= 100),
+    "lang" -> (col("lang") =!= "zh"),
+    "min_toks" -> (operators.TextAnalysis.tokenCount(col("text")) >= 40))
+
+  test("filterFunnel matches direct cumulative filter counts") {
+    val report = Curation.filterFunnel(docs, stages)
+      .orderBy("stage_idx").collect()
+    assert(report.map(_.getString(1)).toSeq ==
+      Seq("min_len", "lang", "min_toks"))
+    val total = docs.count()
+    var surviving = docs
+    var expectedIn = total
+    report.foreach { r =>
+      assert(r.getLong(2) == expectedIn,
+        s"stage ${r.getString(1)}: rows_in ${r.getLong(2)} != $expectedIn")
+      surviving = surviving.filter(stages(r.getInt(0))._2)
+      val out = surviving.count()
+      assert(r.getLong(3) == out,
+        s"stage ${r.getString(1)}: rows_out ${r.getLong(3)} != $out")
+      expectedIn = out
+    }
+    // The funnel must actually funnel on this fixture: every stage
+    // drops something, so a broken first-fail index can't pass by
+    // accident on all-pass/all-fail degenerate columns.
+    assert(report.forall(r => r.getLong(3) < r.getLong(2)))
+  }
+
+  test("filterFunnel counts a NULL predicate as a failure, like WHERE") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(Integer, String)]((1, "a"), (null, "b"), (3, "c"))
+      .toDF("v", "k")
+    val rep = Curation.filterFunnel(df, Seq(
+      "pos" -> (col("v") > 0),          // NULL for row 2 -> fails here
+      "always" -> lit(true)))
+      .orderBy("stage_idx").collect()
+    assert(rep(0).getLong(2) == 3 && rep(0).getLong(3) == 2)
+    assert(rep(1).getLong(2) == 2 && rep(1).getLong(3) == 2)
+  }
+
+  test("curriculumSample equals the global-window formulation") {
+    val base = docs.select("doc_id", "n_chars")
+    val got = Curation.curriculumSample(
+      base, "doc_id", col("n_chars"), keepPerMille = Seq(250, 500, 750, 1000))
+      .select("doc_id", "bin")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars"), col("doc_id"))
+    val n = base.count()
+    val expected = base
+      .withColumn("bin",
+        floor(((row_number().over(w) - 1) * 4).cast("double") / n).cast("int"))
+      .filter(operators.Splits.hashBucket(col("doc_id")) <
+        element_at(map(lit(0), lit(250), lit(1), lit(500),
+          lit(2), lit(750), lit(3), lit(1000)), col("bin")) * 10)
+      .select("doc_id", "bin")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // Rates actually bite: the low-quality bin keeps fewer than the top
+    // bin (bin 3 keeps everything).
+    val byBin = got.groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byBin(0) < byBin(3))
+  }
+
+  test("shuffleOrder is a deterministic seeded permutation") {
+    val base = docs.select("doc_id")
+    val got = Curation.shuffleOrder(base, "doc_id", seed = "s42")
+    val n = base.count()
+    // Permutation: positions are exactly 0..n-1.
+    assert(got.agg(countDistinct("pos")).head.getLong(0) == n)
+    assert(got.agg(min("pos"), max("pos")).head match {
+      case r => r.getLong(0) == 0L && r.getLong(1) == n - 1
+    })
+    // Deterministic: a second evaluation and a different partitioning
+    // yield the identical assignment.
+    val again = Curation.shuffleOrder(
+      base.repartition(7), "doc_id", seed = "s42")
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // Seed-sensitive: a different seed is a different permutation.
+    val other = Curation.shuffleOrder(base, "doc_id", seed = "s43")
+    assert(got.exceptAll(other).count() > 0)
+    // Actually shuffled: not the identity order.
+    assert(got.filter(col("pos") =!= col("doc_id")).count() > 0)
+  }
+
+  test("budgetSelect keeps the best docs and never exceeds the budget") {
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val got = Curation.budgetSelect(
+      base, "doc_id", "n_tok", col("n_chars"), budget = 12000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .rowsBetween(Long.MinValue, 0)
+    val expected = base
+      .withColumn("cum_tokens", sum(col("n_tok").cast("long")).over(w))
+      .filter(col("cum_tokens") <= 12000L)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.agg(max("cum_tokens")).head.getLong(0) <= 12000L)
+    // Greedy by score: every kept doc outscores (or ties) every dropped
+    // doc — min kept n_chars >= max dropped n_chars is too strong at
+    // the boundary tie, so compare against docs strictly above it.
+    val minKept = got.agg(min("n_chars")).head.getLong(0)
+    val droppedAbove = base.join(got.select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(col("n_chars") > minKept).count()
+    // A dropped doc with n_chars above the min kept can only be the
+    // straddling boundary doc's betters... there are none: selection is
+    // a prefix of the (n_chars desc, doc_id) order.
+    assert(droppedAbove == 0, s"$droppedAbove dropped docs outscore a kept doc")
+  }
+
+  test("no single-task global window in any curation plan") {
+    val base = docs.select(col("doc_id"), col("n_chars"),
+      operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    Seq(
+      Curation.curriculumSample(base.select("doc_id", "n_chars"), "doc_id",
+        col("n_chars"), Seq(250, 500, 750, 1000)),
+      Curation.shuffleOrder(base.select("doc_id"), "doc_id", "s42"),
+      Curation.budgetSelect(base, "doc_id", "n_tok", col("n_chars"), 12000L)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      // A global window shows an empty partition spec; the distributed
+      // form partitions its window by the frozen range-partition id.
+      assert(!plan.contains("Window [sum") || plan.contains("__pid"),
+        s"global window detected:\n${plan.take(3000)}")
+    }
+  }
+}
