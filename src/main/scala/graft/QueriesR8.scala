@@ -156,6 +156,42 @@ object QueriesR8 {
       operators.Curation.budgetSelect(
         docs, "doc_id", "n_tokens", col("n_chars"), budget = 12000L)
         .select("doc_id", "n_tokens", "cum_tokens")
+    },
+    // --- snapshot diff: classify every id across two corpus snapshots
+    //     as added/removed/changed/unchanged; both sides reduce to
+    //     32-byte digests before the full outer join (text never
+    //     shuffles — same contract as incremental dedup). Old snapshot
+    //     lacks %7==0 docs (added), new lacks %5==3 (removed), %11==0
+    //     text gains a ' v2' suffix (changed). ---
+    "q_snapshot_diff" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Versioning.snapshotDiff(
+        oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+          .select("doc_id", "text"),
+        newSnap = docs.filter(col("doc_id") % 5 =!= 3)
+          .select(col("doc_id"),
+            when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text")),
+        idCol = "doc_id", textCol = "text")
+    },
+    // --- sequence-packing offsets: shard + starting token offset per
+    //     doc, the attention-boundary metadata for fixed-length
+    //     training sequences — pure arithmetic on the distributed
+    //     prefix sum. ---
+    "q_pack_offsets" -> { (s, d) =>
+      operators.Packing.tokenShardOffsets(
+        t(s, d, "documents").select(col("doc_id"),
+          operators.TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L)
+        .select("doc_id", "n_tokens", "shard", "tok_offset")
+    },
+    // --- exact-count deterministic sample: the first 100 docs in
+    //     seeded md5 order — TakeOrderedAndProject bounded heaps, never
+    //     a global sort. ---
+    "q_fixed_sample" -> { (s, d) =>
+      operators.Curation.fixedSample(
+        t(s, d, "documents").select("doc_id", "source"),
+        "doc_id", n = 100, seed = "fs7")
     }
   )
 
@@ -281,6 +317,31 @@ object QueriesR8 {
         |  FROM c)
         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
         |       CAST(cum_tokens AS BIGINT) AS cum_tokens
-        |FROM r WHERE cum_tokens <= 12000""".stripMargin
+        |FROM r WHERE cum_tokens <= 12000""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 5 <> 3)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+    "q_pack_offsets" ->
+      """WITH c AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens FROM documents),
+        |r AS (SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM c)
+        |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+        |       CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard,
+        |       CAST((cum - n_tokens) % 2048 AS BIGINT) AS tok_offset
+        |FROM r""".stripMargin,
+    "q_fixed_sample" ->
+      """SELECT doc_id, source FROM documents
+        |ORDER BY md5('fs7' || CAST(doc_id AS VARCHAR)), doc_id
+        |LIMIT 100""".stripMargin
   )
 }

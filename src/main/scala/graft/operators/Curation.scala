@@ -124,6 +124,29 @@ object Curation {
       .drop("__rank")
   }
 
+  /** Fixed-size deterministic sample: EXACTLY `n` documents (fewer only
+    * if the corpus is smaller), chosen by seeded content-hash order —
+    * the reproducible "give me 10k docs for the eval set" draw.
+    * Rate-based hash sampling ([[Splits.hashBucket]] thresholds) can't
+    * hit an exact count; ranking by `md5(seed ‖ id)` and taking the
+    * first `n` can, and stays a pure function of (rows, seed).
+    *
+    * Plans as `TakeOrderedAndProject`: each partition keeps an n-bounded
+    * heap and ships at most `n` rows — the full corpus is never globally
+    * sorted (same shape q_limit pins). Driver-side merge is O(n·
+    * partitions) rows, fine for sample-sized `n`; for corpus-scale
+    * selection use [[budgetSelect]] or [[curriculumSample]] instead. */
+  def fixedSample(
+      df: DataFrame,
+      idCol: String,
+      n: Int,
+      seed: String): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    df.orderBy(
+      md5(concat(lit(seed), col(idCol).cast("string"))), col(idCol))
+      .limit(n)
+  }
+
   /** Token-budget selection: keep the highest-`scoreCol` documents
     * whose RUNNING token total fits `budget` — "the best B tokens", the
     * data-constrained-scaling selection step (greedy by quality, exact

@@ -118,6 +118,29 @@ object Packing {
       .drop("__cum")
   }
 
+  /** [[tokenShards]] plus each document's starting token offset WITHIN
+    * its shard (`tok_offset = (cum − tokens) − shard·budget`, always in
+    * `[0, budget)`) — the metadata a sequence-packing trainer needs to
+    * place attention boundaries when shards are concatenated into
+    * fixed-length training sequences. Pure per-row arithmetic on the
+    * same prefix sum; a straddling doc still STARTS inside its shard,
+    * its tokens simply run past the boundary (documents are never
+    * split, per the [[tokenShards]] contract). */
+  def tokenShardOffsets(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(budget > 0, "token budget must be positive")
+    runningTotal(df, idCol, tokenCol, numPartitions)
+      .withColumn("shard",
+        floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble)))
+      .withColumn("tok_offset",
+        col("__cum") - col(tokenCol).cast("long") - col("shard") * budget)
+      .drop("__cum")
+  }
+
   /** Deterministic weighted interleave of corpora — the training-mix
     * step ("70% web, 30% code"). Every source's rows get positions
     * `rank / weight` (rank = 1-based position in `idCol` order, via the

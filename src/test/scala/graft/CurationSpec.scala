@@ -126,6 +126,38 @@ class CurationSpec extends AnyFunSuite {
     assert(droppedAbove == 0, s"$droppedAbove dropped docs outscore a kept doc")
   }
 
+  test("fixedSample takes exactly n via bounded heaps, deterministically") {
+    val base = docs.select("doc_id", "source")
+    val got = Curation.fixedSample(base, "doc_id", n = 100, seed = "fs7")
+    assert(got.count() == 100)
+    val again = Curation.fixedSample(
+      base.repartition(7), "doc_id", n = 100, seed = "fs7")
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    // Bounded-heap top-n, never a global sort.
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n${plan.take(2000)}")
+  }
+
+  test("tokenShardOffsets matches the window formulation, offsets in range") {
+    val base = docs.select(col("doc_id"),
+      operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val got = operators.Packing.tokenShardOffsets(
+      base, "doc_id", "n_tok", budget = 2048L)
+      .select("doc_id", "shard", "tok_offset")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val expected = base
+      .withColumn("cum", sum(col("n_tok").cast("long")).over(w))
+      .withColumn("shard", floor((col("cum") - col("n_tok")) / lit(2048.0)))
+      .withColumn("tok_offset",
+        col("cum") - col("n_tok").cast("long") - col("shard") * 2048L)
+      .select("doc_id", "shard", "tok_offset")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    assert(got.filter(col("tok_offset") < 0 || col("tok_offset") >= 2048L)
+      .count() == 0)
+  }
+
   test("no single-task global window in any curation plan") {
     val base = docs.select(col("doc_id"), col("n_chars"),
       operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Versioning
+
+class VersioningSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val s = spark
+    import s.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "text")
+    val got = Versioning.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff never ships text through an exchange") {
+    val docs = spark.read.parquet(TestSpark.sf001 + "/documents.parquet")
+    val df = Versioning.snapshotDiff(
+      docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text"),
+      docs.select("doc_id", "text"), "doc_id", "text")
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val bad = df.queryExecution.executedPlan.collect {
+      case e: Exchange if e.child.output.exists(_.name == "text") => e
+    }
+    assert(bad.isEmpty, "an exchange input still carries the text column")
+    // And the fixture exercises every status on real data.
+    val statuses = Versioning.snapshotDiff(
+      docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text"),
+      docs.filter(col("doc_id") % 5 =!= 3).select(col("doc_id"),
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text")),
+      "doc_id", "text")
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"))
+  }
+}
