@@ -48,7 +48,8 @@ object Curation {
     import spark.implicits._
     val stageDf = stages.map(_._1).zipWithIndex
       .map { case (name, i) => (i, name) }.toDF("stage_idx", "stage")
-    val total = perFail.agg(sum("__c").as("__total"))
+    // coalesce: an EMPTY corpus must report 0s, not a NULL total.
+    val total = perFail.agg(coalesce(sum("__c"), lit(0L)).as("__total"))
     // rows_in(i) = total − (rows that already failed a stage < i);
     // rows_out(i) additionally subtracts stage i's own failures. The
     // left join keeps zero-failure stages (sum over no rows → 0).

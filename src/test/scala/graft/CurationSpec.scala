@@ -57,6 +57,15 @@ class CurationSpec extends AnyFunSuite {
     assert(rep(1).getLong(2) == 2 && rep(1).getLong(3) == 2)
   }
 
+  test("filterFunnel on an empty corpus reports zeros, not nulls") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("v", "k")
+    val rep = Curation.filterFunnel(empty, Seq("any" -> (col("v") > 0)))
+      .collect()
+    assert(rep.length == 1 && rep(0).getLong(2) == 0 && rep(0).getLong(3) == 0)
+  }
+
   test("curriculumSample equals the global-window formulation") {
     val base = docs.select("doc_id", "n_chars")
     val got = Curation.curriculumSample(
