@@ -198,7 +198,10 @@ object Bench {
 
     // Full per-query detail — every timing at 3 decimals plus every
     // error — goes to a file; the stdout line can't carry it (below).
-    val detailPath = "BENCH_DETAIL.json"
+    // A SPARK_GRAFT_ONLY dev run writes a PARTIAL file so it never
+    // clobbers the last full sweep's detail.
+    val detailPath =
+      if (only.isDefined) "BENCH_DETAIL_PARTIAL.json" else "BENCH_DETAIL.json"
     val spreadJson = spreads.map { case (k, v) => s"${jsonStr(k)}:${f"$v%.3f"}" }
       .mkString("{", ",", "}")
     val runsJson = allRuns.map { case (k, rs) =>
