@@ -192,6 +192,12 @@ object QueriesR8 {
       operators.Curation.fixedSample(
         t(s, d, "documents").select("doc_id", "source"),
         "doc_id", n = 100, seed = "fs7")
+    },
+    // --- the cleaning pipeline's OWN gate attrition: which of the
+    //     three quality-gate components (token band / TTR / avg token
+    //     length, q_pipeline's exact parameters) drops what. ---
+    "q_gate_funnel" -> { (s, d) =>
+      operators.Pipeline.gateAttrition(t(s, d, "documents"), "text")
     }
   )
 
@@ -342,6 +348,21 @@ object QueriesR8 {
     "q_fixed_sample" ->
       """SELECT doc_id, source FROM documents
         |ORDER BY md5('fs7' || CAST(doc_id AS VARCHAR)), doc_id
-        |LIMIT 100""".stripMargin
+        |LIMIT 100""".stripMargin,
+    "q_gate_funnel" ->
+      """WITH tk AS (SELECT regexp_extract_all(text, '\S+') AS toks FROM documents),
+        |f AS (SELECT CASE
+        |    WHEN NOT coalesce(len(toks) BETWEEN 20 AND 500, false) THEN 0
+        |    WHEN NOT coalesce(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.15, false) THEN 1
+        |    WHEN NOT coalesce(CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) BETWEEN 2.0 AND 8.0, false) THEN 2
+        |    ELSE 3 END AS fail FROM tk),
+        |a AS (SELECT fail, count(*) AS c FROM f GROUP BY fail),
+        |t AS (SELECT count(*) AS total FROM f),
+        |s AS (SELECT * FROM (VALUES (0, 'tok_band'), (1, 'ttr'), (2, 'avg_token_len'))
+        |      v(stage_idx, stage))
+        |SELECT s.stage_idx, s.stage,
+        |  CAST(t.total - coalesce((SELECT sum(c) FROM a WHERE fail < s.stage_idx), 0) AS BIGINT) AS rows_in,
+        |  CAST(t.total - coalesce((SELECT sum(c) FROM a WHERE fail <= s.stage_idx), 0) AS BIGINT) AS rows_out
+        |FROM s, t""".stripMargin
   )
 }

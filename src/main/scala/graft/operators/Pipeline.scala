@@ -31,4 +31,22 @@ object Pipeline {
       minTokens, maxTokens, minTtr, minAvgTokenLen, maxAvgTokenLen))
     Dedup.dedupCorpus(gated, idCol, textCol, threshold = nearDupThreshold)
   }
+
+  /** Per-stage attrition of [[cleanCorpus]]'s quality GATE — which of
+    * the three gate components drops what, from one corpus scan
+    * ([[TextAnalysis.qualityStages]] through
+    * [[Curation.filterFunnel]]). The dedup stages that follow the gate
+    * are set-based (joins), not row predicates — their attrition is the
+    * row-count delta of [[cleanCorpus]]'s output, already measured by
+    * running the pipeline itself. */
+  def gateAttrition(
+      df: DataFrame,
+      textCol: String,
+      minTokens: Int = 20,
+      maxTokens: Int = 500,
+      minTtr: Double = 0.15,
+      minAvgTokenLen: Double = 2.0,
+      maxAvgTokenLen: Double = 8.0): DataFrame =
+    Curation.filterFunnel(df, TextAnalysis.qualityStages(col(textCol),
+      minTokens, maxTokens, minTtr, minAvgTokenLen, maxAvgTokenLen))
 }

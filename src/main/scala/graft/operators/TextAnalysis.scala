@@ -100,6 +100,29 @@ object TextAnalysis {
       avgLen.between(minAvgTokenLen, maxAvgTokenLen)
   }
 
+  /** [[qualityFilter]]'s components as ORDERED named stages — the input
+    * [[Curation.filterFunnel]] needs to report which gate drops what
+    * (the conjunction tells you a doc failed; the funnel tells you
+    * where). Same predicates, same order as the conjunction, so
+    * `stages.map(_._2).reduce(_ && _)` ≡ `qualityFilter`. */
+  def qualityStages(
+      text: Column,
+      minTokens: Int = 10,
+      maxTokens: Int = 100000,
+      minTtr: Double = 0.1,
+      minAvgTokenLen: Double = 2.0,
+      maxAvgTokenLen: Double = 12.0): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val avgLen = aggregate(transform(toks, t => length(t)), lit(0),
+      (acc, x) => acc + x).cast("double") / nTok
+    Seq(
+      "tok_band" -> nTok.between(minTokens, maxTokens),
+      "ttr" -> (ttr >= minTtr),
+      "avg_token_len" -> avgLen.between(minAvgTokenLen, maxAvgTokenLen))
+  }
+
   /** Exact content fingerprint (md5 hex of UTF-8 text) — the unit for
     * exact dedup and cache keys. */
   def fingerprintMd5(text: Column): Column = md5(text.cast("binary"))

@@ -135,6 +135,25 @@ class CurationSpec extends AnyFunSuite {
     assert(droppedAbove == 0, s"$droppedAbove dropped docs outscore a kept doc")
   }
 
+  test("qualityStages conjunction is exactly qualityFilter; gateAttrition chains") {
+    val ta = operators.TextAnalysis
+    val viaStages = docs.filter(
+      ta.qualityStages(col("text"), 20, 500, 0.15, 2.0, 8.0)
+        .map(_._2).reduce(_ && _))
+    val viaFilter = docs.filter(
+      ta.qualityFilter(col("text"), 20, 500, 0.15, 2.0, 8.0))
+    assert(viaStages.exceptAll(viaFilter).isEmpty &&
+      viaFilter.exceptAll(viaStages).isEmpty)
+    val rep = operators.Pipeline.gateAttrition(docs, "text")
+      .orderBy("stage_idx").collect()
+    assert(rep.head.getLong(2) == docs.count())
+    assert(rep.last.getLong(3) == viaFilter.count())
+    rep.sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) == b.getLong(2))
+      case _ => ()
+    }
+  }
+
   test("fixedSample takes exactly n via bounded heaps, deterministically") {
     val base = docs.select("doc_id", "source")
     val got = Curation.fixedSample(base, "doc_id", n = 100, seed = "fs7")
