@@ -198,6 +198,26 @@ object QueriesR8 {
     //     length, q_pipeline's exact parameters) drops what. ---
     "q_gate_funnel" -> { (s, d) =>
       operators.Pipeline.gateAttrition(t(s, d, "documents"), "text")
+    },
+    // --- cross-source duplication matrix: near-dup pair counts per
+    //     unordered source pair — the provenance report over the exact
+    //     Jaccard pairs (any pair set plugs in; banded at scale). ---
+    "q_dup_matrix" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Dedup.dupGroupMatrix(
+        docs,
+        operators.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          k = 3, threshold = 0.8).select("id_a", "id_b"),
+        "doc_id", "source")
+    },
+    // --- deterministic weighted upsampling: en ×2.5, zh ×0.3, rest ×1
+    //     — fractional copies hash-selected, map-only fan-out. ---
+    "q_upsample" -> { (s, d) =>
+      val w = when(col("lang") === "en", 2.5)
+        .when(col("lang") === "zh", 0.3).otherwise(1.0)
+      operators.Curation.upsampleByWeight(
+        t(s, d, "documents").select("doc_id", "lang"), "doc_id", w)
+        .select("doc_id", "copy")
     }
   )
 
@@ -363,6 +383,34 @@ object QueriesR8 {
         |SELECT s.stage_idx, s.stage,
         |  CAST(t.total - coalesce((SELECT sum(c) FROM a WHERE fail < s.stage_idx), 0) AS BIGINT) AS rows_in,
         |  CAST(t.total - coalesce((SELECT sum(c) FROM a WHERE fail <= s.stage_idx), 0) AS BIGINT) AS rows_out
-        |FROM s, t""".stripMargin
+        |FROM s, t""".stripMargin,
+    "q_dup_matrix" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT ia, ib FROM (
+        |    SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |    FROM cand JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |  WHERE jaccard >= 0.8),
+        |lab AS (SELECT p.ia, p.ib, da.source sa, db.source sb
+        |        FROM pairs p JOIN documents da ON p.ia = da.doc_id
+        |        JOIN documents db ON p.ib = db.doc_id)
+        |SELECT least(sa, sb) AS group_a, greatest(sa, sb) AS group_b,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM lab GROUP BY 1, 2""".stripMargin,
+    "q_upsample" ->
+      """WITH w AS (SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 2.5 WHEN lang = 'zh' THEN 0.3
+        |         ELSE 1.0 END AS wt,
+        |    CAST(CAST(('0x' || substr(md5('up:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INTEGER) AS bucket
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    CAST(floor(wt) + CASE WHEN bucket < (wt - floor(wt)) * 10000
+        |      THEN 1 ELSE 0 END AS INTEGER) AS n_copies FROM w)
+        |SELECT doc_id, CAST(copy AS INTEGER) AS copy
+        |FROM c, LATERAL unnest(generate_series(1, n_copies)) AS u(copy)
+        |WHERE n_copies > 0""".stripMargin
   )
 }

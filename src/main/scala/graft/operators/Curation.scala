@@ -125,6 +125,37 @@ object Curation {
       .drop("__rank")
   }
 
+  /** Deterministic weighted upsampling: each row replicated
+    * `floor(w)` times plus one more for the hash-selected `frac(w)`
+    * fraction of ids — "repeat the high-quality source 2.5×" from the
+    * data-mixing recipe, with the SAME content-hash determinism as
+    * [[Splits.assignSplit]] (the realized copy count is a pure function
+    * of the row; corpus-wide, realized/nominal weight converges at the
+    * hash's uniformity). Weights < 1 downsample (floor 0 + fractional
+    * keep), weight 0 drops.
+    *
+    * Map-only: copy counts and the `sequence` fan-out are per-row
+    * projections — zero shuffle at any corpus size. Emits `copy`
+    * (1-based copy index); feed the result to [[shuffleOrder]] keyed on
+    * (id, copy) to spread replicas through the training order. */
+  def upsampleByWeight(
+      df: DataFrame,
+      idCol: String,
+      weight: Column): DataFrame = {
+    val frac = weight - floor(weight)
+    // "up:" prefix decorrelates these buckets from assignSplit's.
+    val bucket = Splits.hashBucket(
+      concat(lit("up:"), col(idCol).cast("string")))
+    val copies = (floor(weight) +
+      when(bucket < frac * 10000, 1).otherwise(0)).cast("int")
+    df.withColumn("__n_copies", copies)
+      // sequence(1, 0) would count DOWN; empty-array the non-kept rows.
+      .withColumn("copy", explode(
+        when(col("__n_copies") > 0, sequence(lit(1), col("__n_copies")))
+          .otherwise(array().cast("array<int>"))))
+      .drop("__n_copies")
+  }
+
   /** Fixed-size deterministic sample: EXACTLY `n` documents (fewer only
     * if the corpus is smaller), chosen by seeded content-hash order —
     * the reproducible "give me 10k docs for the eval set" draw.

@@ -637,4 +637,32 @@ object Dedup {
     graft.plans.GroupedTopK.topKPerGroup(
       df.join(reps, idCol), Seq("rep"), orderBy, k = 1)
   }
+
+  /** Cross-group duplication matrix: duplicate-pair counts per
+    * UNORDERED group pair — "which crawls/sources copy each other", the
+    * provenance report that decides which source to drop when near-dups
+    * straddle two of them. Takes ANY `(id_a, id_b)` pair set (exact or
+    * banded, same contract as [[nearDupComponents]]); group labels come
+    * from `df`'s `groupCol`. Normalized `least/greatest` so (A,B) and
+    * (B,A) count as one cell; the diagonal counts within-group pairs.
+    *
+    * The pair set is sub-quadratic by construction and the label table
+    * projects to `(id, group)` before joining — two hash joins that
+    * broadcast whenever either side is small, then a partial-agg count
+    * over at most |groups|² cells. */
+  def dupGroupMatrix(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      groupCol: String): DataFrame = {
+    val g = df.select(col(idCol).as("__gid"), col(groupCol).as("__g"))
+    pairs
+      .join(g.as("ga"), col("id_a") === col("ga.__gid"))
+      .join(g.as("gb"), col("id_b") === col("gb.__gid"))
+      .select(
+        least(col("ga.__g"), col("gb.__g")).as("group_a"),
+        greatest(col("ga.__g"), col("gb.__g")).as("group_b"))
+      .groupBy("group_a", "group_b")
+      .agg(count(lit(1)).as("n_pairs"))
+  }
 }

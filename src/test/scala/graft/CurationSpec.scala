@@ -186,6 +186,44 @@ class CurationSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("upsampleByWeight: integer weights exact, fractional converge, map-only") {
+    val s = spark
+    import s.implicits._
+    val base = docs.select("doc_id", "lang")
+    // Integer weight: every row exactly twice.
+    val twice = Curation.upsampleByWeight(base, "doc_id", lit(2.0))
+    assert(twice.count() == 2 * base.count())
+    assert(twice.groupBy("doc_id").count().filter(col("count") =!= 2)
+      .count() == 0)
+    // Weight 0 drops everything.
+    assert(Curation.upsampleByWeight(base, "doc_id", lit(0.0)).count() == 0)
+    // Fractional: realized/nominal within hash-uniformity slack, and
+    // copy indexes are 1..n_copies.
+    val up = Curation.upsampleByWeight(base, "doc_id", lit(1.5))
+    val ratio = up.count().toDouble / base.count()
+    assert(math.abs(ratio - 1.5) < 0.1, s"realized weight $ratio, want ~1.5")
+    assert(up.filter(col("copy") < 1).count() == 0)
+    // Deterministic.
+    val again = Curation.upsampleByWeight(
+      base.repartition(5), "doc_id", lit(1.5))
+    assert(up.exceptAll(again).isEmpty && again.exceptAll(up).isEmpty)
+  }
+
+  test("dupGroupMatrix counts unordered group pairs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "x"), (2L, "y"), (3L, "x"), (4L, "z"))
+      .toDF("id", "grp")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+      .toDF("id_a", "id_b")
+    val got = operators.Dedup.dupGroupMatrix(df, pairs, "id", "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // (1,2)=x,y and (2,3)=y,x both land in (x,y); (1,3) is the x
+    // diagonal; (3,4)=(x,z).
+    assert(got == Map(("x", "y") -> 2L, ("x", "x") -> 1L, ("x", "z") -> 1L))
+  }
+
   test("no single-task global window in any curation plan") {
     val base = docs.select(col("doc_id"), col("n_chars"),
       operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
