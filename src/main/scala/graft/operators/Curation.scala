@@ -48,20 +48,21 @@ object Curation {
     import spark.implicits._
     val stageDf = stages.map(_._1).zipWithIndex
       .map { case (name, i) => (i, name) }.toDF("stage_idx", "stage")
-    // coalesce: an EMPTY corpus must report 0s, not a NULL total.
-    val total = perFail.agg(coalesce(sum("__c"), lit(0L)).as("__total"))
-    // rows_in(i) = total − (rows that already failed a stage < i);
-    // rows_out(i) additionally subtracts stage i's own failures. The
-    // left join keeps zero-failure stages (sum over no rows → 0).
+    // rows_in(i) = rows that failed NO stage before i = Σ c[fail ≥ i];
+    // rows_out(i) = Σ c[fail > i]. Deriving both from the ≤ k+1 fail
+    // counts alone keeps the corpus scan at exactly ONE (a separate
+    // total-count branch would re-scan — Spark shares no common
+    // subtrees across DataFrame branches; spec-pinned). The `true`-
+    // condition left join keeps every stage row when the corpus is
+    // empty (sums over no rows → coalesce 0).
     stageDf
-      .crossJoin(broadcast(total))
-      .join(broadcast(perFail), col("__fail") <= col("stage_idx"), "left")
+      .join(broadcast(perFail), lit(true), "left")
       .groupBy("stage_idx", "stage")
       .agg(
-        (first("__total") - coalesce(
-          sum(when(col("__fail") < col("stage_idx"), col("__c"))),
-          lit(0L))).as("rows_in"),
-        (first("__total") - coalesce(sum(col("__c")), lit(0L))).as("rows_out"))
+        coalesce(sum(when(col("__fail") >= col("stage_idx"), col("__c"))),
+          lit(0L)).as("rows_in"),
+        coalesce(sum(when(col("__fail") > col("stage_idx"), col("__c"))),
+          lit(0L)).as("rows_out"))
   }
 
   /** Quality-binned curriculum sampling: rank the corpus by

@@ -224,6 +224,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(("x", "y") -> 2L, ("x", "x") -> 1L, ("x", "z") -> 1L))
   }
 
+  test("upsample is shuffle-free; funnel scans the corpus exactly once") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val up = Curation.upsampleByWeight(
+      docs.select("doc_id", "lang"), "doc_id",
+      when(col("lang") === "en", 2.5).otherwise(1.0))
+    val shuffles = up.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, "upsample fan-out must be map-only")
+    val funnel = Curation.filterFunnel(docs, stages)
+    val scans = funnel.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 1,
+      s"funnel must classify in ONE corpus scan, saw $scans")
+  }
+
   test("no single-task global window in any curation plan") {
     val base = docs.select(col("doc_id"), col("n_chars"),
       operators.TextAnalysis.tokenCount(col("text")).as("n_tok"))
