@@ -343,6 +343,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L), s"got $kept")
   }
 
+  test("map-only upsample runs unchanged on a stream, stateless") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    import org.apache.spark.sql.functions.{col, when}
+    val up = graft.operators.Curation.upsampleByWeight(
+      stream.toDF().toDF("doc_id", "lang"), "doc_id",
+      when(col("lang") === "en", 2.0).otherwise(1.0))
+    val q = up.writeStream.format("memory").queryName("upstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, "en"), (2L, "de"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "upsample must not register a stateful streaming operator")
+    } finally q.stop()
+    val got = spark.table("upstream").collect()
+      .map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(got == Set((1L, 1), (1L, 2), (2L, 1)), s"got $got")
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
