@@ -138,7 +138,11 @@ object Curation {
     * Map-only: copy counts and the `sequence` fan-out are per-row
     * projections — zero shuffle at any corpus size. Emits `copy`
     * (1-based copy index); feed the result to [[shuffleOrder]] keyed on
-    * (id, copy) to spread replicas through the training order. */
+    * (id, copy) to spread replicas through the training order.
+    *
+    * A NULL weight THROWS (per-row `raise_error`): a weight map missing
+    * a source (a `when` chain with no `otherwise`) must fail loudly,
+    * not silently delete that source from the training mix. */
   def upsampleByWeight(
       df: DataFrame,
       idCol: String,
@@ -147,8 +151,12 @@ object Curation {
     // "up:" prefix decorrelates these buckets from assignSplit's.
     val bucket = Splits.hashBucket(
       concat(lit("up:"), col(idCol).cast("string")))
-    val copies = (floor(weight) +
-      when(bucket < frac * 10000, 1).otherwise(0)).cast("int")
+    val copies = when(weight.isNull, raise_error(concat(
+      lit("upsampleByWeight: NULL weight for id "), col(idCol).cast("string"),
+      lit(" — weight expressions must cover every row (add .otherwise)")))
+      .cast("int"))
+      .otherwise((floor(weight) +
+        when(bucket < frac * 10000, 1).otherwise(0)).cast("int"))
     df.withColumn("__n_copies", copies)
       // sequence(1, 0) would count DOWN; empty-array the non-kept rows.
       .withColumn("copy", explode(

@@ -110,13 +110,9 @@ object Packing {
       idCol: String,
       tokenCol: String,
       budget: Long,
-      numPartitions: Int = 32): DataFrame = {
-    require(budget > 0, "token budget must be positive")
-    runningTotal(df, idCol, tokenCol, numPartitions)
-      .withColumn("shard",
-        floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble)))
-      .drop("__cum")
-  }
+      numPartitions: Int = 32): DataFrame =
+    tokenShardOffsets(df, idCol, tokenCol, budget, numPartitions)
+      .drop("tok_offset")
 
   /** [[tokenShards]] plus each document's starting token offset WITHIN
     * its shard (`tok_offset = (cum − tokens) − shard·budget`, always in
@@ -125,7 +121,13 @@ object Packing {
     * fixed-length training sequences. Pure per-row arithmetic on the
     * same prefix sum; a straddling doc still STARTS inside its shard,
     * its tokens simply run past the boundary (documents are never
-    * split, per the [[tokenShards]] contract). */
+    * split, per the [[tokenShards]] contract).
+    *
+    * Shard arithmetic is exact LONG `div`, not a double floor: beyond
+    * 2^53 cumulative tokens (the 100 TB headroom boundary) a double
+    * quotient can round up at an exact budget multiple, landing the doc
+    * one shard high with a NEGATIVE offset. Integer division cannot
+    * drift, at any magnitude. */
   def tokenShardOffsets(
       df: DataFrame,
       idCol: String,
@@ -134,11 +136,10 @@ object Packing {
       numPartitions: Int = 32): DataFrame = {
     require(budget > 0, "token budget must be positive")
     runningTotal(df, idCol, tokenCol, numPartitions)
-      .withColumn("shard",
-        floor((col("__cum") - col(tokenCol)) / lit(budget.toDouble)))
-      .withColumn("tok_offset",
-        col("__cum") - col(tokenCol).cast("long") - col("shard") * budget)
-      .drop("__cum")
+      .withColumn("__pre", col("__cum") - col(tokenCol).cast("long"))
+      .withColumn("shard", expr(s"__pre div ${budget}L"))
+      .withColumn("tok_offset", col("__pre") - col("shard") * budget)
+      .drop("__cum", "__pre")
   }
 
   /** Deterministic weighted interleave of corpora — the training-mix

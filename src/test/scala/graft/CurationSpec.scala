@@ -209,6 +209,22 @@ class CurationSpec extends AnyFunSuite {
     assert(up.exceptAll(again).isEmpty && again.exceptAll(up).isEmpty)
   }
 
+  test("upsampleByWeight throws loudly on a NULL weight, not silent drop") {
+    val s = spark
+    import s.implicits._
+    val base = Seq((1L, "en"), (2L, "xx")).toDF("doc_id", "lang")
+    // when-chain with no otherwise: "xx" gets NULL weight.
+    val holey = when(col("lang") === "en", 2.0)
+    val e = intercept[Exception] {
+      Curation.upsampleByWeight(base, "doc_id", holey).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("NULL weight")),
+      s"expected the NULL-weight error, got: $e")
+  }
+
   test("dupGroupMatrix counts unordered group pairs") {
     val s = spark
     import s.implicits._

@@ -19,6 +19,20 @@ class VersioningSpec extends AnyFunSuite {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotDiff: NULL text is presence, not absence") {
+    val s = spark
+    import s.implicits._
+    val oldSnap = Seq((1L, Option("a")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val newSnap = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val got = Versioning.snapshotDiff(oldSnap, newSnap, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 1: text -> NULL is changed (not 'added'); id 2: NULL on both
+    // sides classifies changed too, matching SQL `=` on NULL.
+    assert(got == Map(1L -> "changed", 2L -> "changed"), s"got $got")
+  }
+
   test("snapshotDiff never ships text through an exchange") {
     val docs = spark.read.parquet(TestSpark.sf001 + "/documents.parquet")
     val df = Versioning.snapshotDiff(
