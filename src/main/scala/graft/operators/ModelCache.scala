@@ -27,6 +27,14 @@ object ModelCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
 
+  /** Sorted distinct input directories of `df`'s scan(s); empty for
+    * in-memory inputs (LocalRelation/ExternalRDD) or when Spark can't
+    * enumerate the files. */
+  private def inputDirs(df: DataFrame): Seq[String] =
+    try df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/').max(0)))
+      .distinct.sorted.toSeq
+    catch { case _: Throwable => Nil }
+
   /** Fingerprint of the DataFrame a model is fit on: analyzed plan
     * (normalized) PLUS the sorted input directories — two DataFrames
     * reading the same source through the same transformations share it.
@@ -35,25 +43,38 @@ object ModelCache {
     * freshness map hashed alongside the plan — `CacheMetadata.render`),
     * so a plan-only key would hand one corpus's fitted model to a
     * different corpus with the same shape. */
-  def inputKey(df: DataFrame): String = {
-    val dirs =
-      try df.inputFiles.map(f => f.substring(0, f.lastIndexOf('/').max(0)))
-        .distinct.sorted.mkString(",")
-      catch { case _: Throwable => "<no-input-files>" }
+  def inputKey(df: DataFrame): String =
     graft.PlanFingerprint.md5Hex(
-      graft.PlanFingerprint.getQueryPlan(df) + "|" + dirs)
-  }
+      graft.PlanFingerprint.getQueryPlan(df) + "|" +
+        inputDirs(df).mkString(","))
 
   /** Return the cached model for `key`, or run `fit` once and cache it.
     * With `spark.graft.modelCache=false` always refits (and does not
-    * populate the cache). */
+    * populate the cache).
+    *
+    * NEVER caches for inputs with no files (LocalRelation/ExternalRDD):
+    * their analyzed plan carries schema but not DATA, so two different
+    * in-memory corpora with the same shape would share one key — and
+    * silently one model. File-backed inputs (the production case) are
+    * the only ones the fingerprint can actually distinguish.
+    *
+    * The fit runs OUTSIDE any map lock (it is a distributed Spark job;
+    * `computeIfAbsent` would serialize unrelated fits that share a hash
+    * bin and throw on re-entrant use). Two racing threads may both fit;
+    * the seeded fit is deterministic, `putIfAbsent` keeps exactly one. */
   def getOrFit[M <: AnyRef](df: DataFrame, params: String)(fit: => M): M = {
     val enabled =
       df.sparkSession.conf.get(ConfKey, "true").equalsIgnoreCase("true")
-    if (!enabled) fit
+    if (!enabled || inputDirs(df).isEmpty) fit
     else {
       val key = inputKey(df) + "|" + params
-      cache.computeIfAbsent(key, _ => fit).asInstanceOf[M]
+      val existing = cache.get(key)
+      if (existing != null) existing.asInstanceOf[M]
+      else {
+        val m = fit
+        val prior = cache.putIfAbsent(key, m)
+        (if (prior != null) prior else m).asInstanceOf[M]
+      }
     }
   }
 

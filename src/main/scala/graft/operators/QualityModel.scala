@@ -42,6 +42,31 @@ object QualityModel {
     * (cached per (input, params) — see [[fitScore]] for the contract).
     * Use with [[scoreColumn]] when the scoring pass should stay inside
     * whole-stage codegen instead of spark.ml's transform UDF. */
+  /** The ONE featurization both [[fit]] and [[fitScore]] go through —
+    * label cast, tokenization, md5-bucket holdout, HashingTF — so the
+    * trained feature space and the scored feature space cannot drift
+    * apart (a tokenizer change applied to one path but not the other
+    * would silently train on one space and score on another). */
+  private def featurize(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      weakLabel: Column,
+      numFeatures: Int,
+      holdoutDen: Int,
+      withId: Boolean): DataFrame = {
+    val idCols = if (withId) Seq(col(idCol)) else Nil
+    val featured = df.select(idCols ++ Seq(
+      weakLabel.cast("double").as("__label"),
+      TextAnalysis.tokens(col(textCol)).as("__toks"),
+      (Splits.hashBucket(col(idCol)) % holdoutDen === 0).as("__holdout")): _*)
+    val tf = new HashingTF()
+      .setInputCol("__toks").setOutputCol("__features")
+      .setNumFeatures(numFeatures)
+    tf.transform(featured).select(idCols ++ Seq(
+      col("__label"), col("__holdout"), col("__features")): _*)
+  }
+
   def fit(
       df: DataFrame,
       idCol: String,
@@ -52,15 +77,8 @@ object QualityModel {
       maxIter: Int = 20,
       regParam: Double = 0.01): LogisticRegressionModel = {
     require(holdoutDen >= 2, "holdoutDen must leave rows to train on")
-    val featured = df.select(
-      weakLabel.cast("double").as("__label"),
-      TextAnalysis.tokens(col(textCol)).as("__toks"),
-      (Splits.hashBucket(col(idCol)) % holdoutDen === 0).as("__holdout"))
-    val tf = new HashingTF()
-      .setInputCol("__toks").setOutputCol("__features")
-      .setNumFeatures(numFeatures)
-    val vectors = tf.transform(featured)
-      .select(col("__label"), col("__holdout"), col("__features"))
+    val vectors = featurize(df, idCol, textCol, weakLabel,
+      numFeatures, holdoutDen, withId = false)
     ModelCache.getOrFit[LogisticRegressionModel](
       vectors, s"lrq|$numFeatures|$holdoutDen|$maxIter|$regParam") {
       val train = vectors.filter(!col("__holdout"))
@@ -111,16 +129,8 @@ object QualityModel {
     require(holdoutDen >= 2, "holdoutDen must leave rows to train on")
     val model = fit(df, idCol, textCol, weakLabel,
       numFeatures, holdoutDen, maxIter, regParam)
-    val featured = df.select(
-      col(idCol),
-      weakLabel.cast("double").as("__label"),
-      TextAnalysis.tokens(col(textCol)).as("__toks"),
-      (Splits.hashBucket(col(idCol)) % holdoutDen === 0).as("__holdout"))
-    val tf = new HashingTF()
-      .setInputCol("__toks").setOutputCol("__features")
-      .setNumFeatures(numFeatures)
-    val vectors = tf.transform(featured)
-      .select(col(idCol), col("__label"), col("__holdout"), col("__features"))
+    val vectors = featurize(df, idCol, textCol, weakLabel,
+      numFeatures, holdoutDen, withId = true)
     model.transform(vectors)
       .select(col(idCol), col("__holdout").as("holdout"),
         col("__label").cast("boolean").as("weak_label"),

@@ -56,19 +56,23 @@ object SubstringDedup {
     * order). Pure projection — zero shuffle at any scale. */
   def dedupChunksWithinDoc(
       df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
-    // Two-step projection ON PURPOSE: the chunking lambda references the
-    // token array once per chunk, and `__toks` as a materialized
-    // attribute is a row-field read where the inlined `split` would be
-    // re-evaluated per chunk (CollapseProject keeps the split un-inlined
-    // here because `__toks` is referenced by several output columns).
-    val chunks = tokenChunks(col("__toks"), w)
-    val kept = array_distinct(chunks)
+    // STAGED projections ON PURPOSE: lambda-bearing expressions get no
+    // codegen common-subexpression elimination, so every reference to
+    // an inlined expression re-evaluates its whole subtree per row.
+    // Each stage materializes what the next references more than once —
+    // split → __toks (read per chunk), chunking → __chunks (read by
+    // n_chunks and the distinct), distinct → __kept (read by n_kept and
+    // the join) — one evaluation each. CollapseProject leaves the
+    // multi-referenced non-cheap aliases un-inlined.
     df.select(col(idCol), split(col(textCol), " ").as("__toks"))
+      .select(col(idCol), tokenChunks(col("__toks"), w).as("__chunks"))
+      .select(col(idCol), col("__chunks"),
+        array_distinct(col("__chunks")).as("__kept"))
       .select(
         col(idCol),
-        size(chunks).cast("long").as("n_chunks"),
-        size(kept).cast("long").as("n_kept"),
-        array_join(kept, " ").as("text_dedup"))
+        size(col("__chunks")).cast("long").as("n_chunks"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), " ").as("text_dedup"))
   }
 
   /** Corpus-wide chunk dedup: a chunk value survives only at its

@@ -96,15 +96,20 @@ object Streaming {
     * emitted — nothing is emitted for still-open sessions. This is the
     * shape to reach for when `session_window` can't express the
     * semantics (e.g. emit-once-on-close with custom payload). State is
-    * one small record per active user. */
+    * one small record per active user. `watermark` bounds how late an
+    * event may arrive and still join its session — size it to the
+    * source's real disorder (a catch-up/backfill source needs far more
+    * than seconds; an event later than it is silently dropped by the
+    * engine before the state function ever sees it). */
   def expiringSessions(
       events: Dataset[Event],
-      gapMs: Long = 30L * 60 * 1000): Dataset[ClosedSession] = {
+      gapMs: Long = 30L * 60 * 1000,
+      watermark: String = "10 seconds"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.GroupStateTimeout
     events
-      .withWatermark("ts", "10 seconds")
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[ClosedSession, ClosedSession](
         org.apache.spark.sql.streaming.OutputMode.Append(),
@@ -239,9 +244,11 @@ object Streaming {
       k: Int = 3,
       minShared: Int = 5): DataFrame = {
     val sh = graft.operators.Shingles.wordShingles(col(textCol), k)
-    val evalGrams = evalPool
+    // Materialized once: the static subplan would otherwise re-shingle
+    // the whole eval pool on every micro-batch.
+    val evalGrams = graft.operators.Materialize.checkpoint(evalPool
       .select(explode(sh).as("__g"))
-      .agg(collect_set(col("__g")).as("__eval_grams"))
+      .agg(collect_set(col("__g")).as("__eval_grams")))
     docs
       .crossJoin(broadcast(evalGrams))
       .filter(
@@ -264,9 +271,13 @@ object Streaming {
       reference: DataFrame,
       textCol: String = "text",
       refTextCol: String = "text"): DataFrame = {
-    val refHashes = reference
+    // MATERIALIZED once at construction: a stream-static join re-plans
+    // and re-executes the static subplan on EVERY micro-batch — without
+    // this, each trigger re-scans the reference corpus and re-hashes
+    // all its text just to rebuild the same digest set.
+    val refHashes = graft.operators.Materialize.checkpoint(reference
       .select(sha2(col(refTextCol).cast("binary"), 256).as("__ref_hash"))
-      .distinct()
+      .distinct())
     docs
       .withColumn("__hash", sha2(col(textCol).cast("binary"), 256))
       .join(refHashes, col("__hash") === col("__ref_hash"), "left_anti")
@@ -301,24 +312,35 @@ object Streaming {
       k: Int = 3,
       rowsPerBand: Int = 3,
       numBands: Int = 6): DataFrame = {
-    import graft.operators.Shingles
+    import graft.operators.{Materialize, Shingles}
     val nHash = rowsPerBand * numBands
     def sig(c: org.apache.spark.sql.Column) =
       graft.functions.MinHashSignature
         .minHashSignature(Shingles.wordShingles(c, k), nHash)
     def band(s: org.apache.spark.sql.Column, b: Int) =
       xxhash64(slice(s, b * rowsPerBand + 1, rowsPerBand), lit(b))
-    val refSig = reference
+    // MATERIALIZED once at construction (signatures first, then each
+    // band's distinct value set): the static side of a stream-static
+    // join re-executes per micro-batch — unmaterialized, every trigger
+    // would re-shingle and re-hash the whole reference corpus once PER
+    // BAND, forever.
+    val refSig = Materialize.checkpoint(reference
       .filter(size(Shingles.wordShingles(col(refTextCol), k)) > 0)
-      .select(sig(col(refTextCol)).as("__sig"))
+      .select(sig(col(refTextCol)).as("__sig")))
+    val refBands = (0 until numBands).map { b =>
+      Materialize.checkpoint(
+        refSig.select(band(col("__sig"), b).as(s"__rb$b")).distinct())
+    }
     var out = docs.withColumn("__sig",
       when(size(Shingles.wordShingles(col(textCol), k)) > 0,
         sig(col(textCol))))
     for (b <- 0 until numBands) {
-      val refBand = refSig.select(band(col("__sig"), b).as(s"__rb$b")).distinct()
-      // NULL signature (short doc) never equals anything -> survives.
-      out = out.join(refBand,
-        band(col("__sig"), b) === col(s"__rb$b"), "left_anti")
+      // NULL signature (short doc) must survive STRUCTURALLY: xxhash64
+      // SKIPS null inputs (band(NULL, b) is a non-null per-band
+      // constant, which could collide), so the join key itself is
+      // nulled out — a null key never matches an anti join.
+      val key = when(col("__sig").isNotNull, band(col("__sig"), b))
+      out = out.join(refBands(b), key === col(s"__rb$b"), "left_anti")
     }
     out.drop("__sig")
   }

@@ -62,4 +62,20 @@ class ModelCacheSpec extends AnyFunSuite {
     assert(ModelCache.size == 2,
       s"different source paths must not share a fit, cached ${ModelCache.size}")
   }
+
+  test("in-memory inputs are never cached (their plan carries no data)") {
+    ModelCache.clear()
+    val s = spark
+    import s.implicits._
+    // Two DIFFERENT in-memory corpora with the identical schema and
+    // transformations: a plan-keyed cache entry would hand corpus B
+    // corpus A's model. The cache must refuse to key them at all.
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val qa = a.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Similarity.annCosineTopK(a, qa, "vec_id", "embedding",
+      "qid", "qvec", k = 1).count()
+    assert(ModelCache.size == 0,
+      s"no-input-file frames must bypass the cache, cached ${ModelCache.size}")
+  }
 }
