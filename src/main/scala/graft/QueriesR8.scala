@@ -218,6 +218,28 @@ object QueriesR8 {
       operators.Curation.upsampleByWeight(
         t(s, d, "documents").select("doc_id", "lang"), "doc_id", w)
         .select("doc_id", "copy")
+    },
+    // --- language confusion matrix: declared `lang` × detected
+    //     language-ID — the label-quality audit (how much of the
+    //     corpus's language metadata does the heuristic contradict?).
+    //     One scan + one tiny partial-agg shuffle. ---
+    "q_lang_confusion" -> { (s, d) =>
+      t(s, d, "documents")
+        .select(col("lang"),
+          operators.TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n_docs"))
+    },
+    // --- near-dup similarity histogram: exact-Jaccard pair counts per
+    //     0.05 bucket above 0.5 — the threshold-tuning report (where
+    //     does the corpus's duplication mass sit?). Pure arithmetic on
+    //     the pair operator's output. ---
+    "q_dup_hist" -> { (s, d) =>
+      operators.Dedup.ngramJaccardPairs(
+        t(s, d, "documents"), "doc_id", "text", k = 3, threshold = 0.5)
+        .select((floor(col("jaccard") * 20) / 20).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_pairs"))
     }
   )
 
@@ -411,6 +433,33 @@ object QueriesR8 {
         |      THEN 1 ELSE 0 END AS INTEGER) AS n_copies FROM w)
         |SELECT doc_id, CAST(copy AS INTEGER) AS copy
         |FROM c, LATERAL unnest(generate_series(1, n_copies)) AS u(copy)
-        |WHERE n_copies > 0""".stripMargin
+        |WHERE n_copies > 0""".stripMargin,
+    "q_lang_confusion" ->
+      """WITH t AS (SELECT doc_id, lang, regexp_extract_all(text, '\S+') toks FROM documents),
+        |sc AS (SELECT doc_id, lang,
+        |  len(list_filter(toks, x -> x IN ('the','and','of','a'))) en,
+        |  len(list_filter(toks, x -> x IN ('le','la','et','les'))) fr,
+        |  len(list_filter(toks, x -> x IN ('der','und','die','das'))) de,
+        |  len(list_filter(toks, x -> x IN ('el','y','los','las'))) es
+        |FROM t),
+        |p AS (SELECT lang, CASE
+        |  WHEN en = greatest(en, fr, de, es) AND greatest(en, fr, de, es) > 0 THEN 'en'
+        |  WHEN fr = greatest(en, fr, de, es) AND greatest(en, fr, de, es) > 0 THEN 'fr'
+        |  WHEN de = greatest(en, fr, de, es) AND greatest(en, fr, de, es) > 0 THEN 'de'
+        |  WHEN es = greatest(en, fr, de, es) AND greatest(en, fr, de, es) > 0 THEN 'es'
+        |  ELSE 'und' END AS lang_pred
+        |FROM sc)
+        |SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM p GROUP BY 1, 2""".stripMargin,
+    "q_dup_hist" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |cand AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jac AS (SELECT round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |        FROM cand JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
+        |SELECT floor(jaccard * 20) / 20 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM jac WHERE jaccard >= 0.5 GROUP BY 1""".stripMargin
   )
 }
