@@ -21,6 +21,10 @@ object QueriesR8 {
   private def t(s: SparkSession, d: String, name: String): DataFrame =
     s.read.parquet(s"$d/$name.parquet")
 
+  /** Same deterministic eval split as QueriesR7's q_decontam: every
+    * 97th doc id forms the held-out eval pool. */
+  private val evalMod = 97
+
   /** Weak label the classifier must learn: stopword-ratio ≥ 0.06 (the
     * corpus median — balanced ~50/50 at every SF, and genuinely
     * learnable from hashed token counts: the stopword hash buckets ARE
@@ -240,6 +244,19 @@ object QueriesR8 {
         .select((floor(col("jaccard") * 20) / 20).as("bucket"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_pairs"))
+    },
+    // --- per-benchmark decontamination: WHICH eval set leaked into
+    //     which training doc (q_decontam pools all sets — it names the
+    //     doc, not the benchmark). Eval (set, shingle) pairs broadcast;
+    //     corpus scanned once; only (doc, set) HITS shuffle. ---
+    "q_decontam_sets" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Decontaminate.ngramOverlapPerSet(
+        train = docs.filter(col("doc_id") % evalMod =!= 0),
+        eval = docs.filter(col("doc_id") % evalMod === 0)
+          .withColumn("eval_set", (col("doc_id") % 2).cast("int")),
+        idCol = "doc_id", textCol = "text", setCol = "eval_set",
+        k = 3, minShared = 2)
     }
   )
 
@@ -460,6 +477,15 @@ object QueriesR8 {
         |jac AS (SELECT round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
         |        FROM cand JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id)
         |SELECT floor(jaccard * 20) / 20 AS bucket, CAST(count(*) AS BIGINT) AS n_pairs
-        |FROM jac WHERE jaccard >= 0.5 GROUP BY 1""".stripMargin
+        |FROM jac WHERE jaccard >= 0.5 GROUP BY 1""".stripMargin,
+    "q_decontam_sets" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |ev0 AS (SELECT CAST(doc_id % 2 AS INTEGER) eval_set, unnest(s) g
+        |        FROM sh WHERE doc_id % 97 = 0),
+        |ev AS (SELECT DISTINCT eval_set, g FROM ev0),
+        |tr AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT doc_id, eval_set, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (g) GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
   )
 }

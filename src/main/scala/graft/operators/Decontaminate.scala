@@ -57,4 +57,36 @@ object Decontaminate {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
   }
+
+  /** [[ngramOverlap]] against MANY eval sets at once: which benchmark
+    * leaked into which training doc. Returns one row per
+    * `(doc_id, eval_set)` pair at or above `minShared` distinct shared
+    * shingles — the per-benchmark contamination report a release
+    * screens against (pooling sets first, as [[ngramOverlap]] does,
+    * names the doc but not the benchmark).
+    *
+    * Same scale shape: the eval side reduces to its distinct
+    * `(set, shingle)` pairs (benchmarks are MBs — broadcast), the
+    * corpus is scanned ONCE, and the only shuffle is the partial-agg
+    * count over `(doc, set)` HITS — rows exist only where a doc
+    * actually shares a shingle with a set, not |docs|×|sets|. */
+  def ngramOverlapPerSet(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      setCol: String,
+      k: Int = 3,
+      minShared: Int = 5): DataFrame = {
+    val sh = Shingles.wordShingles(col(textCol), k)
+    val evalGrams = eval
+      .select(col(setCol).as("eval_set"), explode(sh).as("g"))
+      .distinct()
+    train
+      .select(col(idCol).as("doc_id"), explode(sh).as("g"))
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id", "eval_set")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -197,6 +197,19 @@ class PlanQualitySpec extends AnyFunSuite {
       s"eval shingle set must broadcast:\n${p.take(2000)}")
   }
 
+  test("per-set decontamination broadcasts and scans the corpus once") {
+    val p = plan(q("q_decontam_sets"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"(set, shingle) pairs must broadcast:\n${p.take(2000)}")
+    // The train side explodes once; no second corpus scan hides in the
+    // report (the eval side reads the same parquet, so 2 scans total).
+    // Formatted explain prints each node in the tree and again in the
+    // detail section — count the numbered tree entries only.
+    val scans = p.linesIterator
+      .count(_.matches("\\s*(:?[+-]\\s)?\\(\\d+\\) Scan parquet\\b.*"))
+    assert(scans <= 2, s"expected train + eval scans only, saw $scans")
+  }
+
   test("exact Jaccard pairs come from posting lists, not an exploded self-join") {
     // The pair stage must cluster each shingle's docs ONCE (object-hash
     // collect_list aggregate) and emit pairs through back-to-back
