@@ -366,7 +366,7 @@ object QueriesR8 {
         |  FROM documents),
         |b AS (SELECT doc_id, CAST((rk * 4) // n AS INTEGER) AS bin FROM r)
         |SELECT doc_id, bin FROM b
-        |WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INTEGER)
+        |WHERE CAST(CAST(('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10000 AS INTEGER)
         |  < (CASE bin WHEN 0 THEN 250 WHEN 1 THEN 500 WHEN 2 THEN 750 ELSE 1000 END) * 10""".stripMargin,
     "q_shuffle_order" ->
       """SELECT doc_id,

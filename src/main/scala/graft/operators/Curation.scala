@@ -93,12 +93,17 @@ object Curation {
     val total = ranked.agg(count(lit(1)).as("__n"))
     val rateMap = map(keepPerMille.zipWithIndex
       .flatMap { case (r, i) => Seq(lit(i), lit(r)) }: _*)
+    // "cur:" prefix decorrelates these buckets from assignSplit's: with
+    // the BARE id bucket, a 50%-rate bin would keep exactly the ids
+    // assignSplit sends to train (bucket < 5000 ⊂ bucket < 9000) and
+    // val/test would come out EMPTY after composing the two operators.
     ranked
       .crossJoin(broadcast(total))
       .withColumn("bin",
         floor(((col("__rank") - 1) * bins).cast("double") / col("__n"))
           .cast("int"))
-      .filter(Splits.hashBucket(col(idCol)) <
+      .filter(Splits.hashBucket(
+        concat(lit("cur:"), col(idCol).cast("string"))) <
         element_at(rateMap, col("bin")) * 10)
       .drop("__rank", "__n")
   }
@@ -140,9 +145,10 @@ object Curation {
     * (1-based copy index); feed the result to [[shuffleOrder]] keyed on
     * (id, copy) to spread replicas through the training order.
     *
-    * A NULL weight THROWS (per-row `raise_error`): a weight map missing
-    * a source (a `when` chain with no `otherwise`) must fail loudly,
-    * not silently delete that source from the training mix. */
+    * A NULL or NEGATIVE weight THROWS (per-row `raise_error`): a weight
+    * map missing a source (a `when` chain with no `otherwise`) or an
+    * underflowing weight computation must fail loudly, not silently
+    * delete rows from the training mix. */
   def upsampleByWeight(
       df: DataFrame,
       idCol: String,
@@ -151,9 +157,10 @@ object Curation {
     // "up:" prefix decorrelates these buckets from assignSplit's.
     val bucket = Splits.hashBucket(
       concat(lit("up:"), col(idCol).cast("string")))
-    val copies = when(weight.isNull, raise_error(concat(
-      lit("upsampleByWeight: NULL weight for id "), col(idCol).cast("string"),
-      lit(" — weight expressions must cover every row (add .otherwise)")))
+    val copies = when(weight.isNull || weight < 0, raise_error(concat(
+      lit("upsampleByWeight: NULL or negative weight for id "),
+      col(idCol).cast("string"),
+      lit(" — weight expressions must cover every row with a weight >= 0")))
       .cast("int"))
       .otherwise((floor(weight) +
         when(bucket < frac * 10000, 1).otherwise(0)).cast("int"))

@@ -42,20 +42,29 @@ object Decontaminate {
     val evalGrams = eval
       .select(explode(sh).as("g"))
       .distinct()
-    val counts = train
-      .select(col(idCol).as("doc_id"), size(sh).as("n_shingles"))
-    val shared = train
-      .select(col(idCol).as("doc_id"), explode(sh).as("g"))
-      .join(broadcast(evalGrams), "g")
+      .withColumn("__hit", lit(1))
+    // ONE corpus scan: shingle count and exploded shingles come off the
+    // same staged projection (a separate counts branch would re-read
+    // the corpus — Spark shares no common subtrees across DataFrame
+    // branches). explode_outer keeps empty/NULL-shingle docs as a
+    // single null-gram row, which matches nothing in the broadcast left
+    // join and lands at n_shared = 0; size is coalesced so a NULL-text
+    // doc reports n_shingles = 0, never -1/NULL.
+    train
+      .select(col(idCol).as("doc_id"), sh.as("__sh"))
+      .select(col("doc_id"),
+        coalesce(size(col("__sh")), lit(0)).cast("long").as("__n"),
+        explode_outer(col("__sh")).as("g"))
+      .join(broadcast(evalGrams), Seq("g"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
-    counts
-      .join(shared, Seq("doc_id"), "left")
+      .agg(
+        first(col("__n")).as("n_shingles"),
+        count(col("__hit")).as("n_shared"))
       .select(
         col("doc_id"),
-        col("n_shingles").cast("long").as("n_shingles"),
-        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
-        (coalesce(col("n_shared"), lit(0L)) >= minShared).as("contaminated"))
+        col("n_shingles"),
+        col("n_shared"),
+        (col("n_shared") >= minShared).as("contaminated"))
   }
 
   /** [[ngramOverlap]] against MANY eval sets at once: which benchmark

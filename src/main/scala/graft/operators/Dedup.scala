@@ -655,7 +655,12 @@ object Dedup {
       pairs: DataFrame,
       idCol: String,
       groupCol: String): DataFrame = {
-    val g = df.select(col(idCol).as("__gid"), col(groupCol).as("__g"))
+    // NULL labels become their own named group: least/greatest SKIP
+    // nulls, so a (web, NULL) pair would otherwise collapse onto the
+    // (web, web) diagonal — inflating self-duplication and hiding the
+    // unlabeled source entirely.
+    val g = df.select(col(idCol).as("__gid"),
+      coalesce(col(groupCol).cast("string"), lit("(unknown)")).as("__g"))
     pairs
       .join(g.as("ga"), col("id_a") === col("ga.__gid"))
       .join(g.as("gb"), col("id_b") === col("gb.__gid"))

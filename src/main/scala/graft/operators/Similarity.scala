@@ -72,9 +72,13 @@ object Similarity {
       threshold: Double): DataFrame = {
     val ev = broadcast(eval.select(col(vecCol).as("__evec")))
     val sim = round(cosine(col(vecCol), col("__evec")), 6)
+    // LEFT join on true, not a crossJoin: an EMPTY eval pool must
+    // report every train vector with n_near = 0, not an empty frame
+    // (one row per training vector is the contract). Physically the
+    // same broadcast nested-loop; still one corpus scan.
     train
       .select(col(idCol), col(vecCol))
-      .crossJoin(ev)
+      .join(ev, lit(true), "left")
       .groupBy(col(idCol))
       .agg(
         sum(when(sim >= threshold, 1L).otherwise(0L)).as("n_near"),
@@ -102,11 +106,21 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("sim"), col("rn"))
   }
 
+  /** Unit-normalized vectors, zero-norm rows DROPPED: an all-zeros
+    * embedding has no direction (x/0 is NULL per element, which crashes
+    * `array_to_vector` downstream), and the exact path scores it NaN —
+    * excluded by every threshold — so dropping it here keeps the
+    * approximate and exact branches agreeing on the same input. The
+    * norm is staged as an attribute so filter and division evaluate the
+    * aggregate lambda once per row each, not twice in one projection. */
   private def unitVectors(df: DataFrame, vecCol: String): DataFrame = {
     val vd = col(vecCol).cast("array<double>")
-    val nrm = sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x))
-    df.withColumn("__unit",
-      array_to_vector(transform(vd, x => x / nrm)))
+    df.withColumn("__nrm",
+      sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x)))
+      .filter(col("__nrm") > 0)
+      .withColumn("__unit",
+        array_to_vector(transform(vd, x => x / col("__nrm"))))
+      .drop("__nrm")
   }
 
   /** Brute-force cosine top-k via the partial-aggregating
@@ -145,8 +159,11 @@ object Similarity {
     * touches ~nProbe/nLists of the corpus instead of all of it.
     * Centroids are broadcast (nLists rows); the cell assignment is a
     * one-off distributed job (at petabyte scale, fit the quantizer on a
-    * sample). Seeded ⇒ deterministic. `nProbe = nLists` degrades to
-    * exact brute force. */
+    * sample). The fit sample is CONTENT-HASH selected (partitioning-
+    * independent), but KMeans init still sees an RDD order, so output
+    * is stable per process/model-cache hit — the recall companion gates
+    * quality, not bit-identity (hence rows-only in CORRECTNESS).
+    * `nProbe = nLists` degrades to exact brute force. */
   def ivfCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -172,9 +189,18 @@ object Similarity {
     // refit is a full sampled KMeans job for bit-identical centroids.
     val model = ModelCache.getOrFit[org.apache.spark.ml.clustering.KMeansModel](
       corpusU, s"ivf|$nLists|$seed|$maxIter|$fitSampleFraction") {
+      // Content-hash sample, NOT df.sample: sample(seed) draws
+      // per-partition RNG streams, so the fit rows — and therefore the
+      // centroids and every probed cell — would change with the input
+      // partitioning. The md5 filter picks the same rows on any
+      // cluster/partitioning (KMeans itself still sees an RDD order,
+      // so probe results are stable only per process — the recall
+      // companion gates quality, not bit-identity).
       val fitInput =
         (if (fitSampleFraction < 1.0)
-           corpusU.sample(withReplacement = false, fitSampleFraction, seed)
+           corpusU.filter(graft.operators.Splits.hashBucket(
+             concat(lit("ivf:"), col(idCol).cast("string"))) <
+             (fitSampleFraction * 10000).toInt)
          else corpusU)
           .select("__unit").coalesce(8).cache()
       val km = new KMeans()
@@ -259,6 +285,10 @@ object Similarity {
     // re-evaluates two bit ops instead.
     require(rowsPerBand * numBands <= 64,
       s"rowsPerBand*numBands must fit one long, got $rowsPerBand x $numBands")
+    // < 64, not <= : (1L << 64) wraps to 1L in JVM shift semantics, so a
+    // single 64-bit band would mask to 0 and every doc would collide.
+    require(rowsPerBand < 64,
+      s"rowsPerBand must be < 64 (band mask is a long), got $rowsPerBand")
     val mask = (1L << rowsPerBand) - 1L
     val packed = df.select(
       col(idCol).as("__id"),
@@ -347,6 +377,11 @@ object Similarity {
       numHashTables: Int = 4,
       bucketLength: Double = 0.5,
       seed: Long = 42L): DataFrame = {
+    // Distinct names keep the output unambiguous and the groupBy below
+    // resolvable (annCosinePairs aliases internally for the self-join
+    // case; here the caller picks the names, so demand distinct ones).
+    require(idCol != qidCol,
+      s"idCol and qidCol must differ (both '$idCol') — alias one side")
     val corpusU = unitVectors(corpus, vecCol).select(col(idCol), col("__unit"))
     val queriesU = unitVectors(queries, qvecCol).select(col(qidCol), col("__unit"))
     val model = ModelCache

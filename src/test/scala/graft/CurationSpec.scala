@@ -77,7 +77,8 @@ class CurationSpec extends AnyFunSuite {
     val expected = base
       .withColumn("bin",
         floor(((row_number().over(w) - 1) * 4).cast("double") / n).cast("int"))
-      .filter(operators.Splits.hashBucket(col("doc_id")) <
+      .filter(operators.Splits.hashBucket(
+        concat(lit("cur:"), col("doc_id").cast("string"))) <
         element_at(map(lit(0), lit(250), lit(1), lit(500),
           lit(2), lit(750), lit(3), lit(1000)), col("bin")) * 10)
       .select("doc_id", "bin")
@@ -87,6 +88,16 @@ class CurationSpec extends AnyFunSuite {
     val byBin = got.groupBy("bin").count().collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(byBin(0) < byBin(3))
+    // Decorrelated from assignSplit: composing a 50%-rate curriculum
+    // with the 90/5/5 split must still populate val/test (with the
+    // bare-id bucket every survivor would be train).
+    val half = Curation.curriculumSample(
+      base, "doc_id", col("n_chars"), keepPerMille = Seq(500, 500))
+    val splits = half.select(operators.Splits.assignSplit(col("doc_id"),
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).as("split"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(splits == Set("train", "val", "test"),
+      s"curriculum survivors must span all splits, got $splits")
   }
 
   test("shuffleOrder is a deterministic seeded permutation") {
@@ -221,8 +232,14 @@ class CurationSpec extends AnyFunSuite {
     def messages(t: Throwable): Seq[String] =
       if (t == null) Nil
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
-    assert(messages(e).exists(_.contains("NULL weight")),
+    assert(messages(e).exists(_.contains("NULL or negative weight")),
       s"expected the NULL-weight error, got: $e")
+    // Negative weights are the same caller-bug class: loud, not a drop.
+    val e2 = intercept[Exception] {
+      Curation.upsampleByWeight(base, "doc_id", lit(-0.5)).count()
+    }
+    assert(messages(e2).exists(_.contains("NULL or negative weight")),
+      s"expected the negative-weight error, got: $e2")
   }
 
   test("dupGroupMatrix counts unordered group pairs") {
@@ -238,6 +255,15 @@ class CurationSpec extends AnyFunSuite {
     // (1,2)=x,y and (2,3)=y,x both land in (x,y); (1,3) is the x
     // diagonal; (3,4)=(x,z).
     assert(got == Map(("x", "y") -> 2L, ("x", "x") -> 1L, ("x", "z") -> 1L))
+    // NULL labels form their own group, never the diagonal (least/
+    // greatest skip nulls — a (x, NULL) pair must not count as (x, x)).
+    val dfn = Seq((1L, Option("x")), (2L, Option.empty[String]))
+      .toDF("id", "grp")
+    val gotN = operators.Dedup.dupGroupMatrix(
+      dfn, Seq((1L, 2L)).toDF("id_a", "id_b"), "id", "grp")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotN == Map(("(unknown)", "x") -> 1L), s"got $gotN")
   }
 
   test("upsample is shuffle-free; funnel scans the corpus exactly once") {

@@ -307,6 +307,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(brute.subsetOf(annSet), s"ANN missed ${brute diff annSet}")
   }
 
+  test("ANN tolerates an all-zero embedding (dropped, not a crash)") {
+    val s = spark
+    import s.implicits._
+    val c = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f)), // zero norm: no direction — must be skipped
+      (3L, Array(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val q = Seq((10L, Array(1.0f, 0.0f))).toDF("qid", "qvec")
+    val out = Similarity.annCosineTopK(c, q, "vec_id", "embedding",
+      "qid", "qvec", k = 3, maxCosDist = 2.0,
+      numHashTables = 8, bucketLength = 2.0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L), s"zero vector must drop silently, got $out")
+  }
+
   test("IVF top-k with full probe equals brute force exactly") {
     val e = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
     val q = e.filter(col("vec_id") < 3)

@@ -167,6 +167,14 @@ class QueriesR7Spec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), s"eval pool must broadcast:\n$p")
     assert(p.split("HashAggregate").length >= 3,
       "per-id counts must partial-aggregate before the shuffle")
+    // EMPTY eval pool: every train vector still reports, with n_near=0
+    // (one row per training vector is the contract — an empty report
+    // would silently drop the whole corpus from the audit).
+    val empty = operators.Similarity.embeddingDecontam(
+      tr, ev.filter(col("vec_id") < 0), "vec_id", "embedding",
+      threshold = 0.9)
+    assert(empty.count() == 2)
+    assert(empty.filter(col("n_near") =!= 0 || col("contaminated")).count() == 0)
   }
 
   test("stratifiedSampleExact selects the same rows as the per-stratum window") {
