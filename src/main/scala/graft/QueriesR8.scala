@@ -257,6 +257,37 @@ object QueriesR8 {
           .withColumn("eval_set", (col("doc_id") % 2).cast("int")),
         idCol = "doc_id", textCol = "text", setCol = "eval_set",
         k = 3, minShared = 2)
+    },
+    // --- SemDeDup (Abbas et al. 2023): cluster-bounded semantic dedup.
+    //     Cluster assignment is engine-specific (sampled k-means) ⇒
+    //     rows-only; the recall companion below carries the gate. ---
+    "q_semdedup" -> { (s, d) =>
+      operators.Dedup.semanticDedup(
+        t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", threshold = 0.45, nClusters = 8)
+    },
+    // --- SemDeDup quality companion: what fraction of the EXACT global
+    //     cosine-≥-threshold pairs end up in one semantic-dedup
+    //     component (the clustering's only loss is cross-cluster
+    //     near-dups, so this measures exactly that miss rate). Exact
+    //     side is DuckDB-reproducible; the gate is the portable
+    //     contract. ---
+    "q_semdedup_recall" -> { (s, d) =>
+      val e = t(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+      val sem = operators.Dedup.semanticDedup(
+        e, "vec_id", "embedding", threshold = 0.45, nClusters = 8)
+      val comp = sem.select(col("rep"), col("vec_id"))
+      // Co-component pairs: components are duplicate clusters, so the
+      // within-component pair fan-out is bounded by the largest cluster.
+      val coPairs = comp.as("x")
+        .join(comp.as("y"),
+          col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      val exact = operators.Dedup.embeddingNearDupPairs(
+        e, "vec_id", "embedding", threshold = 0.45, exact = true)
+      operators.Quality.pairRecallCounts(exact, coPairs)
+        .select(col("n_exact"),
+          operators.Quality.recallOk(bps = 6000).as("recall_ok"))
     }
   )
 
@@ -486,6 +517,12 @@ object QueriesR8 {
         |ev AS (SELECT DISTINCT eval_set, g FROM ev0),
         |tr AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 97 <> 0)
         |SELECT doc_id, eval_set, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM tr JOIN ev USING (g) GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
+        |FROM tr JOIN ev USING (g) GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    "q_semdedup_recall" ->
+      """SELECT count(*) AS n_exact, TRUE AS recall_ok FROM (
+        |  SELECT a.vec_id, b.vec_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.45)""".stripMargin
   )
 }

@@ -52,6 +52,16 @@ object RecallReport {
       val pr = Quality.pairRecallCounts(exactPairs, srp).collect().head
       println(f"$d%-28s srp          n_exact=${pr.getLong(0)}%4d n_hit=${pr.getLong(1)}%4d recall=${pr.getLong(1).toDouble / math.max(1, pr.getLong(0))}%.3f")
 
+      val sem = operators.Dedup.semanticDedup(
+        e, "vec_id", "embedding", threshold = 0.45, nClusters = 8)
+      val compP = sem.select(col("rep"), col("vec_id"))
+      val coPairs = compP.as("x")
+        .join(compP.as("y"),
+          col("x.rep") === col("y.rep") && col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"))
+      val sp = Quality.pairRecallCounts(exactPairs, coPairs).collect().head
+      println(f"$d%-28s semdedup     n_exact=${sp.getLong(0)}%4d n_hit=${sp.getLong(1)}%4d recall=${sp.getLong(1).toDouble / math.max(1, sp.getLong(0))}%.3f")
+
       val orders = spark.read.parquet(s"$d/orders.parquet")
       val hll = orders.groupBy("o_orderstatus")
         .agg(count_distinct(col("o_custkey")).as("exact_nd"),

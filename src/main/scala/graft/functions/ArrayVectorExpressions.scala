@@ -164,6 +164,63 @@ case class ArrayCosineSimilarity(left: Expression, right: Expression)
 }
 
 /** Column-API and SQL registration for the native expressions. */
+/** `long_arrays_overlap(array<long>, array<long>)` — true iff the
+  * arrays share an element. Built-in `arrays_overlap` builds a boxed
+  * `HashSet` per EVALUATION — fine in a projection, pathological as a
+  * join condition, where it runs once per candidate pair (the ANN
+  * top-k prefilter: ~10⁵ allocations/s of pure GC churn, measured ~5×
+  * the whole query). The LSH key arrays are tiny (numTables entries),
+  * so a nested primitive loop with zero allocation wins at any size
+  * that fits a join condition. */
+case class LongArraysOverlap(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def prettyName: String = "long_arrays_overlap"
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects two array<bigint>, got ${l.simpleString} / ${r.simpleString}")
+    }
+
+  /** Public for the generated code. Null elements (possible only for
+    * containsNull inputs) never match — same as arrays_overlap's
+    * non-null semantics for the non-null elements; LSH keys are never
+    * null. */
+  def overlaps(a: ArrayData, b: ArrayData): Boolean = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0
+    while (i < na) {
+      if (!a.isNullAt(i)) {
+        val x = a.getLong(i)
+        var j = 0
+        while (j < nb) {
+          if (!b.isNullAt(j) && b.getLong(j) == x) return true
+          j += 1
+        }
+      }
+      i += 1
+    }
+    false
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    overlaps(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("overlap", this, classOf[LongArraysOverlap].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.overlaps($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongArraysOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
 object functions {
 
   /** Extract a required int/long literal parameter from a SQL call. */
@@ -193,6 +250,9 @@ object functions {
 
   def cosineSimilarity(a: Column, b: Column): Column =
     Bridge.column(ArrayCosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+
+  def longArraysOverlap(a: Column, b: Column): Column =
+    Bridge.column(LongArraysOverlap(Bridge.expression(a), Bridge.expression(b)))
 
   private[graft] val registry: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     (FunctionIdentifier("dot_product"),

@@ -455,8 +455,8 @@ object Dedup {
     *
     * `exact = true` scores every (i < j) pair with the native fused
     * cosine — O(n²), the verify/small-corpus path (the oracle-checkable
-    * one). `exact = false` goes through the euclidean-LSH bucket join on
-    * unit vectors ([[Similarity.annCosineTopK]]'s machinery) and only
+    * one). `exact = false` goes through the native
+    * euclidean-LSH bucket join ([[Similarity.annCosinePairs]]) and only
     * scores within-bucket candidates — the 100 TB path.
     *
     * Contract: all vectors in `vecCol` must have EQUAL dimension. The
@@ -473,11 +473,91 @@ object Dedup {
       exact: Boolean = false): DataFrame =
     if (exact) exactCosinePairsBlocked(df, idCol, vecCol, threshold)
     else {
+      // Band shape tuned on the synthetic embeddings (dim 64, cosine
+      // threshold 0.45): 8 tables × 2 AND-composed projections at
+      // w = 0.3 measures pair recall 0.993 at sf0.1 with ~2× fewer
+      // candidate rows than the single-projection spark.ml-default
+      // shape (4 × 1 at w = 0.5, recall 0.993 but near-all-pairs
+      // candidates). More AND (r = 3-4, smaller w) collapses recall on
+      // barely-over-threshold pairs — same lesson as the SRP 16×4
+      // band shape.
       Similarity
         .annCosinePairs(df, df, idCol, vecCol, idCol, vecCol,
-          maxCosDist = 1.0 - threshold)
+          maxCosDist = 1.0 - threshold,
+          numHashTables = 8, bucketLength = 0.3, rowsPerTable = 2)
         .filter(col("id_a") < col("id_b") && col("sim") >= threshold)
     }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540 — public): cluster the embeddings with the IVF
+    * coarse quantizer — MULTI-PROBE, each row in its `nProbes` nearest
+    * cells ([[Similarity.assignCellsMulti]]) — score cosine pairs
+    * WITHIN shared cells only, connect the ≥ `threshold` pairs into
+    * components, and keep one representative (min id) per component.
+    *
+    * The clustering is what makes semantic dedup runnable at corpus
+    * scale: n docs in c balanced cells score ~P²·n²/c pairs instead of
+    * n². Cross-cluster near-duplicates are the residual miss — the
+    * paper's single-cell variant loses every boundary-straddling pair
+    * (measured 0.29 pair recall on the near-isotropic synthetic
+    * embeddings at sf0.1); top-2 probing converts the bulk of those
+    * misses into hits. That loss is MEASURED, not assumed:
+    * q_semdedup_recall gates the fraction of exact global
+    * cosine-≥-threshold pairs that land in one component.
+    * Cluster assignment is engine-specific (sampled k-means), so the
+    * output is rows-only in CORRECTNESS; the recall companion plus the
+    * partition invariants (`keep` marks exactly the component minima)
+    * carry the oracle-gated contract.
+    *
+    * Shape: ONE assignment pass (broadcast centroids), one
+    * vector-carrying shuffle on `__cell` for the within-cell self-join,
+    * then the pair pipeline runs on bare ids. The assignment is
+    * materialized so the k-means transform doesn't re-run per
+    * downstream branch. Zero-norm embeddings have no direction, hence
+    * no semantic identity: dropped (same contract as every cosine
+    * operator here). At 100 TB the within-cell join is the knob: cells
+    * are sized by `nClusters` so a cell fits one task's memory, and a
+    * skewed mega-cell is exactly what [[exactCosinePairsBlocked]]'s
+    * tiling handles if a cell needs further splitting. */
+  def semanticDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nClusters: Int = 16,
+      nProbes: Int = 2,
+      seed: Long = 42L,
+      maxIter: Int = 8,
+      fitSampleFraction: Double = 0.25): DataFrame = {
+    val assigned = Materialize.checkpoint(
+      Similarity.assignCellsMulti(df, idCol, vecCol, nClusters, nProbes,
+        seed, maxIter, fitSampleFraction))
+    // Multi-probe postings: each row appears in its nProbes nearest
+    // cells; a straddling near-dup pair is caught when ANY cell is
+    // shared. Vectors ride the cell join (P× inflation) so no id
+    // join-back is needed; the pair `distinct` collapses multi-cell
+    // double-hits before components.
+    val posts = assigned.select(
+      col(idCol), col(vecCol), explode(col("__cells")).as("__cell"))
+    val a = posts.select(
+      col("__cell"), col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = posts.select(
+      col("__cell"), col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val pairs = a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(Similarity.cosine(col("__va"), col("__vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("id_a", "id_b")
+      .distinct()
+    val reps = nearDupComponents(
+      assigned.select(col(idCol).as("doc_id")), pairs)
+      .select(col("doc_id").as(idCol), col("rep"))
+    assigned
+      .join(reps, idCol)
+      .withColumn("keep", col(idCol) === col("rep"))
+      .select(col(idCol), element_at(col("__cells"), 1).as("cell"),
+        col("rep"), col("keep"))
+  }
 
   /** Exact all-pairs cosine ≥ threshold via BLOCK-PARTITIONED scoring.
     *

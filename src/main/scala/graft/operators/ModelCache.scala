@@ -2,9 +2,10 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 
-/** Process-level cache for fitted spark.ml models (the LSH random-plane
-  * draw in [[Similarity.annCosineTopK]]/[[Similarity.annCosinePairs]],
-  * the IVF coarse quantizer in [[Similarity.ivfCosineTopK]]).
+/** Process-level cache for fitted spark.ml models (the IVF coarse
+  * quantizer in [[Similarity.ivfCosineTopK]]; the ANN euclidean-LSH
+  * path needs no model at all — [[graft.functions.EuclidLshBuckets]]
+  * derives its planes from the seed).
   *
   * A fitted model is a pure function of (input data, hyper-parameters,
   * seed) — refitting it on every query execution repeats a full

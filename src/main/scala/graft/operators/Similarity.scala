@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.functions.array_to_vector
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -14,10 +13,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * shuffle for scoring; only the final per-query top-k aggregation
   * shuffles, and it shuffles score rows, not vectors).
   *
-  * Scale path: `BucketedRandomProjectionLSH` over L2-normalized vectors —
+  * Scale path: native euclidean LSH
+  * ([[graft.functions.EuclidLshBuckets]]) over L2-normalized vectors —
   * on the unit sphere euclidean distance is monotone in cosine
   * (`cos = 1 − d²/2`), so a euclidean LSH bucket join gives
-  * approximate-cosine candidates without the n·m scoring pass.
+  * approximate-cosine candidates without the n·m scoring pass, with no
+  * model fit and the whole projection inside codegen.
   */
 object Similarity {
 
@@ -123,6 +124,26 @@ object Similarity {
       .drop("__nrm")
   }
 
+  /** `(id, __table, __bucket)` euclidean-LSH postings of `df`'s raw
+    * `vecCol` — one native-expression projection (the expression
+    * normalizes in-pass; zero-norm rows yield no postings), one
+    * posexplode; no fit, no model, no ml Vector, no interpreted
+    * normalize lambda for the generator to re-evaluate per output
+    * row. */
+  private def lshPostings(
+      df: DataFrame, idCol: String, vecCol: String, outId: String,
+      numHashTables: Int, bucketLength: Double, seed: Long,
+      rowsPerTable: Int): DataFrame =
+    df.select(
+        col(idCol).as(outId),
+        graft.functions.EuclidLshBuckets
+          .euclidLshBuckets(col(vecCol), seed, numHashTables, bucketLength,
+            rowsPerTable)
+          .as("__b"))
+      .select(col(outId), posexplode(col("__b")))
+      .withColumnRenamed("pos", "__table")
+      .withColumnRenamed("col", "__bucket")
+
   /** Brute-force cosine top-k via the partial-aggregating
     * [[graft.functions.TopKAggregator]]: every map task pre-reduces its
     * scored rows to ≤ k candidates before the shuffle, so a query group
@@ -164,6 +185,129 @@ object Similarity {
     * is stable per process/model-cache hit — the recall companion gates
     * quality, not bit-identity (hence rows-only in CORRECTNESS).
     * `nProbe = nLists` degrades to exact brute force. */
+  /** The IVF coarse quantizer: a sampled, capped-iteration k-means over
+    * unit vectors. A coarse quantizer doesn't need converged centroids —
+    * cells just need to partition the space roughly. So: random init
+    * (k-means|| costs ~5 extra distributed passes for quality we don't
+    * need), capped iterations, and the fit runs on a SAMPLE in few
+    * partitions — at 100 TB fitting the quantizer on the full corpus is
+    * never the plan; only the one-pass cell assignment must see every
+    * row. The quantizer is a pure function of (corpus, params, seed):
+    * fit it once per process and reuse across executions (ModelCache) —
+    * every refit is a full sampled KMeans job for bit-identical
+    * centroids. */
+  private def coarseQuantizer(
+      corpusU: DataFrame,
+      idCol: String,
+      nLists: Int,
+      seed: Long,
+      maxIter: Int,
+      fitSampleFraction: Double): org.apache.spark.ml.clustering.KMeansModel =
+    ModelCache.getOrFit[org.apache.spark.ml.clustering.KMeansModel](
+      corpusU, s"ivf|$nLists|$seed|$maxIter|$fitSampleFraction") {
+      // Content-hash sample, NOT df.sample: sample(seed) draws
+      // per-partition RNG streams, so the fit rows — and therefore the
+      // centroids and every probed cell — would change with the input
+      // partitioning. The md5 filter picks the same rows on any
+      // cluster/partitioning (KMeans itself still sees an RDD order,
+      // so probe results are stable only per process — the recall
+      // companion gates quality, not bit-identity).
+      val sampled =
+        (if (fitSampleFraction < 1.0)
+           corpusU.filter(graft.operators.Splits.hashBucket(
+             concat(lit("ivf:"), col(idCol).cast("string"))) <
+             (fitSampleFraction * 10000).toInt)
+         else corpusU)
+          .select("__unit").coalesce(8).cache()
+      // Small-corpus guard: k-means needs at least k fit rows (spark.ml
+      // crashes outright below that), and a sample barely above k gives
+      // degenerate cells. The sample count is read off the cached
+      // sample — one tiny job — and a thin sample falls back to the
+      // full corpus. At production scale the sample is orders of
+      // magnitude above 4k and the guard never fires.
+      val fitInput =
+        if (sampled.count() >= nLists.toLong * 4) sampled
+        else {
+          sampled.unpersist(blocking = false)
+          corpusU.select("__unit").coalesce(8).cache()
+        }
+      val km = new KMeans()
+        .setK(nLists).setSeed(seed).setMaxIter(maxIter)
+        .setInitMode("random")
+        .setFeaturesCol("__unit").setPredictionCol("__cell")
+      try km.fit(fitInput)
+      finally fitInput.unpersist(blocking = false)
+    }
+
+  /** `(idCol, vecCol, __cell)`: every row tagged with its coarse-
+    * quantizer cell — the clustering step shared by [[ivfCosineTopK]]
+    * (probe structure) and [[graft.operators.Dedup.semanticDedup]]
+    * (within-cluster pairing). One distributed assignment pass over a
+    * ModelCache'd sampled k-means. */
+  def assignCells(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      seed: Long = 42L,
+      maxIter: Int = 8,
+      fitSampleFraction: Double = 0.25): DataFrame = {
+    val corpusU = unitVectors(corpus, vecCol)
+    coarseQuantizer(corpusU, idCol, nLists, seed, maxIter, fitSampleFraction)
+      .transform(corpusU)
+      .select(col(idCol), col(vecCol), col("__cell"))
+  }
+
+  /** `(idCol, vecCol, __cells: array<int>)`: every row tagged with its
+    * `nProbes` NEAREST coarse-quantizer cells by centroid cosine — the
+    * multi-probe assignment. Single-cell partitioning loses every
+    * near-duplicate pair that straddles a cell boundary; with top-P
+    * assignment a pair is co-located if ANY of the P×P cell combinations
+    * overlaps, which converts most boundary misses into hits for a P×
+    * posting inflation (the same OR-amplification trade every LSH
+    * variant here makes).
+    *
+    * Shape: centroids broadcast (nLists rows), cosine scored in one
+    * scan, then the partial-aggregating [[graft.functions
+    * .TopKAggregator]] keeps each row's P best cells — the shuffle
+    * carries ≤ P cells per row, not the nLists-way cross score.
+    * Zero-norm rows have no direction and are dropped (cosine NaN would
+    * poison the ranking). */
+  def assignCellsMulti(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int,
+      nProbes: Int = 2,
+      seed: Long = 42L,
+      maxIter: Int = 8,
+      fitSampleFraction: Double = 0.25): DataFrame = {
+    require(nProbes >= 1 && nProbes <= nLists,
+      s"nProbes must be in [1, $nLists], got $nProbes")
+    val corpusU = unitVectors(corpus, vecCol)
+    val model = coarseQuantizer(corpusU, idCol, nLists, seed, maxIter,
+      fitSampleFraction)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+      .toDF("__cell", "__centroid")
+    val topk = graft.functions.TopKAggregator.topK(nProbes)
+    corpus
+      .select(col(idCol), col(vecCol))
+      .filter(graft.functions.functions
+        .dotProduct(col(vecCol), col(vecCol)) > 0)
+      .join(broadcast(centroids))
+      .withColumn("__cos", cosine(col(vecCol), col("__centroid")))
+      .groupBy(col(idCol))
+      .agg(
+        first(col(vecCol)).as(vecCol), // constant within the group
+        topk(col("__cell"), col("__cos")).as("__top"))
+      .withColumn("__cells",
+        transform(col("__top"), x => x.getField("_1").cast("int")))
+      .drop("__top")
+  }
+
   def ivfCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -178,38 +322,8 @@ object Similarity {
       maxIter: Int = 8,
       fitSampleFraction: Double = 0.25): DataFrame = {
     val corpusU = unitVectors(corpus, vecCol)
-    // A coarse quantizer doesn't need converged centroids — cells just
-    // need to partition the space roughly. So: random init (k-means||
-    // costs ~5 extra distributed passes for quality we don't need),
-    // capped iterations, and the fit runs on a SAMPLE in few partitions
-    // — at 100 TB fitting the quantizer on the full corpus is never the
-    // plan; only the one-pass cell ASSIGNMENT below must see every row.
-    // The quantizer is a pure function of (corpus, params, seed): fit it
-    // once per process and reuse across executions (ModelCache) — every
-    // refit is a full sampled KMeans job for bit-identical centroids.
-    val model = ModelCache.getOrFit[org.apache.spark.ml.clustering.KMeansModel](
-      corpusU, s"ivf|$nLists|$seed|$maxIter|$fitSampleFraction") {
-      // Content-hash sample, NOT df.sample: sample(seed) draws
-      // per-partition RNG streams, so the fit rows — and therefore the
-      // centroids and every probed cell — would change with the input
-      // partitioning. The md5 filter picks the same rows on any
-      // cluster/partitioning (KMeans itself still sees an RDD order,
-      // so probe results are stable only per process — the recall
-      // companion gates quality, not bit-identity).
-      val fitInput =
-        (if (fitSampleFraction < 1.0)
-           corpusU.filter(graft.operators.Splits.hashBucket(
-             concat(lit("ivf:"), col(idCol).cast("string"))) <
-             (fitSampleFraction * 10000).toInt)
-         else corpusU)
-          .select("__unit").coalesce(8).cache()
-      val km = new KMeans()
-        .setK(nLists).setSeed(seed).setMaxIter(maxIter)
-        .setInitMode("random")
-        .setFeaturesCol("__unit").setPredictionCol("__cell")
-      try km.fit(fitInput)
-      finally fitInput.unpersist(blocking = false)
-    }
+    val model = coarseQuantizer(corpusU, idCol, nLists, seed, maxIter,
+      fitSampleFraction)
     val assigned = model.transform(corpusU)
       .select(col(idCol), col(vecCol), col("__cell"))
     // Tiny centroid table: (cell, centroid) — broadcast everywhere.
@@ -323,11 +437,20 @@ object Similarity {
       .select("id_a", "id_b", "sim")
   }
 
-  /** LSH-bucketed candidate PAIRS with approximate cosine ≥ 1 −
-    * `maxCosDist`: unit-normalize both sides, euclidean-LSH bucket join,
-    * convert distance back to cosine. Returns `(id_a, id_b, sim)` —
-    * the building block for semantic dedup self-joins. Seeded ⇒
-    * deterministic. */
+  /** LSH-bucketed candidate PAIRS with cosine ≥ 1 − `maxCosDist`:
+    * unit-normalize both sides, euclidean-LSH bucket join (a pair is a
+    * candidate iff it shares a bucket in ANY of the `numHashTables`
+    * tables — OR-amplification), exact fused-cosine verify on the
+    * candidates only. Returns `(id_a, id_b, sim)` — the building block
+    * for semantic-dedup self-joins. Seeded ⇒ deterministic.
+    *
+    * Fully native ([[graft.functions.EuclidLshBuckets]]): no spark.ml
+    * fit job, no ml `Vector` UDT conversions, no non-codegen distance
+    * UDF — the bucket projection and the verify cosine both run inside
+    * whole-stage codegen, and at 100 TB no pre-pass over the corpus is
+    * needed before candidates flow. The bucket join is an equi
+    * hash-join on `(table, bucket)`; vectors never ride through the
+    * posting explode — they join back by id for the verify. */
   def annCosinePairs(
       corpus: DataFrame,
       queries: DataFrame,
@@ -338,33 +461,44 @@ object Similarity {
       maxCosDist: Double,
       numHashTables: Int = 4,
       bucketLength: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
-    val corpusU = unitVectors(corpus, vecCol).select(col(idCol).as("__idb"), col("__unit"))
-    val queriesU = unitVectors(queries, qvecCol).select(col(qidCol).as("__ida"), col("__unit"))
-    // fit() here is a schema-probe job + a seeded plane draw — identical
-    // every time for the same (corpus, params); cache it per process.
-    val model = ModelCache
-      .getOrFit[org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel](
-        corpusU, s"brp|$numHashTables|$bucketLength|$seed") {
-        new BucketedRandomProjectionLSH()
-          .setInputCol("__unit").setOutputCol("__hashes")
-          .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-          .setSeed(seed)
-          .fit(corpusU)
-      }
-    val maxEuclid = math.sqrt(2.0 * maxCosDist)
-    model
-      .approxSimilarityJoin(queriesU, corpusU, maxEuclid, "euclid")
-      .select(
-        col("datasetA.__ida").as("id_a"),
-        col("datasetB.__idb").as("id_b"),
-        round(lit(1.0) - col("euclid") * col("euclid") / 2.0, 6).as("sim"))
+      seed: Long = 42L,
+      rowsPerTable: Int = 1): DataFrame = {
+    val cb = lshPostings(corpus, idCol, vecCol, "__idb",
+      numHashTables, bucketLength, seed, rowsPerTable)
+    val qb = lshPostings(queries, qidCol, qvecCol, "__ida",
+      numHashTables, bucketLength, seed, rowsPerTable)
+    val cand = qb
+      .join(cb, Seq("__table", "__bucket"))
+      .select(col("__ida"), col("__idb"))
+      .distinct()
+    // Verify on the RAW vectors (cosine is normalization-invariant):
+    // no unit-normalize projection anywhere in the plan.
+    val va = queries.select(col(qidCol).as("__ida"), col(qvecCol).as("__ua"))
+    val vb = corpus.select(col(idCol).as("__idb"), col(vecCol).as("__ub"))
+    cand
+      .join(va, "__ida")
+      .join(vb, "__idb")
+      .withColumn("sim", round(cosine(col("__ua"), col("__ub")), 6))
+      .filter(col("sim") >= 1.0 - maxCosDist)
+      .select(col("__ida").as("id_a"), col("__idb").as("id_b"), col("sim"))
   }
 
   /** LSH-bucketed approximate cosine top-k: normalize to the unit
-    * sphere, euclidean-LSH join within `maxCosDist` (cosine ≥ 1 −
-    * maxCosDist), then exact rerank per query. Seeded ⇒ deterministic
-    * bucketing. */
+    * sphere, keep only (query, corpus) pairs sharing a euclidean-LSH
+    * bucket in at least one table, exact-rerank the survivors within
+    * `maxCosDist` (cosine ≥ 1 − maxCosDist). Same native zero-fit
+    * bucketing as [[annCosinePairs]]; seeded ⇒ deterministic.
+    *
+    * Shape: the query set is SMALL by contract (it is in every top-k
+    * variant here — brute, IVF, int8), so instead of the posting-list
+    * join the queries BROADCAST with their bucket-key arrays and the
+    * corpus is scanned ONCE: a zero-allocation native key overlap
+    * ([[graft.functions.LongArraysOverlap]]) on the composite
+    * (table, bucket) keys prunes before the fused cosine ever runs, and
+    * the only shuffle in the whole plan is the final partial top-k
+    * aggregation. No posting explode, no candidate distinct, no
+    * vector join-back — those earn their shuffles only when BOTH sides
+    * are large, which is [[annCosinePairs]]'s territory. */
   def annCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -376,32 +510,40 @@ object Similarity {
       maxCosDist: Double = 0.8,
       numHashTables: Int = 4,
       bucketLength: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      rowsPerTable: Int = 1): DataFrame = {
     // Distinct names keep the output unambiguous and the groupBy below
     // resolvable (annCosinePairs aliases internally for the self-join
     // case; here the caller picks the names, so demand distinct ones).
     require(idCol != qidCol,
       s"idCol and qidCol must differ (both '$idCol') — alias one side")
-    val corpusU = unitVectors(corpus, vecCol).select(col(idCol), col("__unit"))
-    val queriesU = unitVectors(queries, qvecCol).select(col(qidCol), col("__unit"))
-    val model = ModelCache
-      .getOrFit[org.apache.spark.ml.feature.BucketedRandomProjectionLSHModel](
-        corpusU, s"brp|$numHashTables|$bucketLength|$seed") {
-        new BucketedRandomProjectionLSH()
-          .setInputCol("__unit").setOutputCol("__hashes")
-          .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-          .setSeed(seed)
-          .fit(corpusU)
-      }
-    // cos = 1 - d^2/2 on unit vectors => d = sqrt(2*(1-cos))
-    val maxEuclid = math.sqrt(2.0 * maxCosDist)
-    val joined = model
-      .approxSimilarityJoin(queriesU, corpusU, maxEuclid, "euclid")
-      .filter(col(s"datasetA.$qidCol") =!= col(s"datasetB.$idCol"))
-      .select(
-        col(s"datasetA.$qidCol").as(qidCol),
-        col(s"datasetB.$idCol").as(idCol),
-        round(lit(1.0) - col("euclid") * col("euclid") / 2.0, 6).as("sim"))
+    // Bucket keys already carry their table index (the expression seeds
+    // each table's fold with it), so a flat key-overlap check is exact.
+    // Raw vectors throughout: the key expression normalizes in-pass
+    // (zero-norm rows get an empty key array, so the overlap drops
+    // them), and the verify cosine is normalization-invariant.
+    def keys(u: Column) = graft.functions.EuclidLshBuckets
+      .euclidLshBuckets(u, seed, numHashTables, bucketLength, rowsPerTable)
+    val corpusU = corpus
+      .select(col(idCol), col(vecCol).as("__unit"), keys(col(vecCol)).as("__keys"))
+    val queriesU = queries
+      .select(col(qidCol), col(qvecCol).as("__qunit"),
+        keys(col(qvecCol)).as("__qkeys"))
+    // The join condition carries ONLY the cheap key overlap (+ the id
+    // guard): a `filter(sim >= …)` here would be pushed INTO the BNLJ
+    // condition, where the fused cosine evaluates interpreted per pair
+    // instead of inside the codegen'd projection below (measured ~2×
+    // the whole query). The threshold moves AFTER the top-k instead —
+    // identical output: if a top-k row is under the threshold, every
+    // lower-ranked row is under it too, so filtering the exploded top-k
+    // equals thresholding before it.
+    val joined = corpusU
+      .join(broadcast(queriesU),
+        graft.functions.functions
+          .longArraysOverlap(col("__keys"), col("__qkeys")) &&
+          col(idCol) =!= col(qidCol))
+      .withColumn("sim", round(cosine(col("__qunit"), col("__unit")), 6))
+      .select(col(qidCol), col(idCol), col("sim"))
     // Partial-aggregating top-k (ranked by (sim desc, id asc), same
     // contract as the window form): ≤ k candidate rows per query cross
     // the exchange instead of every bucket-join survivor.
@@ -415,5 +557,6 @@ object Similarity {
         col("col._1").as(idCol),
         col("col._2").as("sim"),
         (col("pos") + 1).cast("int").as("rn"))
+      .filter(col("sim") >= 1.0 - maxCosDist)
   }
 }
