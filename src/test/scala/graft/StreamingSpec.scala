@@ -343,6 +343,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L), s"got $kept")
   }
 
+  test("streaming semantic-match detections: LSH candidates, exact cosine, stateless") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // Reference spans two directions; stream sends a same-direction
+    // vector (detected, sim ≈ 0.999), an orthogonal one (no bucket in
+    // common — and the exact-cosine filter would kill it regardless),
+    // and a NULL embedding (no postings by construction).
+    val reference = Seq(
+      (100L, Array(1.0f, 0.01f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.01f))).toDF("vec_id", "embedding")
+    val stream = MemoryStream[(Long, Option[Array[Float]])]
+    val det = Streaming.semanticMatchesStream(
+      stream.toDF().toDF("doc_id", "embedding"), reference, "vec_id",
+      threshold = 0.9)
+    val q = det.writeStream.format("memory").queryName("semdet")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, Some(Array(0.99f, 0.02f, 0.01f))), // near ref 100: detected
+        (2L, Some(Array(0.0f, 0.0f, 1.0f))),    // orthogonal: clean
+        (3L, None))                             // null embedding: clean
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "semantic match screen must not register a stateful streaming operator")
+    } finally q.stop()
+    // A pair may emit once per shared bucket — assert on the DISTINCT
+    // (doc, ref) pairs, which is the operator's documented contract.
+    val pairs = spark.table("semdet")
+      .select("doc_id", "ref_vec_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 100L)), s"got $pairs")
+    val sims = spark.table("semdet").select("sim").collect().map(_.getDouble(0))
+    assert(sims.forall(_ >= 0.9), s"every detection must clear the threshold: ${sims.mkString(",")}")
+  }
+
   test("map-only upsample runs unchanged on a stream, stateless") {
     val spark = TestSpark.spark
     import spark.implicits._
