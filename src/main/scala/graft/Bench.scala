@@ -161,6 +161,22 @@ object Bench {
         err = e
         i += 1
       }
+      // Adaptive re-runs: a co-tenant CPU burst landing inside one timed
+      // run shifts a 3-run median by 2-3× (observed cross-sweep on
+      // identical code: q_dedup_ngram 1.1 ↔ 3.1 s, q_shard one run of
+      // 5.4 s against two of ~1 s). When the spread exceeds half the
+      // median on a non-trivial query, take up to 2 more runs — a 5-run
+      // median tolerates TWO outlier runs where 3-run tolerates one.
+      def noisy: Boolean = {
+        val med = runs.sorted.apply((runs.size - 1) / 2)
+        med > 0.3 && (runs.max - runs.min) / med > 0.5
+      }
+      while (err.isEmpty && runs.size < 5 && noisy) {
+        dropRunBlocks()
+        val (sec, e) = timeSec(runFully(fn(spark, sfDir)))
+        runs += sec
+        err = e
+      }
       // A failed query reports ONLY its error — a median over runs that
       // include the aborted attempt would record a misleading timing.
       if (err.isEmpty) {
