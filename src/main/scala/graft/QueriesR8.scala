@@ -288,7 +288,24 @@ object QueriesR8 {
       operators.Quality.pairRecallCounts(exact, coPairs)
         .select(col("n_exact"),
           operators.Quality.recallOk(bps = 6000).as("recall_ok"))
-    }
+    },
+    // --- BPE merge learning (the TRAINING step, not tokenization):
+    //     top-20 adjacent character pairs weighted by word frequency —
+    //     the statistic the first BPE merge greedily maximizes. Pair
+    //     explosion runs over the distinct-word vocabulary, not the
+    //     corpus; fully oracle-gated. ---
+    "q_bpe_merges" -> ((s, d) =>
+      operators.Vocab.bpeMergePairs(t(s, d, "documents"), "text", topK = 20)),
+    // --- power-of-two token-length histogram (sequence-bucket sizing);
+    //     integer bucket = binary digit count, portable at 2^k edges ---
+    "q_len_hist" -> ((s, d) =>
+      operators.Vocab.lengthHistogram(t(s, d, "documents"), "text")),
+    // --- vocabulary coverage curve: smallest freq-ranked vocab
+    //     covering 50/75/90/99% of token occurrences; prefix sum via
+    //     the two-pass distributed runningTotalBy, never a single-task
+    //     global window ---
+    "q_vocab_coverage" -> ((s, d) =>
+      operators.Vocab.vocabCoverage(t(s, d, "documents"), "text"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -523,6 +540,30 @@ object QueriesR8 {
         |  SELECT a.vec_id, b.vec_id
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |  WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.45)""".stripMargin
+        |                                     CAST(b.embedding AS DOUBLE[])), 6) >= 0.45)""".stripMargin,
+    "q_bpe_merges" ->
+      """WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '\p{L}+')) w FROM documents),
+        |wc AS (SELECT w, count(*) c FROM words WHERE len(w) >= 2 GROUP BY 1),
+        |pairs AS (SELECT c, unnest(list_transform(generate_series(1, len(w) - 1), i -> substr(w, i, 2))) pair FROM wc)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+    "q_len_hist" ->
+      """WITH n AS (SELECT len(regexp_extract_all(text, '\S+')) AS n FROM documents),
+        |b AS (SELECT CAST(length(bin(CAST(n AS BIGINT))) AS INTEGER) bucket, n FROM n)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       CAST(pow(2, bucket - 1) AS BIGINT) AS lo
+        |FROM b GROUP BY 1""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '\p{L}+')) w FROM documents),
+        |wc AS (SELECT w, count(*) c FROM words GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) total FROM wc),
+        |r AS (SELECT c, sum(c) OVER (ORDER BY c DESC, w) cum FROM wc),
+        |t AS (SELECT CAST(unnest([0.5, 0.75, 0.9, 0.99]) AS DOUBLE) threshold)
+        |SELECT threshold, CAST(count(*) AS BIGINT) AS vocab_size,
+        |       round(max(CAST(cum AS DOUBLE) / total), 6) AS covered_frac
+        |FROM r CROSS JOIN tot CROSS JOIN t
+        |WHERE cum - c < threshold * total
+        |GROUP BY 1""".stripMargin
   )
 }

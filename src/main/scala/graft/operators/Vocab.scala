@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Tokenizer-design operators: the corpus-aggregation side of building
+  * a subword vocabulary (BPE) and sizing sequence buckets over a
+  * 100 TB corpus.
+  *
+  * The scale idea shared by all three: collapse the CORPUS to the
+  * VOCABULARY first. BPE training, coverage curves, and merge-pair
+  * statistics are all functions of the distinct-word frequency table,
+  * which is orders of magnitude smaller than the corpus (Heaps' law) —
+  * so one corpus-sized shuffle produces `(word, count)` and every
+  * subsequent pass (pair explosion, prefix sums) runs over vocab-sized
+  * data. A formulation that exploded character pairs straight off the
+  * corpus would shuffle every character bigram of every document.
+  */
+object Vocab {
+
+  /** Distinct-word frequency table `(w, c)`: lowercased letter runs.
+    * ONE corpus shuffle with map-side combine; output is vocab-sized.
+    * Pure RE2-compatible regex, so DuckDB oracles tokenize
+    * identically. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(
+        explode(regexp_extract_all(lower(col(textCol)), lit("\\p{L}+"), lit(0)))
+          .as("w"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("c"))
+
+  /** First-round BPE merge candidates (Sennrich et al., ACL'16 —
+    * the training step, not the tokenizer): adjacent CHARACTER-pair
+    * counts weighted by word frequency, top `topK` by count. This is
+    * exactly the statistic BPE training greedily maximizes on its
+    * first merge; re-running it after applying a merge yields the next
+    * merge, so the operator is the inner loop of distributed BPE.
+    *
+    * Cost shape: the pair explosion runs over [[wordCounts]] output
+    * (vocab-sized), NOT the corpus — each distinct word contributes
+    * `len-1` pairs once, weighted by its count. The final top-k is a
+    * `TakeOrderedAndProject` (partial top-k per partition, single
+    * driver merge of k·partitions rows — never a global sort). Ties
+    * broken by pair text for cross-engine determinism. */
+  def bpeMergePairs(df: DataFrame, textCol: String, topK: Int = 20): DataFrame = {
+    val wc = wordCounts(df, textCol).filter(length(col("w")) >= 2)
+    wc.select(
+        col("c"),
+        explode(
+          transform(
+            sequence(lit(1), length(col("w")) - 1),
+            i => col("w").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
+  /** Power-of-two token-length histogram — the statistic that sizes
+    * sequence-packing buckets (how many docs fit a 512/1k/2k/4k
+    * context). `bucket = length(bin(n))`, i.e. the number of binary
+    * digits of the token count: pure INTEGER semantics, so any engine
+    * lands `2^k` in the same bucket bit-for-bit (a floating `log2`
+    * could put a boundary count on either side). Map-only projection +
+    * one |buckets|-sized shuffle (≤ ~40 groups no matter the corpus).
+    *
+    * Output per bucket: `lo` (smallest count in the bucket, `2^(b-1)`),
+    * `n_docs`, `n_tokens`. */
+  def lengthHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
+      .select(length(bin(col("n"))).cast("int").as("bucket"), col("n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .withColumn(
+        "lo",
+        pow(lit(2.0), (col("bucket") - 1).cast("double")).cast("long"))
+
+  /** Vocabulary coverage curve: for each target fraction, the smallest
+    * frequency-ranked vocabulary whose words cover at least that
+    * fraction of all corpus token occurrences — the tokenizer-design
+    * question "how big must the vocab be for 99% coverage?".
+    *
+    * A word ranked by `(c desc, w)` is NEEDED for threshold `t` iff the
+    * cumulative count BEFORE it is still short of `t · total` — so the
+    * answer needs a prefix sum over the ranked vocabulary, which is
+    * [[Packing.runningTotalBy]]'s two-pass distributed pattern (range
+    * partition + O(partitions) broadcast offsets), never a single-task
+    * global window. Thresholds are exploded per word (|vocab|·|t| rows,
+    * still vocab-scale) and counted per threshold. */
+  def vocabCoverage(
+      df: DataFrame,
+      textCol: String,
+      thresholds: Seq[Double] = Seq(0.5, 0.75, 0.9, 0.99)): DataFrame = {
+    val wc = wordCounts(df, textCol)
+    val ranked = Packing
+      .runningTotalBy(wc, Seq(col("c").desc, col("w")), col("c"))
+      .withColumn("cum_before", col("__cum") - col("c"))
+    val total = wc.agg(sum("c").as("total"))
+    ranked
+      .crossJoin(broadcast(total))
+      .select(
+        col("c"),
+        col("__cum"),
+        col("cum_before"),
+        col("total"),
+        explode(typedLit(thresholds)).as("threshold"))
+      .filter(col("cum_before") < col("threshold") * col("total"))
+      .groupBy("threshold")
+      .agg(
+        count(lit(1)).as("vocab_size"),
+        round(max(col("__cum").cast("double") / col("total")), 6)
+          .as("covered_frac"))
+  }
+}

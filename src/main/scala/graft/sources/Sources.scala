@@ -20,10 +20,13 @@ object Sources {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table: stored as TIMESTAMP(NANOS) parquet, which Spark
-    * only reads via the legacy nanos-as-long conf; converts to a proper
-    * µs timestamp with integer division (a double roundtrip would lose
-    * precision above 2^53 ns). */
+  /** The events table. Generator versions differ on the `ts` physical
+    * type: some write TIMESTAMP(NANOS) parquet (readable only via the
+    * legacy nanos-as-long conf, then long-divided down to µs — integer
+    * division, since a double roundtrip would lose precision above
+    * 2^53 ns), newer ones write a native µs/ms timestamp Spark reads
+    * directly. Adapt on the decoded schema so both layouts come back
+    * as the same µs-timestamp `ts`. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     // The legacy conf has no per-read DataFrameReader equivalent and is
     // consulted lazily at execution time, so a set/restore around the
@@ -33,9 +36,16 @@ object Sources {
     // the caller's session keep their configured behavior.
     val isolated = spark.newSession()
     isolated.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    isolated.read
-      .parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = isolated.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        // Already a timestamp type (µs-precision parquet, or NTZ);
+        // normalize NTZ → session-local timestamp so downstream
+        // window/event-time queries see one type either way.
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** JSON lines with an explicit schema (no inference). */
