@@ -305,7 +305,17 @@ object QueriesR8 {
     //     the two-pass distributed runningTotalBy, never a single-task
     //     global window ---
     "q_vocab_coverage" -> ((s, d) =>
-      operators.Vocab.vocabCoverage(t(s, d, "documents"), "text"))
+      operators.Vocab.vocabCoverage(t(s, d, "documents"), "text")),
+    // --- Zipf's-law fit: OLS slope of ln(count) vs ln(rank) over the
+    //     frequency-ranked vocabulary — corpus-health statistic ---
+    "q_zipf" -> ((s, d) =>
+      operators.Vocab.zipfFit(t(s, d, "documents"), "text")),
+    // --- rare-n-gram inverted index: posting lists for shingles with
+    //     df <= 3 — contamination forensics; df filter runs before any
+    //     posting list is materialized ---
+    "q_rare_index" -> ((s, d) =>
+      operators.Vocab.rareNgramIndex(
+        t(s, d, "documents"), "doc_id", "text", k = 3, maxDf = 3))
   )
 
   val oracles: Map[String, String] = Map(
@@ -564,6 +574,21 @@ object QueriesR8 {
         |       round(max(CAST(cum AS DOUBLE) / total), 6) AS covered_frac
         |FROM r CROSS JOIN tot CROSS JOIN t
         |WHERE cum - c < threshold * total
-        |GROUP BY 1""".stripMargin
+        |GROUP BY 1""".stripMargin,
+    "q_zipf" ->
+      """WITH words AS (SELECT unnest(regexp_extract_all(lower(text), '\p{L}+')) w FROM documents),
+        |wc AS (SELECT w, count(*) c FROM words GROUP BY 1),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w) rank FROM wc)
+        |SELECT CAST(count(*) AS BIGINT) AS n_terms,
+        |       round(regr_slope(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_slope,
+        |       round(regr_intercept(ln(CAST(c AS DOUBLE)), ln(CAST(rank AS DOUBLE))), 4) AS zipf_intercept
+        |FROM r""".stripMargin,
+    "q_rare_index" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END)) g FROM t),
+        |d AS (SELECT g, count(*) df FROM sh GROUP BY 1)
+        |SELECT sh.g AS gram, CAST(d.df AS BIGINT) AS df,
+        |       list(sh.doc_id ORDER BY sh.doc_id) AS postings
+        |FROM sh JOIN d USING (g) WHERE d.df <= 3 GROUP BY sh.g, d.df""".stripMargin
   )
 }

@@ -111,4 +111,61 @@ object Vocab {
         round(max(col("__cum").cast("double") / col("total")), 6)
           .as("covered_frac"))
   }
+
+  /** Zipf's-law fit over the frequency-ranked vocabulary: the OLS slope
+    * (and intercept) of `ln(count)` against `ln(rank)` — the corpus
+    * health statistic (natural text sits near slope −1; a pile of
+    * boilerplate or template spam doesn't). Rank comes from
+    * [[Packing.globalRank]] (two-pass distributed, never a single-task
+    * window); the regression itself is Spark's codegen'd `regr_slope` /
+    * `regr_intercept` aggregate — one pass over vocab-sized data,
+    * constant state. Rounded to 4 decimals so cross-engine float
+    * accumulation order can't flip the gate. */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val wc = wordCounts(df, textCol)
+    Packing
+      .globalRank(wc, Seq(col("c").desc, col("w")))
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(regr_slope(log(col("c")), log(col("__rank"))), 4)
+          .as("zipf_slope"),
+        round(regr_intercept(log(col("c")), log(col("__rank"))), 4)
+          .as("zipf_intercept"))
+  }
+
+  /** Rare-n-gram inverted index: posting lists `(gram, df, doc ids)`
+    * for k-word shingles appearing in at most `maxDf` documents — the
+    * lookup structure for contamination forensics ("which exact docs
+    * carry this eval n-gram?") and memorization audits, where only the
+    * RARE grams are evidential.
+    *
+    * Scale shape: ONE shuffle (repartition by gram); the document
+    * frequency is a window count over that same partitioning (local
+    * sort, no second exchange — and the `groupBy(gram, df)` after it
+    * is clustered by a superset of the partitioning key, so it also
+    * reuses the exchange). The `df <= maxDf` filter runs BEFORE any
+    * posting list is materialized, so a hot gram ("the quick brown" at
+    * billions of docs) never builds a billion-element array — the
+    * classic collect_list-then-filter OOM at 100 TB. */
+  def rareNgramIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      maxDf: Int = 3,
+      numPartitions: Int = 32): DataFrame = {
+    val pairs = df
+      .select(
+        col(idCol).as("doc_id"),
+        explode(Shingles.wordShingles(col(textCol), k)).as("gram"))
+      .repartition(numPartitions, col("gram"))
+    pairs
+      .withColumn(
+        "df",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+      .filter(col("df") <= maxDf)
+      .groupBy("gram", "df")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
 }

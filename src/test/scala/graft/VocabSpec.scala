@@ -87,6 +87,54 @@ class VocabSpec extends AnyFunSuite {
     assert(m(0.99) == ((3L, 1.0)))
   }
 
+  test("zipfFit recovers the exact slope of a perfect power law") {
+    val s = spark
+    import s.implicits._
+    // Counts 12, 6, 4, 3 at ranks 1..4 are c = 12/rank, so
+    // ln(c) = ln 12 − 1·ln(rank): slope exactly −1.
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val r = Vocab.zipfFit(df, "text").collect()(0)
+    assert(r.getAs[Long]("n_terms") == 4L)
+    assert(r.getAs[Double]("zipf_slope") == -1.0)
+    assert(math.abs(r.getAs[Double]("zipf_intercept") - math.log(12)) < 1e-3)
+  }
+
+  test("rareNgramIndex lists exactly the docs carrying each rare gram") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d"),     // grams: "a b c", "b c d"
+      (2L, "a b c x"),     // shares "a b c"
+      (3L, "a b c y"),     // shares "a b c"
+      (4L, "a b c z"),     // shares "a b c" → df=4 for "a b c"
+      (5L, "q r s t")      // grams: "q r s", "r s t"
+    ).toDF("doc_id", "text")
+    val idx = Vocab
+      .rareNgramIndex(df, "doc_id", "text", k = 3, maxDf = 3)
+      .collect()
+      .map(r =>
+        r.getAs[String]("gram") ->
+          ((r.getAs[Long]("df"), r.getAs[Seq[Long]]("postings"))))
+      .toMap
+    // "a b c" has df=4 → excluded; every other gram has df=1.
+    assert(!idx.contains("a b c"))
+    assert(idx("b c d") == ((1L, Seq(1L))))
+    assert(idx("q r s") == ((1L, Seq(5L))))
+    assert(idx.size == 6)
+  }
+
+  test("rareNgramIndex plans exactly one exchange") {
+    val plan = Vocab
+      .rareNgramIndex(docs, "doc_id", "text", k = 3, maxDf = 3)
+      .queryExecution
+      .executedPlan
+      .toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(800)}")
+  }
+
   test("bpeMergePairs plans a TakeOrderedAndProject, not a global sort") {
     val plan = Vocab
       .bpeMergePairs(docs, "text", topK = 10)
