@@ -182,6 +182,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"window partition specs must include the physical partition id, got arities: $windows")
   }
 
+  test("vocab coverage and zipf fit never plan a single-task global window") {
+    // Both need a global prefix sum / rank; the two-pass runningTotalBy
+    // must keep every window partitioned (an empty partitionSpec is the
+    // whole-corpus-through-one-reducer shape).
+    import org.apache.spark.sql.catalyst.plans.logical
+    for (name <- Seq("q_vocab_coverage", "q_zipf")) {
+      val windows = q(name).queryExecution.optimizedPlan.collect {
+        case w: logical.Window => w.partitionSpec.length
+      }
+      assert(windows.forall(_ >= 1),
+        s"$name plans a window with an empty partitionSpec: arities $windows")
+    }
+  }
+
   test("domain cap and canonical selection run through the partial top-k exec") {
     for (name <- Seq("q_domain_cap", "q_canonical")) {
       val p = plan(q(name))
