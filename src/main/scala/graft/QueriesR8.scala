@@ -315,7 +315,24 @@ object QueriesR8 {
     //     posting list is materialized ---
     "q_rare_index" -> ((s, d) =>
       operators.Vocab.rareNgramIndex(
-        t(s, d, "documents"), "doc_id", "text", k = 3, maxDf = 3))
+        t(s, d, "documents"), "doc_id", "text", k = 3, maxDf = 3)),
+    // --- corpus data card: the one-scan overview a dataset release
+    //     ships with (count-distinct pair is one Expand-based agg) ---
+    "q_datacard" -> { (s, d) =>
+      val nTok = operators.TextAnalysis.tokenCount(col("text"))
+      t(s, d, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTok.cast("long")).as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        round(avg(nTok), 4).as("avg_tokens"))
+    },
+    // --- join-key skew diagnostic on the power-law-ish events user_id:
+    //     decides salting/AQE-skew before the key melts one reducer ---
+    "q_key_skew" -> ((s, d) =>
+      operators.Skew.keySkewReport(
+        sources.Sources.events(s, d), "user_id"))
   )
 
   val oracles: Map[String, String] = Map(
@@ -589,6 +606,23 @@ object QueriesR8 {
         |d AS (SELECT g, count(*) df FROM sh GROUP BY 1)
         |SELECT sh.g AS gram, CAST(d.df AS BIGINT) AS df,
         |       list(sh.doc_id ORDER BY sh.doc_id) AS postings
-        |FROM sh JOIN d USING (g) WHERE d.df <= 3 GROUP BY sh.g, d.df""".stripMargin
+        |FROM sh JOIN d USING (g) WHERE d.df <= 3 GROUP BY sh.g, d.df""".stripMargin,
+    "q_datacard" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+        |FROM documents""".stripMargin,
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) c FROM events GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(c) AS BIGINT) AS n_rows,
+        |  CAST(max(c) AS BIGINT) AS max_rows,
+        |  round(quantile_cont(c, 0.99), 4) AS p99_rows,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+        |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 4) AS skew_ratio
+        |FROM c""".stripMargin
   )
 }

@@ -14,6 +14,33 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join-key skew diagnostic — the numbers that decide whether a key
+    * needs [[saltedJoin]] (or AQE skew splitting) before it becomes the
+    * hot reducer: key cardinality, the biggest key's row count and
+    * corpus share, the p99 key size, and `skew_ratio` = max/mean (1.0
+    * = perfectly uniform; a power-law key shows 10–1000×).
+    *
+    * Cost shape: one map-side-combined groupBy down to key-cardinality
+    * rows, then a single-row summary aggregate — the detail table never
+    * leaves the cluster and no global sort is planned (exact percentile
+    * is a fixed-state aggregate over the key-count column). */
+  def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("k"))
+      .agg(count(lit(1)).as("c"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("c").as("n_rows"),
+        max("c").as("max_rows"),
+        round(expr("percentile(c, 0.99D)"), 4).as("p99_rows"))
+      .withColumn(
+        "top_share",
+        round(col("max_rows").cast("double") / col("n_rows"), 6))
+      .withColumn(
+        "skew_ratio",
+        round(
+          col("max_rows").cast("double") * col("n_keys") / col("n_rows"),
+          4))
+
   /** Inner equi-join `left ⋈ right` on `key`, salted on the left.
     * `left` is the large/skewed side; `right` is replicated ×
     * `saltFactor` (keep it the smaller side). The salt is

@@ -224,6 +224,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("keySkewReport quantifies a hot key and reads 1.0 on uniform data") {
+    val s = spark
+    import s.implicits._
+    val skewed = ((1 to 900).map(_ => 1L) ++ (2 to 101).map(_.toLong))
+      .toDF("k")
+    val r = Skew.keySkewReport(skewed, "k").collect()(0)
+    assert(r.getAs[Long]("n_keys") == 101L)
+    assert(r.getAs[Long]("n_rows") == 1000L)
+    assert(r.getAs[Long]("max_rows") == 900L)
+    assert(r.getAs[Double]("top_share") == 0.9)
+    // max/mean = 900 / (1000/101) = 90.9
+    assert(r.getAs[Double]("skew_ratio") == 90.9)
+
+    val uniform = (1 to 100).map(_.toLong).toDF("k")
+    val u = Skew.keySkewReport(uniform, "k").collect()(0)
+    assert(u.getAs[Double]("skew_ratio") == 1.0)
+    assert(u.getAs[Long]("max_rows") == 1L)
+  }
+
   test("simHash: identical docs hash identical, near-dups within hamming 3") {
     val sigs = Dedup.simHash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
