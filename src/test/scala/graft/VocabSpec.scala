@@ -135,6 +135,40 @@ class VocabSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(800)}")
   }
 
+  test("pair mass conservation: sum of pair counts equals sum of (len-1)*count") {
+    val s = spark
+    import s.implicits._
+    // A messier corpus with repeats, casing, digits and punctuation.
+    val df = Seq(
+      (1L, "Alpha beta beta GAMMA delta-eps 42 zz"),
+      (2L, "beta gamma gamma alpha alpha alpha x7y"),
+      (3L, "Epsilon, zeta; eta! theta? iota")
+    ).toDF("doc_id", "text")
+    val wc = Vocab.wordCounts(df, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val expected = wc.collect {
+      case (w, c) if w.length >= 2 => (w.length - 1).toLong * c
+    }.sum
+    val total = Vocab.bpeMergePairs(df, "text", topK = 10000)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).collect()(0).getLong(0)
+    assert(total == expected)
+  }
+
+  test("vocabCoverage is monotone in the threshold") {
+    val ts = Seq(0.1, 0.3, 0.5, 0.7, 0.9, 0.99)
+    val rows = Vocab.vocabCoverage(docs, "text", ts).collect()
+      .map(r => (r.getAs[Double]("threshold"),
+        r.getAs[Long]("vocab_size"), r.getAs[Double]("covered_frac")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == ts)
+    val sizes = rows.map(_._2).toSeq
+    val fracs = rows.map(_._3).toSeq
+    assert(sizes == sizes.sorted, s"vocab_size not monotone: $sizes")
+    assert(fracs == fracs.sorted, s"covered_frac not monotone: $fracs")
+    // Every threshold is actually covered.
+    rows.foreach { case (t, _, frac) => assert(frac >= t, s"t=$t frac=$frac") }
+  }
+
   test("bpeMergePairs plans a TakeOrderedAndProject, not a global sort") {
     val plan = Vocab
       .bpeMergePairs(docs, "text", topK = 10)
