@@ -332,7 +332,15 @@ object QueriesR8 {
     //     decides salting/AQE-skew before the key melts one reducer ---
     "q_key_skew" -> ((s, d) =>
       operators.Skew.keySkewReport(
-        sources.Sources.events(s, d), "user_id"))
+        sources.Sources.events(s, d), "user_id")),
+    // --- length-bucketed sequence packing: same-length docs fill
+    //     fixed 256-token bins; within-bucket prefix sum via the
+    //     global two-pass runningTotalBy minus broadcast bucket
+    //     offsets (never a hot per-bucket window) ---
+    "q_bucket_pack" -> ((s, d) =>
+      operators.Packing.bucketedPack(
+        t(s, d, "documents"), "doc_id",
+        operators.TextAnalysis.tokenCount(col("text")), contextLen = 256))
   )
 
   val oracles: Map[String, String] = Map(
@@ -623,6 +631,15 @@ object QueriesR8 {
         |  round(quantile_cont(c, 0.99), 4) AS p99_rows,
         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
         |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 4) AS skew_ratio
+        |FROM c""".stripMargin,
+    "q_bucket_pack" ->
+      """WITH n AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) n FROM documents),
+        |b AS (SELECT doc_id, n, CAST(length(bin(n)) AS INTEGER) bucket FROM n),
+        |c AS (SELECT doc_id, n, bucket,
+        |        sum(n) OVER (PARTITION BY bucket ORDER BY doc_id) - n AS cb FROM b)
+        |SELECT doc_id, bucket, n,
+        |  CAST(cb // 256 AS BIGINT) AS bin,
+        |  CAST(cb % 256 AS BIGINT) AS bin_offset
         |FROM c""".stripMargin
   )
 }

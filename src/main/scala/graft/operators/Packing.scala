@@ -204,4 +204,54 @@ object Packing {
         (col("__rank").cast("double") / element_at(weightMap, col("__src")))
           .as("pos"))
   }
+
+  /** Length-bucketed sequence packing: assign each document to a
+    * power-of-two length bucket, then fill fixed `contextLen`-token
+    * bins greedily in id order WITHIN each bucket — the batch-shaping
+    * step that keeps same-length docs together so a training batch
+    * wastes minimal padding. Output per doc: `bucket`, `n` (tokens),
+    * `bin` (which context window), `bin_offset` (token start within
+    * it). A doc whose tokens straddle a bin boundary starts in the bin
+    * its preceding within-bucket count falls in (docs are never
+    * split), matching [[tokenShards]]' convention.
+    *
+    * Scale shape: the within-bucket prefix sum is NOT a
+    * `Window.partitionBy(bucket)` — the hottest bucket would pull its
+    * whole population through one reducer. Instead ONE global
+    * [[runningTotalBy]] over `(bucket, id)` order gives a global
+    * cumulative count, and each bucket's start offset (a ≤ 64-row
+    * table: one row per binary digit count) is subtracted back via a
+    * broadcast join. The only single-task window runs over that
+    * bounded bucket table, never over rows. */
+  def bucketedPack(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: org.apache.spark.sql.Column,
+      contextLen: Int,
+      numPartitions: Int = 32): DataFrame = {
+    require(contextLen > 0, "contextLen must be positive")
+    val base = df.select(
+      col(idCol),
+      tokensCol.cast("long").as("n"))
+      .withColumn("bucket", length(bin(col("n"))).cast("int"))
+    val cum = runningTotalBy(
+      base, Seq(col("bucket"), col(idCol)), col("n"), numPartitions)
+    // Bucket start offsets: ≤ 64 rows (one per binary digit count), so
+    // the unpartitioned window here is bounded, not a row-scale sort.
+    val wBuckets = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base
+      .groupBy("bucket")
+      .agg(sum("n").as("__btotal"))
+      .withColumn("__boffset",
+        coalesce(sum("__btotal").over(wBuckets), lit(0L)))
+      .select("bucket", "__boffset")
+    cum
+      .join(broadcast(offsets), "bucket")
+      .withColumn("__cb", col("__cum") - col("n") - col("__boffset"))
+      .withColumn("bin", expr(s"__cb DIV $contextLen"))
+      .withColumn("bin_offset", col("__cb") % contextLen)
+      .select(col(idCol), col("bucket"), col("n"), col("bin"),
+        col("bin_offset"))
+  }
 }

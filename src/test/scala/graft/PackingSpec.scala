@@ -78,6 +78,35 @@ class PackingSpec extends AnyFunSuite {
     assert(mixed.count() == docs.count() + embs.count())
   }
 
+  test("bucketedPack equals the per-bucket-window formulation") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val withBucket = base
+      .withColumn("n", col("n_tok").cast("long"))
+      .withColumn("bucket", length(bin(col("n"))).cast("int"))
+    val expected = withBucket
+      .withColumn("cb", sum("n").over(w) - col("n"))
+      .select(col("doc_id"), col("bucket"), col("n"),
+        expr("cb DIV 256").as("bin"), (col("cb") % 256).as("bin_offset"))
+    val got = Packing.bucketedPack(base, "doc_id", col("n_tok"), 256)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
+  test("bucketedPack bins start at zero offset and stay under contextLen") {
+    val packed = Packing.bucketedPack(base, "doc_id", col("n_tok"), 256)
+    assert(packed.filter(col("bin_offset") < 0 ||
+      col("bin_offset") >= 256).count() == 0)
+    // Each bucket's first doc (lowest id) sits at bin 0, offset 0.
+    val firsts = packed
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket").orderBy("doc_id")))
+      .filter(col("rn") === 1)
+    assert(firsts.filter(col("bin") =!= 0 || col("bin_offset") =!= 0)
+      .count() == 0)
+  }
+
   test("no single-task global window in the plan") {
     val plan = Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
       .queryExecution.executedPlan.toString
