@@ -196,6 +196,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed packing's only unpartitioned window covers the bounded bucket table") {
+    // bucketedPack may window without a partitionSpec ONLY over the
+    // <=64-row bucket-offset aggregate; every row-scale window must be
+    // partitioned (by __pid). An unpartitioned window whose subtree has
+    // no Aggregate would be the whole-corpus-through-one-reducer shape.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val plan = q("q_bucket_pack").queryExecution.optimizedPlan
+    val bad = plan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty &&
+        w.collectFirst { case a: logical.Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"unpartitioned window over non-aggregated (row-scale) input:\n$bad")
+  }
+
   test("domain cap and canonical selection run through the partial top-k exec") {
     for (name <- Seq("q_domain_cap", "q_canonical")) {
       val p = plan(q(name))

@@ -169,6 +169,21 @@ class VocabSpec extends AnyFunSuite {
     rows.foreach { case (t, _, frac) => assert(frac >= t, s"t=$t frac=$frac") }
   }
 
+  test("all vocab operators return cleanly on an empty corpus") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Vocab.wordCounts(empty, "text").count() == 0)
+    assert(Vocab.bpeMergePairs(empty, "text", 5).count() == 0)
+    assert(Vocab.lengthHistogram(empty, "text").count() == 0)
+    assert(Vocab.vocabCoverage(empty, "text").count() == 0)
+    assert(Vocab.rareNgramIndex(empty, "doc_id", "text").count() == 0)
+    // zipfFit aggregates: one row, zero terms, null regression.
+    val z = Vocab.zipfFit(empty, "text").collect()(0)
+    assert(z.getAs[Long]("n_terms") == 0L)
+    assert(z.isNullAt(z.fieldIndex("zipf_slope")))
+  }
+
   test("bpeMergePairs plans a TakeOrderedAndProject, not a global sort") {
     val plan = Vocab
       .bpeMergePairs(docs, "text", topK = 10)
