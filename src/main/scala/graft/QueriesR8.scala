@@ -340,7 +340,16 @@ object QueriesR8 {
     "q_bucket_pack" -> ((s, d) =>
       operators.Packing.bucketedPack(
         t(s, d, "documents"), "doc_id",
-        operators.TextAnalysis.tokenCount(col("text")), contextLen = 256))
+        operators.TextAnalysis.tokenCount(col("text")), contextLen = 256)),
+    // --- DSIR-style importance weighting: per-doc avg log-likelihood
+    //     ratio of an in-domain (lang='en') unigram LM vs the
+    //     whole-corpus LM — importance-based data selection without a
+    //     pretrained model; fully exact count arithmetic ---
+    "q_dsir" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Curation.importanceWeights(
+        docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+    }
   )
 
   val oracles: Map[String, String] = Map(
@@ -640,6 +649,21 @@ object QueriesR8 {
         |SELECT doc_id, bucket, n,
         |  CAST(cb // 256 AS BIGINT) AS bin,
         |  CAST(cb % 256 AS BIGINT) AS bin_offset
-        |FROM c""".stripMargin
+        |FROM c""".stripMargin,
+    "q_dsir" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) tok FROM documents),
+        |src AS (SELECT tok, count(*) cs FROM toks GROUP BY 1),
+        |tgt AS (SELECT tok, count(*) ct FROM (
+        |          SELECT unnest(string_split(text, ' ')) tok FROM documents WHERE lang = 'en') GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(cs) FROM src) ns, (SELECT count(*) FROM src) v,
+        |               (SELECT coalesce(sum(ct), 0) FROM tgt) nt),
+        |terms AS (SELECT toks.doc_id,
+        |            ln((coalesce(tgt.ct, 0) + 1.0) / (CAST(tot.nt AS DOUBLE) + tot.v))
+        |          - ln((src.cs + 1.0) / (CAST(tot.ns AS DOUBLE) + tot.v)) AS d
+        |          FROM toks JOIN src USING (tok) LEFT JOIN tgt USING (tok) CROSS JOIN tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |       round(sum(d), 6) AS llr,
+        |       round(sum(d) / count(*), 6) AS avg_llr
+        |FROM terms GROUP BY 1""".stripMargin
   )
 }

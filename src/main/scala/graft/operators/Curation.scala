@@ -207,6 +207,56 @@ object Curation {
     * exists in the plan. A document straddling the boundary is
     * EXCLUDED (`cum ≤ budget`): the kept set never exceeds the budget.
     * Emits kept rows plus `cum_tokens`, the inclusive running total. */
+  /** DSIR-style importance weighting (Xie et al. 2023, simplified to
+    * unigram features): score every corpus document by the average
+    * per-token log-likelihood ratio between a TARGET (in-domain)
+    * unigram LM and the SOURCE (whole-corpus) unigram LM — documents
+    * that look like the target domain score high, generic ones score
+    * near 0, off-domain ones negative. Selecting the top slice by
+    * `avg_llr` (e.g. via [[budgetSelect]] on it) is importance-based
+    * data selection without a pretrained model.
+    *
+    * Both LMs are add-one smoothed over the SOURCE vocabulary (the
+    * scored tokens are by construction source tokens, so neither model
+    * can emit −∞; an empty target degrades to a uniform target LM).
+    *
+    * Scale shape: two vocab-sized frequency tables (one corpus-token
+    * shuffle + one target-token shuffle, both map-side combined), the
+    * scoring join is token ⋈ vocab, totals ride a broadcast cross
+    * join, and the per-doc reduce is a partial-agg sum. Per-term
+    * doubles are single divisions of exact counts (bit-identical
+    * cross-engine); only the final sums are rounded. */
+  def importanceWeights(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val toks = corpus.select(
+      col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    val srcFreq = toks.groupBy("tok").agg(count(lit(1)).as("cs"))
+    val tgtFreq = target
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ct"))
+    val totals = srcFreq
+      .agg(sum("cs").as("ns"), count(lit(1)).as("v"))
+      .crossJoin(tgtFreq.agg(coalesce(sum("ct"), lit(0L)).as("nt")))
+    val scored = toks
+      .join(srcFreq, "tok")
+      .join(tgtFreq, Seq("tok"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
+      .crossJoin(broadcast(totals))
+    val lpt = log((col("ct").cast("double") + 1.0d) /
+      (col("nt").cast("double") + col("v").cast("double")))
+    val lps = log((col("cs").cast("double") + 1.0d) /
+      (col("ns").cast("double") + col("v").cast("double")))
+    scored
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        round(sum(lpt - lps), 6).as("llr"),
+        round(sum(lpt - lps) / count(lit(1)), 6).as("avg_llr"))
+  }
+
   def budgetSelect(
       df: DataFrame,
       idCol: String,

@@ -146,6 +146,47 @@ class CurationSpec extends AnyFunSuite {
     assert(droppedAbove == 0, s"$droppedAbove dropped docs outscore a kept doc")
   }
 
+  test("importanceWeights ranks target-like docs above off-domain docs") {
+    val s = spark
+    import s.implicits._
+    // Target = "a b"-language; off-domain = "x y"-language. Docs drawn
+    // purely from the target vocabulary must weigh strictly higher
+    // than docs from the off-domain vocabulary; a mixed doc in between.
+    val corpus = Seq(
+      (1L, "a b a b a"),
+      (2L, "a b x y b"),
+      (3L, "x y x y x"),
+      (4L, "y x y y x")
+    ).toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") === 1)
+    val w = operators.Curation
+      .importanceWeights(corpus, target, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("avg_llr"))
+      .toMap
+    assert(w(1L) > w(2L) && w(2L) > w(3L),
+      s"expected target > mixed > off-domain, got $w")
+    assert(w(3L) < 0 && w(1L) > 0)
+    // n_tok accounting: every token of every doc is scored.
+    val n = operators.Curation
+      .importanceWeights(corpus, target, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.sum("n_tok"))
+      .collect()(0).getLong(0)
+    assert(n == 20L)
+  }
+
+  test("importanceWeights with an empty target degrades to uniform, not -inf") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq((1L, "a b c"), (2L, "a a a")).toDF("doc_id", "text")
+    val w = operators.Curation
+      .importanceWeights(corpus, corpus.filter(lit(false)), "doc_id", "text")
+      .collect()
+    assert(w.length == 2)
+    assert(w.forall(r => !r.getAs[Double]("avg_llr").isInfinite &&
+      !r.getAs[Double]("avg_llr").isNaN))
+  }
+
   test("qualityStages conjunction is exactly qualityFilter; gateAttrition chains") {
     val ta = operators.TextAnalysis
     val viaStages = docs.filter(
