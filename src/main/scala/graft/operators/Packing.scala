@@ -238,9 +238,12 @@ object Packing {
       base, Seq(col("bucket"), col(idCol)), col("n"), numPartitions)
     // Bucket start offsets: ≤ 64 rows (one per binary digit count), so
     // the unpartitioned window here is bounded, not a row-scale sort.
+    // Derived from `cum` — the frame runningTotalBy already
+    // checkpointed — not from `base`, which would re-scan the source
+    // and re-evaluate the token-count expression over every row.
     val wBuckets = Window.orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base
+    val offsets = cum
       .groupBy("bucket")
       .agg(sum("n").as("__btotal"))
       .withColumn("__boffset",

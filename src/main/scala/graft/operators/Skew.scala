@@ -22,8 +22,13 @@ object Skew {
     *
     * Cost shape: one map-side-combined groupBy down to key-cardinality
     * rows, then a single-row summary aggregate — the detail table never
-    * leaves the cluster and no global sort is planned (exact percentile
-    * is a fixed-state aggregate over the key-count column). */
+    * leaves the cluster and no global sort is planned. The exact
+    * `percentile` keeps a count-value → frequency map, so its state is
+    * O(distinct key sizes) — bounded by key cardinality, NOT fixed; at
+    * extreme key cardinality swap it for `percentile_approx` (fixed
+    * sketch state) and keep the rest of the report unchanged. Exact is
+    * the default here because the oracle gate compares against
+    * DuckDB's `quantile_cont` bit-for-bit. */
   def keySkewReport(df: DataFrame, keyCol: String): DataFrame =
     df.groupBy(col(keyCol).as("k"))
       .agg(count(lit(1)).as("c"))

@@ -139,32 +139,36 @@ object Vocab {
     * carry this eval n-gram?") and memorization audits, where only the
     * RARE grams are evidential.
     *
-    * Scale shape: ONE shuffle (repartition by gram); the document
-    * frequency is a window count over that same partitioning (local
-    * sort, no second exchange — and the `groupBy(gram, df)` after it
-    * is clustered by a superset of the partitioning key, so it also
-    * reuses the exchange). The `df <= maxDf` filter runs BEFORE any
-    * posting list is materialized, so a hot gram ("the quick brown" at
-    * billions of docs) never builds a billion-element array — the
-    * classic collect_list-then-filter OOM at 100 TB. */
+    * Scale shape: document frequencies come from a MAP-SIDE-COMBINED
+    * `groupBy(gram).count` (each mapper ships one row per distinct
+    * gram, not one per occurrence), the `df <= maxDf` filter shrinks
+    * that to the rare set, and the occurrence rows then hash-JOIN the
+    * rare set on gram — a hot gram's billion occurrence rows STREAM
+    * through the join probe and drop, never sorted or buffered (the
+    * earlier window-count formulation pulled every occurrence of every
+    * gram through a per-gram sort first — the hot-reducer melt
+    * `Skew` exists to avoid). Only rare-gram rows (≤ maxDf each)
+    * reach the posting-list aggregation, so no hot gram ever builds a
+    * billion-element array — the classic collect_list-then-filter OOM
+    * at 100 TB. At web scale, a bloom of the rare set
+    * ([[BloomJoin.bloomSemiJoin]]) can additionally drop hot rows
+    * map-side before they ride the join exchange. */
   def rareNgramIndex(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 3,
-      maxDf: Int = 3,
-      numPartitions: Int = 32): DataFrame = {
+      maxDf: Int = 3): DataFrame = {
     val pairs = df
       .select(
         col(idCol).as("doc_id"),
         explode(Shingles.wordShingles(col(textCol), k)).as("gram"))
-      .repartition(numPartitions, col("gram"))
-    pairs
-      .withColumn(
-        "df",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("gram")))
+    val rare = pairs
+      .groupBy("gram")
+      .agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
+    pairs
+      .join(rare, "gram")
       .groupBy("gram", "df")
       .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
   }

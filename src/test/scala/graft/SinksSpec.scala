@@ -39,7 +39,7 @@ class SinksSpec extends AnyFunSuite {
     def sig(dir: String) = Sinks
       .jsonlManifest(spark, dir)
       .collect()
-      .map(r => (r.getAs[Long]("n_rows"), r.getAs[String]("sha256")))
+      .map(r => (r.getAs[Long]("n_rows"), r.getAs[String]("fingerprint")))
       .sortBy(_._2)
       .toSeq
     assert(sig(d1) == sig(d2))

@@ -125,14 +125,21 @@ class VocabSpec extends AnyFunSuite {
     assert(idx.size == 6)
   }
 
-  test("rareNgramIndex plans exactly one exchange") {
+  test("rareNgramIndex streams occurrences through a join — no window, no pre-join sort") {
+    // The hot-gram safety property: occurrence rows must reach the rare
+    // set via a hash-join probe (streaming), never via a per-gram
+    // window or sort (which would buffer a hot gram's whole population
+    // on one task before discarding it).
     val plan = Vocab
       .rareNgramIndex(docs, "doc_id", "text", k = 3, maxDf = 3)
       .queryExecution
       .executedPlan
       .toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"),
+      s"rare-set join must hash-probe, not sort-merge:\n${plan.take(800)}")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n${plan.take(800)}")
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n${plan.take(800)}")
   }
 
   test("pair mass conservation: sum of pair counts equals sum of (len-1)*count") {
