@@ -349,6 +349,16 @@ object QueriesR8 {
       val docs = t(s, d, "documents")
       operators.Curation.importanceWeights(
         docs, docs.filter(col("lang") === "en"), "doc_id", "text")
+    },
+    // --- decontamination k-sweep: per-doc eval overlap at k=3,4,5 in
+    //     ONE corpus scan (tagged-struct explode + broadcast pool) —
+    //     the measurement that picks the production shingle size ---
+    "q_decontam_sweep" -> { (s, d) =>
+      val docs = t(s, d, "documents")
+      operators.Decontaminate.ngramOverlapSweep(
+        train = docs.filter(col("doc_id") % evalMod =!= 0),
+        eval = docs.filter(col("doc_id") % evalMod === 0),
+        idCol = "doc_id", textCol = "text", ks = Seq(3, 4, 5))
     }
   )
 
@@ -664,6 +674,17 @@ object QueriesR8 {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
         |       round(sum(d), 6) AS llr,
         |       round(sum(d) / count(*), 6) AS avg_llr
-        |FROM terms GROUP BY 1""".stripMargin
+        |FROM terms GROUP BY 1""".stripMargin,
+    "q_decontam_sweep" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |ks AS (SELECT unnest([3, 4, 5]) k),
+        |sh AS (SELECT doc_id, k, unnest(list_distinct(CASE WHEN len(ts) >= k THEN list_transform(generate_series(1, len(ts) - k + 1), i -> array_to_string(ts[i:i+k-1], ' ')) ELSE [] END)) g
+        |       FROM t CROSS JOIN ks),
+        |ev AS (SELECT k, g, 1 hit FROM (SELECT DISTINCT k, g FROM sh WHERE doc_id % 97 = 0)),
+        |tr AS (SELECT doc_id, k, g FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, tr.k, CAST(count(*) AS BIGINT) AS n_shingles,
+        |       CAST(count(ev.hit) AS BIGINT) AS n_shared
+        |FROM tr LEFT JOIN ev ON tr.k = ev.k AND tr.g = ev.g
+        |GROUP BY 1, 2""".stripMargin
   )
 }

@@ -67,6 +67,45 @@ object Decontaminate {
         (col("n_shared") >= minShared).as("contaminated"))
   }
 
+  /** N-gram-size sensitivity sweep for decontamination tuning: the
+    * per-doc overlap of [[ngramOverlap]] computed for EVERY `k` in
+    * `ks`, in ONE corpus scan. Short shingles over-flag (common
+    * phrases), long shingles under-flag (miss paraphrase); this report
+    * is how the k for a production decontamination pass is chosen from
+    * measurement.
+    *
+    * Scale shape: the corpus projection builds `(k, gram)` structs for
+    * all shingle sizes row-locally and explodes ONCE; the eval pool
+    * (distinct `(k, gram)`, still benchmark-sized × |ks|) broadcasts;
+    * one partial-aggregated `groupBy(doc, k)`. Corpus text is read and
+    * tokenized exactly once for the whole sweep — running
+    * [[ngramOverlap]] per k would scan it |ks| times. */
+  def ngramOverlapSweep(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      ks: Seq[Int] = Seq(3, 4, 5)): DataFrame = {
+    require(ks.nonEmpty, "need at least one shingle size")
+    def tagged(kv: Int) = transform(
+      Shingles.wordShingles(col(textCol), kv),
+      g => struct(lit(kv).as("k"), g.as("g")))
+    val allGrams = flatten(array(ks.map(tagged): _*))
+    val evalGrams = eval
+      .select(explode(allGrams).as("kg"))
+      .select(col("kg.k").as("k"), col("kg.g").as("g"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    train
+      .select(col(idCol).as("doc_id"), explode(allGrams).as("kg"))
+      .select(col("doc_id"), col("kg.k").as("k"), col("kg.g").as("g"))
+      .join(broadcast(evalGrams), Seq("k", "g"), "left")
+      .groupBy("doc_id", "k")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(col("__hit")).as("n_shared"))
+  }
+
   /** [[ngramOverlap]] against MANY eval sets at once: which benchmark
     * leaked into which training doc. Returns one row per
     * `(doc_id, eval_set)` pair at or above `minShared` distinct shared

@@ -32,6 +32,32 @@ class QueriesR7Spec extends AnyFunSuite {
     assert(out(3L) == ((0L, false)))
   }
 
+  test("ngramOverlapSweep agrees with per-k ngramOverlap in one scan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+    val eval = docs.filter(col("doc_id") % 97 === 0)
+    val sweep = Decontaminate
+      .ngramOverlapSweep(train, eval, "doc_id", "text", ks = Seq(3, 5))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getLong(3))))
+      .toMap
+    for (k <- Seq(3, 5)) {
+      val single = Decontaminate
+        .ngramOverlap(train, eval, "doc_id", "text", k = k)
+        .filter(col("n_shingles") > 0)
+        .collect()
+        .map(r => (r.getLong(0), k) -> ((r.getLong(1), r.getLong(2))))
+        .toMap
+      assert(sweep.view.filterKeys(_._2 == k).toMap == single,
+        s"sweep disagrees with per-k run at k=$k")
+    }
+    // Monotonicity: longer shingles can only shrink the shared count.
+    sweep.collect { case ((id, 3), (_, s3)) =>
+      sweep.get((id, 5)).foreach { case (_, s5) => assert(s5 <= s3, s"doc $id") }
+    }
+  }
+
   test("ngramOverlap broadcasts the eval shingle set") {
     val df = Decontaminate.ngramOverlap(
       spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") % 97 =!= 0),
