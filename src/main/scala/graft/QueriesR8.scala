@@ -359,6 +359,44 @@ object QueriesR8 {
         train = docs.filter(col("doc_id") % evalMod =!= 0),
         eval = docs.filter(col("doc_id") % evalMod === 0),
         idCol = "doc_id", textCol = "text", ks = Seq(3, 4, 5))
+    },
+    // --- Misra–Gries heavy hitters over the corpus token stream:
+    //     at most k counters of state per group ever exist. Counter
+    //     values (and which non-heavy items ride along) depend on
+    //     partition merge order ⇒ rows-only; q_heavy_complete below is
+    //     the driver-gated capture guarantee. ---
+    "q_heavy_hitters" -> { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(explode(operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      toks
+        .agg(functions.FreqSketch.freqSketch(col("tok"), 8).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count_lb").as("count_lb"))
+    },
+    // --- MG capture guarantee, oracle-gated: EVERY token with true
+    //     frequency > N/(k+1) must appear in the sketch summary, and
+    //     each reported lower bound must not exceed the true count ---
+    "q_heavy_complete" -> { (s, d) =>
+      val toks = t(s, d, "documents")
+        .select(explode(operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      val sketch = toks
+        .agg(functions.FreqSketch.freqSketch(col("tok"), 8).as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count_lb").as("count_lb"))
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = toks.agg(count(lit(1)).as("n"))
+      val heavy = exact.crossJoin(broadcast(total))
+        .filter(col("c") * 9 > col("n")) // c > N/(k+1), exact integers
+      // Sketch items are unique, so the left join cannot fan out heavy
+      // rows; a heavy token with no sketch match leaves item NULL.
+      val cap = heavy.join(sketch, col("tok") === col("item"), "left")
+        .agg(
+          count(lit(1)).as("n_heavy"),
+          (count(col("item")) === count(lit(1))).as("all_captured"))
+      val bounds = sketch.join(exact, col("item") === col("tok"))
+        .agg((count(when(col("count_lb") > col("c"), 1)) === 0)
+          .as("bounds_ok"))
+      cap.crossJoin(bounds)
     }
   )
 
@@ -685,6 +723,13 @@ object QueriesR8 {
         |SELECT tr.doc_id, tr.k, CAST(count(*) AS BIGINT) AS n_shingles,
         |       CAST(count(ev.hit) AS BIGINT) AS n_shared
         |FROM tr LEFT JOIN ev ON tr.k = ev.k AND tr.g = ev.g
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+    "q_heavy_complete" ->
+      """WITH toks AS (SELECT unnest(regexp_extract_all(text, '\S+')) tok FROM documents),
+        |c AS (SELECT tok, count(*) c FROM toks GROUP BY 1),
+        |tot AS (SELECT count(*) n FROM toks)
+        |SELECT CAST(count(*) AS BIGINT) AS n_heavy,
+        |       TRUE AS all_captured, TRUE AS bounds_ok
+        |FROM c CROSS JOIN tot WHERE c * 9 > n""".stripMargin
   )
 }

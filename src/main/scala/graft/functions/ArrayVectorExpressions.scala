@@ -303,7 +303,12 @@ object functions {
       (es: Seq[Expression]) => DistinctLongSketch(es(0))),
     (FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllLongSketch].getName, "hll_sketch"),
-      (es: Seq[Expression]) => HllLongSketch(es(0)))
+      (es: Seq[Expression]) => HllLongSketch(es(0))),
+    // freq_sketch(item, k) — Misra–Gries heavy hitters; k foldable
+    (FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[MisraGriesSketch].getName, "freq_sketch"),
+      (es: Seq[Expression]) => MisraGriesSketch(
+        es(0), foldableInt(es(1), "freq_sketch", "k")))
   )
 
   /** Make the functions callable from SQL text in an existing session
