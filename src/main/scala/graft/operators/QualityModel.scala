@@ -108,7 +108,7 @@ object QualityModel {
       intercept: Double): Column = {
     val n = coefficients.length
     require(n > 0, "empty coefficient vector")
-    val coefLit = array(coefficients.map(lit(_)): _*)
+    val coefLit = array(coefficients.toIndexedSeq.map(lit(_)): _*)
     val margin = aggregate(
       TextAnalysis.tokens(text),
       lit(intercept),
