@@ -397,7 +397,15 @@ object QueriesR8 {
         .agg((count(when(col("count_lb") > col("c"), 1)) === 0)
           .as("bounds_ok"))
       cap.crossJoin(bounds)
-    }
+    },
+    // --- edit-distance-verified near-dup pairs: posting-list Jaccard
+    //     candidates, levenshtein verify on pairs only (never
+    //     corpus×corpus) — the character-level measure set-Jaccard
+    //     can't express ---
+    "q_edit_pairs" -> ((s, d) =>
+      operators.Dedup.editDistancePairs(
+        t(s, d, "documents"), "doc_id", "text",
+        k = 3, jaccardMin = 0.5, maxDist = 20))
   )
 
   val oracles: Map[String, String] = Map(
@@ -730,6 +738,19 @@ object QueriesR8 {
         |tot AS (SELECT count(*) n FROM toks)
         |SELECT CAST(count(*) AS BIGINT) AS n_heavy,
         |       TRUE AS all_captured, TRUE AS bounds_ok
-        |FROM c CROSS JOIN tot WHERE c * 9 > n""".stripMargin
+        |FROM c CROSS JOIN tot WHERE c * 9 > n""".stripMargin,
+    "q_edit_pairs" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM t),
+        |ex AS (SELECT doc_id, unnest(s) g FROM sh),
+        |cnt AS (SELECT doc_id, len(s) n FROM sh),
+        |pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) common FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |j AS (SELECT ia, ib, round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |      FROM pairs JOIN cnt ca ON ia = ca.doc_id JOIN cnt cb ON ib = cb.doc_id
+        |      WHERE round(common * 1.0 / (ca.n + cb.n - common), 6) >= 0.5)
+        |SELECT ia AS id_a, ib AS id_b, jaccard,
+        |       CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist
+        |FROM j JOIN t ta ON ia = ta.doc_id JOIN t tb ON ib = tb.doc_id
+        |WHERE levenshtein(ta.text, tb.text) <= 20""".stripMargin
   )
 }

@@ -298,6 +298,36 @@ object Dedup {
       .select("id_a", "id_b", "jaccard_est")
   }
 
+  /** Edit-distance-verified near-dup pairs: the exact posting-list
+    * Jaccard stage generates candidates (sub-quadratic), then
+    * `levenshtein` verifies each candidate pair — the CHARACTER-level
+    * similarity measure that set-Jaccard can't express (it sees a
+    * single in-word typo as a 3-shingle disagreement but is blind to
+    * word order swaps at distance 0... edit distance distinguishes
+    * both). Edit distance is O(|a|·|b|) per PAIR, so it must never see
+    * corpus×corpus — the candidate stage bounds the quadratic work to
+    * near-dup pairs, and the texts join back by id (no text rides the
+    * pair-generation shuffle). Output: both measures per surviving
+    * pair, fully oracle-portable (DuckDB `levenshtein` agrees). */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      jaccardMin: Double = 0.5,
+      maxDist: Int = 20): DataFrame = {
+    val cand = ngramJaccardPairs(df, idCol, textCol, k, threshold = jaccardMin)
+    val texts = df.select(col(idCol), col(textCol))
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")),
+        "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")),
+        "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select("id_a", "id_b", "jaccard", "edit_dist")
+  }
+
   /** Production near-dup shape: banded MinHash generates candidates
     * (sub-quadratic), then the exact k-shingle Jaccard is computed ONLY
     * for candidate pairs — never all-pairs. The exact value replaces the

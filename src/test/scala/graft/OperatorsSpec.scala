@@ -224,6 +224,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("editDistancePairs verifies candidates at character level") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta thetaX"), // 1 char off
+      (3L, "alpha beta gamma delta epsilon zeta eta iota mu nu xi pi"),
+      (4L, "totally different words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .editDistancePairs(df, "doc_id", "text", k = 3, jaccardMin = 0.3,
+        maxDist = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3))
+      .toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) == 1,
+      s"one-char edit must survive with distance 1: $out")
+    // (1,3) shares shingles (jaccard above 0.3) but is 19 edits away —
+    // the character-level verify must drop it.
+    assert(!out.contains((1L, 3L)), s"distant pair must be dropped: $out")
+  }
+
   test("keySkewReport quantifies a hot key and reads 1.0 on uniform data") {
     val s = spark
     import s.implicits._
