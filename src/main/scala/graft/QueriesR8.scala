@@ -405,7 +405,20 @@ object QueriesR8 {
     "q_edit_pairs" -> ((s, d) =>
       operators.Dedup.editDistancePairs(
         t(s, d, "documents"), "doc_id", "text",
-        k = 3, jaccardMin = 0.5, maxDist = 20))
+        k = 3, jaccardMin = 0.5, maxDist = 20)),
+    // --- per-source data card: the q_datacard overview broken out by
+    //     provenance source (what each crawl contributes to the mix) ---
+    "q_datacard_by_source" -> { (s, d) =>
+      val nTok = operators.TextAnalysis.tokenCount(col("text"))
+      t(s, d, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(nTok.cast("long")).as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          countDistinct("lang").as("n_langs"),
+          round(avg(nTok), 4).as("avg_tokens"))
+    }
   )
 
   val oracles: Map[String, String] = Map(
@@ -751,6 +764,13 @@ object QueriesR8 {
         |SELECT ia AS id_a, ib AS id_b, jaccard,
         |       CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS edit_dist
         |FROM j JOIN t ta ON ia = ta.doc_id JOIN t tb ON ib = tb.doc_id
-        |WHERE levenshtein(ta.text, tb.text) <= 20""".stripMargin
+        |WHERE levenshtein(ta.text, tb.text) <= 20""".stripMargin,
+    "q_datacard_by_source" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  round(avg(len(regexp_extract_all(text, '\S+'))), 4) AS avg_tokens
+        |FROM documents GROUP BY 1""".stripMargin
   )
 }
