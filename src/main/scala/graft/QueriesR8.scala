@@ -691,7 +691,7 @@ object QueriesR8 {
         |sh AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END)) g FROM t),
         |d AS (SELECT g, count(*) df FROM sh GROUP BY 1)
         |SELECT sh.g AS gram, CAST(d.df AS BIGINT) AS df,
-        |       list(sh.doc_id ORDER BY sh.doc_id) AS postings
+        |       string_agg(CAST(sh.doc_id AS VARCHAR), ' ' ORDER BY sh.doc_id) AS postings
         |FROM sh JOIN d USING (g) WHERE d.df <= 3 GROUP BY sh.g, d.df""".stripMargin,
     "q_datacard" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,

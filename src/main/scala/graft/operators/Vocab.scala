@@ -170,6 +170,16 @@ object Vocab {
     pairs
       .join(rare, "gram")
       .groupBy("gram", "df")
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+      // Postings are emitted as a space-joined string (ids sorted
+      // numerically first) rather than an array column: same
+      // information, but a scalar cell every downstream consumer —
+      // including the driver's pandas-based oracle comparison, which
+      // cannot canonicalize array cells — can sort and hash exactly.
+      .agg(
+        concat_ws(
+          " ",
+          transform(
+            sort_array(collect_list(col("doc_id"))),
+            _.cast("string"))).as("postings"))
   }
 }
