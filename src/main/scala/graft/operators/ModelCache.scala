@@ -15,11 +15,12 @@ import org.apache.spark.sql.DataFrame
   * re-created DataFrames over the same source, insensitive to expression
   * ids) plus every parameter that feeds the fit.
   *
-  * Same-session mutation of an input path is the cache-invalidation gap
-  * (exactly [[graft.Freshness]]'s territory for the table cache) —
-  * `spark.graft.modelCache=false` opts out, and a changed path, seed or
-  * parameter changes the key. Bounded: models are a few KB (planes /
-  * centroids), corpora per process are few.
+  * Same-session mutation of an input path invalidates the entry: the
+  * key folds in [[graft.Freshness.inputDirModTimes]] (the same map the
+  * table cache hashes), so an overwritten source refits. A changed
+  * path, seed or parameter changes the key too;
+  * `spark.graft.modelCache=false` opts out entirely. Bounded: models
+  * are a few KB (planes / centroids), corpora per process are few.
   */
 object ModelCache {
 
@@ -37,17 +38,27 @@ object ModelCache {
     catch { case _: Throwable => Nil }
 
   /** Fingerprint of the DataFrame a model is fit on: analyzed plan
-    * (normalized) PLUS the sorted input directories — two DataFrames
-    * reading the same source through the same transformations share it.
+    * (normalized) PLUS the sorted input directories PLUS their
+    * modification times — two DataFrames reading the same unchanged
+    * source through the same transformations share it.
     * The directories matter: the analyzed plan prints file relations
-    * WITHOUT their paths (the cache layer covers paths via the
-    * freshness map hashed alongside the plan — `CacheMetadata.render`),
-    * so a plan-only key would hand one corpus's fitted model to a
-    * different corpus with the same shape. */
-  def inputKey(df: DataFrame): String =
+    * WITHOUT their paths, so a plan-only key would hand one corpus's
+    * fitted model to a different corpus with the same shape. The
+    * mod-times matter for the same reason they drive table-cache
+    * invalidation ([[graft.Freshness.inputDirModTimes]], hashed into
+    * `CacheMetadata.render`): overwriting a source path in-session must
+    * refit, not serve the stale model. The freshness probe is one
+    * `listStatus` per input directory — noise next to the distributed
+    * fit job it guards. */
+  def inputKey(df: DataFrame): String = {
+    val freshness =
+      try graft.Freshness.inputDirModTimes(df)
+        .map { case (d, t) => s"$d=$t" }.mkString(",")
+      catch { case _: Throwable => "" }
     graft.PlanFingerprint.md5Hex(
       graft.PlanFingerprint.getQueryPlan(df) + "|" +
-        inputDirs(df).mkString(","))
+        inputDirs(df).mkString(",") + "|" + freshness)
+  }
 
   /** Return the cached model for `key`, or run `fit` once and cache it.
     * With `spark.graft.modelCache=false` always refits (and does not

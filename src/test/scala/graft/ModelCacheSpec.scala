@@ -81,4 +81,24 @@ class ModelCacheSpec extends AnyFunSuite {
     assert(ModelCache.size == 0,
       s"no-input-file frames must bypass the cache, cached ${ModelCache.size}")
   }
+
+  test("overwriting a source path in-session forces a refit") {
+    ModelCache.clear()
+    val dir = new java.io.File(
+      java.nio.file.Files.createTempDirectory("graft-model-fresh").toFile,
+      "embs").getAbsolutePath
+    embs.write.mode("overwrite").parquet(dir)
+    def src = spark.read.parquet(dir)
+      .select(col("vec_id"), col("embedding"))
+    ivf(src, seed = 42L).count()
+    assert(ModelCache.size == 1)
+    // Simulate an in-session overwrite: bump every file's mod time a
+    // minute forward (freshness timestamps are second-granularity, so
+    // a literal immediate rewrite could land in the same second).
+    new java.io.File(dir).listFiles()
+      .foreach(f => f.setLastModified(f.lastModified() + 60000L))
+    ivf(src, seed = 42L).count()
+    assert(ModelCache.size == 2,
+      "a stale model was served after its source path was overwritten")
+  }
 }
