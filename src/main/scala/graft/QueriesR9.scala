@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-9 corpus queries: the learned-BPE loop closed end-to-end —
+  * iterated merge learning ([[operators.Vocab.learnBpeMerges]]) and its
+  * application to the corpus ([[operators.Vocab.tokenizeWithMerges]]),
+  * both EXACT-oracle-gated by unrolling the greedy learning rounds as a
+  * DuckDB CTE chain (the merge step is a plain string `replace` over
+  * the pipe-delimited symbol form in both engines, so the replay is
+  * bit-identical).
+  */
+object QueriesR9 {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** Greedy merge rounds learned/replayed by the BPE queries. Kept
+    * small so the unrolled oracle stays readable; the operators take
+    * any count. */
+  private val BpeRounds = 5
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- iterated BPE merge learning: 5 greedy rounds over the
+    //     vocab (pair explosion is vocab-sized, never corpus-sized);
+    //     the oracle replays the identical rounds unrolled ---
+    "q_bpe_learn" -> ((s, d) =>
+      operators.Vocab.learnBpeMerges(docs(s, d), "text", BpeRounds)),
+    // --- apply the LEARNED merges to every document: map-only replace
+    //     chain per word, full subword sequence + count per doc — the
+    //     token counts the packing operators consume ---
+    "q_bpe_apply" -> { (s, d) =>
+      val merges = operators.Vocab
+        .learnBpeMerges(docs(s, d), "text", BpeRounds)
+        .orderBy("step")
+        .collect()
+        .map(r => r.getAs[String]("pa") -> r.getAs[String]("pb"))
+        .toSeq
+      operators.Vocab.tokenizeWithMerges(docs(s, d), "doc_id", "text", merges)
+    }
+  )
+
+  // ---- oracle construction: the BPE learning rounds unrolled --------
+
+  /** CTE chain `words, s0, p1, t1, s1, …, pK, tK, sK` replaying
+    * [[operators.Vocab.learnBpeMerges]] round by round: pR = weighted
+    * adjacent-pair counts over the round's symbol strings, tR = the
+    * arg-max pair (count desc, pair text), sR = the merge applied via
+    * the same anchored `replace`. */
+  private def bpeCtes(rounds: Int): String = {
+    val base =
+      """words AS (SELECT w, count(*) c FROM (SELECT unnest(regexp_extract_all(lower(text), '\p{L}+')) w FROM documents) GROUP BY 1),
+        |s0 AS (SELECT c, '|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|' AS s FROM words)""".stripMargin
+    val perRound = (1 to rounds).map { r =>
+      s"""p$r AS (SELECT p[1] pa, p[2] pb, CAST(sum(c) AS BIGINT) cnt FROM (
+         |  SELECT c, unnest(list_transform(generate_series(1, len(l) - 1), i -> [l[i], l[i+1]])) p
+         |  FROM (SELECT c, string_split(trim(s, '|'), '|') l FROM s${r - 1}) WHERE len(l) >= 2)
+         |  GROUP BY 1, 2),
+         |t$r AS (SELECT pa, pb, cnt FROM p$r ORDER BY cnt DESC, pa, pb LIMIT 1),
+         |s$r AS (SELECT c, replace(s, '|' || (SELECT pa FROM t$r) || '|' || (SELECT pb FROM t$r),
+         |  '|' || (SELECT pa || pb FROM t$r)) s FROM s${r - 1})""".stripMargin
+    }
+    (base +: perRound).mkString(",\n")
+  }
+
+  private def bpeLearnOracle(rounds: Int): String = {
+    val unions = (1 to rounds)
+      .map(r => s"SELECT $r AS step, pa, pb, pa || pb AS merged, cnt FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"WITH ${bpeCtes(rounds)}\n$unions"
+  }
+
+  private def bpeApplyOracle(rounds: Int): String = {
+    val mCols = (1 to rounds)
+      .map(r => s"(SELECT pa FROM t$r) a$r, (SELECT pb FROM t$r) b$r")
+      .mkString(", ")
+    val replaceChain = (1 to rounds).foldLeft(
+      "'|' || array_to_string(regexp_extract_all(w, '.'), '|') || '|'") {
+      (acc, r) => s"replace($acc, '|' || m.a$r || '|' || m.b$r, '|' || m.a$r || m.b$r)"
+    }
+    s"""WITH ${bpeCtes(rounds)},
+       |m AS (SELECT $mCols),
+       |d0 AS (SELECT doc_id, regexp_extract_all(lower(text), '\\p{L}+') ws FROM documents),
+       |tok AS (SELECT doc_id, flatten(list_transform(ws, w ->
+       |  string_split(trim($replaceChain, '|'), '|'))) toks FROM d0, m)
+       |SELECT doc_id, array_to_string(toks, ' ') AS tokens,
+       |       CAST(len(toks) AS INTEGER) AS n_tokens FROM tok""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_learn" -> bpeLearnOracle(BpeRounds),
+    "q_bpe_apply" -> bpeApplyOracle(BpeRounds)
+  )
+}

@@ -26,7 +26,8 @@ object SparkEntry {
     * LLM-pipeline operators). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Queries.all ++ QueriesExtra.all ++ operators.PipelineQueries.all ++
-      QueriesR4.all ++ QueriesR5.all ++ QueriesR7.all ++ QueriesR8.all
+      QueriesR4.all ++ QueriesR5.all ++ QueriesR7.all ++ QueriesR8.all ++
+      QueriesR9.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Queries.oracles ++ QueriesExtra.oracles ++
       operators.PipelineQueries.oracles ++ QueriesR4.oracles ++
-      QueriesR5.oracles ++ QueriesR7.oracles ++ QueriesR8.oracles
+      QueriesR5.oracles ++ QueriesR7.oracles ++ QueriesR8.oracles ++
+      QueriesR9.oracles
 }

@@ -26,9 +26,27 @@ object Materialize {
 
   val ConfKey = "spark.graft.checkpoint"
 
+  /** Storage level for `local` checkpoints; `disk` (DISK_ONLY) or
+    * `memory` (Spark's MEMORY_AND_DISK default). Disk is the default:
+    * checkpointed intermediates are read back exactly once per pass, so
+    * keeping them on local disk costs little, while holding them
+    * deserialized on the heap leaves the NEXT job to collect them —
+    * measured as multi-second GC landing inside later benchmark runs of
+    * the prefix-sum family (run-to-run spreads of 80-190%). */
+  val StorageConfKey = "spark.graft.checkpointStorage"
+
   def checkpoint(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ConfKey, "local") match {
-      case "local" => df.localCheckpoint(eager = true)
+      case "local" =>
+        df.sparkSession.conf.get(StorageConfKey, "disk") match {
+          case "disk" =>
+            df.localCheckpoint(eager = true,
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
+          case "memory" => df.localCheckpoint(eager = true)
+          case other =>
+            throw new IllegalArgumentException(
+              s"$StorageConfKey must be 'disk' or 'memory', got '$other'")
+        }
       case "reliable" =>
         require(
           df.sparkSession.sparkContext.getCheckpointDir.isDefined,

@@ -206,7 +206,9 @@ object Packing {
   }
 
   /** Length-bucketed sequence packing: assign each document to a
-    * power-of-two length bucket, then fill fixed `contextLen`-token
+    * power-of-two length bucket (`length(bin(n))`; note zero-token
+    * docs share bucket 1 with n=1 — see [[Vocab.lengthHistogram]]),
+    * then fill fixed `contextLen`-token
     * bins greedily in id order WITHIN each bucket — the batch-shaping
     * step that keeps same-length docs together so a training batch
     * wastes minimal padding. Output per doc: `bucket`, `n` (tokens),

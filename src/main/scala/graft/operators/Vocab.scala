@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Tokenizer-design operators: the corpus-aggregation side of building
@@ -56,6 +56,109 @@ object Vocab {
       .limit(topK)
   }
 
+  /** Canonical symbol-string form of a word: every character a symbol,
+    * pipe-delimited with leading/trailing pipes — `"hello"` →
+    * `"|h|e|l|l|o|"`. The representation that makes BPE merge
+    * application a plain string `replace`: merging `(a, b)` is
+    * `replace(s, "|a|b", "|ab")`, and because the pattern keeps the
+    * LEADING pipe of the pair but not the trailing one, consecutive
+    * occurrences merge leftmost-first without overlap — `|a|a|a|` under
+    * `(a,a)` becomes `|aa|a|`, exactly the sequential-scan semantics —
+    * while symbol boundaries stay unambiguous (`|a|b` can never match
+    * inside the merged symbol `|ab|`). `replace` is non-overlapping
+    * left-to-right in both Spark and DuckDB, so the oracle replays
+    * merges with the identical one-liner. Words are `\p{L}+` runs, so
+    * the delimiter can't collide with symbol text. */
+  private def symString(w: Column): Column =
+    concat(lit("|"),
+      array_join(regexp_extract_all(w, lit("."), lit(0)), "|"),
+      lit("|"))
+
+  private def applyMerges(s: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(s) { case (acc, (a, b)) =>
+      replace(acc, lit("|" + a + "|" + b), lit("|" + a + b))
+    }
+
+  /** Iterated BPE merge learning (Sennrich et al., ACL'16): `nMerges`
+    * greedy rounds, each picking the most frequent adjacent symbol pair
+    * (weighted by word count, ties broken by pair text) and collapsing
+    * it across the vocabulary. Returns the ordered merge table
+    * `(step, pa, pb, merged, cnt)`.
+    *
+    * Scale shape: every round is VOCAB-sized work — pair explosion over
+    * the distinct-word table (one corpus shuffle total, up front, in
+    * [[wordCounts]]), a top-1 `TakeOrderedAndProject`, a 1-row collect,
+    * and a map-only `replace` over the vocab — never a corpus-sized
+    * pass. The vocab frame is checkpointed per round so the loop plan
+    * doesn't grow with `nMerges`. Assumes the corpus has at least
+    * `nMerges` distinct pairs (stops early, with fewer rows, if not). */
+  def learnBpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, "need at least one merge round")
+    val spark = df.sparkSession
+    var vocab = Materialize.checkpoint(
+      wordCounts(df, textCol).select(col("c"), symString(col("w")).as("s")))
+    val learned = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= nMerges && !exhausted) {
+      val syms = split(regexp_replace(col("s"), "^\\||\\|$", ""), "\\|")
+      val top = vocab
+        .select(col("c"), syms.as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("c"),
+          explode(transform(sequence(lit(1), size(col("l")) - 1),
+            i => struct(element_at(col("l"), i).as("pa"),
+              element_at(col("l"), i + 1).as("pb")))).as("p"))
+        .groupBy(col("p.pa").as("pa"), col("p.pb").as("pb"))
+        .agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("pa"), col("pb"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (pa, pb, cnt) =
+          (top(0).getAs[String]("pa"), top(0).getAs[String]("pb"),
+            top(0).getAs[Long]("cnt"))
+        learned += ((step, pa, pb, cnt))
+        vocab = Materialize.checkpoint(vocab.select(col("c"),
+          applyMerges(col("s"), Seq(pa -> pb)).as("s")))
+        step += 1
+      }
+    }
+    import spark.implicits._
+    learned.toSeq
+      .toDF("step", "pa", "pb", "cnt")
+      .select(col("step"), col("pa"), col("pb"),
+        concat(col("pa"), col("pb")).as("merged"), col("cnt"))
+  }
+
+  /** Apply an ordered merge list to every document: tokenize `textCol`
+    * into `\p{L}+` words, run each word through the merge chain, and
+    * emit the doc's full subword-token sequence (space-joined) plus its
+    * token count — the tokenization the packing operators
+    * ([[Packing.tokenShards]], [[Packing.bucketedPack]]) can consume
+    * real token counts from.
+    *
+    * Map-only: the merge list is a driver-side literal folded into a
+    * codegen'd `replace` chain, so the corpus is scanned once with no
+    * shuffle and no per-row driver work. */
+  def tokenizeWithMerges(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[(String, String)]): DataFrame =
+    df.select(
+        col(idCol),
+        flatten(transform(
+          regexp_extract_all(lower(col(textCol)), lit("\\p{L}+"), lit(0)),
+          w => split(
+            regexp_replace(applyMerges(symString(w), merges), "^\\||\\|$", ""),
+            "\\|"))).as("toks"))
+      .select(
+        col(idCol),
+        array_join(col("toks"), " ").as("tokens"),
+        size(col("toks")).as("n_tokens"))
+
   /** Power-of-two token-length histogram — the statistic that sizes
     * sequence-packing buckets (how many docs fit a 512/1k/2k/4k
     * context). `bucket = length(bin(n))`, i.e. the number of binary
@@ -65,7 +168,11 @@ object Vocab {
     * one |buckets|-sized shuffle (≤ ~40 groups no matter the corpus).
     *
     * Output per bucket: `lo` (smallest count in the bucket, `2^(b-1)`),
-    * `n_docs`, `n_tokens`. */
+    * `n_docs`, `n_tokens`. Edge case: zero-token documents land in
+    * bucket 1 alongside n=1 (`bin(0)` = "0", one digit), so bucket 1
+    * spans n ∈ {0, 1} and its `lo`=1 label understates the floor when
+    * empty docs exist — filter them upstream if the distinction
+    * matters. */
   def lengthHistogram(df: DataFrame, textCol: String): DataFrame =
     df.select(TextAnalysis.tokenCount(col(textCol)).cast("long").as("n"))
       .select(length(bin(col("n"))).cast("int").as("bucket"), col("n"))

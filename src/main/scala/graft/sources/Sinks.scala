@@ -7,13 +7,18 @@ import org.apache.spark.sql.functions._
   * Spark as JSONL shards a trainer's data loader streams directly.
   *
   * Determinism is the design constraint: a re-export of the same
-  * corpus must produce byte-identical shards (so release artifacts can
-  * be content-addressed and a retrain diffed against a prior export).
-  * That rules out leaving shard assignment to whatever partitioning
-  * the upstream plan happened to have: rows are range-partitioned by
-  * the id column (contiguous id ranges per shard) and sorted within
-  * each shard, so shard membership AND in-file row order are functions
-  * of the DATA alone.
+  * corpus must produce byte-identical SHARD CONTENTS (so release
+  * artifacts can be content-addressed and a retrain diffed against a
+  * prior export). That rules out leaving shard assignment to whatever
+  * partitioning the upstream plan happened to have: rows are
+  * hash-partitioned by the id column (`hash(id) mod numShards` — see
+  * [[writeJsonlShards]] for why range partitioning was rejected) and
+  * sorted within each shard, so shard membership AND in-file row order
+  * are functions of the DATA alone. Note the stability unit is the
+  * shard's CONTENT (its fingerprint in the manifest), not its file
+  * name: Spark part-file names embed a per-job UUID, so two re-exports
+  * of identical data produce identical fingerprints under differing
+  * file names — diff on the fingerprint column.
   */
 object Sinks {
 

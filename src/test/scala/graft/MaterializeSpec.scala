@@ -73,4 +73,34 @@ class MaterializeSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("local checkpoints store DISK_ONLY by default, MEMORY_AND_DISK on opt-in") {
+    // The checkpointed RDD is internal to the Dataset (df.rdd derives a
+    // fresh unpersisted RDD), so read its level off the context's
+    // persistent-RDD registry instead.
+    def levelOf(body: => org.apache.spark.sql.DataFrame): String = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      body.count()
+      val levels = spark.sparkContext.getPersistentRDDs.values
+        .map(_.getStorageLevel.description).toSeq.distinct
+      assert(levels.size == 1, s"expected one persisted RDD, got $levels")
+      levels.head
+    }
+    val src = Seq(1, 2, 3).toDF("x")
+    // Default: blocks on local disk — checkpointed intermediates are
+    // read back once per pass; holding them deserialized on the heap
+    // leaves later jobs to GC them (the bench-spread root cause).
+    val dflt = levelOf(Materialize.checkpoint(src))
+    assert(dflt.contains("Disk") && !dflt.contains("Memory"), dflt)
+    spark.conf.set(Materialize.StorageConfKey, "memory")
+    try {
+      val mem = levelOf(Materialize.checkpoint(src))
+      assert(mem.contains("Memory"), mem)
+      spark.conf.set(Materialize.StorageConfKey, "ssd")
+      intercept[IllegalArgumentException] {
+        Materialize.checkpoint(src)
+      }
+    } finally spark.conf.unset(Materialize.StorageConfKey)
+  }
 }

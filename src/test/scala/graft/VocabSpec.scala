@@ -142,6 +142,59 @@ class VocabSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n${plan.take(800)}")
   }
 
+  test("learnBpeMerges replays the textbook greedy rounds") {
+    val s = spark
+    import s.implicits._
+    // The classic BPE teaching corpus shape: low x3, lower x2, newest x2.
+    // Hand-derived greedy rounds (count desc, then pair text):
+    //   1: (l,o)=5  -> lo      2: (lo,w)=5 -> low
+    //   3: all-tie at 2, (e,r) wins the text tie-break -> er
+    //   4: (e,s) -> es         5: (e,w) -> ew
+    val df = Seq(
+      (1L, "low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest")).toDF("doc_id", "text")
+    val merges = operators.Vocab.learnBpeMerges(df, "text", 5)
+      .orderBy("step").collect()
+      .map(r => (r.getAs[Int]("step"), r.getAs[String]("merged"),
+        r.getAs[Long]("cnt")))
+    assert(merges.toSeq == Seq(
+      (1, "lo", 5L), (2, "low", 5L), (3, "er", 2L), (4, "es", 2L),
+      (5, "ew", 2L)))
+  }
+
+  test("tokenizeWithMerges applies the ordered merge chain per word") {
+    val s = spark
+    import s.implicits._
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r", "e" -> "s",
+      "e" -> "w")
+    val out = operators.Vocab.tokenizeWithMerges(
+      Seq((1L, "low lower newest"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2))))
+      .toMap
+    // newest: es fires before ew in chain order -> n ew es t.
+    assert(out(1L) == (("low low er n ew es t", 7)))
+    assert(out(2L) == (("", 0)))
+  }
+
+  test("tokenizeWithMerges is map-only — no exchange in the plan") {
+    val plan = operators.Vocab
+      .tokenizeWithMerges(docs, "doc_id", "text", Seq("e" -> "s"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
+  test("learnBpeMerges stops early when the corpus runs out of pairs") {
+    val s = spark
+    import s.implicits._
+    // Single 2-char word: one pair exists, then the vocab is one symbol.
+    val df = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val merges = operators.Vocab.learnBpeMerges(df, "text", 5).collect()
+    assert(merges.length == 1)
+    assert(merges(0).getAs[String]("merged") == "ab")
+  }
+
   test("pair mass conservation: sum of pair counts equals sum of (len-1)*count") {
     val s = spark
     import s.implicits._
