@@ -38,7 +38,15 @@ object QueriesR9 {
         .map(r => r.getAs[String]("pa") -> r.getAs[String]("pb"))
         .toSeq
       operators.Vocab.tokenizeWithMerges(docs(s, d), "doc_id", "text", merges)
-    }
+    },
+    // --- anchor-based exact char-substring duplication profile:
+    //     content-defined anchors (md5 of the 8-gram at each position)
+    //     catch copied 50-char runs no matter how they shift against
+    //     word-chunk boundaries; digests-only shuffles ---
+    "q_substring_dedup" -> ((s, d) =>
+      operators.SubstringDedup.anchoredSpanProfile(
+        docs(s, d), "doc_id", "text", spanLen = 50, anchorK = 8,
+        anchorZeros = 1))
   )
 
   // ---- oracle construction: the BPE learning rounds unrolled --------
@@ -90,6 +98,29 @@ object QueriesR9 {
 
   val oracles: Map[String, String] = Map(
     "q_bpe_learn" -> bpeLearnOracle(BpeRounds),
-    "q_bpe_apply" -> bpeApplyOracle(BpeRounds)
+    "q_bpe_apply" -> bpeApplyOracle(BpeRounds),
+    // Bit-exact replay of anchoredSpanProfile: md5 is the same
+    // lowercase-hex digest in both engines, and substr is 1-based
+    // char-indexed in both.
+    "q_substring_dedup" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text t, unnest(generate_series(1, len(text) - 49)) i
+        |  FROM documents WHERE len(text) >= 50),
+        |anch AS (
+        |  SELECT doc_id, md5(substr(t, i, 50)) h FROM pos
+        |  WHERE substr(md5(substr(t, i, 8)), 1, 1) = '0'),
+        |occ AS (SELECT doc_id, h, count(*) occ FROM anch GROUP BY 1, 2),
+        |tot AS (SELECT h, sum(occ) tot, count(*) ndocs FROM occ GROUP BY 1),
+        |perdoc AS (
+        |  SELECT o.doc_id,
+        |    CAST(sum(o.occ) AS BIGINT) AS n_spans,
+        |    CAST(coalesce(sum(CASE WHEN t.tot >= 2 THEN o.occ END), 0) AS BIGINT) AS n_dup,
+        |    CAST(coalesce(sum(CASE WHEN t.ndocs >= 2 THEN o.occ END), 0) AS BIGINT) AS n_cross_dup
+        |  FROM occ o JOIN tot t USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(coalesce(p.n_cross_dup, 0) AS BIGINT) AS n_cross_dup
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
   )
 }

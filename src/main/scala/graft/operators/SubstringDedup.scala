@@ -114,6 +114,85 @@ object SubstringDedup {
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
 
+  /** Anchor-based exact CHARACTER-substring duplication profile — the
+    * shift-robust companion to the aligned word-chunk operators above.
+    * Fixed-granularity chunking misses duplicated runs that straddle a
+    * chunk boundary (insert one word before a copied paragraph and every
+    * subsequent chunk misaligns); content-defined anchors do not: a
+    * position is an anchor when the `anchorK`-char gram STARTING there
+    * hashes into the selected bucket, so the same copied text selects
+    * the same anchors no matter where it lands in a document (cf. Lee
+    * et al. 2022 suffix-array substring dedup — this is its
+    * cluster-shaped approximation; a distributed suffix array is the
+    * one formulation we refuse to build).
+    *
+    * At every anchor position the `spanLen`-char substring is digested;
+    * a span is duplicated when its digest occurs ≥ 2 times corpus-wide
+    * (`n_dup` counts occurrences in spans with total multiplicity ≥ 2;
+    * `n_cross_dup` tightens that to spans seen in ≥ 2 DISTINCT docs, the
+    * "copied from elsewhere" signal that within-doc repetition cannot
+    * inflate).
+    *
+    * Scale shape:
+    *   - anchor selection + span digesting is ROW-LOCAL (explode of the
+    *     filtered position sequence, then an md5 projection): the text
+    *     column never reaches an exchange — every shuffle from the first
+    *     aggregation on carries only (id, 32-hex digest) and counts;
+    *   - anchor density is 16^-zeros (1/16 per leading zero hex char),
+    *     so the exploded digest stream is |text|/16^zeros rows, and the
+    *     per-span aggregation is map-side combined;
+    *   - the hot-span total table is digest-keyed and Zipf-headed; the
+    *     occ ⋈ totals join is narrow (digests both sides). At 100 TB,
+    *     replace the per-position md5 probe with a native rolling-hash
+    *     anchor `Expression` (the [[graft.functions]] winnow expression
+    *     is the template) — md5-per-position is portable (DuckDB
+    *     replays it bit-for-bit, which is why the oracle can be exact)
+    *     but does O(|text|) digest calls in an interpreted lambda.
+    */
+  def anchoredSpanProfile(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 50, anchorK: Int = 8, anchorZeros: Int = 1): DataFrame = {
+    require(spanLen > 0 && anchorK > 0 && anchorK <= spanLen,
+      s"need 0 < anchorK <= spanLen, got anchorK=$anchorK spanLen=$spanLen")
+    require(anchorZeros >= 1 && anchorZeros <= 8,
+      s"anchorZeros must be in [1, 8], got $anchorZeros")
+    val zeros = "0" * anchorZeros
+    val base = df.select(col(idCol), col(textCol).as("__t"))
+    // Positions 1..len-spanLen+1 whose k-gram md5 starts with the zero
+    // prefix. The when() guard matters: sequence(1, n) with n < 1 is a
+    // DESCENDING sequence in Spark, not empty.
+    val anchors = base.select(
+      col(idCol), col("__t"),
+      explode(
+        when(length(col("__t")) >= spanLen,
+          filter(
+            sequence(lit(1), length(col("__t")) - lit(spanLen) + lit(1)),
+            i => substring(md5(col("__t").substr(i, lit(anchorK))), 1,
+              anchorZeros) === lit(zeros)))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+    val spans = anchors.select(
+      col(idCol),
+      md5(col("__t").substr(col("__i"), lit(spanLen))).as("h"))
+    val occ = spans.groupBy(col("h"), col(idCol))
+      .agg(count(lit(1)).as("occ"))
+    val totals = occ.groupBy(col("h"))
+      .agg(sum(col("occ")).as("tot"), count(lit(1)).as("ndocs"))
+    val perDoc = occ.join(totals, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("occ")).as("n_spans"),
+        sum(when(col("tot") >= 2, col("occ")).otherwise(0L)).as("n_dup"),
+        sum(when(col("ndocs") >= 2, col("occ")).otherwise(0L))
+          .as("n_cross_dup"))
+    base.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        coalesce(col("n_cross_dup"), lit(0L)).as("n_cross_dup"))
+  }
+
   /** Boilerplate STRIP: remove EVERY occurrence of any `w`-word chunk
     * whose corpus document frequency exceeds `maxDf` — the
     * RefinedWeb-style "repeated across documents ⇒ it's boilerplate,

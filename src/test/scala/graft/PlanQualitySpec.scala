@@ -276,6 +276,26 @@ class PlanQualitySpec extends AnyFunSuite {
       "an exchange input still carries the text column")
   }
 
+  test("anchored substring dedup reduces text to digests before any exchange") {
+    val df = q("q_substring_dedup")
+    // Anchor selection and span digesting are row-local; from the first
+    // aggregation on, only (id, md5 digest, count) rows move. At 100 TB
+    // the corpus text never crossing the wire is the operator's scale
+    // contract.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exchangesCarryingText = df.queryExecution.executedPlan.collect {
+      case e: Exchange if e.child.output.exists(_.name == "text") => e
+    }
+    assert(exchangesCarryingText.isEmpty,
+      "an exchange input still carries the text column")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "span-total join must stay a digest-keyed equi join")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "per-span totals must map-side combine")
+  }
+
   test("tf-idf shuffles the corpus once and tops-k through the partial heap exec") {
     val p = plan(q("q_tfidf"))
     assert(p.contains("GroupedTopK"),

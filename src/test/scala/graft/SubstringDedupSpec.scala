@@ -47,6 +47,57 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, "")))
   }
 
+  // Independent Scala-side replay of the anchored-span contract:
+  // positions are 1-based, an anchor is a position whose 8-gram md5
+  // starts with '0', each anchor digests the 50-char span starting
+  // there.
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def anchorSpans(text: String, spanLen: Int = 50, k: Int = 8): Seq[String] =
+    (1 to text.length - spanLen + 1)
+      .filter(i => md5hex(text.substring(i - 1, i - 1 + k)).startsWith("0"))
+      .map(i => md5hex(text.substring(i - 1, i - 1 + spanLen)))
+
+  test("anchoredSpanProfile matches an in-process replay and survives chunk-misaligning shifts") {
+    val s = spark
+    import s.implicits._
+    // Doc 2 embeds doc 1's run shifted by a 3-char prefix — every
+    // word-chunk boundary misaligns, but content-defined anchors select
+    // the same positions WITHIN the copied run in both docs.
+    val run = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts carefully measured the gravitational constant of the " +
+      "asteroid belt using borrowed instruments from the orbital station"
+    val docs = Seq(
+      (1L, run),
+      (2L, "zz " + run + " trailing words here"),
+      (3L, "completely unrelated text that shares no fifty char run with anything else in this tiny corpus at all"),
+      (4L, "tiny")) // below spanLen -> zero anchors
+    val out = SubstringDedup
+      .anchoredSpanProfile(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // expected, replayed independently
+    val all = docs.flatMap { case (id, t) => anchorSpans(t).map(id -> _) }
+    val tot = all.groupBy(_._2).view.mapValues(_.size).toMap
+    val nd = all.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+    for ((id, t) <- docs) {
+      val spans = anchorSpans(t)
+      val exp = (
+        spans.size.toLong,
+        spans.count(h => tot(h) >= 2).toLong,
+        spans.count(h => nd(h) >= 2).toLong)
+      assert(out(id) == exp, s"doc $id")
+    }
+    // the scenario is non-degenerate: the shifted copy IS detected
+    assert(out(1L)._3 > 0 && out(2L)._3 > 0,
+      "shifted duplicate run must produce cross-doc duplicated spans")
+    assert(out(3L)._2 == 0L, "unique doc has no duplicated spans")
+    assert(out(4L) == ((0L, 0L, 0L)), "short doc yields zeros, not a dropped row")
+  }
+
   test("within-doc dedup and entropy are zero-shuffle projections") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (df <- Seq(
