@@ -289,6 +289,15 @@ object functions {
     (FunctionIdentifier("entropy_features"),
       new ExpressionInfo(classOf[EntropyFeatures].getName, "entropy_features"),
       (es: Seq[Expression]) => EntropyFeatures(es(0))),
+    // anchored_span_digests(text, spanLen, anchorK, anchorZeros) —
+    // int params foldable
+    (FunctionIdentifier("anchored_span_digests"),
+      new ExpressionInfo(classOf[AnchoredSpanDigests].getName, "anchored_span_digests"),
+      (es: Seq[Expression]) => AnchoredSpanDigests(
+        es(0),
+        foldableInt(es(1), "anchored_span_digests", "spanLen"),
+        foldableInt(es(2), "anchored_span_digests", "anchorK"),
+        foldableInt(es(3), "anchored_span_digests", "anchorZeros"))),
     // winnow_fingerprints(text, k, w) — k and w must be foldable ints
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),

@@ -156,23 +156,15 @@ object SubstringDedup {
       s"need 0 < anchorK <= spanLen, got anchorK=$anchorK spanLen=$spanLen")
     require(anchorZeros >= 1 && anchorZeros <= 8,
       s"anchorZeros must be in [1, 8], got $anchorZeros")
-    val zeros = "0" * anchorZeros
     val base = df.select(col(idCol), col(textCol).as("__t"))
-    // Positions 1..len-spanLen+1 whose k-gram md5 starts with the zero
-    // prefix. The when() guard matters: sequence(1, n) with n < 1 is a
-    // DESCENDING sequence in Spark, not empty.
-    val anchors = base.select(
-      col(idCol), col("__t"),
-      explode(
-        when(length(col("__t")) >= spanLen,
-          filter(
-            sequence(lit(1), length(col("__t")) - lit(spanLen) + lit(1)),
-            i => substring(md5(col("__t").substr(i, lit(anchorK))), 1,
-              anchorZeros) === lit(zeros)))
-          .otherwise(array().cast("array<int>"))).as("__i"))
-    val spans = anchors.select(
+    // One fused native pass per row: anchor selection + span digesting
+    // (bit-identical with the composable filter(sequence)/md5/substr
+    // formulation — spec-pinned — but without the boxed position array
+    // and the per-position interpreted expression-tree walk).
+    val spans = base.select(
       col(idCol),
-      md5(col("__t").substr(col("__i"), lit(spanLen))).as("h"))
+      explode(graft.functions.AnchoredSpanDigests.anchoredSpanDigests(
+        col("__t"), spanLen, anchorK, anchorZeros)).as("h"))
     val occ = spans.groupBy(col("h"), col(idCol))
       .agg(count(lit(1)).as("occ"))
     val totals = occ.groupBy(col("h"))

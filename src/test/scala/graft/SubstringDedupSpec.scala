@@ -98,6 +98,43 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0L)), "short doc yields zeros, not a dropped row")
   }
 
+  test("anchored_span_digests is bit-identical with the composable md5/substr formulation") {
+    val s = spark
+    import s.implicits._
+    // real corpus text + adversarial strings: multi-byte BMP chars,
+    // supplementary (4-byte) code points, and an exactly-spanLen doc.
+    // Positions/lengths must count CODE POINTS, digests UTF-8 bytes.
+    val extra = Seq(
+      "café au lait " * 8,
+      ("😀abc" * 20) + " tail words to cross fifty code points",
+      "x" * 50)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).as[String].take(40).toSeq ++ extra
+    val (spanLen, k, zeros) = (50, 8, 1)
+    val df = docs.toDF("text").select(
+      col("text"),
+      graft.functions.AnchoredSpanDigests
+        .anchoredSpanDigests(col("text"), spanLen, k, zeros).as("fast"),
+      when(length(col("text")) >= spanLen,
+        transform(
+          filter(
+            sequence(lit(1), length(col("text")) - lit(spanLen) + lit(1)),
+            i => substring(md5(col("text").substr(i, lit(k))), 1, zeros) ===
+              lit("0" * zeros)),
+          i => md5(col("text").substr(i, lit(spanLen)))))
+        .otherwise(array().cast("array<string>")).as("slow"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    var anchorsSeen = 0L
+    rows.foreach { r =>
+      val fast = r.getSeq[String](1)
+      val slow = r.getSeq[String](2)
+      assert(fast == slow, s"mismatch on: ${r.getString(0).take(60)}...")
+      anchorsSeen += fast.size
+    }
+    assert(anchorsSeen > 0, "degenerate test: no anchors selected at all")
+  }
+
   test("within-doc dedup and entropy are zero-shuffle projections") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     for (df <- Seq(
