@@ -46,6 +46,12 @@ object QueriesR9 {
     "q_substring_dedup" -> ((s, d) =>
       operators.SubstringDedup.anchoredSpanProfile(
         docs(s, d), "doc_id", "text", spanLen = 50, anchorK = 8,
+        anchorZeros = 1)),
+    // --- character coverage of cross-doc duplicated spans (interval
+    //     union): the "how much would substring dedup remove" metric ---
+    "q_dup_span_chars" -> ((s, d) =>
+      operators.SubstringDedup.duplicatedSpanChars(
+        docs(s, d), "doc_id", "text", spanLen = 50, anchorK = 8,
         anchorZeros = 1))
   )
 
@@ -121,6 +127,43 @@ object QueriesR9 {
         |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup,
         |  CAST(coalesce(p.n_cross_dup, 0) AS BIGINT) AS n_cross_dup
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin,
+    // Interval-union coverage replay: gaps-and-islands over the sorted
+    // duplicated-span start positions — a new island opens when a start
+    // clears the running max end; island length = max(i) - min(i) + 50.
+    "q_dup_span_chars" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text t, unnest(generate_series(1, len(text) - 49)) i
+        |  FROM documents WHERE len(text) >= 50),
+        |anch AS (
+        |  SELECT doc_id, i, md5(substr(t, i, 50)) h FROM pos
+        |  WHERE substr(md5(substr(t, i, 8)), 1, 1) = '0'),
+        |nd AS (SELECT h, count(DISTINCT doc_id) ndocs FROM anch GROUP BY 1),
+        |dup AS (SELECT a.doc_id, a.i FROM anch a JOIN nd USING (h)
+        |        WHERE nd.ndocs >= 2),
+        |marked AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN max(i + 49) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR i > max(i + 49) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_island
+        |  FROM dup),
+        |isl AS (
+        |  SELECT doc_id, i,
+        |    sum(new_island) OVER (PARTITION BY doc_id ORDER BY i
+        |      ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM marked),
+        |perisl AS (
+        |  SELECT doc_id, island, count(*) n, max(i) - min(i) + 50 AS cov
+        |  FROM isl GROUP BY 1, 2),
+        |perdoc AS (
+        |  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_dup_spans,
+        |    CAST(sum(cov) AS BIGINT) AS dup_chars
+        |  FROM perisl GROUP BY 1)
+        |SELECT d.doc_id, CAST(len(d.text) AS BIGINT) AS n_chars,
+        |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(coalesce(p.dup_chars, 0) AS BIGINT) AS dup_chars
         |FROM documents d LEFT JOIN perdoc p USING (doc_id)""".stripMargin
   )
 }

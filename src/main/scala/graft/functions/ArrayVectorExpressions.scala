@@ -298,6 +298,13 @@ object functions {
         foldableInt(es(1), "anchored_span_digests", "spanLen"),
         foldableInt(es(2), "anchored_span_digests", "anchorK"),
         foldableInt(es(3), "anchored_span_digests", "anchorZeros"))),
+    (FunctionIdentifier("anchored_span_pos_digests"),
+      new ExpressionInfo(classOf[AnchoredSpanPosDigests].getName, "anchored_span_pos_digests"),
+      (es: Seq[Expression]) => AnchoredSpanPosDigests(
+        es(0),
+        foldableInt(es(1), "anchored_span_pos_digests", "spanLen"),
+        foldableInt(es(2), "anchored_span_pos_digests", "anchorK"),
+        foldableInt(es(3), "anchored_span_pos_digests", "anchorZeros"))),
     // winnow_fingerprints(text, k, w) — k and w must be foldable ints
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[WinnowFingerprints].getName, "winnow_fingerprints"),

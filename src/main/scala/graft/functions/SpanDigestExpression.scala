@@ -102,6 +102,93 @@ case class AnchoredSpanDigests(
     copy(child = newChild)
 }
 
+/** [[AnchoredSpanDigests]] with POSITIONS: each element is
+  * `struct(i int, h string)` where `i` is the 1-based code-point
+  * position of the anchor and `h` the span digest — for operators that
+  * need span COORDINATES (interval-union character coverage, span
+  * extraction), not just identity. Anchor/digest semantics identical.
+  */
+case class AnchoredSpanPosDigests(
+    child: Expression, spanLen: Int, anchorK: Int, anchorZeros: Int)
+    extends UnaryExpression with Serializable {
+
+  require(spanLen > 0 && anchorK > 0 && anchorK <= spanLen,
+    s"need 0 < anchorK <= spanLen, got anchorK=$anchorK spanLen=$spanLen")
+  require(anchorZeros >= 1 && anchorZeros <= 8,
+    s"anchorZeros must be in [1, 8], got $anchorZeros")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("h", StringType, nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "anchored_span_pos_digests"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects a string argument, got ${other.simpleString}")
+  }
+
+  /** Public for the codegen reference call. */
+  def spanPosDigests(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val nBytes = bytes.length
+    var numChars = 0
+    var b = 0
+    while (b < nBytes) {
+      if ((bytes(b) & 0xC0) != 0x80) numChars += 1
+      b += 1
+    }
+    if (numChars < spanLen) return new GenericArrayData(Array.empty[Any])
+    val off = new Array[Int](numChars + 1)
+    var c = 0
+    b = 0
+    while (b < nBytes) {
+      if ((bytes(b) & 0xC0) != 0x80) { off(c) = b; c += 1 }
+      b += 1
+    }
+    off(numChars) = nBytes
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = new Array[Byte](16)
+    val out = new java.util.ArrayList[Any]()
+    val nPos = numChars - spanLen + 1
+    var p = 0
+    while (p < nPos) {
+      md.update(bytes, off(p), off(p + anchorK) - off(p))
+      md.digest(dig, 0, 16)
+      if (AnchoredSpanDigests.leadingZeroNibbles(dig, anchorZeros)) {
+        md.update(bytes, off(p), off(p + spanLen) - off(p))
+        md.digest(dig, 0, 16)
+        out.add(org.apache.spark.sql.catalyst.InternalRow(
+          p + 1, UTF8String.fromString(AnchoredSpanDigests.hex(dig))))
+      }
+      p += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    spanPosDigests(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("spanPosDig", this, classOf[AnchoredSpanPosDigests].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.spanPosDigests($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AnchoredSpanPosDigests =
+    copy(child = newChild)
+}
+
+object AnchoredSpanPosDigests {
+  def anchoredSpanPosDigests(
+      text: Column, spanLen: Int, anchorK: Int, anchorZeros: Int): Column =
+    Bridge.column(
+      AnchoredSpanPosDigests(Bridge.expression(text), spanLen, anchorK, anchorZeros))
+}
+
 object AnchoredSpanDigests {
 
   private final val HexChars = "0123456789abcdef".toCharArray

@@ -185,6 +185,64 @@ object SubstringDedup {
         coalesce(col("n_cross_dup"), lit(0L)).as("n_cross_dup"))
   }
 
+  /** Character coverage of cross-doc duplicated spans — the "how much
+    * would exact-substring dedup actually remove" planning metric on
+    * top of [[anchoredSpanProfile]]. Per document: the number of
+    * characters covered by at least one anchored span whose digest
+    * occurs in ≥ 2 distinct documents (overlapping spans counted once —
+    * an interval UNION, so a long copied run is its length, not
+    * anchors × spanLen).
+    *
+    * Scale shape: same digest-only shuffles as the profile, plus one
+    * per-doc `collect_list` of duplicated span START POSITIONS (ints;
+    * bounded by numChars/16^zeros — proportional to the doc's own
+    * length, i.e. row-local scale) folded into the interval union with
+    * a single `aggregate` pass over the sorted array. Text never
+    * reaches an exchange.
+    */
+  def duplicatedSpanChars(
+      df: DataFrame, idCol: String, textCol: String,
+      spanLen: Int = 50, anchorK: Int = 8, anchorZeros: Int = 1): DataFrame = {
+    val base = df.select(col(idCol), col(textCol).as("__t"))
+    val spans = base.select(
+      col(idCol),
+      explode(graft.functions.AnchoredSpanPosDigests.anchoredSpanPosDigests(
+        col("__t"), spanLen, anchorK, anchorZeros)).as("sp"))
+      .select(col(idCol), col("sp.i").as("i"), col("sp.h").as("h"))
+    val ndocs = spans.groupBy(col("h"), col(idCol)).agg(count(lit(1)).as("occ"))
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    val dupStarts = spans
+      .join(ndocs.filter(col("ndocs") >= 2).select("h"), Seq("h"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    // interval union fold: acc = (covered chars, rightmost end so far);
+    // a start past the frontier adds a full span, an overlapping one
+    // only the fresh tail
+    val folded = dupStarts.select(
+      col(idCol),
+      size(col("starts")).cast("long").as("n_dup_spans"),
+      aggregate(
+        col("starts"),
+        struct(lit(0L).as("cov"), lit(0L).as("end")),
+        (acc, s) => {
+          val sL = s.cast("long")
+          val newEnd = sL + lit(spanLen.toLong) - lit(1L)
+          struct(
+            (acc.getField("cov") + when(sL > acc.getField("end"),
+              lit(spanLen.toLong))
+              .otherwise(greatest(newEnd - acc.getField("end"), lit(0L))))
+              .as("cov"),
+            greatest(acc.getField("end"), newEnd).as("end"))
+        },
+        acc => acc.getField("cov")).as("dup_chars"))
+    base.select(col(idCol), length(col("__t")).cast("long").as("n_chars"))
+      .join(folded, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_chars"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
   /** Boilerplate STRIP: remove EVERY occurrence of any `w`-word chunk
     * whose corpus document frequency exceeds `maxDf` — the
     * RefinedWeb-style "repeated across documents ⇒ it's boilerplate,

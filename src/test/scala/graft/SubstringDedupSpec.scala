@@ -98,6 +98,47 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(4L) == ((0L, 0L, 0L)), "short doc yields zeros, not a dropped row")
   }
 
+  test("duplicatedSpanChars unions overlapping spans (long copied run counted once, by length)") {
+    val s = spark
+    import s.implicits._
+    val run = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts carefully measured the gravitational constant of the " +
+      "asteroid belt using borrowed instruments from the orbital station"
+    val docs = Seq(
+      (1L, run),
+      (2L, "zz " + run + " trailing words here"),
+      (3L, "nothing here repeats anywhere else in this corpus of ours today"))
+    val out = SubstringDedup
+      .duplicatedSpanChars(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // independent replay: anchored positions -> cross-doc dup digests ->
+    // per-doc sorted starts -> interval union
+    def posSpans(t: String): Seq[(Int, String)] =
+      (1 to t.length - 50 + 1)
+        .filter(i => md5hex(t.substring(i - 1, i - 1 + 8)).startsWith("0"))
+        .map(i => i -> md5hex(t.substring(i - 1, i - 1 + 50)))
+    val all = docs.flatMap { case (id, t) => posSpans(t).map { case (i, h) => (id, i, h) } }
+    val crossDup = all.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2).keySet
+    for ((id, t) <- docs) {
+      val starts = posSpans(t).collect { case (i, h) if crossDup(h) => i }.sorted
+      var cov = 0L; var end = 0L
+      starts.foreach { st =>
+        val newEnd = st + 49L
+        cov += (if (st > end) 50L else math.max(newEnd - end, 0L))
+        end = math.max(end, newEnd)
+      }
+      assert(out(id) == ((t.length.toLong, starts.size.toLong, cov)), s"doc $id")
+      // union never exceeds doc length; spans overlap so union < n*50
+      assert(cov <= t.length, s"doc $id coverage exceeds text")
+      if (starts.size >= 2 && (starts.max - starts.min) < 50 * (starts.size - 1))
+        assert(cov < 50L * starts.size, s"doc $id overlapping spans double-counted")
+    }
+    assert(out(1L)._3 > 0 && out(2L)._3 > 0, "copied run must be covered")
+    assert(out(3L)._3 == 0L, "unique doc has zero duplicated coverage")
+  }
+
   test("anchored_span_digests is bit-identical with the composable md5/substr formulation") {
     val s = spark
     import s.implicits._
