@@ -52,7 +52,22 @@ object QueriesR9 {
     "q_dup_span_chars" -> ((s, d) =>
       operators.SubstringDedup.duplicatedSpanChars(
         docs(s, d), "doc_id", "text", spanLen = 50, anchorK = 8,
-        anchorZeros = 1))
+        anchorZeros = 1)),
+    // --- sequence packing driven by the LEARNED tokenizer's counts:
+    //     tokenizeWithMerges -> tokenShardOffsets, closing the loop
+    //     from tokenizer design to context-window packing ---
+    "q_pack_bpe" -> { (s, d) =>
+      val merges = operators.Vocab
+        .learnBpeMerges(docs(s, d), "text", BpeRounds)
+        .orderBy("step")
+        .collect()
+        .map(r => r.getAs[String]("pa") -> r.getAs[String]("pb"))
+        .toSeq
+      val counted = operators.Vocab
+        .tokenizeWithMerges(docs(s, d), "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"))
+      operators.Packing.tokenShardOffsets(counted, "doc_id", "n_tokens", 2048L)
+    }
   )
 
   // ---- oracle construction: the BPE learning rounds unrolled --------
@@ -102,9 +117,23 @@ object QueriesR9 {
        |       CAST(len(toks) AS INTEGER) AS n_tokens FROM tok""".stripMargin
   }
 
+  /** Token counts from the BPE-apply replay, then the same
+    * doc_id-ordered running-sum shard/offset arithmetic as
+    * q_pack_offsets. */
+  private def bpePackOracle(rounds: Int, budget: Int): String =
+    s"""WITH base AS (${bpeApplyOracle(rounds)}),
+       |r AS (SELECT doc_id, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM base)
+       |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+       |       CAST((cum - n_tokens) // $budget AS BIGINT) AS shard,
+       |       CAST((cum - n_tokens) % $budget AS BIGINT) AS tok_offset
+       |FROM r""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_bpe_learn" -> bpeLearnOracle(BpeRounds),
     "q_bpe_apply" -> bpeApplyOracle(BpeRounds),
+    "q_pack_bpe" -> bpePackOracle(BpeRounds, 2048),
     // Bit-exact replay of anchoredSpanProfile: md5 is the same
     // lowercase-hex digest in both engines, and substr is 1-based
     // char-indexed in both.

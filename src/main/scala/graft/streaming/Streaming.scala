@@ -403,6 +403,49 @@ object Streaming {
       .withColumnRenamed("__rid", "ref_" + refIdCol)
   }
 
+  /** Streaming exact-SUBSTRING detections: for every incoming doc, emit
+    * one row per anchored `spanLen`-char span whose digest exists in the
+    * static reference corpus's anchored-span set — the character-level
+    * rung of the streaming dedup ladder (exact digest → shingle MinHash
+    * → embedding LSH → copied-run substring). Catches an arriving doc
+    * that PASTES a reference paragraph into otherwise-new text, which
+    * whole-doc digest and whole-doc similarity both dilute away.
+    *
+    * Emits DETECTIONS (doc columns + the matched span digest) rather
+    * than dropping: "no span matches" is an anti join over an exploded
+    * generator — per-doc reconstruction would need a distinct, i.e. a
+    * state store. A doc sharing several spans emits once per shared
+    * span; downstream aggregation is the consumer's call.
+    *
+    * Fully STATELESS: span digesting is the per-row native
+    * `anchored_span_digests` pass, the reference reduces ONCE to a
+    * materialized distinct-digest set (the static side of a
+    * stream-static join re-executes per micro-batch), and the join is a
+    * stream-static INNER equi join on 32-hex digests — no watermark, no
+    * state store. Docs shorter than `spanLen` yield no spans and pass
+    * undetected by construction. */
+  def substringMatchesStream(
+      docs: DataFrame,
+      reference: DataFrame,
+      textCol: String = "text",
+      refTextCol: String = "text",
+      spanLen: Int = 50,
+      anchorK: Int = 8,
+      anchorZeros: Int = 1): DataFrame = {
+    import graft.operators.Materialize
+    def spans(c: org.apache.spark.sql.Column) =
+      graft.functions.AnchoredSpanDigests
+        .anchoredSpanDigests(c, spanLen, anchorK, anchorZeros)
+    val refSpans = Materialize.checkpoint(
+      reference
+        .select(explode(spans(col(refTextCol))).as("__ref_h"))
+        .distinct())
+    docs
+      .withColumn("span_h", explode(spans(col(textCol))))
+      .join(refSpans, col("span_h") === col("__ref_h"))
+      .drop("__ref_h")
+  }
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

@@ -379,6 +379,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(sims.forall(_ >= 0.9), s"every detection must clear the threshold: ${sims.mkString(",")}")
   }
 
+  test("streaming substring-match detections: pasted reference run detected, stateless") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val run = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts carefully measured the gravitational constant of the " +
+      "asteroid belt using borrowed instruments from the orbital station"
+    val reference = Seq((100L, run)).toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val det = Streaming.substringMatchesStream(
+      stream.toDF().toDF("doc_id", "text"), reference)
+    val q = det.writeStream.format("memory").queryName("subdet")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, "brand new intro text then " + run), // pastes the run: detected
+        (2L, "entirely novel words that never appeared in any reference document at all, nothing shared here today"), // clean
+        (3L, "short"))                            // below spanLen: clean
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "substring screen must not register a stateful streaming operator")
+    } finally q.stop()
+    val detected = spark.table("subdet").select("doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(detected == Set(1L), s"got $detected")
+    // batch parity: the detected span digests are exactly the stream
+    // doc's anchored digests that the reference also produces
+    import org.apache.spark.sql.functions.{col, explode}
+    val refSpans = reference.select(
+      explode(graft.functions.AnchoredSpanDigests
+        .anchoredSpanDigests(col("text"), 50, 8, 1)).as("h"))
+      .collect().map(_.getString(0)).toSet
+    val streamed = spark.table("subdet").select("span_h")
+      .collect().map(_.getString(0)).toSet
+    assert(streamed.nonEmpty && streamed.subsetOf(refSpans))
+  }
+
   test("map-only upsample runs unchanged on a stream, stateless") {
     val spark = TestSpark.spark
     import spark.implicits._
