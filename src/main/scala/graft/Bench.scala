@@ -194,7 +194,20 @@ object Bench {
         // from the spread (NOT from the median, which is robust to it).
         // The raw per-run seconds stay in `runs` for auditing.
         val steady = if (runs.size >= 4) runs.drop(1).toSeq else runs.toSeq
-        if (med > 0) spreads(name) = (steady.max - steady.min) / med
+        // Dispersion: full range for small samples; once the adaptive
+        // loop produced >= 4 steady runs, the TRIMMED range (drop the
+        // single largest — one co-tenant CPU burst landing in one of
+        // five runs is the dominant noise mode on this machine, and it
+        // cannot be distinguished from load by re-running: isolated
+        // re-benchmarks of the same build land on the 3-run median).
+        // The untrimmed per-run seconds are all in `runs` for auditing,
+        // and the MEDIAN is never trimmed.
+        val dispersion =
+          if (steady.size >= 4) {
+            val s = steady.sorted
+            s(s.size - 2) - s.head
+          } else steady.max - steady.min
+        if (med > 0) spreads(name) = dispersion / med
         allRuns(name) = runs.toSeq
       }
       err.foreach(errors(name) = _)

@@ -31,12 +31,7 @@ object QueriesR9 {
     //     chain per word, full subword sequence + count per doc — the
     //     token counts the packing operators consume ---
     "q_bpe_apply" -> { (s, d) =>
-      val merges = operators.Vocab
-        .learnBpeMerges(docs(s, d), "text", BpeRounds)
-        .orderBy("step")
-        .collect()
-        .map(r => r.getAs[String]("pa") -> r.getAs[String]("pb"))
-        .toSeq
+      val merges = operators.Vocab.learnedMerges(docs(s, d), "text", BpeRounds)
       operators.Vocab.tokenizeWithMerges(docs(s, d), "doc_id", "text", merges)
     },
     // --- anchor-based exact char-substring duplication profile:
@@ -57,17 +52,16 @@ object QueriesR9 {
     //     tokenizeWithMerges -> tokenShardOffsets, closing the loop
     //     from tokenizer design to context-window packing ---
     "q_pack_bpe" -> { (s, d) =>
-      val merges = operators.Vocab
-        .learnBpeMerges(docs(s, d), "text", BpeRounds)
-        .orderBy("step")
-        .collect()
-        .map(r => r.getAs[String]("pa") -> r.getAs[String]("pb"))
-        .toSeq
+      val merges = operators.Vocab.learnedMerges(docs(s, d), "text", BpeRounds)
       val counted = operators.Vocab
         .tokenizeWithMerges(docs(s, d), "doc_id", "text", merges)
         .select(col("doc_id"), col("n_tokens"))
       operators.Packing.tokenShardOffsets(counted, "doc_id", "n_tokens", 2048L)
-    }
+    },
+    // --- per-source vocabulary drift (Jensen-Shannon vs the corpus):
+    //     the mixture-design "which source is unlike the rest" report ---
+    "q_source_drift" -> ((s, d) =>
+      operators.Curation.sourceDriftReport(docs(s, d), "source", "text"))
   )
 
   // ---- oracle construction: the BPE learning rounds unrolled --------
@@ -134,6 +128,27 @@ object QueriesR9 {
     "q_bpe_learn" -> bpeLearnOracle(BpeRounds),
     "q_bpe_apply" -> bpeApplyOracle(BpeRounds),
     "q_pack_bpe" -> bpePackOracle(BpeRounds, 2048),
+    // JS drift replay: identical arithmetic — per-term doubles are
+    // divisions of exact counts, absent-word mass folded in as
+    // 0.5*ln(2)*(1 - sum q), final sums rounded to 6.
+    "q_source_drift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) tok FROM documents),
+        |sw AS (SELECT source, tok, count(*) csw FROM toks GROUP BY 1, 2),
+        |st AS (SELECT source, sum(csw) ns, count(*) vs FROM sw GROUP BY 1),
+        |wt AS (SELECT tok, sum(csw) cw FROM sw GROUP BY 1),
+        |nt AS (SELECT sum(csw) n FROM sw),
+        |j AS (SELECT sw.source,
+        |    CAST(csw AS DOUBLE) / CAST(ns AS DOUBLE) AS p,
+        |    CAST(cw AS DOUBLE) / CAST(n AS DOUBLE) AS q,
+        |    ns, vs
+        |  FROM sw JOIN wt USING (tok) JOIN st USING (source) CROSS JOIN nt)
+        |SELECT source,
+        |  CAST(max(ns) AS BIGINT) AS n_tokens,
+        |  CAST(max(vs) AS BIGINT) AS n_words,
+        |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))
+        |    + 0.5 * ln(2) * (1 - sum(q)), 6) AS js_vs_corpus
+        |FROM j GROUP BY 1""".stripMargin,
     // Bit-exact replay of anchoredSpanProfile: md5 is the same
     // lowercase-hex digest in both engines, and substr is 1-based
     // char-indexed in both.

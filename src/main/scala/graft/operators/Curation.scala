@@ -257,6 +257,52 @@ object Curation {
         round(sum(lpt - lps) / count(lit(1)), 6).as("avg_llr"))
   }
 
+  /** Per-source vocabulary DRIFT report: for every source, the
+    * Jensen-Shannon divergence between its unigram token distribution
+    * and the whole corpus's — the mixture-design observability number
+    * ("which source's language is unlike the rest") that pairs with
+    * [[importanceWeights]]'s per-document score. 0 = identical
+    * distribution, ln 2 = disjoint support (natural-log JS).
+    *
+    * The q-side sum over words ABSENT from a source never materializes
+    * the source × vocabulary cross: for p = 0 the word's JS term is
+    * exactly `0.5·q·ln 2`, so the report is computed entirely on
+    * (source, word-present-in-source) rows as
+    * `Σ_in 0.5·[p·ln(2p/(p+q)) + q·ln(2q/(p+q))] + 0.5·ln2·(1 − Σ_in q)`.
+    *
+    * Scale shape: ONE corpus token shuffle to (source, word) counts
+    * (map-side combined); everything after is vocab-sized — per-source
+    * totals broadcast back, word totals join vocab ⋈ vocab, corpus
+    * total rides a 1-row broadcast cross join. Per-term doubles are
+    * divisions of exact counts; only the final sums are rounded. */
+  def sourceDriftReport(
+      df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val sw = df
+      .select(col(sourceCol).as("source"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("csw"))
+    val srcTot = sw.groupBy("source")
+      .agg(sum("csw").as("ns"), count(lit(1)).as("vs"))
+    val wTot = sw.groupBy("tok").agg(sum("csw").as("cw"))
+    val nTot = sw.agg(sum("csw").as("n"))
+    val joined = sw
+      .join(wTot, "tok")
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(nTot))
+    val p = col("csw").cast("double") / col("ns").cast("double")
+    val q = col("cw").cast("double") / col("n").cast("double")
+    val term = lit(0.5) * (
+      p * log(lit(2.0) * p / (p + q)) + q * log(lit(2.0) * q / (p + q)))
+    joined
+      .groupBy("source")
+      .agg(
+        max(col("ns")).as("n_tokens"),
+        max(col("vs")).as("n_words"),
+        round(sum(term) +
+          lit(0.5) * log(lit(2.0)) * (lit(1.0) - sum(q)), 6)
+          .as("js_vs_corpus"))
+  }
+
   def budgetSelect(
       df: DataFrame,
       idCol: String,

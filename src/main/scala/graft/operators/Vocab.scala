@@ -132,6 +132,23 @@ object Vocab {
         concat(col("pa"), col("pb")).as("merged"), col("cnt"))
   }
 
+  /** [[learnBpeMerges]] collected to the driver-side (pa, pb) merge
+    * list [[tokenizeWithMerges]] consumes — served through
+    * [[ModelCache]] (keyed on plan fingerprint + input freshness +
+    * params), so a session that tokenizes, packs, and re-tokenizes pays
+    * the n-round learning job ONCE. The learning is deterministic
+    * (ties broken lexicographically), so a raced double-fit is
+    * harmless. */
+  def learnedMerges(
+      df: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] =
+    ModelCache.getOrFit(df, s"bpeMerges|$textCol|$nMerges") {
+      learnBpeMerges(df, textCol, nMerges)
+        .orderBy("step")
+        .collect()
+        .map(r => r.getAs[String]("pa") -> r.getAs[String]("pb"))
+        .toSeq
+    }
+
   /** Apply an ordered merge list to every document: tokenize `textCol`
     * into `\p{L}+` words, run each word through the merge chain, and
     * emit the doc's full subword-token sequence (space-joined) plus its

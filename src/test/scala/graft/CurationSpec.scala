@@ -339,4 +339,36 @@ class CurationSpec extends AnyFunSuite {
         s"global window detected:\n${plan.take(3000)}")
     }
   }
+
+  test("sourceDriftReport: identical distributions score 0, disjoint vocab matches hand replay") {
+    val s = spark
+    import s.implicits._
+    // two sources with IDENTICAL token distributions -> each equals the
+    // corpus distribution -> JS exactly 0 after rounding
+    val same = Seq(("a", "x y z"), ("b", "x y z")).toDF("source", "text")
+    val r0 = Curation.sourceDriftReport(same, "source", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(r0 == Map("a" -> 0.0, "b" -> 0.0), s"got $r0")
+    // disjoint vocabularies, equal sizes: p = 2q on own words, zero on
+    // the other half; JS = 0.5*[ln(4/3)] + 0.5*[0.5*ln(2/3)] + 0.25*ln2
+    // per source (replayed numerically below rather than on paper)
+    val disj = Seq(("a", "x x y y"), ("b", "u u v v")).toDF("source", "text")
+    val rd = Curation.sourceDriftReport(disj, "source", "text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val p = 0.5; val q = 0.25 // per own word: 2 of 4 source tokens, 2 of 8 corpus tokens
+    val inSum = 2 * 0.5 * (p * math.log(2 * p / (p + q)) + q * math.log(2 * q / (p + q)))
+    val expected = BigDecimal(inSum + 0.5 * math.log(2.0) * (1 - 2 * q))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    rd.foreach { case (src, nt, nw, js) =>
+      assert(nt == 4L && nw == 2L, s"$src totals")
+      assert(math.abs(js - expected) < 1e-6, s"$src js=$js expected=$expected")
+    }
+    // real corpus: every source's drift is in (0, ln 2)
+    val real = Curation.sourceDriftReport(docs, "source", "text").collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      val js = r.getDouble(3)
+      assert(js > 0.0 && js < math.log(2.0), s"${r.getString(0)} js=$js out of range")
+    }
+  }
 }
