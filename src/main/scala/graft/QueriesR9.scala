@@ -61,7 +61,19 @@ object QueriesR9 {
     // --- per-source vocabulary drift (Jensen-Shannon vs the corpus):
     //     the mixture-design "which source is unlike the rest" report ---
     "q_source_drift" -> ((s, d) =>
-      operators.Curation.sourceDriftReport(docs(s, d), "source", "text"))
+      operators.Curation.sourceDriftReport(docs(s, d), "source", "text")),
+    // --- top drifted words between recrawl snapshots (same synthetic
+    //     old/new split as q_snapshot_diff) ---
+    "q_vocab_drift" -> { (s, d) =>
+      val dd = docs(s, d)
+      operators.Versioning.vocabDrift(
+        oldSnap = dd.filter(col("doc_id") % 7 =!= 0).select("text"),
+        newSnap = dd.filter(col("doc_id") % 5 =!= 3)
+          .select(when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text")),
+        textCol = "text")
+    }
   )
 
   // ---- oracle construction: the BPE learning rounds unrolled --------
@@ -149,6 +161,29 @@ object QueriesR9 {
         |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))
         |    + 0.5 * ln(2) * (1 - sum(q)), 6) AS js_vs_corpus
         |FROM j GROUP BY 1""".stripMargin,
+    // Same old/new split as q_snapshot_diff; rank on the ROUNDED shift
+    // with the word as tiebreak, exactly as the Spark side orders.
+    "q_vocab_drift" ->
+      """WITH o AS (
+        |  SELECT unnest(string_split(text, ' ')) w FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |n AS (
+        |  SELECT unnest(string_split(
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END, ' ')) w
+        |  FROM documents WHERE doc_id % 5 <> 3),
+        |oc AS (SELECT w, count(*) c_old FROM o GROUP BY 1),
+        |nc AS (SELECT w, count(*) c_new FROM n GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(c_old) FROM oc) n_old,
+        |               (SELECT sum(c_new) FROM nc) n_new),
+        |j AS (SELECT coalesce(oc.w, nc.w) AS word,
+        |        coalesce(c_old, 0) AS c_old, coalesce(c_new, 0) AS c_new
+        |      FROM oc FULL OUTER JOIN nc ON oc.w = nc.w)
+        |SELECT word, CAST(c_old AS BIGINT) AS c_old,
+        |  CAST(c_new AS BIGINT) AS c_new,
+        |  round(abs(CAST(c_old AS DOUBLE) / CAST(t.n_old AS DOUBLE)
+        |      - CAST(c_new AS DOUBLE) / CAST(t.n_new AS DOUBLE)), 6) AS shift
+        |FROM j, tot t
+        |ORDER BY shift DESC, word LIMIT 20""".stripMargin,
     // Bit-exact replay of anchoredSpanProfile: md5 is the same
     // lowercase-hex digest in both engines, and substr is 1-based
     // char-indexed in both.

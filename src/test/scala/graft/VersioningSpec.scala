@@ -53,4 +53,24 @@ class VersioningSpec extends AnyFunSuite {
       .select("status").distinct().collect().map(_.getString(0)).toSet
     assert(statuses == Set("added", "removed", "changed", "unchanged"))
   }
+
+  test("vocabDrift ranks the injected word first and bounds shifts by probability mass") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // identical snapshots except every new doc gains the token "zz":
+    // zz moves from p=0 to 5/20 -> shift 0.25, everything else shrinks
+    // proportionally (each old word 1/15 -> 3/4 of that in new)
+    val oldS = Seq("a b c", "d e f", "g h i", "j k l", "m n o").toDF("text")
+    val newS = oldS.select(concat(col("text"), lit(" zz")).as("text"))
+    val top = Versioning.vocabDrift(oldS, newS, "text", topK = 3).collect()
+    assert(top.head.getString(0) == "zz")
+    assert(top.head.getLong(1) == 0L && top.head.getLong(2) == 5L)
+    assert(top.head.getDouble(3) == 0.25)
+    // remaining words all share the same smaller shift; tie broken by word
+    val rest = top.tail.map(r => (r.getString(0), r.getDouble(3)))
+    assert(rest.map(_._1).toSeq == Seq("a", "b"), s"got ${rest.toSeq}")
+    val expectedShift = BigDecimal(1.0 / 15 - 1.0 / 20)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rest.forall(_._2 == expectedShift))
+  }
 }
