@@ -62,6 +62,16 @@ object QueriesR9 {
     //     the mixture-design "which source is unlike the rest" report ---
     "q_source_drift" -> ((s, d) =>
       operators.Curation.sourceDriftReport(docs(s, d), "source", "text")),
+    // --- incremental span overlap: per arriving doc, how many anchored
+    //     spans already exist in the reference corpus (batch twin of
+    //     the streaming substring screen; %3 split as q_dedup_incremental) ---
+    "q_substring_incremental" -> { (s, d) =>
+      val dd = docs(s, d)
+      operators.SubstringDedup.spanOverlapAgainstReference(
+        batch = dd.filter(col("doc_id") % 3 =!= 0),
+        reference = dd.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10),
+        idCol = "doc_id", textCol = "text")
+    },
     // --- top drifted words between recrawl snapshots (same synthetic
     //     old/new split as q_snapshot_diff) ---
     "q_vocab_drift" -> { (s, d) =>
@@ -161,6 +171,28 @@ object QueriesR9 {
         |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))
         |    + 0.5 * ln(2) * (1 - sum(q)), 6) AS js_vs_corpus
         |FROM j GROUP BY 1""".stripMargin,
+    "q_substring_incremental" ->
+      """WITH ref AS (
+        |  SELECT DISTINCT md5(substr(t, i, 50)) h FROM (
+        |    SELECT text t, unnest(generate_series(1, len(text) - 49)) i
+        |    FROM documents
+        |    WHERE (doc_id % 3 = 0 OR doc_id < 10) AND len(text) >= 50)
+        |  WHERE substr(md5(substr(t, i, 8)), 1, 1) = '0'),
+        |bat AS (
+        |  SELECT doc_id, md5(substr(t, i, 50)) h FROM (
+        |    SELECT doc_id, text t, unnest(generate_series(1, len(text) - 49)) i
+        |    FROM documents WHERE doc_id % 3 <> 0 AND len(text) >= 50)
+        |  WHERE substr(md5(substr(t, i, 8)), 1, 1) = '0'),
+        |perdoc AS (
+        |  SELECT b.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(coalesce(sum(CASE WHEN r.h IS NOT NULL THEN 1 END), 0) AS BIGINT) AS n_matched
+        |  FROM bat b LEFT JOIN ref r USING (h) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(p.n_matched, 0) AS BIGINT) AS n_matched
+        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+        |WHERE d.doc_id % 3 <> 0""".stripMargin,
     // Same old/new split as q_snapshot_diff; rank on the ROUNDED shift
     // with the word as tiebreak, exactly as the Spark side orders.
     "q_vocab_drift" ->

@@ -243,6 +243,44 @@ object SubstringDedup {
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
   }
 
+  /** Incremental (cross-snapshot) SPAN overlap: for every document in
+    * the arriving `batch`, how many of its anchored `spanLen`-char
+    * spans already exist in the `reference` corpus — the batch twin of
+    * [[graft.streaming.Streaming.substringMatchesStream]] (every
+    * streaming screen in this library has an exact-oracle-gated batch
+    * form; this is the substring rung's). A recrawl doc that pastes a
+    * reference paragraph into otherwise-new text scores n_matched > 0
+    * where document-level digest and similarity dedup both see a new
+    * document.
+    *
+    * Scale shape: the reference reduces to its DISTINCT span digests
+    * before any exchange (reference text never moves — the same
+    * contract as `Dedup.dedupAgainstReference`), the batch side is the
+    * fused native span pass, and the probe is a digest-keyed left semi
+    * accounting join: per batch doc, total spans and matched spans. */
+  def spanOverlapAgainstReference(
+      batch: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, refTextCol: String = "text",
+      spanLen: Int = 50, anchorK: Int = 8, anchorZeros: Int = 1): DataFrame = {
+    def spans(df: DataFrame, id: Seq[Column], tc: String) = df.select(
+      id :+ explode(graft.functions.AnchoredSpanDigests.anchoredSpanDigests(
+        col(tc), spanLen, anchorK, anchorZeros)).as("h"): _*)
+    val refSpans = spans(reference, Seq.empty, refTextCol).distinct()
+      .withColumnRenamed("h", "__ref_h")
+    val perDoc = spans(batch, Seq(col(idCol)), textCol)
+      .join(refSpans, col("h") === col("__ref_h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        count(col("__ref_h")).as("n_matched"))
+    batch.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_matched"), lit(0L)).as("n_matched"))
+  }
+
   /** Boilerplate STRIP: remove EVERY occurrence of any `w`-word chunk
     * whose corpus document frequency exceeds `maxDf` — the
     * RefinedWeb-style "repeated across documents ⇒ it's boilerplate,

@@ -139,6 +139,39 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(3L)._3 == 0L, "unique doc has zero duplicated coverage")
   }
 
+  test("spanOverlapAgainstReference: pasted reference run counted, reference text stays put") {
+    val s = spark
+    import s.implicits._
+    val run = "the quick brown fox jumps over the lazy dog while seventeen " +
+      "astronauts carefully measured the gravitational constant of the " +
+      "asteroid belt using borrowed instruments from the orbital station"
+    val reference = Seq((100L, run)).toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "fresh preamble then " + run + " and a new ending"),
+      (2L, "entirely novel words that never appeared in any reference document at all, nothing shared here today"),
+      (3L, "tiny")).toDF("doc_id", "text")
+    val out = SubstringDedup
+      .spanOverlapAgainstReference(batch, reference, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // replay: batch spans matched against the reference's span digest set
+    val refSet = anchorSpans(run).toSet
+    for ((id, t) <- Seq((1L, "fresh preamble then " + run + " and a new ending"),
+        (2L, "entirely novel words that never appeared in any reference document at all, nothing shared here today"),
+        (3L, "tiny"))) {
+      val sp = anchorSpans(t)
+      assert(out(id) == ((sp.size.toLong, sp.count(refSet).toLong)), s"doc $id")
+    }
+    assert(out(1L)._2 > 0, "pasted run must match reference spans")
+    assert(out(2L)._2 == 0L && out(3L) == ((0L, 0L)))
+    // scale pin: no exchange input carries a text column on either side
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val df = SubstringDedup.spanOverlapAgainstReference(batch, reference, "doc_id", "text")
+    val bad = df.queryExecution.executedPlan.collect {
+      case e: Exchange if e.child.output.exists(_.name == "text") => e
+    }
+    assert(bad.isEmpty, "an exchange input still carries the text column")
+  }
+
   test("anchored_span_digests is bit-identical with the composable md5/substr formulation") {
     val s = spark
     import s.implicits._
