@@ -16,6 +16,9 @@ object QueriesR9 {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
+  private def embeds(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
+
   /** Greedy merge rounds learned/replayed by the BPE queries. Kept
     * small so the unrolled oracle stays readable; the operators take
     * any count. */
@@ -72,6 +75,10 @@ object QueriesR9 {
         reference = dd.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10),
         idCol = "doc_id", textCol = "text")
     },
+    // --- embedding-corpus health card: counts, dimension bounds,
+    //     L2-norm distribution in one map-side-combined aggregation ---
+    "q_embed_card" -> ((s, d) =>
+      operators.Similarity.embeddingCard(embeds(s, d), "embedding")),
     // --- top drifted words between recrawl snapshots (same synthetic
     //     old/new split as q_snapshot_diff) ---
     "q_vocab_drift" -> { (s, d) =>
@@ -171,6 +178,27 @@ object QueriesR9 {
         |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))
         |    + 0.5 * ln(2) * (1 - sum(q)), 6) AS js_vs_corpus
         |FROM j GROUP BY 1""".stripMargin,
+    // Norm arithmetic mirrors the native dot product: double widening,
+    // sequential accumulation; all stats rounded to 6.
+    "q_embed_card" ->
+      """WITH v AS (
+        |  SELECT embedding e,
+        |    CASE WHEN embedding IS NOT NULL THEN
+        |      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                              CAST(embedding AS DOUBLE[]))) END AS norm,
+        |    CASE WHEN embedding IS NOT NULL THEN len(embedding) END AS dim
+        |  FROM embeddings)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_vectors,
+        |  CAST(coalesce(sum(CASE WHEN e IS NULL THEN 1 END), 0) AS BIGINT) AS n_null,
+        |  CAST(min(dim) AS INTEGER) AS dim_min,
+        |  CAST(max(dim) AS INTEGER) AS dim_max,
+        |  CAST(coalesce(sum(CASE WHEN norm = 0 THEN 1 END), 0) AS BIGINT) AS n_zero,
+        |  round(avg(norm), 6) AS avg_norm,
+        |  round(quantile_cont(norm, 0.5), 6) AS med_norm,
+        |  round(min(norm), 6) AS min_norm,
+        |  round(max(norm), 6) AS max_norm
+        |FROM v""".stripMargin,
     "q_substring_incremental" ->
       """WITH ref AS (
         |  SELECT DISTINCT md5(substr(t, i, 50)) h FROM (

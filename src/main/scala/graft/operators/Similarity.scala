@@ -559,4 +559,37 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
       .filter(col("sim") >= 1.0 - maxCosDist)
   }
+
+  /** Embedding-corpus HEALTH CARD — the one-row release overview for a
+    * vector column (the `q_datacard` sibling for embeddings): counts
+    * (total / null / zero-norm), dimension bounds (a ragged corpus is a
+    * pipeline bug), and the L2-norm distribution (min / median / mean /
+    * max). A collapsed encoder, an un-normalized re-embed, or a
+    * truncated export all show up here before any ANN recall does.
+    *
+    * One map-side-combined aggregation over a row-local norm
+    * projection (the fused native dot product — no shuffle of vectors,
+    * no UDF); norm stats are rounded so the report is reproducible
+    * cross-engine. Exact `percentile` is fine HERE because the
+    * aggregation is global-single-group over one double per vector —
+    * at extreme corpus sizes swap for `percentile_approx` (SCALE.md). */
+  def embeddingCard(df: DataFrame, vecCol: String): DataFrame = {
+    val v = df.select(col(vecCol).as("e"))
+      .select(
+        col("e"),
+        when(col("e").isNotNull,
+          sqrt(graft.functions.functions.dotProduct(col("e"), col("e"))))
+          .as("norm"),
+        when(col("e").isNotNull, size(col("e"))).as("dim"))
+    v.agg(
+      count(lit(1)).as("n_vectors"),
+      sum(when(col("e").isNull, 1L).otherwise(0L)).as("n_null"),
+      min(col("dim")).as("dim_min"),
+      max(col("dim")).as("dim_max"),
+      coalesce(sum(when(col("norm") === 0d, 1L)), lit(0L)).as("n_zero"),
+      round(avg(col("norm")), 6).as("avg_norm"),
+      round(expr("percentile(norm, 0.5D)"), 6).as("med_norm"),
+      round(min(col("norm")), 6).as("min_norm"),
+      round(max(col("norm")), 6).as("max_norm"))
+  }
 }

@@ -108,4 +108,28 @@ class AnnSpec extends AnyFunSuite {
     assert(p.subsetOf(e), s"false positives: ${p diff e}")
     assert(e.subsetOf(p), s"total-recall params missed: ${e diff p}")
   }
+
+  test("embeddingCard counts nulls, zero vectors, ragged dims, and exact norms") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (1L, Some(Array(3.0f, 4.0f))),        // norm 5
+      (2L, Some(Array(0.0f, 0.0f))),        // zero vector
+      (3L, None),                           // null
+      (4L, Some(Array(1.0f, 0.0f, 0.0f)))   // ragged dim, norm 1
+    ).toDF("vec_id", "embedding")
+    val r = operators.Similarity.embeddingCard(vecs, "embedding").collect().head
+    assert(r.getLong(0) == 4L, "n_vectors")
+    assert(r.getLong(1) == 1L, "n_null")
+    assert(r.getInt(2) == 2 && r.getInt(3) == 3, "dim bounds")
+    assert(r.getLong(4) == 1L, "n_zero")
+    assert(r.getDouble(5) == 2.0, "avg of 5,0,1")
+    assert(r.getDouble(6) == 1.0, "median of 0,1,5")
+    assert(r.getDouble(7) == 0.0 && r.getDouble(8) == 5.0, "min/max")
+    // the real fixture has no pathologies
+    val real = operators.Similarity.embeddingCard(embs, "embedding").collect().head
+    assert(real.getLong(1) == 0L && real.getLong(4) == 0L)
+    assert(real.getInt(2) == real.getInt(3), "fixture dims must be uniform")
+    assert(real.getDouble(7) > 0.0)
+  }
 }
