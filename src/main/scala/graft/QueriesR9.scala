@@ -75,6 +75,12 @@ object QueriesR9 {
         reference = dd.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10),
         idCol = "doc_id", textCol = "text")
     },
+    // --- deterministic weighted sample: 100 docs, inclusion odds
+    //     proportional to n_chars, reproducible cross-engine ---
+    "q_weighted_sample" -> ((s, d) =>
+      operators.Curation.weightedSample(
+        docs(s, d), "doc_id", "n_chars", k = 100)
+        .select("doc_id", "source", "n_chars")),
     // --- embedding-corpus health card: counts, dimension bounds,
     //     L2-norm distribution in one map-side-combined aggregation ---
     "q_embed_card" -> ((s, d) =>
@@ -178,6 +184,16 @@ object QueriesR9 {
         |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))
         |    + 0.5 * ln(2) * (1 - sum(q)), 6) AS js_vs_corpus
         |FROM j GROUP BY 1""".stripMargin,
+    // A-Res key replay: identical md5-derived u and -ln(u)/w key;
+    // selection only (the key never leaves the query).
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    -ln((CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |         AS BIGINT) + 1.0) / 4503599627370496.0)
+        |      / CAST(n_chars AS DOUBLE) AS key
+        |  FROM documents WHERE n_chars > 0)
+        |ORDER BY key, doc_id LIMIT 100""".stripMargin,
     // Norm arithmetic mirrors the native dot product: double widening,
     // sequential accumulation; all stats rounded to 6.
     "q_embed_card" ->

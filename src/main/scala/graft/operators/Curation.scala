@@ -303,6 +303,37 @@ object Curation {
           .as("js_vs_corpus"))
   }
 
+  /** Deterministic WEIGHTED sampling without replacement (Efraimidis &
+    * Spirakis A-Res): take the `k` rows minimizing `-ln(u)/w`, where
+    * `u ∈ (0, 1]` is derived from `md5(seed ‖ id)` — inclusion
+    * probability scales with the weight (a quality score, a token
+    * count, an importance weight from [[importanceWeights]]), yet the
+    * draw is a pure function of (id, weight, seed): stable across
+    * runs, partitionings, clusters and engines, like every sampling
+    * primitive in this library ([[fixedSample]] is the uniform
+    * special case — equal weights reduce to its md5 order).
+    *
+    * u reads the md5's first 13 hex chars (52 bits — exact in a
+    * double), +1 so u is never 0. Rows with non-positive weight are
+    * excluded (a zero-weight row would never win anyway; excluding
+    * NULLs/zeros up front keys the k-heap only with finite keys).
+    *
+    * Scale shape: key is a row-local projection; selection is
+    * `TakeOrderedAndProject` (bounded per-partition heaps + driver
+    * merge of k rows), never a global sort. */
+  def weightedSample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int,
+      seed: String = "ws"): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val u = (conv(
+      substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("double") + 1.0d) / lit(4503599627370496.0d) // 16^13
+    val key = -log(u) / col(weightCol).cast("double")
+    df.filter(col(weightCol) > 0)
+      .orderBy(key.asc, col(idCol))
+      .limit(k)
+  }
+
   def budgetSelect(
       df: DataFrame,
       idCol: String,

@@ -340,6 +340,33 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("weightedSample: deterministic, weight-dominant rows always in, non-positive weights out") {
+    val s = spark
+    import s.implicits._
+    val rows = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 10L)) ++
+      Seq((201L, 0L), (202L, -5L))
+    val df = rows.toDF("doc_id", "w")
+    val a = Curation.weightedSample(df, "doc_id", "w", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.weightedSample(df, "doc_id", "w", k = 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "same seed must reproduce the same sample")
+    assert(a.contains(7L), "a 100000x weight practically guarantees selection")
+    assert(!a.contains(201L) && !a.contains(202L), "non-positive weights excluded")
+    assert(a.size == 20)
+    // k >= population returns every positive-weight row
+    val all = Curation.weightedSample(df, "doc_id", "w", k = 500).count()
+    assert(all == 200L)
+    // different seed draws a different sample (equal-weight pool)
+    val c = Curation.weightedSample(df.filter(col("doc_id") <= 200), "doc_id", "w", k = 20, seed = "other")
+      .collect().map(_.getLong(0)).toSet
+    assert(c != a, "seed must steer the draw")
+    // plan: bounded-heap top-k, not a global sort
+    val plan = Curation.weightedSample(df, "doc_id", "w", k = 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
   test("sourceDriftReport: identical distributions score 0, disjoint vocab matches hand replay") {
     val s = spark
     import s.implicits._
