@@ -75,6 +75,19 @@ object QueriesR9 {
         reference = dd.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10),
         idCol = "doc_id", textCol = "text")
     },
+    // --- DSIR-weighted selection: importance weights learned from the
+    //     target domain feed the A-Res draw — score -> sample in one
+    //     composition (weight = exp of the ROUNDED avg llr, so both
+    //     engines agree on the weight bit-for-bit) ---
+    "q_dsir_sample" -> { (s, d) =>
+      val dd = docs(s, d)
+      val weighted = operators.Curation
+        .importanceWeights(dd, dd.filter(col("lang") === "en"), "doc_id", "text")
+        .select(col("doc_id"), col("llr"))
+      operators.Curation
+        .weightedSampleByLogWeight(weighted, "doc_id", "llr", k = 100)
+        .select("doc_id")
+    },
     // --- deterministic weighted sample: 100 docs, inclusion odds
     //     proportional to n_chars, reproducible cross-engine ---
     "q_weighted_sample" -> ((s, d) =>
@@ -184,6 +197,18 @@ object QueriesR9 {
         |  round(sum(0.5 * (p * ln(2 * p / (p + q)) + q * ln(2 * q / (p + q))))
         |    + 0.5 * ln(2) * (1 - sum(q)), 6) AS js_vs_corpus
         |FROM j GROUP BY 1""".stripMargin,
+    // DSIR weights replayed via the q_dsir oracle as a nested CTE, then
+    // the identical Gumbel-form key ln(-ln(u)) - llr (weight exp(llr)
+    // never materialized; llr is the ROUNDED oracle value both sides).
+    "q_dsir_sample" ->
+      s"""WITH base AS (${QueriesR8.oracles("q_dsir")})
+         |SELECT doc_id FROM (
+         |  SELECT doc_id,
+         |    ln(-ln((CAST(('0x' || substr(md5('ws' || CAST(doc_id AS VARCHAR)), 1, 13))
+         |         AS BIGINT) + 1.0) / 4503599627370496.0))
+         |      - llr AS key
+         |  FROM base)
+         |ORDER BY key, doc_id LIMIT 100""".stripMargin,
     // A-Res key replay: identical md5-derived u and -ln(u)/w key;
     // selection only (the key never leaves the query).
     "q_weighted_sample" ->

@@ -334,6 +334,25 @@ object Curation {
       .limit(k)
   }
 
+  /** [[weightedSample]] with the weight given in LOG space — the
+    * overflow-safe form for weights like DSIR's `exp(llr)`, where the
+    * log-likelihood ratio of a long document easily exceeds `ln(Double
+    * .MaxValue)`. Same draw by monotone transform: minimizing
+    * `-ln(u)/e^l` is minimizing `ln(-ln(u)) − l` (the Gumbel top-k
+    * trick), so no exp is ever taken. */
+  def weightedSampleByLogWeight(
+      df: DataFrame, idCol: String, logWeightCol: String, k: Int,
+      seed: String = "ws"): DataFrame = {
+    require(k >= 1, "sample size must be positive")
+    val u = (conv(
+      substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("double") + 1.0d) / lit(4503599627370496.0d)
+    val key = log(-log(u)) - col(logWeightCol).cast("double")
+    df.filter(col(logWeightCol).isNotNull)
+      .orderBy(key.asc, col(idCol))
+      .limit(k)
+  }
+
   def budgetSelect(
       df: DataFrame,
       idCol: String,

@@ -367,6 +367,25 @@ class CurationSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
+  test("weightedSampleByLogWeight matches the linear form and survives overflow-scale weights") {
+    val s = spark
+    import s.implicits._
+    val df = (1L to 100L).map(i => (i, (i % 7 + 1).toDouble)).toDF("doc_id", "w")
+      .withColumn("lw", log(col("w")))
+    val lin = Curation.weightedSample(df, "doc_id", "w", k = 15)
+      .collect().map(_.getLong(0)).toSet
+    val logf = Curation.weightedSampleByLogWeight(df, "doc_id", "lw", k = 15)
+      .collect().map(_.getLong(0)).toSet
+    assert(lin == logf, "Gumbel form must select the same rows as -ln(u)/w")
+    // log weights far beyond ln(Double.MaxValue): the dominant row wins,
+    // nothing overflows
+    val huge = (1L to 50L).map(i => (i, if (i == 9L) 1.0e6 else 10.0))
+      .toDF("doc_id", "lw")
+    val sel = Curation.weightedSampleByLogWeight(huge, "doc_id", "lw", k = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(sel.contains(9L) && sel.size == 5)
+  }
+
   test("sourceDriftReport: identical distributions score 0, disjoint vocab matches hand replay") {
     val s = spark
     import s.implicits._
