@@ -109,6 +109,37 @@ object QueriesR9 {
             concat(col("text"), lit(" v2")))
             .otherwise(col("text")).as("text")),
         textCol = "text")
+    },
+    // --- Gopher-style n-gram repetition: character MASS of the top
+    //     2-/3-gram and of all duplicated 5-grams — one sorted-runs
+    //     fold per row, map-only at any corpus size ---
+    "q_gopher_rep" -> { (s, d) =>
+      val top2 = operators.TextAnalysis.gopherRepetition(col("text"), 2).head
+      val top3 = operators.TextAnalysis.gopherRepetition(col("text"), 3).head
+      val dup5 = operators.TextAnalysis.gopherRepetition(col("text"), 5)(1)
+      docs(s, d).select(col("doc_id"), top2, top3, dup5)
+    },
+    // --- BM25 keyword retrieval: two corpus scans, ONE stats row on
+    //     the wire, top-k via TakeOrderedAndProject ---
+    "q_bm25" -> ((s, d) =>
+      operators.Retrieval.bm25(
+        docs(s, d), "doc_id", "text", Seq("spark", "window", "vector"))),
+    // --- PII scrub over deterministically injected PII (the testdata
+    //     corpus is synthetic words, so the query plants emails/IPs/SSNs
+    //     as a function of doc_id, then redacts them) ---
+    "q_pii_scrub" -> { (s, d) =>
+      val injected = docs(s, d).select(
+        col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 7) % 256).cast("string"),
+            lit(" id 123-45-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(col("text")).as("text"))
+      operators.Scrub.scrubReport(injected, "doc_id", "text").drop("redacted")
     }
   )
 
@@ -285,6 +316,89 @@ object QueriesR9 {
         |      - CAST(c_new AS DOUBLE) / CAST(t.n_new AS DOUBLE)), 6) AS shift
         |FROM j, tot t
         |ORDER BY shift DESC, word LIMIT 20""".stripMargin,
+    // Same gram text (space-joined), same integer masses (count·len),
+    // same shared denominator; the top gram tie-breaks to the
+    // lexicographically smallest among max counts in both engines.
+    "q_gopher_rep" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |gg AS (
+        |  SELECT doc_id, n, unnest(gs) g FROM (
+        |    SELECT doc_id, 2 AS n, list_transform(generate_series(1, len(ts) - 1),
+        |        i -> ts[i] || ' ' || ts[i+1]) gs
+        |      FROM toks WHERE len(ts) >= 2
+        |    UNION ALL
+        |    SELECT doc_id, 3, list_transform(generate_series(1, len(ts) - 2),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+        |      FROM toks WHERE len(ts) >= 3
+        |    UNION ALL
+        |    SELECT doc_id, 5, list_transform(generate_series(1, len(ts) - 4),
+        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+        |             ts[i+3] || ' ' || ts[i+4])
+        |      FROM toks WHERE len(ts) >= 5)),
+        |c AS (SELECT doc_id, n, g, count(*) c, count(*) * len(g) mass
+        |      FROM gg GROUP BY 1, 2, 3),
+        |r AS (SELECT doc_id, n, c, mass,
+        |        row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) rn
+        |      FROM c),
+        |a AS (SELECT doc_id, n,
+        |        CAST(sum(mass) AS DOUBLE) total,
+        |        CAST(max(CASE WHEN rn = 1 THEN mass END) AS DOUBLE) topmass,
+        |        CAST(coalesce(sum(CASE WHEN c >= 2 THEN mass END), 0) AS DOUBLE) dupmass
+        |      FROM r GROUP BY 1, 2)
+        |SELECT d.doc_id,
+        |  round(coalesce(max(CASE WHEN n = 2 THEN topmass / total END), 0), 6) AS top2_frac,
+        |  round(coalesce(max(CASE WHEN n = 3 THEN topmass / total END), 0), 6) AS top3_frac,
+        |  round(coalesce(max(CASE WHEN n = 5 THEN dupmass / total END), 0), 6) AS dup5_frac
+        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+        |GROUP BY 1""".stripMargin,
+    // Same Okapi/Lucene arithmetic in the same evaluation order:
+    // (1.2 + 1) and 1.2 mirror the Scala-side k1+1 / k1 doubles, avgdl
+    // is sum/count in both, terms summed in the literal order.
+    "q_bm25" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(len(ts) AS DOUBLE) dl,
+        |    CAST(len(list_filter(ts, x -> x = 'spark')) AS DOUBLE) tf1,
+        |    CAST(len(list_filter(ts, x -> x = 'window')) AS DOUBLE) tf2,
+        |    CAST(len(list_filter(ts, x -> x = 'vector')) AS DOUBLE) tf3
+        |  FROM (SELECT doc_id, regexp_extract_all(text, '\S+') ts
+        |        FROM documents)),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) n, sum(dl) sumdl,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df2,
+        |    CAST(sum(CASE WHEN tf3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df3
+        |  FROM f)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl, round(
+        |    ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1))
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1))
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df3 + 0.5) / (df3 + 0.5)) * (tf3 * (1.2 + 1))
+        |      / (tf3 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
+        |FROM f, st
+        |WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Identical RE2-compatible ruleset and redaction order; counts on
+    // the original text, md5 over the redacted UTF-8 bytes.
+    "q_pii_scrub" ->
+      """WITH inj AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN text
+        |      || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+        |      || ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    ELSE text END AS text FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g')) AS redacted_md5
+        |FROM inj""".stripMargin,
     // Bit-exact replay of anchoredSpanProfile: md5 is the same
     // lowercase-hex digest in both engines, and substr is 1-based
     // char-indexed in both.

@@ -316,6 +316,75 @@ object TextAnalysis {
         .as("entropy"))
   }
 
+  /** Gopher-style n-gram repetition signals (Rae et al. 2021, table A1):
+    * the character-MASS view of repetition — what fraction of the
+    * document's n-gram characters sit in the single most frequent
+    * n-gram (`top{n}_frac`, Gopher filters on n = 2..4) and in ALL
+    * duplicated n-grams (`dup{n}_frac`, Gopher filters on n = 5..10).
+    * Complements the distinct-COUNT ratios of q_repetition: a doc that
+    * repeats one long slogan has a near-normal distinct ratio but a
+    * huge top-gram character mass.
+    *
+    * Definitions (documented deviation from the paper, which leaves the
+    * denominator and overlap handling unspecified): gram text is the
+    * space-joined words, mass of a gram = occurrences × length, and
+    * both fractions share the denominator Σ_grams count·len — so they
+    * are ratios of exact integers and bit-stable across engines. The
+    * top gram tie-breaks to the lexicographically smallest among equal
+    * counts.
+    *
+    * Entirely row-local and O(g log g) per document: `sort_array` over
+    * the gram multiset, then ONE fold walking equal-gram runs (the
+    * [[entropyFeaturesChain]] pattern) accumulating run count, top run
+    * and duplicated mass — never the O(distinct·positions) per-row
+    * rescan, so a 100k-token document costs a sort, not a quadratic
+    * scan, and the whole signal set is a map-only projection at any
+    * corpus size. */
+  def gopherRepetition(text: Column, n: Int): Seq[Column] = {
+    val grams = Shingles.wordShinglesAll(text, n)
+    // One fold over the sorted multiset. Accumulator fields: the run in
+    // progress (prev, c), the best finalized run (topc, topg) and the
+    // finalized duplicated mass (dup). A run is finalized when the next
+    // gram differs and by the `finish` lambda for the last run.
+    def finalized(acc: Column): Column = {
+      val c = acc.getField("c")
+      val prev = acc.getField("prev")
+      val dup = acc.getField("dup") +
+        when(c >= 2, c * length(prev).cast("long")).otherwise(lit(0L))
+      val better = c > acc.getField("topc")
+      struct(
+        prev.as("prev"), c.as("c"),
+        when(better, c).otherwise(acc.getField("topc")).as("topc"),
+        when(better, prev).otherwise(acc.getField("topg")).as("topg"),
+        dup.as("dup"))
+    }
+    val folded = aggregate(
+      sort_array(grams),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("c"),
+        lit(0L).as("topc"), lit("").as("topg"), lit(0L).as("dup")),
+      (acc, g) => when(
+        acc.getField("c") > 0 && g === acc.getField("prev"),
+        struct(acc.getField("prev").as("prev"),
+          (acc.getField("c") + lit(1L)).as("c"),
+          acc.getField("topc").as("topc"), acc.getField("topg").as("topg"),
+          acc.getField("dup").as("dup")))
+        .otherwise {
+          val f = finalized(acc)
+          struct(g.as("prev"), lit(1L).as("c"),
+            f.getField("topc").as("topc"), f.getField("topg").as("topg"),
+            f.getField("dup").as("dup"))
+        },
+      finalized)
+    val totalMass = aggregate(grams, lit(0L), (a, g) => a + length(g))
+    def frac(mass: Column): Column =
+      when(totalMass > 0, round(mass.cast("double") / totalMass, 6))
+        .otherwise(lit(0.0))
+    Seq(
+      frac(folded.getField("topc") * length(folded.getField("topg")))
+        .as(s"top${n}_frac"),
+      frac(folded.getField("dup")).as(s"dup${n}_frac"))
+  }
+
   /** Containment-pair detection over winnowing fingerprints: document
     * pairs sharing at least `minShared` distinct fingerprints, scored
     * by containment = shared / min(|fpA|, |fpB|). The winnowing

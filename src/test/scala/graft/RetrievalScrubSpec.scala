@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** BM25 retrieval, PII scrubbing, and the Gopher repetition signals. */
+class RetrievalScrubSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "spark shuffle spark join spark"),
+      (2L, "window join window"),
+      (3L, "vector search index"),
+      (4L, "the quick brown fox"),
+      (5L, "spark")
+    ).toDF("doc_id", "text")
+  }
+
+  // ---- BM25 -------------------------------------------------------
+
+  test("bm25 ranks the term-dense short doc first and excludes non-matches") {
+    val out = Retrieval.bm25(docs, "doc_id", "text", Seq("spark"), topK = 10)
+      .collect()
+    // Docs 1 and 5 contain 'spark'; doc 4 and others must be absent.
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 5L))
+    // tf=3 in doc 1 outweighs doc 5's length-normalization advantage
+    // (1.402 vs 1.391 by hand at k1=1.2, b=0.75).
+    assert(out.head.getLong(0) == 1L)
+    assert(out.forall(_.getDouble(2) > 0))
+  }
+
+  test("bm25 multi-term score is the sum of per-term scores") {
+    val both = Retrieval.bm25(
+      docs, "doc_id", "text", Seq("spark", "window"), topK = 10)
+    // Every doc matching either term appears.
+    assert(both.collect().map(_.getLong(0)).toSet == Set(1L, 2L, 5L))
+  }
+
+  test("bm25 plan: stats side is a broadcast, top-k never global-sorts") {
+    // topK below the fixture's row count: a limit ≥ the LocalRelation's
+    // known maxRows is optimized away (EliminateLimits) and with it the
+    // TakeOrderedAndProject this asserts on; parquet scans have unknown
+    // maxRows, so the real corpus path always keeps it.
+    val q = Retrieval.bm25(docs, "doc_id", "text", Seq("spark"), topK = 1)
+    val plan = q.queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
+
+  test("bm25 rejects empty, duplicate, and non-word terms") {
+    intercept[IllegalArgumentException](
+      Retrieval.bm25(docs, "doc_id", "text", Seq.empty))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25(docs, "doc_id", "text", Seq("a", "a")))
+    intercept[IllegalArgumentException](
+      Retrieval.bm25(docs, "doc_id", "text", Seq("two words")))
+  }
+
+  // ---- PII scrub --------------------------------------------------
+
+  private def piiDocs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "reach me at jane.doe+x@mail.example.org thanks"),
+      (2L, "server 192.168.1.254 and 10.0.0.1 rebooted"),
+      (3L, "ssn 123-45-6789 on file"),
+      (4L, "nothing sensitive here"),
+      (5L, "a@b.co 1.2.3.4 999-88-7777 all three")
+    ).toDF("doc_id", "text")
+  }
+
+  test("scrubReport counts and redacts each PII class") {
+    val out = Scrub.scrubReport(piiDocs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq ==
+      Seq((1L, 0L, 0L), (0L, 2L, 0L), (0L, 0L, 1L), (0L, 0L, 0L),
+        (1L, 1L, 1L)))
+    val redacted = out.map(_.getAs[String]("redacted"))
+    assert(redacted(0) == "reach me at <EMAIL> thanks")
+    assert(redacted(1) == "server <IP> and <IP> rebooted")
+    assert(redacted(2) == "ssn <ID> on file")
+    assert(redacted(3) == "nothing sensitive here")
+    assert(redacted(4) == "<EMAIL> <IP> <ID> all three")
+  }
+
+  test("scrub placeholders cannot trigger later patterns") {
+    // An email whose redaction leaves digits adjacent would let the SSN
+    // pattern re-match; the fixed order and digit-free placeholders
+    // make the chain idempotent.
+    val s = spark
+    import s.implicits._
+    val tricky = Seq((1L, "x 123-45-6789@host.com y")).toDF("doc_id", "text")
+    val r = Scrub.scrubReport(tricky, "doc_id", "text").collect()(0)
+    assert(r.getAs[String]("redacted") == "x <EMAIL> y")
+  }
+
+  test("scrubReport plan is a single map-only projection (no exchange)") {
+    val plan = Scrub.scrubReport(piiDocs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  // ---- Gopher repetition ------------------------------------------
+
+  private def gopherVal(text: String, n: Int): (Double, Double) = {
+    val s = spark
+    import s.implicits._
+    val cols = TextAnalysis.gopherRepetition(col("text"), n)
+    val r = Seq(text).toDF("text").select(cols: _*).collect()(0)
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  test("gopherRepetition top2 mass: 'a b' repeated dominates") {
+    // "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] — 'a b' count 3
+    // len 3 mass 9; 'b a' count 2 mass 6; total 15.
+    val (top2, dup2) = gopherVal("a b a b a b", 2)
+    assert(top2 == 0.6)
+    assert(dup2 == 1.0) // every 2-gram is duplicated
+  }
+
+  test("gopherRepetition on all-distinct text has zero dup mass") {
+    val (top2, dup2) = gopherVal("one two three four five", 2)
+    // Four distinct 2-grams, counts all 1: top mass = len of the
+    // lexicographically... no — max count ties at 1, first sorted run
+    // wins: 'five' never starts a 2-gram; sorted grams begin 'four five'.
+    assert(dup2 == 0.0)
+    assert(top2 > 0.0 && top2 < 0.5)
+  }
+
+  test("gopherRepetition below gram size yields zeros, not nulls") {
+    val (top5, dup5) = gopherVal("a b c", 5)
+    assert(top5 == 0.0 && dup5 == 0.0)
+  }
+
+  test("gopherRepetition top gram tie-breaks to lexicographically smallest") {
+    // 'b c' and 'c b' both appear twice ('b c b c b'): sorted order
+    // finalizes 'b c' first; strict > keeps it.
+    val (top2, _) = gopherVal("b c b c b", 2)
+    // 'b c': count 2, len 3, mass 6; 'c b': count 2, mass 6; total 12.
+    assert(top2 == 0.5)
+  }
+}
