@@ -24,6 +24,11 @@ object QueriesR9 {
     * any count. */
   private val BpeRounds = 5
 
+  /** k-means shape replayed by the clustering oracles. */
+  private val KmeansK = 4
+  private val KmeansIters = 2
+  private val KmeansDim = 64
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- iterated BPE merge learning: 5 greedy rounds over the
     //     vocab (pair explosion is vocab-sized, never corpus-sized);
@@ -124,6 +129,21 @@ object QueriesR9 {
     "q_bm25" -> ((s, d) =>
       operators.Retrieval.bm25(
         docs(s, d), "doc_id", "text", Seq("spark", "window", "vector"))),
+    // --- deterministic Lloyd's k-means: md5-seeded init, 2 exact
+    //     iterations, centroids rounded 6 each update — the oracle
+    //     replays the fit round by round ---
+    "q_kmeans" -> ((s, d) =>
+      operators.Clustering.lloyd(
+        embeds(s, d), "vec_id", "embedding", k = KmeansK,
+        iters = KmeansIters)),
+    // --- cluster-balanced sampling off the fitted assignment: up to 25
+    //     ids per cluster by md5 draw (bounded per-group heaps) ---
+    "q_cluster_sample" -> ((s, d) =>
+      operators.Clustering.clusterBalancedSample(
+        operators.Clustering.lloyd(
+          embeds(s, d), "vec_id", "embedding", k = KmeansK,
+          iters = KmeansIters),
+        "vec_id", perCluster = 25)),
     // --- PII scrub over deterministically injected PII (the testdata
     //     corpus is synthetic words, so the query plants emails/IPs/SSNs
     //     as a function of doc_id, then redacts them) ---
@@ -203,7 +223,61 @@ object QueriesR9 {
        |       CAST((cum - n_tokens) % $budget AS BIGINT) AS tok_offset
        |FROM r""".stripMargin
 
+  // ---- k-means oracle: the Lloyd rounds unrolled ---------------------
+
+  /** Squared-L2 between list columns `$a` and `$b` as the same
+    * left-associated 64-term chain the Spark fold evaluates (the 0.0
+    * fold seed is a bitwise no-op on the first non-negative term). */
+  private def kmDist(a: String, b: String): String =
+    (1 to KmeansDim)
+      .map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
+      .mkString(" + ")
+
+  /** CTE chain `e, c0, a1, c1, a2, …` replaying [[operators.Clustering
+    * .lloyd]]: cN = centroids after N mean updates (rounded 6,
+    * empty clusters inherit), aN = assignment under c{N-1} with the
+    * (dist, cluster) tie-break. Returns the chain up to `c$iters`. */
+  private def kmCtes(k: Int, iters: Int): String = {
+    val base =
+      s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |seed AS (SELECT v, row_number() OVER (
+         |    ORDER BY md5('km' || CAST(vec_id AS VARCHAR))) rk FROM e),
+         |c0 AS (SELECT rk - 1 AS c, v FROM seed WHERE rk <= $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""a$r AS (SELECT vec_id, v, c FROM (
+         |  SELECT e.vec_id, e.v, c.c, ${kmDist("e.v", "c.v")} d,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${kmDist("e.v", "c.v")}, c.c) rn
+         |  FROM e CROSS JOIN c${r - 1} c) WHERE rn = 1),
+         |m$r AS (SELECT c, list(m ORDER BY i) v FROM (
+         |  SELECT c, i, round(avg(v[i]), 6) m
+         |  FROM a$r, (SELECT unnest(generate_series(1, $KmeansDim)) i) s
+         |  GROUP BY c, i) GROUP BY c),
+         |c$r AS (SELECT p.c, coalesce(m.v, p.v) v
+         |  FROM c0 p LEFT JOIN m$r m ON p.c = m.c)""".stripMargin
+    }
+    (base +: rounds).mkString(",\n")
+  }
+
+  private def kmeansOracle(k: Int, iters: Int): String =
+    s"""WITH ${kmCtes(k, iters)}
+       |SELECT vec_id, CAST(c AS INTEGER) AS cluster,
+       |       round(d, 6) AS dist2 FROM (
+       |  SELECT e.vec_id, c.c, ${kmDist("e.v", "c.v")} d,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${kmDist("e.v", "c.v")}, c.c) rn
+       |  FROM e CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    // Balanced draw replayed over the fitted assignment.
+    "q_cluster_sample" ->
+      s"""WITH base AS (${kmeansOracle(KmeansK, KmeansIters)})
+         |SELECT CAST(cluster AS INTEGER) AS cluster, vec_id FROM (
+         |  SELECT cluster, vec_id, row_number() OVER (
+         |    PARTITION BY cluster
+         |    ORDER BY md5('cs' || CAST(vec_id AS VARCHAR))) rn
+         |  FROM base) WHERE rn <= 25""".stripMargin,
     "q_bpe_learn" -> bpeLearnOracle(BpeRounds),
     "q_bpe_apply" -> bpeApplyOracle(BpeRounds),
     "q_pack_bpe" -> bpePackOracle(BpeRounds, 2048),

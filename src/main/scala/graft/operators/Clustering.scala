@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd's k-means over an embedding column — the
+  * clustering primitive behind cluster-aware curation (SemDeDup-style
+  * semantic dedup, cluster-balanced sampling, diversity-driven data
+  * selection), built so the WHOLE fit is exact-oracle-replayable:
+  * seeded md5 initialization, a fixed iteration count, centroid means
+  * rounded to 6 decimals after every update, and lexicographic
+  * tie-breaks everywhere — two engines (or two runs on different
+  * partitionings) produce the identical model and the identical
+  * assignment, which spark.ml's KMeans (RDD-order-sensitive init)
+  * cannot promise.
+  *
+  * Scale shape per iteration: assignment is MAP-ONLY — the k·d
+  * centroid table is folded into the row expression as literals, so
+  * each vector computes its argmin in codegen without a join or
+  * shuffle. The update is ONE shuffle of (cluster, dim) partial sums
+  * (map-side combined: each task emits ≤ k·d rows no matter how many
+  * vectors it holds), and only the k·d aggregated means ever reach the
+  * driver. With k=8, d=64 that is 512 rows per iteration at ANY corpus
+  * size — the driver loop is control flow, not data flow.
+  */
+object Clustering {
+
+  /** Squared L2 distance `Σ (v_i − c_i)²` as a sequential left fold —
+    * the evaluation order the SQL oracle mirrors term by term. */
+  private def dist2(v: Column, centroid: Seq[Double]): Column =
+    aggregate(
+      zip_with(v, typedLit(centroid), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Fit + assign: `iters` Lloyd iterations from md5-seeded initial
+    * centroids, returning `(idCol, cluster, dist2)` — dist2 to the
+    * final centroid, rounded to 6.
+    *
+    * Initialization: the k rows with the smallest `md5('km' || id)`
+    * (a deterministic pseudo-random draw, portable to any engine with
+    * md5), cluster index = rank in that order. Empty clusters keep
+    * their previous centroid. Ties in assignment break to the lower
+    * cluster index via a struct `least`. */
+  def lloyd(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 2, "need at least 2 clusters")
+    require(iters >= 1, "need at least one Lloyd iteration")
+    val vecs = df.select(
+      col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    // k-row bounded collect: the seed draw.
+    val init: Array[Seq[Double]] = vecs
+      .withColumn("__h", md5(concat(lit("km"), col(idCol).cast("string"))))
+      .orderBy("__h")
+      .limit(k)
+      .select("__v")
+      .collect()
+      .map(_.getSeq[Double](0))
+    require(init.length == k, s"corpus has fewer than $k vectors")
+
+    def assigned(centroids: Array[Seq[Double]]): DataFrame = {
+      val cands = centroids.zipWithIndex.map { case (c, i) =>
+        struct(dist2(col("__v"), c).as("d"), lit(i).as("c"))
+      }
+      vecs.withColumn("__best", least(cands: _*))
+    }
+
+    var centroids = init
+    for (_ <- 1 to iters) {
+      // One (cluster, dim) shuffle — ≤ k·d rows out of every task.
+      val means = assigned(centroids)
+        .select(col("__best.c").as("__c"), posexplode(col("__v")))
+        .groupBy("__c", "pos")
+        .agg(round(avg("col"), 6).as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.zipWithIndex.map { case (prev, i) =>
+        byCluster.get(i) match {
+          case Some(rows) => rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+          case None => prev // empty cluster keeps its centroid
+        }
+      }
+    }
+    assigned(centroids).select(
+      col(idCol),
+      col("__best.c").as("cluster"),
+      round(col("__best.d"), 6).as("dist2"))
+  }
+
+  /** Cluster-balanced sample: up to `perCluster` ids from every
+    * cluster, drawn by smallest `md5('cs' || id)` — the diversity-
+    * preserving selection k-means curation pipelines feed a training
+    * mix from. Bounded per-group heaps ([[graft.plans.GroupedTopK]]),
+    * never a per-cluster sort. */
+  def clusterBalancedSample(
+      assignments: DataFrame,
+      idCol: String,
+      perCluster: Int): DataFrame =
+    graft.plans.GroupedTopK
+      .topKPerGroup(
+        assignments.withColumn(
+          "__h", md5(concat(lit("cs"), col(idCol).cast("string")))),
+        Seq("cluster"),
+        Seq(col("__h").asc),
+        perCluster)
+      .select(col("cluster"), col(idCol))
+}

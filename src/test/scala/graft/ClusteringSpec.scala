@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators._
+
+/** Deterministic Lloyd's k-means + cluster-balanced sampling. */
+class ClusteringSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  /** Two tight groups far apart, ids interleaved so the md5 seed draw
+    * is not accidentally aligned with the structure. */
+  private def vecs = {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0 else 100.0
+      (i.toLong, Array(base + i * 0.01f, base - i * 0.01f).map(_.toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("lloyd separates two far-apart groups after one iteration") {
+    val out = Clustering.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 1)
+      .collect()
+    assert(out.length == 20)
+    val byParity = out.groupBy(_.getLong(0) % 2).map { case (p, rows) =>
+      p -> rows.map(_.getInt(1)).toSet
+    }
+    // Each parity class (one tight group) lands entirely in one cluster,
+    // and the two groups land in different clusters.
+    assert(byParity.values.forall(_.size == 1))
+    assert(byParity(0L) != byParity(1L))
+  }
+
+  test("lloyd is invariant to input partitioning") {
+    val a = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 2)
+      .orderBy("vec_id").collect().toSeq
+    val b = Clustering.lloyd(vecs.repartition(7), "vec_id", "embedding", 2, 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(a == b)
+  }
+
+  test("lloyd assignment stage is map-only (no join, no shuffle)") {
+    // The per-iteration update shuffles (cluster, dim) partials; the
+    // assignment itself must fold centroids in as literals. Check the
+    // FINAL output plan: one projection over the scan, no Exchange
+    // other than none at all (the output is assignment-only).
+    val plan = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("lloyd rejects degenerate shapes") {
+    intercept[IllegalArgumentException](
+      Clustering.lloyd(vecs, "vec_id", "embedding", k = 1, iters = 1))
+    intercept[IllegalArgumentException](
+      Clustering.lloyd(vecs, "vec_id", "embedding", k = 2, iters = 0))
+    intercept[IllegalArgumentException](
+      Clustering.lloyd(vecs.limit(1), "vec_id", "embedding", 2, 1))
+  }
+
+  test("clusterBalancedSample caps every cluster and is deterministic") {
+    val assigned = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 1)
+    val sample = Clustering.clusterBalancedSample(assigned, "vec_id", 3)
+    val rows = sample.collect()
+    assert(rows.length == 6)
+    assert(rows.groupBy(_.getInt(0)).values.forall(_.length == 3))
+    val again = Clustering.clusterBalancedSample(assigned, "vec_id", 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(again == rows.map(r => (r.getInt(0), r.getLong(1))).toSet)
+  }
+}
