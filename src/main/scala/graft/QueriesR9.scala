@@ -144,6 +144,19 @@ object QueriesR9 {
           embeds(s, d), "vec_id", "embedding", k = KmeansK,
           iters = KmeansIters),
         "vec_id", perCluster = 25)),
+    // --- residual pruning: the 10 farthest vectors per cluster ---
+    "q_cluster_outliers" -> ((s, d) =>
+      operators.Clustering.clusterOutliers(
+        operators.Clustering.lloyd(
+          embeds(s, d), "vec_id", "embedding", k = KmeansK,
+          iters = KmeansIters),
+        "vec_id", topN = 10)),
+    // --- temperature-based source mixing: inclusion rate ∝ n_s^(α−1),
+    //     hash-threshold draw — selection is map-only ---
+    "q_temperature_mix" -> ((s, d) =>
+      operators.Curation.temperatureMix(
+        docs(s, d), "doc_id", "source", alpha = 0.5, total = 300L)
+        .select("doc_id", "source")),
     // --- PII scrub over deterministically injected PII (the testdata
     //     corpus is synthetic words, so the query plants emails/IPs/SSNs
     //     as a function of doc_id, then redacts them) ---
@@ -278,6 +291,29 @@ object QueriesR9 {
          |    PARTITION BY cluster
          |    ORDER BY md5('cs' || CAST(vec_id AS VARCHAR))) rn
          |  FROM base) WHERE rn <= 25""".stripMargin,
+    // Farthest-per-cluster replay: ordered on the ROUNDED dist2 with
+    // the id tiebreak, exactly as the GroupedTopK heaps order.
+    "q_cluster_outliers" ->
+      s"""WITH base AS (${kmeansOracle(KmeansK, KmeansIters)})
+         |SELECT CAST(cluster AS INTEGER) AS cluster, vec_id, dist2 FROM (
+         |  SELECT cluster, vec_id, dist2, row_number() OVER (
+         |    PARTITION BY cluster ORDER BY dist2 DESC, vec_id) rn
+         |  FROM base) WHERE rn <= 10""".stripMargin,
+    // Rate replay: Σ n^α in SOURCE-SORTED order (ordered list sum ↔ the
+    // driver's sorted fold), rate rounded to 6 (libm pow is not
+    // correctly-rounded), same md5-uniform as q_weighted_sample.
+    "q_temperature_mix" ->
+      """WITH cnt AS (SELECT source, count(*) n FROM documents GROUP BY 1),
+        |tot AS (SELECT list_sum(list(pow(CAST(n AS DOUBLE), 0.5)
+        |          ORDER BY source)) sp FROM cnt),
+        |rate AS (SELECT source,
+        |    round(least(1.0, 300.0 * pow(CAST(n AS DOUBLE), 0.5) / sp
+        |      / CAST(n AS DOUBLE)), 6) r
+        |  FROM cnt, tot)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rate USING (source)
+        |WHERE (CAST(('0x' || substr(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |       AS BIGINT) + 1.0) / 4503599627370496.0 < r""".stripMargin,
     "q_bpe_learn" -> bpeLearnOracle(BpeRounds),
     "q_bpe_apply" -> bpeApplyOracle(BpeRounds),
     "q_pack_bpe" -> bpePackOracle(BpeRounds, 2048),

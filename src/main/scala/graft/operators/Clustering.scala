@@ -90,6 +90,23 @@ object Clustering {
       round(col("__best.d"), 6).as("dist2"))
   }
 
+  /** Per-cluster outlier report: the `topN` vectors FARTHEST from
+    * their centroid — the residual-pruning view k-means curation uses
+    * to drop noise/off-manifold documents before training. Ordered by
+    * the rounded `dist2` (id tiebreak) so the cut is engine-portable;
+    * bounded per-group heaps, never a per-cluster sort. */
+  def clusterOutliers(
+      assignments: DataFrame,
+      idCol: String,
+      topN: Int): DataFrame =
+    graft.plans.GroupedTopK
+      .topKPerGroup(
+        assignments,
+        Seq("cluster"),
+        Seq(col("dist2").desc, col(idCol).asc),
+        topN)
+      .select(col("cluster"), col(idCol), col("dist2"))
+
   /** Cluster-balanced sample: up to `perCluster` ids from every
     * cluster, drawn by smallest `md5('cs' || id)` — the diversity-
     * preserving selection k-means curation pipelines feed a training

@@ -366,4 +366,61 @@ object Curation {
       .filter(col("__cum") <= budget)
       .withColumnRenamed("__cum", "cum_tokens")
   }
+
+  /** Temperature-based source mixing (the multilingual-sampling rule of
+    * Conneau & Lample et al.: sample source s with probability
+    * ∝ n_s^α, α<1 flattening the head so low-resource sources are not
+    * drowned): select ~`total` documents with per-source inclusion
+    * rate `min(1, total·n_s^α / (Σ_t n_t^α) / n_s)`, decided by a
+    * deterministic per-document hash threshold `u(id) < rate_s`.
+    *
+    * The hash-threshold draw (vs an exact per-source count) is the
+    * scale decision: selection is MAP-ONLY — no per-source window, no
+    * top-k, nothing shuffles; the only aggregation is the tiny
+    * (sources × 1) count table collected to the driver (bounded by the
+    * source cardinality) and folded back as a literal rate map. The
+    * realized size concentrates within O(√total) of the target
+    * (binomial), which is what mixture design needs — the EXACT-count
+    * alternative is [[weightedSample]]/[[GroupedTopK]] per source.
+    *
+    * Engine-portable determinism: `u` is the [[weightedSample]]
+    * md5-derived uniform; Σ n^α is accumulated in SOURCE-SORTED order
+    * on the driver, which the oracle mirrors with an ordered list sum
+    * — double addition is not associative, so the fold order is part
+    * of the contract. */
+  def temperatureMix(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      alpha: Double,
+      total: Long,
+      seed: String = "mx"): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "temperature alpha must be in (0, 1]")
+    require(total > 0, "total must be positive")
+    // Bounded collect: one row per source.
+    val counts = df.groupBy(srcCol).count()
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .sortBy(_._1)
+    val sumPow = counts.foldLeft(0.0) { case (acc, (_, n)) =>
+      acc + math.pow(n.toDouble, alpha)
+    }
+    // Rate rounded to 6 decimals: libm `pow` is not correctly-rounded,
+    // so the raw double may differ from another engine's in the last
+    // ulp — the rounded rate is the portable threshold (and 52-bit u
+    // never sits within 1e-10 of a 1e-6 grid point in practice).
+    val rateOf = counts.map { case (s, n) =>
+      val raw = math.min(
+        1.0, total.toDouble * math.pow(n.toDouble, alpha) / sumPow / n.toDouble)
+      s -> BigDecimal(raw)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val rateExpr = rateOf.foldLeft(lit(Double.NaN)) { case (els, (s, r)) =>
+      when(col(srcCol) === s, lit(r)).otherwise(els)
+    }
+    val u = (conv(
+      substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 13),
+      16, 10).cast("double") + 1.0d) / lit(4503599627370496.0d)
+    df.filter(u < rateExpr)
+  }
 }

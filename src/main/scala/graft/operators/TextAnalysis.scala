@@ -333,14 +333,30 @@ object TextAnalysis {
     * top gram tie-breaks to the lexicographically smallest among equal
     * counts.
     *
-    * Entirely row-local and O(g log g) per document: `sort_array` over
-    * the gram multiset, then ONE fold walking equal-gram runs (the
-    * [[entropyFeaturesChain]] pattern) accumulating run count, top run
-    * and duplicated mass — never the O(distinct·positions) per-row
-    * rescan, so a 100k-token document costs a sort, not a quadratic
-    * scan, and the whole signal set is a map-only projection at any
-    * corpus size. */
+    * Entirely row-local and O(g log g) per document — never the
+    * O(distinct·positions) per-row rescan, so a 100k-token document
+    * costs a sort, not a quadratic scan, and the whole signal set is a
+    * map-only projection at any corpus size. The masses come from ONE
+    * fused native pass ([[graft.functions.GopherRepetition]]); the
+    * fractions are Spark's own division + round so float semantics
+    * match the composable [[gopherRepetitionChain]] exactly
+    * (spec-pinned bit-parity). */
   def gopherRepetition(text: Column, n: Int): Seq[Column] = {
+    val m = graft.functions.GopherRepetition.gopherMasses(text, n)
+    val total = m.getField("total_mass")
+    def frac(mass: Column): Column =
+      when(total > 0, round(mass.cast("double") / total, 6))
+        .otherwise(lit(0.0))
+    Seq(
+      frac(m.getField("top_mass")).as(s"top${n}_frac"),
+      frac(m.getField("dup_mass")).as(s"dup${n}_frac"))
+  }
+
+  /** The composable-expression reference form of [[gopherRepetition]]
+    * (`sort_array` + one run-walking fold, the
+    * [[entropyFeaturesChain]] pattern). Spec-pinned bit-identical to
+    * the native expression. */
+  def gopherRepetitionChain(text: Column, n: Int): Seq[Column] = {
     val grams = Shingles.wordShinglesAll(text, n)
     // One fold over the sorted multiset. Accumulator fields: the run in
     // progress (prev, c), the best finalized run (topc, topg) and the

@@ -446,6 +446,28 @@ object Streaming {
       .drop("__ref_h")
   }
 
+  /** Ingest-time PII + quality screen: every arriving document gets its
+    * PII match counts, typed-placeholder redaction
+    * ([[graft.operators.Scrub]]) and the quality gate verdict
+    * ([[graft.operators.TextAnalysis.qualityFilter]]) — the screen a
+    * crawler runs BEFORE raw text ever lands in the lake, so leaked
+    * emails/IPs/SSNs exist in no at-rest copy.
+    *
+    * Fully STATELESS and map-only per micro-batch (the batch operator
+    * plan is a single projection, spec-pinned); identical expressions
+    * to the batch path, so batch replay == streaming output row for
+    * row. */
+  def scrubStream(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import graft.operators.{Scrub, TextAnalysis}
+    docs.select(
+      col(idCol) +: graft.operators.Scrub.piiCounts(col(textCol)) :+
+        Scrub.redactPii(col(textCol)).as("redacted") :+
+        TextAnalysis.qualityFilter(col(textCol)).as("quality_pass"): _*)
+  }
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

@@ -63,6 +63,22 @@ class ClusteringSpec extends AnyFunSuite {
       Clustering.lloyd(vecs.limit(1), "vec_id", "embedding", 2, 1))
   }
 
+  test("clusterOutliers returns the farthest vectors per cluster") {
+    val assigned = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 2)
+    val out = Clustering.clusterOutliers(assigned, "vec_id", 2)
+    val rows = out.collect()
+    assert(rows.length == 4)
+    // Every returned dist2 is >= the max dist2 of the non-returned
+    // members of its cluster.
+    val all = assigned.collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getDouble(2)))
+    val chosen = rows.map(r => (r.getInt(0), r.getLong(1))).toSet
+    for ((c, id, d) <- all if !chosen.contains((c, id))) {
+      val minChosen = rows.filter(_.getInt(0) == c).map(_.getDouble(2)).min
+      assert(d <= minChosen, s"non-outlier $id (d=$d) beats cut $minChosen")
+    }
+  }
+
   test("clusterBalancedSample caps every cluster and is deterministic") {
     val assigned = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 1)
     val sample = Clustering.clusterBalancedSample(assigned, "vec_id", 3)

@@ -417,4 +417,41 @@ class CurationSpec extends AnyFunSuite {
       assert(js > 0.0 && js < math.log(2.0), s"${r.getString(0)} js=$js out of range")
     }
   }
+
+  test("temperatureMix: α=1 reproduces uniform rates, α<1 lifts small sources") {
+    val total = docs.count()
+    // α = 1: every source's rate is total_target/N — a uniform thin.
+    val uniform = Curation.temperatureMix(docs, "doc_id", "source", 1.0, total)
+    assert(uniform.count() == total, "rate 1 must keep everything")
+    val sel = Curation.temperatureMix(docs, "doc_id", "source", 0.5, 200L)
+    val n = sel.count()
+    assert(n > 100 && n < 320, s"realized size $n should concentrate near 200")
+    // Flattening needs skew (the parquet fixture's sources are equal
+    // sized): 900 docs in 'big', 100 in 'small'. At α=0.5 the rate
+    // ratio small:big is √9 = 3 — the small source's selected FRACTION
+    // must come out clearly higher.
+    val s = spark
+    import s.implicits._
+    val skewed = (0 until 1000)
+      .map(i => (i.toLong, if (i < 900) "big" else "small"))
+      .toDF("doc_id", "source")
+    val pick = Curation.temperatureMix(skewed, "doc_id", "source", 0.5, 300L)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fBig = pick.getOrElse("big", 0L).toDouble / 900
+    val fSmall = pick.getOrElse("small", 0L).toDouble / 100
+    assert(fSmall > 1.5 * fBig, s"small=$fSmall big=$fBig")
+  }
+
+  test("temperatureMix selection is deterministic and map-only after the count") {
+    val a = Curation.temperatureMix(docs, "doc_id", "source", 0.5, 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.temperatureMix(
+      docs.repartition(7), "doc_id", "source", 0.5, 100L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val plan = Curation.temperatureMix(docs, "doc_id", "source", 0.5, 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

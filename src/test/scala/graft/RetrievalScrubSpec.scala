@@ -141,6 +141,28 @@ class RetrievalScrubSpec extends AnyFunSuite {
     assert(top5 == 0.0 && dup5 == 0.0)
   }
 
+  test("gopherRepetition native masses are bit-identical to the chain") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      "a b a b a b",
+      "one two three four five",
+      "x",
+      "b c b c b",
+      "the the the the",
+      "αβ γ αβ γ αβ", // greek, non-ASCII
+      "𝕏 y 𝕏 y 𝕏", // supplementary plane
+      "a  b a  b" // double space -> empty tokens preserved
+    ).toDF("text")
+    for (n <- Seq(2, 3, 5)) {
+      val native = texts.select(TextAnalysis.gopherRepetition(col("text"), n): _*)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+      val chain = texts.select(TextAnalysis.gopherRepetitionChain(col("text"), n): _*)
+        .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSeq
+      assert(native == chain, s"n=$n")
+    }
+  }
+
   test("gopherRepetition top gram tie-breaks to lexicographically smallest") {
     // 'b c' and 'c b' both appear twice ('b c b c b'): sorted order
     // finalizes 'b c' first; strict > keeps it.

@@ -438,6 +438,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 1), (1L, 2), (2L, 1)), s"got $got")
   }
 
+  test("streaming PII screen redacts at ingest, stateless, batch-parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String)]
+    val screened = Streaming.scrubStream(
+      stream.toDF().toDF("doc_id", "text"))
+    val q = screened.writeStream.format("memory").queryName("scrubstream")
+      .outputMode(OutputMode.Append()).start()
+    val rows = Seq(
+      (1L, "mail me at a.b@example.com about the ten tokens quality " +
+        "gate passing text body here today"),
+      (2L, "host 10.1.2.3 short"))
+    try {
+      stream.addData(rows: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "scrub screen must not register streaming state")
+    } finally q.stop()
+    val got = spark.table("scrubstream").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[String]("redacted")))
+      .toMap
+    assert(got(1L)._1 == 1L && got(1L)._3.contains("<EMAIL>"))
+    assert(got(2L)._2 == 1L && got(2L)._3.contains("<IP>"))
+    // batch parity: identical expressions, identical rows
+    val batch = Streaming.scrubStream(rows.toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getAs[String]("redacted"))).toMap
+    assert(batch == got)
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
