@@ -151,6 +151,36 @@ object QueriesR9 {
           embeds(s, d), "vec_id", "embedding", k = KmeansK,
           iters = KmeansIters),
         "vec_id", topN = 10)),
+    // --- compression-ratio quality signal (DEFLATE/UTF-8 size): the
+    //     long-range-repetition detector n-gram stats dilute. zlib
+    //     byte counts are JVM-stable but not a cross-engine spec ⇒
+    //     rows-only; q_compress_sanity carries the oracle gate ---
+    "q_compress_ratio" -> ((s, d) =>
+      docs(s, d).select(
+        col("doc_id") +:
+          operators.TextAnalysis.compressionSignals(col("text")): _*)),
+    // --- oracle-gated invariants of the deflate signal (q_sample_bounds
+    //     pattern): exact doc count + ratio band + doubling
+    //     sub-additivity (z(t||t) < 2·z(t): the second copy is one
+    //     back-reference) + re-evaluation determinism ---
+    "q_compress_sanity" -> { (s, d) =>
+      val sig = operators.TextAnalysis.compressionSignals(col("text"))
+      val sigDoubled = operators.TextAnalysis
+        .compressionSignals(concat(col("text"), col("text")))
+      val base = docs(s, d).select(
+        col("doc_id") +: (sig ++ Seq(
+          sigDoubled(1).as("z2_bytes"),
+          operators.TextAnalysis.compressionSignals(col("text"))(1)
+            .as("z_again"))): _*)
+      base.agg(
+        count(lit(1)).as("n_docs"),
+        (sum(when(col("z_ratio") <= 0 || col("z_ratio") > 1.3, 1)
+          .otherwise(0)) === 0).as("band_ok"),
+        (sum(when(col("z2_bytes") >= col("z_bytes") * 2, 1).otherwise(0))
+          === 0).as("subadditive_ok"),
+        (sum(when(col("z_bytes") =!= col("z_again"), 1).otherwise(0)) === 0)
+          .as("deterministic"))
+    },
     // --- temperature-based source mixing: inclusion rate ∝ n_s^(α−1),
     //     hash-threshold draw — selection is map-only ---
     "q_temperature_mix" -> ((s, d) =>
@@ -299,6 +329,13 @@ object QueriesR9 {
          |  SELECT cluster, vec_id, dist2, row_number() OVER (
          |    PARTITION BY cluster ORDER BY dist2 DESC, vec_id) rn
          |  FROM base) WHERE rn <= 10""".stripMargin,
+    // Deflate invariants: the count is genuinely verified; the three
+    // booleans are deterministic invariants of the Spark-side zlib, so
+    // the oracle pins them TRUE (q_sample_bounds pattern).
+    "q_compress_sanity" ->
+      """SELECT count(*) AS n_docs, TRUE AS band_ok,
+        |  TRUE AS subadditive_ok, TRUE AS deterministic
+        |FROM documents""".stripMargin,
     // Rate replay: Σ n^α in SOURCE-SORTED order (ordered list sum ↔ the
     // driver's sorted fold), rate rounded to 6 (libm pow is not
     // correctly-rounded), same md5-uniform as q_weighted_sample.

@@ -401,6 +401,23 @@ object TextAnalysis {
       frac(folded.getField("dup")).as(s"dup${n}_frac"))
   }
 
+  /** Compression-ratio quality signal `(n_bytes, z_bytes, z_ratio)`:
+    * DEFLATE size over UTF-8 size ([[graft.functions.DeflateStats]] —
+    * see its scaladoc for the determinism contract and why the corpus
+    * query is rows-only gated). Low ratio ⇒ boilerplate/repetition the
+    * n-gram signals dilute; ratios near/above 1 ⇒ non-text payloads.
+    * Map-only. */
+  def compressionSignals(text: Column): Seq[Column] = {
+    val st = graft.functions.DeflateStats.deflateStats(text)
+    val n = st.getField("n_bytes")
+    val z = st.getField("z_bytes")
+    Seq(
+      n.as("n_bytes"),
+      z.as("z_bytes"),
+      when(n > 0, round(z.cast("double") / n, 6)).otherwise(lit(0.0))
+        .as("z_ratio"))
+  }
+
   /** Containment-pair detection over winnowing fingerprints: document
     * pairs sharing at least `minShared` distinct fingerprints, scored
     * by containment = shared / min(|fpA|, |fpB|). The winnowing

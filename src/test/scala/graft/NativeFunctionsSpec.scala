@@ -213,6 +213,33 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(viaSql == viaCol && viaSql.length == 8)
   }
 
+  test("deflate_stats: repetition compresses, ratio band holds, deterministic") {
+    val s = spark
+    import s.implicits._
+    val texts = Seq(
+      (1L, "spam " * 200),
+      (2L, (0 until 200).map(i => (i * 2654435761L % 9973).toString).mkString(" ")),
+      (3L, "x"),
+      (4L, "")
+    ).toDF("id", "text")
+    val out = texts.select(
+      col("id") +: graft.operators.TextAnalysis.compressionSignals(col("text")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // repetitive text compresses far better than pseudo-random digits
+    assert(out(1L)._3 < 0.1, s"spam ratio ${out(1L)._3}")
+    assert(out(2L)._3 > 0.4, s"digits ratio ${out(2L)._3}")
+    // raw byte counts are exact UTF-8 lengths
+    assert(out(1L)._1 == 1000L && out(3L)._1 == 1L && out(4L)._1 == 0L)
+    // zero-length text: ratio defined as 0
+    assert(out(4L)._3 == 0.0)
+    // deterministic across partitionings
+    val again = texts.repartition(5).select(
+      col("id") +: graft.operators.TextAnalysis.compressionSignals(col("text")): _*)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out.map { case (k, v) => k -> v._2 })
+  }
+
   test("dot_product reads array<float> natively without a cast in the plan") {
     val df = vecs.select(
       graft.functions.functions.dotProduct(col("a"), col("b")).as("d"))
