@@ -151,6 +151,26 @@ object QueriesR9 {
           embeds(s, d), "vec_id", "embedding", k = KmeansK,
           iters = KmeansIters),
         "vec_id", topN = 10)),
+    // --- the RELEASE composition: quality gate -> exact + near dedup
+    //     (q_pipeline's cleanCorpus) -> PII redaction fingerprint ->
+    //     tokenize with the LEARNED merges (trained on the raw corpus,
+    //     served from the freshness-keyed ModelCache) -> context-window
+    //     shard/offset packing. Raw corpus in, training-shard manifest
+    //     out — every stage an already-gated operator, composed ---
+    "q_release" -> { (s, d) =>
+      val dd = docs(s, d)
+      val cleaned = operators.Pipeline.cleanCorpus(dd, "doc_id", "text")
+      val scrubbed = operators.Scrub
+        .scrubReport(cleaned, "doc_id", "text")
+        .select(col("doc_id"), col("redacted_md5"))
+      val merges = operators.Vocab.learnedMerges(dd, "text", BpeRounds)
+      val counted = operators.Vocab
+        .tokenizeWithMerges(cleaned, "doc_id", "text", merges)
+        .select(col("doc_id"), col("n_tokens"))
+      operators.Packing
+        .tokenShardOffsets(counted, "doc_id", "n_tokens", 2048L)
+        .join(scrubbed, "doc_id")
+    },
     // --- compression-ratio quality signal (DEFLATE/UTF-8 size): the
     //     long-range-repetition detector n-gram stats dilute. zlib
     //     byte counts are JVM-stable but not a cross-engine spec ⇒
@@ -329,6 +349,31 @@ object QueriesR9 {
          |  SELECT cluster, vec_id, dist2, row_number() OVER (
          |    PARTITION BY cluster ORDER BY dist2 DESC, vec_id) rn
          |  FROM base) WHERE rn <= 10""".stripMargin,
+    // Release replay: survivors from the q_pipeline oracle (a full
+    // WITH RECURSIVE query, legal as a CTE body), token counts from the
+    // BPE-apply replay restricted to survivors, the same doc_id-ordered
+    // running-sum shard arithmetic as q_pack_bpe, and the scrub chain
+    // (a no-op fingerprint on this PII-free corpus, but replayed in
+    // full so the gate would catch a redaction bug).
+    "q_release" ->
+      s"""WITH surv AS (${operators.PipelineQueries.oracles("q_pipeline")}),
+         |tokall AS (${bpeApplyOracle(BpeRounds)}),
+         |tok AS (SELECT t.doc_id, t.n_tokens FROM tokall t
+         |        JOIN surv USING (doc_id)),
+         |r AS (SELECT doc_id, n_tokens,
+         |    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) cum
+         |  FROM tok),
+         |scr AS (SELECT d.doc_id,
+         |    md5(regexp_replace(regexp_replace(regexp_replace(d.text,
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         |      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ID>', 'g')) redacted_md5
+         |  FROM documents d JOIN surv USING (doc_id))
+         |SELECT r.doc_id, CAST(r.n_tokens AS INTEGER) AS n_tokens,
+         |  CAST((r.cum - r.n_tokens) // 2048 AS BIGINT) AS shard,
+         |  CAST((r.cum - r.n_tokens) % 2048 AS BIGINT) AS tok_offset,
+         |  scr.redacted_md5
+         |FROM r JOIN scr USING (doc_id)""".stripMargin,
     // Deflate invariants: the count is genuinely verified; the three
     // booleans are deterministic invariants of the Spark-side zlib, so
     // the oracle pins them TRUE (q_sample_bounds pattern).
