@@ -397,8 +397,11 @@ object Curation {
       seed: String = "mx"): DataFrame = {
     require(alpha > 0 && alpha <= 1, "temperature alpha must be in (0, 1]")
     require(total > 0, "total must be positive")
+    // Rows with a NULL source are excluded (they have no mixture rate;
+    // a null key would also break the sorted driver fold below).
+    val nonNull = df.filter(col(srcCol).isNotNull)
     // Bounded collect: one row per source.
-    val counts = df.groupBy(srcCol).count()
+    val counts = nonNull.groupBy(srcCol).count()
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
@@ -421,6 +424,6 @@ object Curation {
     val u = (conv(
       substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 13),
       16, 10).cast("double") + 1.0d) / lit(4503599627370496.0d)
-    df.filter(u < rateExpr)
+    nonNull.filter(u < rateExpr)
   }
 }

@@ -443,6 +443,16 @@ class CurationSpec extends AnyFunSuite {
     assert(fSmall > 1.5 * fBig, s"small=$fSmall big=$fBig")
   }
 
+  test("temperatureMix excludes null-source rows instead of crashing") {
+    val s = spark
+    import s.implicits._
+    val withNulls = Seq(
+      (1L, "a"), (2L, "a"), (3L, null.asInstanceOf[String]), (4L, "b"))
+      .toDF("doc_id", "source")
+    val out = Curation.temperatureMix(withNulls, "doc_id", "source", 0.5, 4L)
+    assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(3L))
+  }
+
   test("temperatureMix selection is deterministic and map-only after the count") {
     val a = Curation.temperatureMix(docs, "doc_id", "source", 0.5, 100L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
