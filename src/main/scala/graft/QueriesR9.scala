@@ -124,6 +124,12 @@ object QueriesR9 {
       val dup5 = operators.TextAnalysis.gopherRepetition(col("text"), 5)(1)
       docs(s, d).select(col("doc_id"), top2, top3, dup5)
     },
+    // --- the published Gopher gates funneled: per-gate attrition from
+    //     ONE corpus scan (filterFunnel's fail-index trick) ---
+    "q_gopher_funnel" -> ((s, d) =>
+      operators.Curation.filterFunnel(
+        docs(s, d),
+        operators.TextAnalysis.gopherStages(col("text")))),
     // --- BM25 keyword retrieval: two corpus scans, ONE stats row on
     //     the wire, top-k via TakeOrderedAndProject ---
     "q_bm25" -> ((s, d) =>
@@ -331,6 +337,41 @@ object QueriesR9 {
        |      ORDER BY ${kmDist("e.v", "c.v")}, c.c) rn
        |  FROM e CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin
 
+  /** Per-doc (top2_frac, top3_frac, dup5_frac) replay shared by the
+    * q_gopher_rep gate and the q_gopher_funnel stage arithmetic. */
+  private val gopherRepOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+      |gg AS (
+      |  SELECT doc_id, n, unnest(gs) g FROM (
+      |    SELECT doc_id, 2 AS n, list_transform(generate_series(1, len(ts) - 1),
+      |        i -> ts[i] || ' ' || ts[i+1]) gs
+      |      FROM toks WHERE len(ts) >= 2
+      |    UNION ALL
+      |    SELECT doc_id, 3, list_transform(generate_series(1, len(ts) - 2),
+      |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+      |      FROM toks WHERE len(ts) >= 3
+      |    UNION ALL
+      |    SELECT doc_id, 5, list_transform(generate_series(1, len(ts) - 4),
+      |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
+      |             ts[i+3] || ' ' || ts[i+4])
+      |      FROM toks WHERE len(ts) >= 5)),
+      |c AS (SELECT doc_id, n, g, count(*) c, count(*) * len(g) mass
+      |      FROM gg GROUP BY 1, 2, 3),
+      |r AS (SELECT doc_id, n, c, mass,
+      |        row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) rn
+      |      FROM c),
+      |a AS (SELECT doc_id, n,
+      |        CAST(sum(mass) AS DOUBLE) total,
+      |        CAST(max(CASE WHEN rn = 1 THEN mass END) AS DOUBLE) topmass,
+      |        CAST(coalesce(sum(CASE WHEN c >= 2 THEN mass END), 0) AS DOUBLE) dupmass
+      |      FROM r GROUP BY 1, 2)
+      |SELECT d.doc_id,
+      |  round(coalesce(max(CASE WHEN n = 2 THEN topmass / total END), 0), 6) AS top2_frac,
+      |  round(coalesce(max(CASE WHEN n = 3 THEN topmass / total END), 0), 6) AS top3_frac,
+      |  round(coalesce(max(CASE WHEN n = 5 THEN dupmass / total END), 0), 6) AS dup5_frac
+      |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
+      |GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
     // Balanced draw replayed over the fitted assignment.
@@ -511,38 +552,26 @@ object QueriesR9 {
     // Same gram text (space-joined), same integer masses (count·len),
     // same shared denominator; the top gram tie-breaks to the
     // lexicographically smallest among max counts in both engines.
-    "q_gopher_rep" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
-        |gg AS (
-        |  SELECT doc_id, n, unnest(gs) g FROM (
-        |    SELECT doc_id, 2 AS n, list_transform(generate_series(1, len(ts) - 1),
-        |        i -> ts[i] || ' ' || ts[i+1]) gs
-        |      FROM toks WHERE len(ts) >= 2
-        |    UNION ALL
-        |    SELECT doc_id, 3, list_transform(generate_series(1, len(ts) - 2),
-        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
-        |      FROM toks WHERE len(ts) >= 3
-        |    UNION ALL
-        |    SELECT doc_id, 5, list_transform(generate_series(1, len(ts) - 4),
-        |        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' ||
-        |             ts[i+3] || ' ' || ts[i+4])
-        |      FROM toks WHERE len(ts) >= 5)),
-        |c AS (SELECT doc_id, n, g, count(*) c, count(*) * len(g) mass
-        |      FROM gg GROUP BY 1, 2, 3),
-        |r AS (SELECT doc_id, n, c, mass,
-        |        row_number() OVER (PARTITION BY doc_id, n ORDER BY c DESC, g) rn
-        |      FROM c),
-        |a AS (SELECT doc_id, n,
-        |        CAST(sum(mass) AS DOUBLE) total,
-        |        CAST(max(CASE WHEN rn = 1 THEN mass END) AS DOUBLE) topmass,
-        |        CAST(coalesce(sum(CASE WHEN c >= 2 THEN mass END), 0) AS DOUBLE) dupmass
-        |      FROM r GROUP BY 1, 2)
-        |SELECT d.doc_id,
-        |  round(coalesce(max(CASE WHEN n = 2 THEN topmass / total END), 0), 6) AS top2_frac,
-        |  round(coalesce(max(CASE WHEN n = 3 THEN topmass / total END), 0), 6) AS top3_frac,
-        |  round(coalesce(max(CASE WHEN n = 5 THEN dupmass / total END), 0), 6) AS dup5_frac
-        |FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id
-        |GROUP BY 1""".stripMargin,
+    "q_gopher_rep" -> gopherRepOracle,
+    // The published Gopher gates over those fractions, funneled with
+    // the same fail-index arithmetic as q_gate_funnel.
+    "q_gopher_funnel" ->
+      s"""WITH g AS ($gopherRepOracle),
+         |f AS (SELECT CASE
+         |    WHEN NOT (top2_frac < 0.2) THEN 0
+         |    WHEN NOT (top3_frac < 0.18) THEN 1
+         |    WHEN NOT (dup5_frac < 0.15) THEN 2
+         |    ELSE 3 END AS fail FROM g),
+         |a AS (SELECT fail, count(*) AS c FROM f GROUP BY fail),
+         |t AS (SELECT count(*) AS total FROM f),
+         |s AS (SELECT * FROM (VALUES (0, 'top2_frac'), (1, 'top3_frac'),
+         |      (2, 'dup5_frac')) v(stage_idx, stage))
+         |SELECT s.stage_idx, s.stage,
+         |  CAST(t.total - coalesce((SELECT sum(c) FROM a
+         |    WHERE fail < s.stage_idx), 0) AS BIGINT) AS rows_in,
+         |  CAST(t.total - coalesce((SELECT sum(c) FROM a
+         |    WHERE fail <= s.stage_idx), 0) AS BIGINT) AS rows_out
+         |FROM s, t""".stripMargin,
     // Same Okapi/Lucene arithmetic in the same evaluation order:
     // (1.2 + 1) and 1.2 mirror the Scala-side k1+1 / k1 doubles, avgdl
     // is sum/count in both, terms summed in the literal order.

@@ -401,6 +401,21 @@ object TextAnalysis {
       frac(folded.getField("dup")).as(s"dup${n}_frac"))
   }
 
+  /** The published Gopher repetition gates (Rae et al. 2021, table A1)
+    * as ORDERED funnel stages over [[gopherRepetition]]'s fractions:
+    * top-2-gram mass < 0.20, top-3-gram < 0.18, duplicated-5-gram
+    * < 0.15. Feed to [[Curation.filterFunnel]] for per-gate attrition
+    * (q_gopher_funnel) or conjoin for the filter itself. */
+  def gopherStages(text: Column): Seq[(String, Column)] = {
+    val top2 = gopherRepetition(text, 2).head
+    val top3 = gopherRepetition(text, 3).head
+    val dup5 = gopherRepetition(text, 5)(1)
+    Seq(
+      "top2_frac" -> (top2 < 0.20),
+      "top3_frac" -> (top3 < 0.18),
+      "dup5_frac" -> (dup5 < 0.15))
+  }
+
   /** Compression-ratio quality signal `(n_bytes, z_bytes, z_ratio)`:
     * DEFLATE size over UTF-8 size ([[graft.functions.DeflateStats]] —
     * see its scaladoc for the determinism contract and why the corpus
