@@ -150,6 +150,12 @@ object QueriesR9 {
           embeds(s, d), "vec_id", "embedding", k = KmeansK,
           iters = KmeansIters),
         "vec_id", perCluster = 25)),
+    // --- farthest-first (deterministic k-means++) seeded fit: better
+    //     spread centroids, k bounded 1-row scans, same exact replay ---
+    "q_kmeans_spread" -> ((s, d) =>
+      operators.Clustering.lloyd(
+        embeds(s, d), "vec_id", "embedding", k = KmeansK, iters = 1,
+        seeding = "spread")),
     // --- residual pruning: the 10 farthest vectors per cluster ---
     "q_cluster_outliers" -> ((s, d) =>
       operators.Clustering.clusterOutliers(
@@ -302,16 +308,43 @@ object QueriesR9 {
       .map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])")
       .mkString(" + ")
 
-  /** CTE chain `e, c0, a1, c1, a2, …` replaying [[operators.Clustering
-    * .lloyd]]: cN = centroids after N mean updates (rounded 6,
-    * empty clusters inherit), aN = assignment under c{N-1} with the
-    * (dist, cluster) tie-break. Returns the chain up to `c$iters`. */
-  private def kmCtes(k: Int, iters: Int): String = {
+  /** md5-draw seed CTEs: cluster index = rank in the md5 order. */
+  private def kmHashSeedCtes(k: Int): String =
+    s"""seed AS (SELECT v, row_number() OVER (
+       |    ORDER BY md5('km' || CAST(vec_id AS VARCHAR))) rk FROM e),
+       |c0 AS (SELECT rk - 1 AS c, v FROM seed WHERE rk <= $k)""".stripMargin
+
+  /** Farthest-first seed CTEs replaying
+    * [[operators.Clustering.lloyd]]'s `seeding = "spread"`: ff0 is the
+    * md5-min vector, ffR maximizes `least(dist to ff0..ff{R-1})` (ties
+    * to the smaller id). The distance chains are bit-identical to the
+    * Spark literal folds, so the argmax rows agree. */
+  private def kmSpreadSeedCtes(k: Int): String = {
+    val ff0 =
+      """ff0 AS (SELECT v FROM e
+        |  ORDER BY md5('km' || CAST(vec_id AS VARCHAR)) LIMIT 1)""".stripMargin
+    val rest = (1 until k).map { r =>
+      val dists = (0 until r).map(i => kmDist("e.v", s"ff$i.v"))
+      val minD = if (dists.size == 1) dists.head
+        else s"least(${dists.map(d => s"($d)").mkString(", ")})"
+      val froms = (0 until r).map(i => s"ff$i").mkString(", ")
+      s"""ff$r AS (SELECT e.v FROM e, $froms
+         |  ORDER BY $minD DESC, e.vec_id LIMIT 1)""".stripMargin
+    }
+    val union = (0 until k)
+      .map(i => s"SELECT $i AS c, v FROM ff$i").mkString("\n  UNION ALL ")
+    ((ff0 +: rest) :+ s"c0 AS (\n  $union)").mkString(",\n")
+  }
+
+  /** CTE chain `e, <seeds>, a1, c1, a2, …` replaying
+    * [[operators.Clustering.lloyd]]: cN = centroids after N mean
+    * updates (rounded 6, empty clusters INHERIT THE PREVIOUS ROUND's
+    * centroid — c{N-1}, exactly the Scala `prev`), aN = assignment
+    * under c{N-1} with the (dist, cluster) tie-break. */
+  private def kmCtes(k: Int, iters: Int, seedCtes: String): String = {
     val base =
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-         |seed AS (SELECT v, row_number() OVER (
-         |    ORDER BY md5('km' || CAST(vec_id AS VARCHAR))) rk FROM e),
-         |c0 AS (SELECT rk - 1 AS c, v FROM seed WHERE rk <= $k)""".stripMargin
+         |$seedCtes""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""a$r AS (SELECT vec_id, v, c FROM (
          |  SELECT e.vec_id, e.v, c.c, ${kmDist("e.v", "c.v")} d,
@@ -323,19 +356,22 @@ object QueriesR9 {
          |  FROM a$r, (SELECT unnest(generate_series(1, $KmeansDim)) i) s
          |  GROUP BY c, i) GROUP BY c),
          |c$r AS (SELECT p.c, coalesce(m.v, p.v) v
-         |  FROM c0 p LEFT JOIN m$r m ON p.c = m.c)""".stripMargin
+         |  FROM c${r - 1} p LEFT JOIN m$r m ON p.c = m.c)""".stripMargin
     }
     (base +: rounds).mkString(",\n")
   }
 
-  private def kmeansOracle(k: Int, iters: Int): String =
-    s"""WITH ${kmCtes(k, iters)}
+  private def kmeansOracle(k: Int, iters: Int, seeding: String = "hash"): String = {
+    val seeds =
+      if (seeding == "spread") kmSpreadSeedCtes(k) else kmHashSeedCtes(k)
+    s"""WITH ${kmCtes(k, iters, seeds)}
        |SELECT vec_id, CAST(c AS INTEGER) AS cluster,
        |       round(d, 6) AS dist2 FROM (
        |  SELECT e.vec_id, c.c, ${kmDist("e.v", "c.v")} d,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${kmDist("e.v", "c.v")}, c.c) rn
        |  FROM e CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin
+  }
 
   /** Per-doc (top2_frac, top3_frac, dup5_frac) replay shared by the
     * q_gopher_rep gate and the q_gopher_funnel stage arithmetic. */
@@ -374,6 +410,7 @@ object QueriesR9 {
 
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
+    "q_kmeans_spread" -> kmeansOracle(KmeansK, 1, seeding = "spread"),
     // Balanced draw replayed over the fitted assignment.
     "q_cluster_sample" ->
       s"""WITH base AS (${kmeansOracle(KmeansK, KmeansIters)})

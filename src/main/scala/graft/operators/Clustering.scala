@@ -41,24 +41,61 @@ object Clustering {
     * md5), cluster index = rank in that order. Empty clusters keep
     * their previous centroid. Ties in assignment break to the lower
     * cluster index via a struct `least`. */
+  /** Farthest-first traversal seeds (the deterministic k-means++
+    * shape): seed 0 is the md5-min vector, seed r the vector MAXIMIZING
+    * the minimum distance to the seeds chosen so far (ties to the
+    * smaller id). k bounded 1-row driver round trips, each a map-only
+    * scan + `TakeOrderedAndProject`; the distance chains are the same
+    * literal folds the oracle replays, so the whole traversal is
+    * engine-portable. Better-spread centroids than the hash draw at
+    * the cost of k extra scans. */
+  private def farthestFirstSeeds(
+      vecs: DataFrame, idCol: String, k: Int): Array[Seq[Double]] = {
+    val first = vecs
+      .withColumn("__h", md5(concat(lit("km"), col(idCol).cast("string"))))
+      .orderBy("__h")
+      .limit(1)
+      .select("__v")
+      .collect()
+    require(first.nonEmpty, "corpus is empty")
+    val seeds = scala.collection.mutable.ArrayBuffer[Seq[Double]](
+      first(0).getSeq[Double](0))
+    while (seeds.size < k) {
+      val dists = seeds.map(s => dist2(col("__v"), s)).toSeq
+      val minDist = if (dists.size == 1) dists.head else least(dists: _*)
+      val next = vecs
+        .orderBy(minDist.desc, col(idCol))
+        .limit(1)
+        .select("__v")
+        .collect()
+      seeds += next(0).getSeq[Double](0)
+    }
+    seeds.toArray
+  }
+
   def lloyd(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int,
+      seeding: String = "hash"): DataFrame = {
     require(k >= 2, "need at least 2 clusters")
     require(iters >= 1, "need at least one Lloyd iteration")
+    require(seeding == "hash" || seeding == "spread",
+      "seeding must be 'hash' (md5 draw) or 'spread' (farthest-first)")
     val vecs = df.select(
       col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    // k-row bounded collect: the seed draw.
-    val init: Array[Seq[Double]] = vecs
-      .withColumn("__h", md5(concat(lit("km"), col(idCol).cast("string"))))
-      .orderBy("__h")
-      .limit(k)
-      .select("__v")
-      .collect()
-      .map(_.getSeq[Double](0))
+    // Bounded driver collects only: k rows (hash) or k × 1 row (spread).
+    val init: Array[Seq[Double]] =
+      if (seeding == "spread") farthestFirstSeeds(vecs, idCol, k)
+      else vecs
+        .withColumn("__h", md5(concat(lit("km"), col(idCol).cast("string"))))
+        .orderBy("__h")
+        .limit(k)
+        .select("__v")
+        .collect()
+        .map(_.getSeq[Double](0))
     require(init.length == k, s"corpus has fewer than $k vectors")
 
     def assigned(centroids: Array[Seq[Double]]): DataFrame = {

@@ -35,6 +35,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(byParity(0L) != byParity(1L))
   }
 
+  test("spread seeding separates the groups in one iteration and is stable") {
+    // Farthest-first guarantees the second seed comes from the OTHER
+    // group (max min-distance), so even iters=1 separates perfectly.
+    val out = Clustering.lloyd(
+      vecs, "vec_id", "embedding", k = 2, iters = 1, seeding = "spread")
+      .collect()
+    val byParity = out.groupBy(_.getLong(0) % 2)
+      .map { case (p, rows) => p -> rows.map(_.getInt(1)).toSet }
+    assert(byParity.values.forall(_.size == 1))
+    assert(byParity(0L) != byParity(1L))
+    val again = Clustering.lloyd(
+      vecs.repartition(5), "vec_id", "embedding", 2, 1, seeding = "spread")
+      .orderBy("vec_id").collect().toSeq
+    assert(again == out.sortBy(_.getLong(0)).toSeq)
+  }
+
   test("lloyd is invariant to input partitioning") {
     val a = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 2)
       .orderBy("vec_id").collect().toSeq
