@@ -66,6 +66,27 @@ object QueriesR9 {
         .select(col("doc_id"), col("n_tokens"))
       operators.Packing.tokenShardOffsets(counted, "doc_id", "n_tokens", 2048L)
     },
+    // --- per-source tokenizer fertility (subword tokens per word under
+    //     the LEARNED merges): the standard tokenizer-evaluation metric
+    //     — a source tokenizing at 2× the corpus fertility pays 2× the
+    //     context budget. One tokenize projection + one tiny group agg ---
+    "q_bpe_fertility" -> { (s, d) =>
+      val dd = docs(s, d)
+      val merges = operators.Vocab.learnedMerges(dd, "text", BpeRounds)
+      val tok = operators.Vocab
+        .tokenizeWithMerges(dd, "doc_id", "text", merges)
+        .select("doc_id", "n_tokens")
+      dd.select(col("doc_id"), col("source"),
+          size(regexp_extract_all(lower(col("text")), lit("\\p{L}+"), lit(0)))
+            .as("n_words"))
+        .join(tok, "doc_id")
+        .groupBy("source")
+        .agg(
+          sum("n_tokens").as("n_tokens"),
+          sum("n_words").as("n_words"),
+          round(sum("n_tokens").cast("double") / sum("n_words"), 6)
+            .as("fertility"))
+    },
     // --- per-source vocabulary drift (Jensen-Shannon vs the corpus):
     //     the mixture-design "which source is unlike the rest" report ---
     "q_source_drift" -> ((s, d) =>
@@ -475,6 +496,20 @@ object QueriesR9 {
         |WHERE (CAST(('0x' || substr(md5('mx' || CAST(doc_id AS VARCHAR)), 1, 13))
         |       AS BIGINT) + 1.0) / 4503599627370496.0 < r""".stripMargin,
     "q_bpe_learn" -> bpeLearnOracle(BpeRounds),
+    // Fertility replay off the BPE-apply CTEs; same word regex as the
+    // tokenizer, exact integer sums, one rounded division.
+    "q_bpe_fertility" ->
+      s"""WITH tokall AS (${bpeApplyOracle(BpeRounds)}),
+         |w AS (SELECT doc_id, source,
+         |    len(regexp_extract_all(lower(text), '\\p{L}+')) nw
+         |  FROM documents)
+         |SELECT w.source,
+         |  CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(w.nw) AS BIGINT) AS n_words,
+         |  round(CAST(sum(t.n_tokens) AS DOUBLE) / CAST(sum(w.nw) AS DOUBLE), 6)
+         |    AS fertility
+         |FROM tokall t JOIN w USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "q_bpe_apply" -> bpeApplyOracle(BpeRounds),
     "q_pack_bpe" -> bpePackOracle(BpeRounds, 2048),
     // JS drift replay: identical arithmetic — per-term doubles are
