@@ -192,7 +192,13 @@ object QueriesR9 {
     //     out — every stage an already-gated operator, composed ---
     "q_release" -> { (s, d) =>
       val dd = docs(s, d)
-      val cleaned = operators.Pipeline.cleanCorpus(dd, "doc_id", "text")
+      // The cleaning pipeline (quality gate + exact/near dedup with its
+      // component rounds) feeds TWO branches below; Spark shares no
+      // common subtrees across DataFrame branches, so without this
+      // checkpoint the whole dedup re-executes per branch (measured
+      // 10.6 s → the sum-of-parts ~4 s at sf0.1).
+      val cleaned = operators.Materialize.checkpoint(
+        operators.Pipeline.cleanCorpus(dd, "doc_id", "text"))
       val scrubbed = operators.Scrub
         .scrubReport(cleaned, "doc_id", "text")
         .select(col("doc_id"), col("redacted_md5"))
@@ -240,6 +246,13 @@ object QueriesR9 {
       operators.Curation.temperatureMix(
         docs(s, d), "doc_id", "source", alpha = 0.5, total = 300L)
         .select("doc_id", "source")),
+    // --- wordlist policy screen: per-category token-hit counts + flag
+    //     (category lists are caller policy; these exercise the
+    //     mechanism over the corpus vocabulary) ---
+    "q_policy_screen" -> ((s, d) =>
+      operators.Scrub.policyScreen(
+        docs(s, d), "doc_id", "text",
+        Seq("perf" -> Seq("slow", "fast"), "infra" -> Seq("spark", "table")))),
     // --- PII scrub over deterministically injected PII (the testdata
     //     corpus is synthetic words, so the query plants emails/IPs/SSNs
     //     as a function of doc_id, then redacts them) ---
@@ -670,6 +683,19 @@ object QueriesR9 {
         |FROM f, st
         |WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Token-equality semantics: lowercase whitespace tokens, exact list
+    // membership, counts as BIGINT, flag = any category hit.
+    "q_policy_screen" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split_regex(lower(text), '\s+') ts FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(ts, x -> x IN ('slow', 'fast'))) AS BIGINT)
+        |    AS n_perf,
+        |  CAST(len(list_filter(ts, x -> x IN ('spark', 'table'))) AS BIGINT)
+        |    AS n_infra,
+        |  (len(list_filter(ts, x -> x IN ('slow', 'fast'))) > 0 OR
+        |   len(list_filter(ts, x -> x IN ('spark', 'table'))) > 0) AS flagged
+        |FROM tk""".stripMargin,
     // Identical RE2-compatible ruleset and redaction order; counts on
     // the original text, md5 over the redacted UTF-8 bytes.
     "q_pii_scrub" ->

@@ -60,4 +60,35 @@ object Scrub {
       col(idCol) +: piiCounts(col(textCol)) :+
         redactPii(col(textCol)).as("redacted"): _*)
       .withColumn("redacted_md5", md5(col("redacted").cast("binary")))
+
+  /** Wordlist policy screen: per document, the token-hit count for each
+    * named category list plus the overall flag — the mechanism behind
+    * blocklist/content filters (the category lists themselves are
+    * policy, supplied by the caller; nothing is hardcoded).
+    *
+    * Matching is exact lowercase whitespace-token equality (no
+    * substring matches — "scunthorpe" never trips a "thorpe" entry).
+    * Map-only: category lists fold in as literal `isInCollection`
+    * filters over one tokenization, so screening 100 TB is a single
+    * projection with no shuffle and no UDF. */
+  def policyScreen(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      lists: Seq[(String, Seq[String])]): DataFrame = {
+    require(lists.nonEmpty, "need at least one category list")
+    require(lists.map(_._1).distinct.size == lists.size,
+      "category names must be unique")
+    require(lists.forall(_._2.nonEmpty), "category lists must be non-empty")
+    val toks = split(lower(col(textCol)), "\\s+")
+    val hitCols = lists.map { case (name, words) =>
+      size(filter(toks, t => t.isInCollection(words.map(_.toLowerCase))))
+        .cast("long").as(s"n_$name")
+    }
+    val flagged = lists
+      .map { case (name, _) => col(s"n_$name") > 0 }
+      .reduce(_ || _)
+    df.select(col(idCol) +: hitCols: _*)
+      .withColumn("flagged", flagged)
+  }
 }

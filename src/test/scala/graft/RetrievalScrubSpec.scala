@@ -103,6 +103,24 @@ class RetrievalScrubSpec extends AnyFunSuite {
     assert(r.getAs[String]("redacted") == "x <EMAIL> y")
   }
 
+  test("policyScreen counts exact token hits per category, no substring trips") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the Spark engine is fast and spark again"),
+      (2L, "scunthorpe sparkle tablet"), // substrings must NOT match
+      (3L, "plain words only")
+    ).toDF("doc_id", "text")
+    val out = Scrub.policyScreen(d, "doc_id", "text",
+      Seq("perf" -> Seq("fast"), "infra" -> Seq("spark", "table")))
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq ==
+      Seq((1L, 2L, true), (0L, 0L, false), (0L, 0L, false)))
+    val plan = Scrub.policyScreen(d, "doc_id", "text",
+      Seq("perf" -> Seq("fast"))).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("scrubReport plan is a single map-only projection (no exchange)") {
     val plan = Scrub.scrubReport(piiDocs, "doc_id", "text")
       .queryExecution.executedPlan.toString
