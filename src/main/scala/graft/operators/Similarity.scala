@@ -361,6 +361,75 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rn"))
   }
 
+  /** The IVF index as two PLAIN frames ready for persistent
+    * materialization through the cache layer (`cacheToDbfs` /
+    * `createCachedDataFrame`): `(assignments (id, vec, cell),
+    * centroids (cell, centroid))`. Building pays the quantizer fit +
+    * one assignment pass ONCE; a session that reads the tables back
+    * queries with no fit job at all ([[ivfTopKFromIndex]]) — the
+    * index-is-a-cache-entry pattern that makes ANN serving survive
+    * process restarts, which the in-heap [[ModelCache]] cannot. */
+  def buildIvfIndex(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nLists: Int = 16,
+      seed: Long = 42L,
+      maxIter: Int = 8,
+      fitSampleFraction: Double = 0.25): (DataFrame, DataFrame) = {
+    val corpusU = unitVectors(corpus, vecCol)
+    val model = coarseQuantizer(corpusU, idCol, nLists, seed, maxIter,
+      fitSampleFraction)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val assigned = model.transform(corpusU)
+      .select(col(idCol), col(vecCol), col("__cell").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+    (assigned, centroids)
+  }
+
+  /** Top-k cosine search over an ALREADY-MATERIALIZED IVF index (the
+    * frames of [[buildIvfIndex]], typically read back from cache
+    * tables): identical probe + exact-rerank shape to
+    * [[ivfCosineTopK]] — centroids broadcast, nProbe nearest cells per
+    * query, partial-aggregating top-k — but with NO quantizer fit and
+    * no model object anywhere: the physical index IS the two tables.
+    */
+  def ivfTopKFromIndex(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      qidCol: String,
+      qvecCol: String,
+      k: Int,
+      nProbe: Int = 2): DataFrame = {
+    val wCell = Window.partitionBy(col(qidCol))
+      .orderBy(cosine(col(qvecCol), col("centroid")).desc, col("cell").asc)
+    val probed = queries
+      .join(broadcast(centroids))
+      .withColumn("__cellrank", row_number().over(wCell))
+      .filter(col("__cellrank") <= nProbe)
+      .select(col(qidCol), col(qvecCol), col("cell"))
+    val scored = assigned
+      .join(broadcast(probed), Seq("cell"))
+      .filter(col(idCol) =!= col(qidCol))
+      .withColumn("sim", round(cosine(col(qvecCol), col(vecCol)), 6))
+    val topk = graft.functions.TopKAggregator.topK(k)
+    scored
+      .groupBy(col(qidCol))
+      .agg(topk(col(idCol), col("sim")).as("top"))
+      .select(col(qidCol), posexplode(col("top")))
+      .select(
+        col(qidCol),
+        col("col._1").as(idCol),
+        col("col._2").as("sim"),
+        (col("pos") + 1).cast("int").as("rn"))
+  }
+
   /** Signed-random-projection (SRP) LSH near-dup pairs with EXACT
     * verification — cosine's native LSH family, with NO model fit:
     * the hyperplanes are seeded Rademacher (±1) literal vectors, the

@@ -109,6 +109,35 @@ class AnnSpec extends AnyFunSuite {
     assert(e.subsetOf(p), s"total-recall params missed: ${e diff p}")
   }
 
+  test("materialized IVF index: cache round trip answers identically to the live model") {
+    import graft.extensions._
+    val (assigned, centroids) = Similarity.buildIvfIndex(
+      embs, "vec_id", "embedding", nLists = 4)
+    // Materialize both frames through the persistent cache and read
+    // them back — the index survives where the in-heap ModelCache
+    // would not.
+    val assignedBack = assigned.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+    val centroidsBack = centroids.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+    val fromIndex = Similarity.ivfTopKFromIndex(
+      assignedBack, centroidsBack, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // Same session => ModelCache serves the identical quantizer to the
+    // live path, so from-index results must match exactly.
+    val live = Similarity.ivfCosineTopK(
+      embs, queries, "vec_id", "embedding", "qid", "qvec",
+      k = 5, nLists = 4, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fromIndex == live)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("embeddingCard counts nulls, zero vectors, ragged dims, and exact norms") {
     val s = spark
     import s.implicits._
