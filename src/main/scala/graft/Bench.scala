@@ -176,6 +176,15 @@ object Bench {
         val med = runs.sorted.apply((runs.size - 1) / 2)
         med > 0 && (runs.max - runs.min) / med > 0.25
       }
+      // A noisy query gets ONE settle before its extension runs: deep
+      // in a long sweep, ContextCleaner backlog + heap debt from ~170
+      // predecessor queries inflates runs 3-5× over the same query in
+      // isolation (q_bucket_pack 0.8 s isolated vs 3+ s in-sweep, with
+      // runs ESCALATING inside the group). The group-level settle()
+      // can't help mid-group, and the unconditional inter-run GC was
+      // A/B'd harmful on warm-state queries — so only the queries
+      // already drowning in noise pay the warmth loss.
+      if (err.isEmpty && noisy) settle()
       while (err.isEmpty && runs.size < 5 && noisy) {
         dropRunBlocks()
         val (sec, e) = timeSec(runFully(fn(spark, sfDir)))

@@ -395,13 +395,28 @@ object Curation {
       alpha: Double,
       total: Long,
       seed: String = "mx"): DataFrame = {
-    require(alpha > 0 && alpha <= 1, "temperature alpha must be in (0, 1]")
-    require(total > 0, "total must be positive")
     // Rows with a NULL source are excluded (they have no mixture rate;
     // a null key would also break the sorted driver fold below).
     val nonNull = df.filter(col(srcCol).isNotNull)
+    applyMixRates(nonNull, idCol, srcCol,
+      temperatureRates(nonNull, srcCol, alpha, total), seed)
+  }
+
+  /** The per-source inclusion-rate table of [[temperatureMix]],
+    * computed from a CENSUS frame (one bounded collect). Exposed so
+    * rates learned on a batch census can screen a different frame —
+    * in particular an unbounded stream, which cannot census itself
+    * ([[graft.streaming.Streaming.temperatureMixStream]]). */
+  def temperatureRates(
+      census: DataFrame,
+      srcCol: String,
+      alpha: Double,
+      total: Long): Seq[(String, Double)] = {
+    require(alpha > 0 && alpha <= 1, "temperature alpha must be in (0, 1]")
+    require(total > 0, "total must be positive")
     // Bounded collect: one row per source.
-    val counts = nonNull.groupBy(srcCol).count()
+    val counts = census.filter(col(srcCol).isNotNull)
+      .groupBy(srcCol).count()
       .collect()
       .map(r => r.getString(0) -> r.getLong(1))
       .sortBy(_._1)
@@ -412,18 +427,29 @@ object Curation {
     // so the raw double may differ from another engine's in the last
     // ulp — the rounded rate is the portable threshold (and 52-bit u
     // never sits within 1e-10 of a 1e-6 grid point in practice).
-    val rateOf = counts.map { case (s, n) =>
+    counts.toSeq.map { case (s, n) =>
       val raw = math.min(
         1.0, total.toDouble * math.pow(n.toDouble, alpha) / sumPow / n.toDouble)
       s -> BigDecimal(raw)
         .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
     }
-    val rateExpr = rateOf.foldLeft(lit(Double.NaN)) { case (els, (s, r)) =>
+  }
+
+  /** The map-only half of [[temperatureMix]]: keep rows whose
+    * md5-uniform clears their source's rate. Sources absent from
+    * `rates` (and NULL sources) are dropped — NaN compares false. */
+  def applyMixRates(
+      df: DataFrame,
+      idCol: String,
+      srcCol: String,
+      rates: Seq[(String, Double)],
+      seed: String = "mx"): DataFrame = {
+    val rateExpr = rates.foldLeft(lit(Double.NaN)) { case (els, (s, r)) =>
       when(col(srcCol) === s, lit(r)).otherwise(els)
     }
     val u = (conv(
       substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 13),
       16, 10).cast("double") + 1.0d) / lit(4503599627370496.0d)
-    nonNull.filter(u < rateExpr)
+    df.filter(u < rateExpr)
   }
 }

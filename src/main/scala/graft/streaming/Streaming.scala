@@ -468,6 +468,25 @@ object Streaming {
         TextAnalysis.qualityFilter(col(textCol)).as("quality_pass"): _*)
   }
 
+  /** Steady-state mixture screen at ingest: per-source inclusion rates
+    * learned from a BATCH census ([[graft.operators.Curation
+    * .temperatureRates]] — a stream cannot census itself) fold into
+    * the stream as literals; each arriving document passes iff its
+    * md5-uniform clears its source's rate. Fully STATELESS and
+    * map-only per micro-batch; identical draw to the batch
+    * [[graft.operators.Curation.temperatureMix]], so replaying the
+    * stream as a batch yields the identical selection. */
+  def temperatureMixStream(
+      docs: DataFrame,
+      census: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "source",
+      alpha: Double = 0.5,
+      total: Long = 1000L): DataFrame =
+    graft.operators.Curation.applyMixRates(
+      docs, idCol, srcCol,
+      graft.operators.Curation.temperatureRates(census, srcCol, alpha, total))
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

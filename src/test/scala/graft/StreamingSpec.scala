@@ -470,6 +470,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("streaming temperature mix screens with census rates, batch-parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val census = (0 until 900).map(i => (i.toLong, "big")) ++
+      (900 until 1000).map(i => (i.toLong, "small"))
+    val censusDf = census.toDF("doc_id", "source")
+    val stream = MemoryStream[(Long, String)]
+    val screened = Streaming.temperatureMixStream(
+      stream.toDF().toDF("doc_id", "source"), censusDf,
+      alpha = 0.5, total = 300L)
+    val q = screened.writeStream.format("memory").queryName("mixstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(census: _*)
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "mixture screen must be stateless")
+    } finally q.stop()
+    val got = spark.table("mixstream").collect()
+      .map(_.getLong(0)).toSet
+    val batch = graft.operators.Curation
+      .temperatureMix(censusDf, "doc_id", "source", 0.5, 300L)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == batch && got.nonEmpty)
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
