@@ -32,6 +32,18 @@ object Clustering {
       zip_with(v, typedLit(centroid), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
 
+  /** The composable-expression reference form of the assignment
+    * argmin: `least` over (dist-fold, index) structs. The hot path is
+    * the fused native [[graft.functions.CentroidArgmin]] (identical
+    * IEEE accumulation sequence); this chain stays spec-pinned
+    * bit-identical to it. */
+  def chainBest(vec: Column, centroids: Array[Seq[Double]]): Column = {
+    val cands = centroids.zipWithIndex.map { case (c, i) =>
+      struct(dist2(vec, c).as("d"), lit(i).as("c"))
+    }
+    if (cands.length == 1) cands.head else least(cands: _*)
+  }
+
   /** Fit + assign: `iters` Lloyd iterations from md5-seeded initial
     * centroids, returning `(idCol, cluster, dist2)` — dist2 to the
     * final centroid, rounded to 6.
@@ -98,12 +110,10 @@ object Clustering {
         .map(_.getSeq[Double](0))
     require(init.length == k, s"corpus has fewer than $k vectors")
 
-    def assigned(centroids: Array[Seq[Double]]): DataFrame = {
-      val cands = centroids.zipWithIndex.map { case (c, i) =>
-        struct(dist2(col("__v"), c).as("d"), lit(i).as("c"))
-      }
-      vecs.withColumn("__best", least(cands: _*))
-    }
+    def assigned(centroids: Array[Seq[Double]]): DataFrame =
+      vecs.withColumn("__best",
+        graft.functions.CentroidArgmin.argmin(
+          col("__v"), centroids.map(_.toArray)))
 
     var centroids = init
     for (_ <- 1 to iters) {

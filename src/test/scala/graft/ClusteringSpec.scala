@@ -51,6 +51,30 @@ class ClusteringSpec extends AnyFunSuite {
     assert(again == out.sortBy(_.getLong(0)).toSeq)
   }
 
+  test("native centroid argmin is bit-identical to the least-struct chain") {
+    val s = spark
+    import s.implicits._
+    val embs = s.read
+      .parquet(TestSpark.sf0001 + "/embeddings.parquet")
+      .select(col("embedding").cast("array<double>").as("__v"))
+    // Centroids from real data + a tie case (two identical centroids:
+    // strict < must keep the lower index in both forms).
+    val rows = embs.limit(3).collect().map(_.getSeq[Double](0))
+    val centroids = Array(rows(0), rows(1), rows(1), rows(2))
+    val native = embs.select(
+      graft.functions.CentroidArgmin.argmin(
+        col("__v"), centroids.map(_.toArray)).as("b"))
+      .select(col("b.d"), col("b.c"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
+    val chain = embs.select(
+      Clustering.chainBest(col("__v"), centroids).as("b"))
+      .select(col("b.d"), col("b.c"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).toSeq
+    assert(native == chain)
+    assert(native.exists(_._2 == 1) || chain.forall(_._2 != 2),
+      "ties must resolve to the lower duplicate index")
+  }
+
   test("lloyd is invariant to input partitioning") {
     val a = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 2)
       .orderBy("vec_id").collect().toSeq
