@@ -237,4 +237,77 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("native gopher_repetition equals the sorted-fold chain on random text") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    // Small alphabet forces heavy gram repetition; empties + unicode in
+    // the mix exercise the tokenizer edge paths.
+    val tokenGen = Gen.oneOf(
+      Gen.oneOf("a", "b", "ab", "αβ", "𝕏"), Gen.const(""),
+      Gen.alphaNumStr.map(_.take(3)))
+    val textGen = Gen.listOf(tokenGen).map(_.mkString(" "))
+    forAll(Gen.listOfN(20, textGen), n = 10) { texts =>
+      val df = texts.toDF("text")
+      for (k <- Seq(1, 2, 3, 5)) {
+        val diff = df.select(
+          struct(operators.TextAnalysis.gopherRepetition(col("text"), k): _*)
+            .as("a"),
+          struct(operators.TextAnalysis.gopherRepetitionChain(col("text"), k): _*)
+            .as("b"))
+          .filter(not(col("a") === col("b"))).count()
+        assert(diff == 0, s"k=$k diverged on: $texts")
+      }
+    }
+  }
+
+  test("native centroid_argmin equals the least-struct chain on random vectors") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-5.0, 5.0))
+    forAll(Gen.zip(
+      Gen.listOfN(12, vecGen),
+      Gen.listOfN(4, vecGen)), n = 10) { case (vecs, cents) =>
+      // Duplicate a centroid so the tie path is always exercised.
+      val centroids: Array[Seq[Double]] =
+        (cents :+ cents.head).map(_.toSeq: Seq[Double]).toArray
+      val df = vecs.map(v => Tuple1(v.toArray)).toDF("__v")
+        .select(col("__v").cast("array<double>").as("__v"))
+      val diff = df.select(
+        graft.functions.CentroidArgmin.argmin(
+          col("__v"), centroids.map(_.toArray)).as("a"),
+        operators.Clustering.chainBest(col("__v"), centroids).as("b"))
+        .filter(not(col("a") === col("b"))).count()
+      assert(diff == 0)
+    }
+  }
+
+  test("deflate_stats is deterministic and monotone under concatenation") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val textGen = Gen.listOf(
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const("spam")))
+      .map(_.mkString(" "))
+    forAll(Gen.listOfN(15, textGen), n = 8) { texts =>
+      val df = texts.filter(_.nonEmpty).toDF("text")
+      if (df.count() > 0) {
+        val sig = operators.TextAnalysis.compressionSignals(col("text"))
+        val sig2 = operators.TextAnalysis
+          .compressionSignals(concat(col("text"), col("text")))
+        val rows = df.select(
+          sig(1).as("z1"), sig2(1).as("z2"),
+          operators.TextAnalysis.compressionSignals(col("text"))(1)
+            .as("z1b"))
+          .collect()
+        rows.foreach { r =>
+          assert(r.getLong(0) == r.getLong(2), "re-evaluation determinism")
+          assert(r.getLong(1) < 2 * r.getLong(0) + 16,
+            "doubling must be sub-additive (modulo header slack)")
+        }
+      }
+    }
+  }
 }
