@@ -246,6 +246,13 @@ object QueriesR9 {
       operators.Curation.temperatureMix(
         docs(s, d), "doc_id", "source", alpha = 0.5, total = 300L)
         .select("doc_id", "source")),
+    // --- deterministic training-sample generation: T5-style span
+    //     corruption and causal context/continuation splits — md5
+    //     positions, pure projections, exact-replayable ---
+    "q_span_corrupt" -> ((s, d) =>
+      operators.Augment.spanCorrupt(docs(s, d), "doc_id", "text")),
+    "q_causal_split" -> ((s, d) =>
+      operators.Augment.causalSplits(docs(s, d), "doc_id", "text")),
     // --- wordlist policy screen: per-category token-hit counts + flag
     //     (category lists are caller policy; these exercise the
     //     mechanism over the corpus vocabulary) ---
@@ -683,6 +690,32 @@ object QueriesR9 {
         |FROM f, st
         |WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    // Same md5-derived start (52-bit hex prefix mod valid starts), same
+    // 1-based list slicing, space re-join.
+    "q_span_corrupt" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |p AS (SELECT doc_id, ts, len(ts) n,
+        |    CAST(CAST(('0x' || substr(md5('sc' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) % (len(ts) - 5 + 1) AS INTEGER) + 1 AS s
+        |  FROM tk WHERE len(ts) > 5)
+        |SELECT doc_id,
+        |  array_to_string(
+        |    list_slice(ts, 1, s - 1) || ['<X>'] || list_slice(ts, s + 5, n),
+        |    ' ') AS input,
+        |  array_to_string(['<X>'] || list_slice(ts, s, s + 4), ' ') AS target,
+        |  CAST(n AS BIGINT) AS n_tokens
+        |FROM p""".stripMargin,
+    // Same md5 cut in [minContext, n - minContinuation].
+    "q_causal_split" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |p AS (SELECT doc_id, ts, len(ts) n,
+        |    CAST(CAST(('0x' || substr(md5('cs' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) % (len(ts) - 4 - 8 + 1) AS INTEGER) + 8 AS cut
+        |  FROM tk WHERE len(ts) >= 12)
+        |SELECT doc_id,
+        |  array_to_string(list_slice(ts, 1, cut), ' ') AS context,
+        |  array_to_string(list_slice(ts, cut + 1, n), ' ') AS continuation
+        |FROM p""".stripMargin,
     // Token-equality semantics: lowercase whitespace tokens, exact list
     // membership, counts as BIGINT, flag = any category hit.
     "q_policy_screen" ->

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-sample generation from a cleaned corpus: span-corruption
+  * pairs (T5/UL2-style masked spans) and causal context/continuation
+  * splits — the LAST transform before examples leave the pipeline, so
+  * it must be deterministic (re-running the pipeline regenerates
+  * byte-identical examples, and train/eval splits stay stable across
+  * reruns) and map-only (example generation at 100 TB is a pure
+  * projection; any shuffle here is wasted).
+  *
+  * All positions derive from the [[Curation.weightedSample]]
+  * md5-uniform machinery (52-bit hex prefix → integer), so any engine
+  * with md5 replays the exact same spans — the property that makes the
+  * generators exact-oracle-gated rather than seeded-RNG rows-only.
+  */
+object Augment {
+
+  private def hashInt(seed: String, id: Column): Column =
+    conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 13),
+      16, 10).cast("long")
+
+  /** T5-style single-span corruption: replace `spanLen` consecutive
+    * tokens (start position = md5-derived, uniform over valid starts)
+    * with the sentinel, emitting `(id, input, target, n_tokens)` where
+    * `target` is the sentinel followed by the masked span. Documents
+    * shorter than `spanLen + 1` tokens are dropped (no valid mask
+    * leaves context behind). Multi-span corruption is repeated
+    * application with distinct seeds on the *output* — each pass stays
+    * a pure projection. */
+  def spanCorrupt(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanLen: Int = 5,
+      sentinel: String = "<X>",
+      seed: String = "sc"): DataFrame = {
+    require(spanLen >= 1, "span length must be positive")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // 1-based start, uniform over [1, n - spanLen + 1); the last valid
+    // start is kept out only when it would leave no trailing context —
+    // the simple (n - spanLen + 1) modulus both engines compute.
+    val nStarts = n - spanLen + 1
+    val start = (hashInt(seed, col(idCol)) % nStarts.cast("long"))
+      .cast("int") + 1
+    df.filter(n > spanLen)
+      .select(
+        col(idCol),
+        concat_ws(" ",
+          concat(
+            slice(toks, lit(1), start - 1),
+            array(lit(sentinel)),
+            slice(toks, start + spanLen, n - (start + spanLen) + 1)))
+          .as("input"),
+        concat_ws(" ",
+          concat(array(lit(sentinel)), slice(toks, start, lit(spanLen))))
+          .as("target"),
+        n.cast("long").as("n_tokens"))
+  }
+
+  /** Causal context/continuation split for LM evaluation: cut each
+    * document at an md5-derived token position (uniform over
+    * `[minContext, n − minContinuation]`), emitting `(id, context,
+    * continuation)`. Documents too short for both minimums are
+    * dropped. */
+  def causalSplits(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minContext: Int = 8,
+      minContinuation: Int = 4,
+      seed: String = "cs"): DataFrame = {
+    require(minContext >= 1 && minContinuation >= 1,
+      "minimum context/continuation must be positive")
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    val nCuts = n - minContinuation - minContext + 1
+    val cut = (hashInt(seed, col(idCol)) % nCuts.cast("long"))
+      .cast("int") + minContext
+    df.filter(n >= minContext + minContinuation)
+      .select(
+        col(idCol),
+        concat_ws(" ", slice(toks, lit(1), cut)).as("context"),
+        concat_ws(" ", slice(toks, cut + 1, n - cut)).as("continuation"))
+  }
+}
