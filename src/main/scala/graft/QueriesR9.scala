@@ -253,6 +253,8 @@ object QueriesR9 {
       operators.Augment.spanCorrupt(docs(s, d), "doc_id", "text")),
     "q_causal_split" -> ((s, d) =>
       operators.Augment.causalSplits(docs(s, d), "doc_id", "text")),
+    "q_fim" -> ((s, d) =>
+      operators.Augment.fimSplit(docs(s, d), "doc_id", "text")),
     // --- wordlist policy screen: per-category token-hit counts + flag
     //     (category lists are caller policy; these exercise the
     //     mechanism over the corpus vocabulary) ---
@@ -705,6 +707,25 @@ object QueriesR9 {
         |  array_to_string(['<X>'] || list_slice(ts, s, s + 4), ' ') AS target,
         |  CAST(n AS BIGINT) AS n_tokens
         |FROM p""".stripMargin,
+    // Two md5 cuts (seeds 'fima'/'fimb'), same slicing and PSM concat.
+    "q_fim" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |p AS (SELECT doc_id, ts, len(ts) n,
+        |    CAST(CAST(('0x' || substr(md5('fima' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) % (len(ts) - 1) AS INTEGER) + 1 AS c1
+        |  FROM tk WHERE len(ts) >= 2),
+        |q AS (SELECT doc_id, ts, n, c1, c1 +
+        |    CAST(CAST(('0x' || substr(md5('fimb' || CAST(doc_id AS VARCHAR)), 1, 13))
+        |      AS BIGINT) % (n - c1) AS INTEGER) AS c2
+        |  FROM p),
+        |f AS (SELECT doc_id,
+        |    coalesce(array_to_string(list_slice(ts, 1, c1), ' '), '') AS prefix,
+        |    coalesce(array_to_string(list_slice(ts, c1 + 1, c2), ' '), '') AS middle,
+        |    coalesce(array_to_string(list_slice(ts, c2 + 1, n), ' '), '') AS suffix
+        |  FROM q)
+        |SELECT doc_id, prefix, middle, suffix,
+        |  '<PRE> ' || prefix || ' <SUF> ' || suffix || ' <MID> ' || middle AS psm
+        |FROM f""".stripMargin,
     // Same md5 cut in [minContext, n - minContinuation].
     "q_causal_split" ->
       """WITH tk AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),

@@ -61,6 +61,38 @@ object Augment {
         n.cast("long").as("n_tokens"))
   }
 
+  /** Fill-in-the-middle transform (Bavarian et al. 2022): cut each
+    * document at two md5-derived token positions into (prefix, middle,
+    * suffix) and emit the PSM-ordered training string
+    * `<PRE> prefix <SUF> suffix <MID> middle` — the infilling format
+    * code models train on. Cut1 is uniform over [1, n−1], cut2 over
+    * (cut1, n], so every part can be empty except the whole. Documents
+    * under 2 tokens are dropped. Same determinism/scale contract as
+    * [[spanCorrupt]]: map-only, byte-identical on regeneration. */
+  def fimSplit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      seed: String = "fim"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val n = size(toks)
+    // cut1 in [1, n-1], cut2 in [cut1, n-1]: middle = (cut1, cut2],
+    // tokens after cut2 are the suffix.
+    val c1 = (hashInt(seed + "a", col(idCol)) % (n - 1).cast("long"))
+      .cast("int") + 1
+    val c2 = c1 +
+      (hashInt(seed + "b", col(idCol)) % (n - c1).cast("long")).cast("int")
+    df.filter(n >= 2)
+      .select(
+        col(idCol),
+        concat_ws(" ", slice(toks, lit(1), c1)).as("prefix"),
+        concat_ws(" ", slice(toks, c1 + 1, c2 - c1)).as("middle"),
+        concat_ws(" ", slice(toks, c2 + 1, n - c2)).as("suffix"))
+      .withColumn("psm",
+        concat(lit("<PRE> "), col("prefix"), lit(" <SUF> "), col("suffix"),
+          lit(" <MID> "), col("middle")))
+  }
+
   /** Causal context/continuation split for LM evaluation: cut each
     * document at an md5-derived token position (uniform over
     * `[minContext, n − minContinuation]`), emitting `(id, context,

@@ -57,6 +57,20 @@ class AugmentSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("fimSplit: parts reassemble the original, PSM format holds") {
+    val out = Augment.fimSplit(docs, "doc_id", "text").join(docs, "doc_id")
+    val rebuilt = out.select(
+      col("doc_id"),
+      concat_ws(" ",
+        Seq("prefix", "middle", "suffix").map(c =>
+          when(col(c) === "", null).otherwise(col(c))): _*).as("rebuilt"),
+      col("text"), col("psm"))
+    assert(rebuilt.filter(col("rebuilt") =!= col("text")).count() == 0)
+    assert(out.filter(!col("psm").startsWith("<PRE> ")).count() == 0)
+    assert(out.filter(!col("psm").contains(" <SUF> ") ||
+      !col("psm").contains(" <MID> ")).count() == 0)
+  }
+
   test("too-short documents are dropped, not mangled") {
     val s = spark
     import s.implicits._
