@@ -177,6 +177,17 @@ object QueriesR9 {
       operators.Clustering.lloyd(
         embeds(s, d), "vec_id", "embedding", k = KmeansK, iters = 1,
         seeding = "spread")),
+    // --- incremental assignment: fit centroids on the even-id half,
+    //     assign the odd-id half map-only against the fitted model
+    //     (the recrawl path: no refit, model folds in as literals) ---
+    "q_kmeans_assign" -> { (s, d) =>
+      val em = embeds(s, d)
+      val model = operators.Clustering.lloydCentroids(
+        em.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        k = KmeansK, iters = KmeansIters)
+      operators.Clustering.assignToCentroids(
+        em.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", model)
+    },
     // --- residual pruning: the 10 farthest vectors per cluster ---
     "q_cluster_outliers" -> ((s, d) =>
       operators.Clustering.clusterOutliers(
@@ -352,9 +363,9 @@ object QueriesR9 {
       .mkString(" + ")
 
   /** md5-draw seed CTEs: cluster index = rank in the md5 order. */
-  private def kmHashSeedCtes(k: Int): String =
+  private def kmHashSeedCtes(k: Int, rel: String = "e"): String =
     s"""seed AS (SELECT v, row_number() OVER (
-       |    ORDER BY md5('km' || CAST(vec_id AS VARCHAR))) rk FROM e),
+       |    ORDER BY md5('km' || CAST(vec_id AS VARCHAR))) rk FROM $rel),
        |c0 AS (SELECT rk - 1 AS c, v FROM seed WHERE rk <= $k)""".stripMargin
 
   /** Farthest-first seed CTEs replaying
@@ -384,16 +395,18 @@ object QueriesR9 {
     * updates (rounded 6, empty clusters INHERIT THE PREVIOUS ROUND's
     * centroid — c{N-1}, exactly the Scala `prev`), aN = assignment
     * under c{N-1} with the (dist, cluster) tie-break. */
-  private def kmCtes(k: Int, iters: Int, seedCtes: String): String = {
+  private def kmCtes(
+      k: Int, iters: Int, seedCtes: String, rel: String = "e"): String = {
     val base =
       s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |eh AS (SELECT * FROM e WHERE vec_id % 2 = 0),
          |$seedCtes""".stripMargin
     val rounds = (1 to iters).map { r =>
       s"""a$r AS (SELECT vec_id, v, c FROM (
-         |  SELECT e.vec_id, e.v, c.c, ${kmDist("e.v", "c.v")} d,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${kmDist("e.v", "c.v")}, c.c) rn
-         |  FROM e CROSS JOIN c${r - 1} c) WHERE rn = 1),
+         |  SELECT $rel.vec_id, $rel.v, c.c, ${kmDist(s"$rel.v", "c.v")} d,
+         |    row_number() OVER (PARTITION BY $rel.vec_id
+         |      ORDER BY ${kmDist(s"$rel.v", "c.v")}, c.c) rn
+         |  FROM $rel CROSS JOIN c${r - 1} c) WHERE rn = 1),
          |m$r AS (SELECT c, list(m ORDER BY i) v FROM (
          |  SELECT c, i, round(avg(v[i]), 6) m
          |  FROM a$r, (SELECT unnest(generate_series(1, $KmeansDim)) i) s
@@ -415,6 +428,18 @@ object QueriesR9 {
        |      ORDER BY ${kmDist("e.v", "c.v")}, c.c) rn
        |  FROM e CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin
   }
+
+  /** Fit the model on the even-id half (`eh`), assign the odd-id half
+    * against the fitted c$iters — the incremental/recrawl replay. */
+  private def kmeansAssignOracle(k: Int, iters: Int): String =
+    s"""WITH ${kmCtes(k, iters, kmHashSeedCtes(k, rel = "eh"), rel = "eh")}
+       |SELECT vec_id, CAST(c AS INTEGER) AS cluster,
+       |       round(d, 6) AS dist2 FROM (
+       |  SELECT t.vec_id, c.c, ${kmDist("t.v", "c.v")} d,
+       |    row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY ${kmDist("t.v", "c.v")}, c.c) rn
+       |  FROM (SELECT * FROM e WHERE vec_id % 2 = 1) t
+       |  CROSS JOIN c$iters c) WHERE rn = 1""".stripMargin
 
   /** Per-doc (top2_frac, top3_frac, dup5_frac) replay shared by the
     * q_gopher_rep gate and the q_gopher_funnel stage arithmetic. */
@@ -454,6 +479,7 @@ object QueriesR9 {
   val oracles: Map[String, String] = Map(
     "q_kmeans" -> kmeansOracle(KmeansK, KmeansIters),
     "q_kmeans_spread" -> kmeansOracle(KmeansK, 1, seeding = "spread"),
+    "q_kmeans_assign" -> kmeansAssignOracle(KmeansK, KmeansIters),
     // Balanced draw replayed over the fitted assignment.
     "q_cluster_sample" ->
       s"""WITH base AS (${kmeansOracle(KmeansK, KmeansIters)})

@@ -85,19 +85,18 @@ object Clustering {
     seeds.toArray
   }
 
-  def lloyd(
-      df: DataFrame,
+  /** The Lloyd fitting loop, shared by [[lloyd]] and
+    * [[lloydCentroids]]: returns the final centroid array. */
+  private def fitCentroids(
+      vecs: DataFrame,
       idCol: String,
-      vecCol: String,
       k: Int,
       iters: Int,
-      seeding: String = "hash"): DataFrame = {
+      seeding: String): Array[Seq[Double]] = {
     require(k >= 2, "need at least 2 clusters")
     require(iters >= 1, "need at least one Lloyd iteration")
     require(seeding == "hash" || seeding == "spread",
       "seeding must be 'hash' (md5 draw) or 'spread' (farthest-first)")
-    val vecs = df.select(
-      col(idCol), col(vecCol).cast("array<double>").as("__v"))
     // Bounded driver collects only: k rows (hash) or k × 1 row (spread).
     val init: Array[Seq[Double]] =
       if (seeding == "spread") farthestFirstSeeds(vecs, idCol, k)
@@ -109,16 +108,12 @@ object Clustering {
         .collect()
         .map(_.getSeq[Double](0))
     require(init.length == k, s"corpus has fewer than $k vectors")
-
-    def assigned(centroids: Array[Seq[Double]]): DataFrame =
-      vecs.withColumn("__best",
-        graft.functions.CentroidArgmin.argmin(
-          col("__v"), centroids.map(_.toArray)))
-
     var centroids = init
     for (_ <- 1 to iters) {
       // One (cluster, dim) shuffle — ≤ k·d rows out of every task.
-      val means = assigned(centroids)
+      val means = vecs
+        .withColumn("__best", graft.functions.CentroidArgmin.argmin(
+          col("__v"), centroids.map(_.toArray)))
         .select(col("__best.c").as("__c"), posexplode(col("__v")))
         .groupBy("__c", "pos")
         .agg(round(avg("col"), 6).as("m"))
@@ -131,10 +126,77 @@ object Clustering {
         }
       }
     }
-    assigned(centroids).select(
-      col(idCol),
-      col("__best.c").as("cluster"),
-      round(col("__best.d"), 6).as("dist2"))
+    centroids
+  }
+
+  private def vecsOf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+
+  private def assignVecs(
+      vecs: DataFrame,
+      idCol: String,
+      centroids: Array[Seq[Double]]): DataFrame =
+    vecs
+      .withColumn("__best", graft.functions.CentroidArgmin.argmin(
+        col("__v"), centroids.map(_.toArray)))
+      .select(
+        col(idCol),
+        col("__best.c").as("cluster"),
+        round(col("__best.d"), 6).as("dist2"))
+
+  def lloyd(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seeding: String = "hash"): DataFrame = {
+    val vecs = vecsOf(df, idCol, vecCol)
+    assignVecs(vecs, idCol, fitCentroids(vecs, idCol, k, iters, seeding))
+  }
+
+  /** The fitted model itself as a PLAIN frame `(cluster, centroid)` —
+    * k rows, ready for persistent materialization through the cache
+    * layer (the same index-is-a-cache-entry pattern as
+    * [[Similarity.buildIvfIndex]]), so later sessions and recrawl
+    * batches assign against it without refitting. */
+  def lloydCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      seeding: String = "hash"): DataFrame = {
+    val vecs = vecsOf(df, idCol, vecCol)
+    val fitted = fitCentroids(vecs, idCol, k, iters, seeding)
+    val spark = df.sparkSession
+    import spark.implicits._
+    fitted.toSeq.zipWithIndex
+      .map { case (c, i) => (i, c) }
+      .toDF("cluster", "centroid")
+  }
+
+  /** Incremental assignment: map each row of `df` to its nearest
+    * centroid from a MATERIALIZED centroid frame (`(cluster,
+    * centroid)`, e.g. [[lloydCentroids]] read back from a cache
+    * table) — the recrawl path: one bounded k-row collect folds the
+    * model in as literals and the batch never shuffles. Clusters must
+    * be the contiguous 0..k−1 of the fitted model. */
+  def assignToCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val rows = centroids
+      .select(col("cluster").cast("int"),
+        col("centroid").cast("array<double>"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "centroid frame is empty")
+    require(rows.map(_._1).toSeq == (0 until rows.length),
+      "centroid frame must carry contiguous cluster ids 0..k-1")
+    assignVecs(vecsOf(df, idCol, vecCol), idCol, rows.map(_._2))
   }
 
   /** Per-cluster outlier report: the `topN` vectors FARTHEST from

@@ -103,6 +103,28 @@ class ClusteringSpec extends AnyFunSuite {
       Clustering.lloyd(vecs.limit(1), "vec_id", "embedding", 2, 1))
   }
 
+  test("assignToCentroids off a materialized model matches in-fit assignment") {
+    val model = Clustering.lloydCentroids(vecs, "vec_id", "embedding", 2, 2)
+    assert(model.count() == 2)
+    // Assigning the SAME frame against the exported model must equal
+    // lloyd's own final assignment.
+    val viaModel = Clustering.assignToCentroids(
+      vecs, "vec_id", "embedding", model)
+      .orderBy("vec_id").collect().toSeq
+    val direct = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 2)
+      .orderBy("vec_id").collect().toSeq
+    assert(viaModel == direct)
+    // A NEW batch assigns map-only: no exchange in the plan.
+    val s = spark
+    import s.implicits._
+    val batch = Seq((100L, Array(0.1f, 0.2f)), (101L, Array(99.5f, 99.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Clustering.assignToCentroids(batch, "vec_id", "embedding", model)
+    assert(!out.queryExecution.executedPlan.toString.contains("Exchange"))
+    val got = out.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(100L) != got(101L), "far-apart batch rows split clusters")
+  }
+
   test("clusterOutliers returns the farthest vectors per cluster") {
     val assigned = Clustering.lloyd(vecs, "vec_id", "embedding", 2, 2)
     val out = Clustering.clusterOutliers(assigned, "vec_id", 2)
