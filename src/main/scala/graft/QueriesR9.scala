@@ -156,6 +156,17 @@ object QueriesR9 {
     "q_bm25" -> ((s, d) =>
       operators.Retrieval.bm25(
         docs(s, d), "doc_id", "text", Seq("spark", "window", "vector"))),
+    // --- batch BM25: queries as DATA (qid, term rows) — inverted-index
+    //     shape restricted to the query vocabulary; one corpus scan,
+    //     match-sized shuffle, GroupedTopK per qid ---
+    "q_bm25_batch" -> { (s, d) =>
+      import s.implicits._
+      val qs = Seq(
+        (1L, "spark"), (1L, "join"), (2L, "window"), (2L, "vector"),
+        (3L, "merge")).toDF("qid", "term")
+      operators.Retrieval.bm25Batch(
+        docs(s, d), "doc_id", "text", qs, "qid", "term")
+    },
     // --- deterministic Lloyd's k-means: md5-seeded init, 2 exact
     //     iterations, centroids rounded 6 each update — the oracle
     //     replays the fit round by round ---
@@ -776,6 +787,32 @@ object QueriesR9 {
         |  (len(list_filter(ts, x -> x IN ('slow', 'fast'))) > 0 OR
         |   len(list_filter(ts, x -> x IN ('spark', 'table'))) > 0) AS flagged
         |FROM tk""".stripMargin,
+    // Same per-term Okapi arithmetic as q_bm25 (the (1.2 + 1) literal
+    // mirrors the Scala double), per-(qid, doc) sum rounded AFTER
+    // summation, row_number cut on (score desc, doc_id).
+    "q_bm25_batch" ->
+      """WITH q(qid, term) AS (VALUES (1, 'spark'), (1, 'join'),
+        |    (2, 'window'), (2, 'vector'), (3, 'merge')),
+        |tk AS (SELECT doc_id, regexp_extract_all(text, '\S+') ts FROM documents),
+        |ex AS (SELECT doc_id, len(ts) dl, unnest(ts) tok FROM tk),
+        |tf AS (SELECT doc_id, tok AS term, count(*) tf, any_value(dl) dl
+        |  FROM ex WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) n,
+        |    CAST(sum(len(ts)) AS DOUBLE) sumdl FROM tk),
+        |dft AS (SELECT term, CAST(count(*) AS DOUBLE) dfc FROM tf GROUP BY 1),
+        |sc AS (SELECT q.qid, tf.doc_id,
+        |    round(sum(
+        |      ln(1 + (n - dfc + 0.5) / (dfc + 0.5))
+        |        * (CAST(tf AS DOUBLE) * (1.2 + 1))
+        |        / (CAST(tf AS DOUBLE)
+        |           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (sumdl / n)))),
+        |      6) AS score
+        |  FROM tf JOIN dft USING (term) JOIN q USING (term), st
+        |  GROUP BY 1, 2)
+        |SELECT CAST(qid AS BIGINT) AS qid, doc_id, score FROM (
+        |  SELECT qid, doc_id, score, row_number() OVER (
+        |    PARTITION BY qid ORDER BY score DESC, doc_id) rn FROM sc)
+        |WHERE rn <= 10""".stripMargin,
     // Identical RE2-compatible ruleset and redaction order; counts on
     // the original text, md5 over the redacted UTF-8 bytes.
     "q_pii_scrub" ->

@@ -77,4 +77,67 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** BM25 for MANY queries at once — `queries` is a `(qid, term)` row
+    * table, answers are the `topK` docs per qid. The general form of
+    * [[bm25]]'s literal-terms special case, shaped like an inverted
+    * index built on the fly but restricted to the QUERY vocabulary:
+    *
+    * ONE corpus scan explodes tokens and immediately drops everything
+    * outside the broadcast term set — only query-term occurrences ever
+    * reach the (doc, term) tf aggregation (map-side combined), so the
+    * shuffle is sized by matches, not by the corpus. Document length
+    * rides the same scan (no second pass, no dl join); corpus size and
+    * avgdl reduce to one broadcast row; per-term df comes off the tiny
+    * tf table. Scoring joins tf ⋈ queries on term, sums per (qid,
+    * doc), and the final cut is GroupedTopK's bounded per-qid heaps —
+    * never a per-query sort.
+    *
+    * Scores are rounded to 6 AFTER the per-(qid, doc) sum (term
+    * contributions are a commutative double sum — the final rounding
+    * absorbs merge-order ulps, same contract as every summed-double
+    * gate); ties cut by doc id. Requires GraftSparkExtensions (the
+    * GroupedTopK planner strategy). */
+  def bm25Batch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qidCol: String,
+      termCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      topK: Int = 10): DataFrame = {
+    val terms = queries.select(col(termCol).as("__term")).distinct()
+    val toks = TextAnalysis.tokens(col(textCol))
+    // One scan: (doc, dl, term) for QUERY terms only; tf by (doc, term).
+    val tf = df
+      .select(col(idCol), size(toks).cast("long").as("__dl"),
+        explode(toks).as("__term"))
+      .join(broadcast(terms), "__term")
+      .groupBy(col(idCol), col("__term"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+    // Corpus stats: one row. A second lightweight pass over (dl) only —
+    // column-pruned to the text column's token count.
+    val stats = df
+      .select(size(toks).cast("long").as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum("__dl").as("__sumdl"))
+    val dfT = tf.groupBy("__term").agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n")
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df").cast("double") + lit(0.5)) /
+        (col("__df").cast("double") + lit(0.5)))
+    val termScore = idf * (col("__tf").cast("double") * (k1 + 1)) /
+      (col("__tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / avgdl))
+    val scored = tf
+      .join(broadcast(dfT), "__term")
+      .crossJoin(broadcast(stats))
+      .join(queries.select(col(qidCol), col(termCol).as("__term")), "__term")
+      .groupBy(col(qidCol), col(idCol))
+      .agg(round(sum(termScore), 6).as("score"))
+    graft.plans.GroupedTopK
+      .topKPerGroup(scored, Seq(qidCol),
+        Seq(col("score").desc, col(idCol).asc), topK)
+  }
 }

@@ -55,6 +55,21 @@ class RetrievalScrubSpec extends AnyFunSuite {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("bm25Batch single-term query matches the literal-terms form exactly") {
+    val s = spark
+    import s.implicits._
+    val real = s.read.parquet(TestSpark.sf001 + "/documents.parquet")
+      .select("doc_id", "text")
+    val qs = Seq((7L, "spark")).toDF("qid", "term")
+    val batch = Retrieval.bm25Batch(real, "doc_id", "text", qs, "qid", "term")
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val single = Retrieval.bm25(real, "doc_id", "text", Seq("spark"), topK = 10)
+      .select("doc_id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(batch == single)
+  }
+
   test("bm25 rejects empty, duplicate, and non-word terms") {
     intercept[IllegalArgumentException](
       Retrieval.bm25(docs, "doc_id", "text", Seq.empty))
