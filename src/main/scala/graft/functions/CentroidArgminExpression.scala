@@ -47,6 +47,11 @@ case class CentroidArgmin(child: Expression, centroids: Array[Array[Double]])
     var c = 0
     while (c < centroids.length) {
       val cen = centroids(c)
+      // Spec-pinned truncation to the shorter length — identical to
+      // the zip_with(slice, ...) distance chain this expression fuses
+      // (zip_with pads the shorter side with NULLs; the chain slices
+      // both to the common prefix). Ragged input is the caller's bug;
+      // truncating keeps approximate and exact paths bit-identical.
       val n = math.min(v.length, cen.length)
       var s = 0.0
       var i = 0

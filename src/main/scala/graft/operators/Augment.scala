@@ -40,9 +40,11 @@ object Augment {
     require(spanLen >= 1, "span length must be positive")
     val toks = split(col(textCol), " ")
     val n = size(toks)
-    // 1-based start, uniform over [1, n - spanLen + 1); the last valid
-    // start is kept out only when it would leave no trailing context —
-    // the simple (n - spanLen + 1) modulus both engines compute.
+    // 1-based start, uniform over the CLOSED interval
+    // [1, n - spanLen + 1]: start = n - spanLen + 1 masks through the
+    // last token, leaving an empty suffix (leading context is still
+    // guaranteed by the n > spanLen filter) — the simple
+    // (n - spanLen + 1) modulus both engines compute.
     val nStarts = n - spanLen + 1
     val start = (hashInt(seed, col(idCol)) % nStarts.cast("long"))
       .cast("int") + 1

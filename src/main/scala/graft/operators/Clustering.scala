@@ -78,8 +78,14 @@ object Clustering {
       val next = vecs
         .orderBy(minDist.desc, col(idCol))
         .limit(1)
-        .select("__v")
+        .select(col("__v"), minDist.as("__d"))
         .collect()
+      // A zero max-min-distance pick means every remaining vector
+      // coincides with a chosen seed: fewer than k distinct vectors.
+      // Fail loudly like hash seeding rather than fit degenerate
+      // duplicate centroids.
+      require(next(0).getDouble(1) > 0.0,
+        s"corpus has fewer than $k distinct vectors")
       seeds += next(0).getSeq[Double](0)
     }
     seeds.toArray

@@ -437,14 +437,17 @@ object Curation {
 
   /** The map-only half of [[temperatureMix]]: keep rows whose
     * md5-uniform clears their source's rate. Sources absent from
-    * `rates` (and NULL sources) are dropped — NaN compares false. */
+    * `rates` (and NULL sources) fold to a NULL rate, so `u < NULL`
+    * is NULL and the filter drops them. (NOT NaN: Spark orders NaN
+    * above every double, so `u < NaN` would be TRUE and unknown
+    * sources would pass unscreened.) */
   def applyMixRates(
       df: DataFrame,
       idCol: String,
       srcCol: String,
       rates: Seq[(String, Double)],
       seed: String = "mx"): DataFrame = {
-    val rateExpr = rates.foldLeft(lit(Double.NaN)) { case (els, (s, r)) =>
+    val rateExpr = rates.foldLeft(lit(null).cast("double")) { case (els, (s, r)) =>
       when(col(srcCol) === s, lit(r)).otherwise(els)
     }
     val u = (conv(

@@ -133,7 +133,10 @@ object Retrieval {
     val scored = tf
       .join(broadcast(dfT), "__term")
       .crossJoin(broadcast(stats))
-      .join(queries.select(col(qidCol), col(termCol).as("__term")), "__term")
+      // distinct mirrors bm25's require(terms.distinct == terms): a
+      // duplicate (qid, term) row must not double-count that term.
+      .join(queries.select(col(qidCol), col(termCol).as("__term")).distinct(),
+        "__term")
       .groupBy(col(qidCol), col(idCol))
       .agg(round(sum(termScore), 6).as("score"))
     graft.plans.GroupedTopK

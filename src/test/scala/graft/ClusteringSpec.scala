@@ -51,6 +51,21 @@ class ClusteringSpec extends AnyFunSuite {
     assert(again == out.sortBy(_.getLong(0)).toSeq)
   }
 
+  test("spread seeding fails loudly when the corpus has < k distinct vectors") {
+    val s = spark
+    import s.implicits._
+    // 5 rows but only 2 distinct vectors: k=3 must not silently fit
+    // duplicate centroids.
+    val dup = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0f, 0f)), (2L, Array(0f, 0f)),
+      (3L, Array(5f, 5f)), (4L, Array(5f, 5f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](
+      Clustering.lloyd(dup, "vec_id", "embedding", k = 3, iters = 1,
+        seeding = "spread").collect())
+    assert(e.getMessage.contains("fewer than 3 distinct vectors"))
+  }
+
   test("native centroid argmin is bit-identical to the least-struct chain") {
     val s = spark
     import s.implicits._

@@ -453,6 +453,24 @@ class CurationSpec extends AnyFunSuite {
     assert(!out.select("doc_id").collect().map(_.getLong(0)).contains(3L))
   }
 
+  test("applyMixRates drops rows whose source is absent from the census") {
+    // The streaming path screens with rates learned on a batch census;
+    // a source that appears only after the census must be DROPPED, not
+    // passed unscreened (a NaN fold default would invert this: Spark
+    // orders NaN above every double, so u < NaN is TRUE).
+    val s = spark
+    import s.implicits._
+    val screened = Seq(
+      (1L, "known"), (2L, "known"),
+      (3L, "unseen"), (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    val out = Curation.applyMixRates(
+      screened, "doc_id", "source", Seq("known" -> 1.0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out == Set(1L, 2L),
+      s"unseen/null sources must be dropped, kept=$out")
+  }
+
   test("temperatureMix selection is deterministic and map-only after the count") {
     val a = Curation.temperatureMix(docs, "doc_id", "source", 0.5, 100L)
       .select("doc_id").collect().map(_.getLong(0)).toSet

@@ -70,6 +70,22 @@ class RetrievalScrubSpec extends AnyFunSuite {
     assert(batch == single)
   }
 
+  test("bm25Batch deduplicates repeated (qid, term) rows before scoring") {
+    // A duplicated query row must not double-count the term's
+    // contribution — mirrors bm25's require(terms.distinct == terms).
+    val s = spark
+    import s.implicits._
+    val real = s.read.parquet(TestSpark.sf001 + "/documents.parquet")
+      .select("doc_id", "text")
+    val once = Seq((7L, "spark")).toDF("qid", "term")
+    val twice = Seq((7L, "spark"), (7L, "spark")).toDF("qid", "term")
+    val a = Retrieval.bm25Batch(real, "doc_id", "text", once, "qid", "term")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = Retrieval.bm25Batch(real, "doc_id", "text", twice, "qid", "term")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("bm25 rejects empty, duplicate, and non-word terms") {
     intercept[IllegalArgumentException](
       Retrieval.bm25(docs, "doc_id", "text", Seq.empty))
