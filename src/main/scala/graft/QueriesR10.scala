@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-10 corpus queries: the two remaining canonical crawl-curation
+  * variants — RefinedWeb/CCNet LINE-level exact dedup (drop every line
+  * seen in more than `maxDf` distinct documents, order preserved) and
+  * the published GPT-3/Pile 13-gram decontamination collision rule.
+  * Both exact-oracle-gated; the line-dedup plan is pinned to never
+  * shuffle corpus text (PlanQualitySpec).
+  */
+object QueriesR10 {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** Words per reflowed line for q_line_dedup: the synthetic corpus has
+    * no newlines, so the query deterministically reflows each document
+    * into 8-word lines first (both engines replay the same reflow). */
+  private val LineWidth = 8
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- RefinedWeb/CCNet line dedup: drop EVERY line appearing in
+    //     > 2 distinct docs, keep surviving lines in order. The df
+    //     pass shuffles line digests only; the hot set collapses to a
+    //     one-row broadcast and removal is a row-local array filter —
+    //     corpus text never reaches an exchange (plan-pinned). ---
+    "q_line_dedup" -> { (s, d) =>
+      val reflowed = docs(s, d).select(
+        col("doc_id"),
+        array_join(
+          operators.SubstringDedup.tokenChunks(
+            split(col("text"), " "), LineWidth), "\n").as("text"))
+      operators.SubstringDedup.lineDedup(
+        reflowed, "doc_id", "text", maxDf = 2)
+    },
+    // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
+    //     shared 13-gram (k=13, minShared=1 — the published collision
+    //     rule). Eval = every 5th doc so the fixture's near-dup pairs
+    //     actually straddle the train/eval split. ---
+    "q_decontam_13g" -> { (s, d) =>
+      val all = docs(s, d)
+      operators.Decontaminate.decontaminate13Gram(
+        train = all.filter(col("doc_id") % 5 =!= 0),
+        eval = all.filter(col("doc_id") % 5 === 0)
+          .withColumn("eval_set", (col("doc_id") % 2).cast("int")),
+        idCol = "doc_id", textCol = "text", setCol = "eval_set")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "q_line_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |ln AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1), k -> {'idx': k, 'line': array_to_string(w[k*8+1 : k*8+8], ' ')}), recursive := true) FROM t),
+        |hot AS (SELECT line FROM (SELECT line, count(DISTINCT doc_id) df FROM ln GROUP BY 1) WHERE df > 2),
+        |kept AS (SELECT doc_id, idx, line FROM ln WHERE line NOT IN (SELECT line FROM hot)),
+        |r AS (SELECT doc_id, count(*) n_kept, string_agg(line, chr(10) ORDER BY idx) text_dedup FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(ceil(len(t.w) / 8.0) AS BIGINT) AS n_lines,
+        |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+        |       coalesce(r.text_dedup, '') AS text_dedup
+        |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin,
+    "q_decontam_13g" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 13 THEN list_transform(generate_series(1, len(ts) - 12), i -> array_to_string(ts[i:i+12], ' ')) ELSE [] END) s FROM toks),
+        |ev0 AS (SELECT CAST(doc_id % 2 AS INTEGER) eval_set, unnest(s) g FROM sh WHERE doc_id % 5 = 0),
+        |ev AS (SELECT DISTINCT eval_set, g FROM ev0),
+        |tr AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 5 <> 0)
+        |SELECT doc_id, eval_set, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM tr JOIN ev USING (g) GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin)
+}

@@ -118,6 +118,24 @@ object Decontaminate {
     * corpus is scanned ONCE, and the only shuffle is the partial-agg
     * count over `(doc, set)` HITS — rows exist only where a doc
     * actually shares a shingle with a set, not |docs|×|sets|. */
+  /** The published GPT-3 / Pile decontamination preset: a training
+    * document is contaminated by an eval set as soon as they share ANY
+    * single 13-gram (k = 13, minShared = 1 — the collision rule the
+    * GPT-3 appendix and later benchmark-leak reports actually state,
+    * vs the tunable thresholds of [[ngramOverlapPerSet]]). 13 words is
+    * long enough that a shared shingle is near-certain copying, so the
+    * published rule needs no minimum-count cushion. Same scale shape as
+    * the general form: eval (set, 13-gram) pairs broadcast, corpus
+    * scanned once, only (doc, set) hits shuffle. */
+  def decontaminate13Gram(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      setCol: String): DataFrame =
+    ngramOverlapPerSet(train, eval, idCol, textCol, setCol,
+      k = 13, minShared = 1)
+
   def ngramOverlapPerSet(
       train: DataFrame,
       eval: DataFrame,

@@ -281,6 +281,60 @@ object SubstringDedup {
         coalesce(col("n_matched"), lit(0L)).as("n_matched"))
   }
 
+  /** LINE-level exact dedup — the RefinedWeb/CCNet pass a crawl
+    * pipeline runs first: drop EVERY line that appears in more than
+    * `maxDf` distinct documents (navigation bars, cookie banners,
+    * footers), keeping the surviving lines in their original order.
+    * Line granularity differs from [[stripFrequentChunks]]'s aligned
+    * word windows: a "line" is an author-delimited unit (`sep`,
+    * default newline), so the rule never splits or merges a
+    * boilerplate unit across chunk boundaries.
+    *
+    * Output per document: `n_lines`, `n_kept`, and `text_dedup` (the
+    * kept lines re-joined with `sep`; empty when every line was hot).
+    *
+    * Scale shape — the corpus text NEVER reaches an exchange:
+    *   - the document-frequency pass explodes each document's
+    *     DISTINCT lines (row-local `array_distinct`, so a plain
+    *     `count(*)` per line is already the distinct-doc count — no
+    *     `count(distinct)` expansion) and reduces every line to its
+    *     md5 digest BEFORE the aggregation, so the one shuffle
+    *     carries (32-hex digest, partial count) rows only;
+    *   - the hot set is tiny by construction (a line needs > `maxDf`
+    *     distinct documents, so its size is bounded by
+    *     total-line-occurrences / maxDf and in practice by the Zipf
+    *     head) and collapses to a ONE-ROW `collect_set` aggregate
+    *     that broadcasts into a cross join — the removal itself is a
+    *     row-local `filter(lines, l -> !contains(hot, md5(l)))`
+    *     projection, zero additional shuffle, no per-document
+    *     rebuild aggregation at all (the line array never left the
+    *     row, so order is preserved for free). */
+  def lineDedup(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDf: Int, sep: String = "\n"): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    require(sep.nonEmpty, "separator must be non-empty")
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val hot = df
+      .select(explode(array_distinct(lines)).as("__l"))
+      .select(md5(col("__l")).as("__h"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .agg(collect_set(col("__h")).as("__hot"))
+    df.select(col(idCol), lines.as("__lines"))
+      .crossJoin(broadcast(hot))
+      .select(
+        col(idCol), col("__lines"),
+        filter(col("__lines"),
+          l => !array_contains(col("__hot"), md5(l))).as("__kept"))
+      .select(
+        col(idCol),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), sep).as("text_dedup"))
+  }
+
   /** Boilerplate STRIP: remove EVERY occurrence of any `w`-word chunk
     * whose corpus document frequency exceeds `maxDf` — the
     * RefinedWeb-style "repeated across documents ⇒ it's boilerplate,

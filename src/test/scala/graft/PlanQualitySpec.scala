@@ -276,6 +276,26 @@ class PlanQualitySpec extends AnyFunSuite {
       "an exchange input still carries the text column")
   }
 
+  test("line dedup: one digest-only shuffle, removal map-only behind a broadcast") {
+    val df = q("q_line_dedup")
+    import org.apache.spark.sql.execution.exchange.Exchange
+    // The df-count pass reduces lines to md5 digests BEFORE its
+    // exchange, and the removal is a row-local array filter against
+    // the broadcast one-row hot set — so the whole operator has ONE
+    // hash exchange and corpus text never crosses the wire.
+    val exchangesCarryingText = df.queryExecution.executedPlan.collect {
+      case e: Exchange if e.child.output.exists(_.name == "text") => e
+    }
+    assert(exchangesCarryingText.isEmpty,
+      "an exchange input still carries the text column")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), "hot-set probe must not be all-pairs")
+    val shuffles = df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1,
+      s"line dedup must shuffle only the digest df count, got $shuffles")
+  }
+
   test("anchored substring dedup reduces text to digests before any exchange") {
     val df = q("q_substring_dedup")
     // Anchor selection and span digesting are row-local; from the first

@@ -301,6 +301,55 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(shuffles <= 4, s"expected <=4 shuffle exchanges, got $shuffles:\n$p")
   }
 
+  test("lineDedup drops every copy of a hot line and preserves line order") {
+    val s = spark
+    import s.implicits._
+    // "nav bar" is in 3 docs (df=3 > maxDf=2) -> dropped everywhere;
+    // "footer" (df=2) survives. Doc 4 is ALL hot lines -> empty text.
+    val docs = Seq(
+      (1L, "nav bar\nbody one\nfooter"),
+      (2L, "nav bar\nbody two\nfooter"),
+      (3L, "body three\nnav bar"),
+      (4L, "nav bar")
+    ).toDF("doc_id", "text")
+    val out = SubstringDedup.lineDedup(docs, "doc_id", "text", maxDf = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, "body one\nfooter")))
+    assert(out(2L) == ((3L, 2L, "body two\nfooter")))
+    assert(out(3L) == ((2L, 1L, "body three")))
+    assert(out(4L) == ((1L, 0L, "")))
+    // Partition-invariant: same result from any physical layout.
+    val again = SubstringDedup
+      .lineDedup(docs.repartition(5), "doc_id", "text", maxDf = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(again == out)
+  }
+
+  test("lineDedup: hot set is a one-row broadcast; text never shuffles") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        array_join(SubstringDedup.tokenChunks(split(col("text"), " "), 8),
+          "\n").as("text"))
+    val df = SubstringDedup.lineDedup(docs, "doc_id", "text", maxDf = 2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // Removal is a row-local array filter against the broadcast one-row
+    // hot set: the ONLY hash exchange is the digest df count.
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      s"one-row hot aggregate must broadcast:\n$p")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles <= 1, s"expected <=1 hash exchange (digest df), got $shuffles:\n$p")
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val textInExchange = df.queryExecution.executedPlan.collect {
+      case e: Exchange if e.child.output.exists(_.name == "text") => e
+    }
+    assert(textInExchange.isEmpty, "an exchange input still carries text")
+  }
+
   test("entropyFeatures matches hand-computed Shannon entropy") {
     val s = spark
     import s.implicits._
