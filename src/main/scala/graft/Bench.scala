@@ -105,6 +105,31 @@ object Bench {
     // Raw per-run seconds (warmup excluded) — the spread's provenance.
     val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
 
+    // Shared median/spread bookkeeping for queries AND cache phases.
+    // Median of all runs; spread over the steady-state runs: when the
+    // sample is >= 4 runs, the first timed run — which still pays OS
+    // page-cache warm-in for freshly written blocks even after the
+    // untimed warmup — is excluded from the spread (NOT from the
+    // median, which is robust to it), and the dispersion is the
+    // TRIMMED range (drop the single largest — one co-tenant CPU burst
+    // landing in one of five runs is the dominant noise mode on this
+    // machine, and it cannot be distinguished from load by re-running:
+    // isolated re-benchmarks of the same build land on the 3-run
+    // median). The untrimmed per-run seconds all go to `runs` in
+    // BENCH_DETAIL for auditing, and the MEDIAN is never trimmed.
+    def record(name: String, runs: Seq[Double]): Unit = {
+      val med = runs.sorted.apply((runs.size - 1) / 2)
+      timings(name) = med
+      val steady = if (runs.size >= 4) runs.drop(1) else runs
+      val dispersion =
+        if (steady.size >= 4) {
+          val s = steady.sorted
+          s(s.size - 2) - s.head
+        } else steady.max - steady.min
+      if (med > 0) spreads(name) = dispersion / med
+      allRuns(name) = runs
+    }
+
     // Median-of-3 per query: this host shows up to ±25% run-to-run
     // noise on the join-heavy queries; the median is robust to a single
     // outlier in either direction (a min would hide real regressions, a
@@ -193,51 +218,56 @@ object Bench {
       }
       // A failed query reports ONLY its error — a median over runs that
       // include the aborted attempt would record a misleading timing.
-      if (err.isEmpty) {
-        val med = runs.sorted.apply((runs.size - 1) / 2)
-        timings(name) = med
-        // Spread over the steady-state runs: when the adaptive loop
-        // extended the sample (>=4 runs), the first timed run — which
-        // still pays OS page-cache warm-in for freshly written
-        // checkpoint blocks even after the untimed warmup — is excluded
-        // from the spread (NOT from the median, which is robust to it).
-        // The raw per-run seconds stay in `runs` for auditing.
-        val steady = if (runs.size >= 4) runs.drop(1).toSeq else runs.toSeq
-        // Dispersion: full range for small samples; once the adaptive
-        // loop produced >= 4 steady runs, the TRIMMED range (drop the
-        // single largest — one co-tenant CPU burst landing in one of
-        // five runs is the dominant noise mode on this machine, and it
-        // cannot be distinguished from load by re-running: isolated
-        // re-benchmarks of the same build land on the 3-run median).
-        // The untrimmed per-run seconds are all in `runs` for auditing,
-        // and the MEDIAN is never trimmed.
-        val dispersion =
-          if (steady.size >= 4) {
-            val s = steady.sorted
-            s(s.size - 2) - s.head
-          } else steady.max - steady.min
-        if (med > 0) spreads(name) = dispersion / med
-        allRuns(name) = runs.toSeq
-      }
+      if (err.isEmpty) record(name, runs.toSeq)
       err.foreach(errors(name) = _)
     }
 
     // Reference three-phase cache pattern (BASELINE.md): uncached run,
-    // cache write (first cacheToDbfs), cached re-read (second call hits).
-    if (only.isEmpty) {
-      def flagship(): DataFrame = Queries.all("q_join_multi")(spark, sfDir)
-      def cached(): DataFrame = flagship().cacheToDbfs(
+    // cache write (first cacheToDbfs), cached re-read (second call
+    // hits). The SAME median protocol as every query — one untimed
+    // warmup sequence, then 5 timed sequences, median + spread per
+    // phase — because these three numbers are the repo's headline
+    // baseline metric and a single run was its least-measured number
+    // (one sweep caught cache_write at 3.4 s where three others
+    // measured 0.9 s). Each sequence gets a FRESH cache hash by
+    // tagging the flagship plan with a per-sequence literal (the plan
+    // fingerprint changes, so every write phase really writes and
+    // every re-read phase hits only its own sequence's entry).
+    // Dev loop: SPARK_GRAFT_ONLY=cache times just these phases.
+    if (only.isEmpty || only.exists(_.contains("cache"))) {
+      import org.apache.spark.sql.functions.lit
+      def flagship(seq: Int): DataFrame =
+        Queries.all("q_join_multi")(spark, sfDir)
+          .withColumn("__bench_seq", lit(seq))
+      def cached(seq: Int): DataFrame = flagship(seq).cacheToDbfs(
         overridePreferSparkCache = true,
         dbfsCacheComplexityThreshold = None,
         dbfsCacheMultiplierThreshold = None)
-      val (uncachedSec, e1) = timeSec(runFully(flagship()))
-      val (writeSec, e2) = timeSec(runFully(cached()))
-      val (rereadSec, e3) = timeSec(runFully(cached()))
-      Seq("cache_uncached" -> e1, "cache_write" -> e2, "cache_reread" -> e3)
-        .foreach { case (k, e) => e.foreach(errors(k) = _) }
-      timings("cache_uncached") = uncachedSec
-      timings("cache_write") = writeSec
-      timings("cache_reread") = rereadSec
+      val phaseRuns =
+        Seq("cache_uncached", "cache_write", "cache_reread")
+          .map(_ -> scala.collection.mutable.ArrayBuffer.empty[Double]).toMap
+      settle()
+      var seqNo = -1
+      var cacheErr: Option[String] = None
+      while (seqNo < 5 && cacheErr.isEmpty) {
+        val (u, e1) = timeSec(runFully(flagship(seqNo)))
+        val (w, e2) = timeSec(runFully(cached(seqNo)))
+        val (r, e3) = timeSec(runFully(cached(seqNo)))
+        cacheErr = e1.orElse(e2).orElse(e3)
+        if (seqNo >= 0 && cacheErr.isEmpty) {
+          phaseRuns("cache_uncached") += u
+          phaseRuns("cache_write") += w
+          phaseRuns("cache_reread") += r
+        }
+        seqNo += 1
+      }
+      if (cacheErr.isEmpty)
+        phaseRuns.toSeq.sortBy(_._1).foreach { case (k, rs) =>
+          record(k, rs.toSeq) }
+      cacheErr.foreach { e =>
+        Seq("cache_uncached", "cache_write", "cache_reread")
+          .foreach(errors(_) = e)
+      }
     }
 
     val qs = timings.map { case (k, v) => s"${jsonStr(k)}:${f"$v%.3f"}" }
