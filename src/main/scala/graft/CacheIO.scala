@@ -98,7 +98,13 @@ object CacheIO {
       bucketBy: Option[(Int, Seq[String])] = None): Unit = {
     val conf = hadoopConf(df.sparkSession)
     val lastMeta = readTextIfExists(metadataFilePath, conf)
-    if (lastMeta.contains(metadataTxt)) {
+    // Skip only when the TABLE is also still there: a metadata sidecar
+    // can outlive its table (different warehouse dir across processes,
+    // manual DROP) and skipping then would leave the entry
+    // unmaterialized forever.
+    if (lastMeta.contains(metadataTxt) &&
+        df.sparkSession.catalog.tableExists(
+          CacheConfig.current.tableNameFromHash(hashName))) {
       PlanFingerprint.log(s"Meta identical $hashName. Skip.")
       return
     }

@@ -35,6 +35,16 @@ object QueriesR10 {
       operators.SubstringDedup.lineDedup(
         reflowed, "doc_id", "text", maxDf = 2)
     },
+    // --- the release pipeline routed through the PERSISTENT cache
+    //     layer (vs q_release's session-transient checkpoint): first
+    //     execution writes the cleaned corpus + manifest as cache
+    //     tables keyed on the raw corpus fingerprint; every re-run —
+    //     including in a new session — is a pure table read that
+    //     executes no dedup/tokenize/pack jobs. Same oracle as
+    //     q_release: resumption must be bit-identical. ---
+    "q_release_resumed" -> ((s, d) =>
+      operators.Pipeline.releaseResumable(
+        docs(s, d), "doc_id", "text", windowLen = 2048L, bpeRounds = 5)),
     // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
     //     shared 13-gram (k=13, minShared=1 — the published collision
     //     rule). Eval = every 5th doc so the fixture's near-dup pairs
@@ -49,6 +59,9 @@ object QueriesR10 {
     })
 
   val oracles: Map[String, String] = Map(
+    // Identical result contract to q_release — the cache-resumed run
+    // must be bit-identical to the computed one.
+    "q_release_resumed" -> QueriesR9.oracles("q_release"),
     "q_line_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |ln AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(w) / 8.0) AS INT) - 1), k -> {'idx': k, 'line': array_to_string(w[k*8+1 : k*8+8], ' ')}), recursive := true) FROM t),

@@ -212,26 +212,10 @@ object QueriesR9 {
     //     served from the freshness-keyed ModelCache) -> context-window
     //     shard/offset packing. Raw corpus in, training-shard manifest
     //     out — every stage an already-gated operator, composed ---
-    "q_release" -> { (s, d) =>
-      val dd = docs(s, d)
-      // The cleaning pipeline (quality gate + exact/near dedup with its
-      // component rounds) feeds TWO branches below; Spark shares no
-      // common subtrees across DataFrame branches, so without this
-      // checkpoint the whole dedup re-executes per branch (measured
-      // 10.6 s → the sum-of-parts ~4 s at sf0.1).
-      val cleaned = operators.Materialize.checkpoint(
-        operators.Pipeline.cleanCorpus(dd, "doc_id", "text"))
-      val scrubbed = operators.Scrub
-        .scrubReport(cleaned, "doc_id", "text")
-        .select(col("doc_id"), col("redacted_md5"))
-      val merges = operators.Vocab.learnedMerges(dd, "text", BpeRounds)
-      val counted = operators.Vocab
-        .tokenizeWithMerges(cleaned, "doc_id", "text", merges)
-        .select(col("doc_id"), col("n_tokens"))
-      operators.Packing
-        .tokenShardOffsets(counted, "doc_id", "n_tokens", 2048L)
-        .join(scrubbed, "doc_id")
-    },
+    "q_release" -> ((s, d) =>
+      operators.Pipeline.releaseManifest(
+        docs(s, d), "doc_id", "text", windowLen = 2048L,
+        bpeRounds = BpeRounds)),
     // --- compression-ratio quality signal (DEFLATE/UTF-8 size): the
     //     long-range-repetition detector n-gram stats dilute. zlib
     //     byte counts are JVM-stable but not a cross-engine spec ⇒

@@ -242,6 +242,50 @@ class CacheBehaviorSpec extends AnyFunSuite {
     } finally CacheConfig.current = prev
   }
 
+  test("resumable release: a new session hits the cache and runs no pipeline jobs") {
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val first = operators.Pipeline.releaseResumable(
+      docs, "doc_id", "text", windowLen = 2048L, bpeRounds = 3)
+    val rows1 = first.orderBy("doc_id").collect().toSeq
+    assert(rows1.nonEmpty)
+
+    // "New session": fresh session state over the shared catalog — the
+    // transient localCheckpoint blocks of the first run are irrelevant
+    // to it; only the persistent cache tables + metadata can serve it.
+    val s2 = spark.newSession()
+    val docs2 = s2.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    // Count Spark jobs during the resumed CALL: a cache hit is pure
+    // driver-side metadata (no dedup rounds, no BPE learning, no
+    // prefix-sum passes — each of which launches jobs eagerly during
+    // construction on the miss path).
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val resumed = operators.Pipeline.releaseResumable(
+        docs2, "doc_id", "text", windowLen = 2048L, bpeRounds = 3)
+      // The hit's plan is a bare scan of the manifest cache table.
+      val opt = resumed.queryExecution.optimizedPlan.toString
+      assert(opt.contains(CacheConfig.current.cacheDatabase),
+        s"resumed release must be served from a cache table:\n$opt")
+      assert(!opt.contains("Join") && !opt.contains("Aggregate"),
+        s"resumed release must not re-plan the pipeline:\n$opt")
+      // Listener events are asynchronous; give the bus a moment before
+      // reading the counter (only construction-time jobs are counted —
+      // the assertion runs BEFORE any action on `resumed`).
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"cache-hit resume must launch no jobs, saw ${jobs.get()}")
+      val rows2 = resumed.orderBy("doc_id").collect().toSeq
+      assert(rows2 == rows1, "resumed manifest must be bit-identical")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("wcd caches when triggered and returns chainable DF") {
     val df = ordersAgg().withColumn("z", lit(4))
     val out = df.wcd(skipDisplay = true)
