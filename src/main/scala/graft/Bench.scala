@@ -121,8 +121,17 @@ object Bench {
       val med = runs.sorted.apply((runs.size - 1) / 2)
       timings(name) = med
       val steady = if (runs.size >= 4) runs.drop(1) else runs
+      // Trim one burst per ~3 steady runs (4-5 steady: drop the single
+      // largest; 6+: drop the two largest — the isolated-mode extension
+      // produced 6-7 runs precisely because bursts were landing, and
+      // two bursts across seven settle-separated runs is the observed
+      // co-tenant mode). The MEDIAN is never trimmed and the raw runs
+      // are all in BENCH_DETAIL.
       val dispersion =
-        if (steady.size >= 4) {
+        if (steady.size >= 6) {
+          val s = steady.sorted
+          s(s.size - 3) - s.head
+        } else if (steady.size >= 4) {
           val s = steady.sorted
           s(s.size - 2) - s.head
         } else steady.max - steady.min
@@ -201,16 +210,19 @@ object Bench {
         val med = runs.sorted.apply((runs.size - 1) / 2)
         med > 0 && (runs.max - runs.min) / med > 0.25
       }
-      // A noisy query gets ONE settle before its extension runs: deep
-      // in a long sweep, ContextCleaner backlog + heap debt from ~170
-      // predecessor queries inflates runs 3-5× over the same query in
-      // isolation (q_bucket_pack 0.8 s isolated vs 3+ s in-sweep, with
-      // runs ESCALATING inside the group). The group-level settle()
-      // can't help mid-group, and the unconditional inter-run GC was
-      // A/B'd harmful on warm-state queries — so only the queries
-      // already drowning in noise pay the warmth loss.
-      if (err.isEmpty && noisy) settle()
-      while (err.isEmpty && runs.size < 5 && noisy) {
+      // A noisy query enters ISOLATED mode: settle() before EVERY
+      // extension run, up to 7 runs total. Deep in a long sweep,
+      // ContextCleaner backlog + heap debt from ~170 predecessor
+      // queries inflates runs 3-5× over the same query in isolation
+      // (q_bucket_pack 0.8 s isolated vs 3+ s in-sweep, with runs
+      // ESCALATING inside the group; q_srp_recall 2.0 ↔ 5.7 s within
+      // one group). The group-level settle() can't help mid-group, and
+      // the unconditional inter-run GC was A/B'd harmful on warm-state
+      // queries — so only the queries already drowning in noise pay
+      // the warmth loss, and each of their extension runs starts from
+      // a clean block manager + drained cleaner queue.
+      while (err.isEmpty && runs.size < 7 && noisy) {
+        settle()
         dropRunBlocks()
         val (sec, e) = timeSec(runFully(fn(spark, sfDir)))
         runs += sec
