@@ -312,28 +312,61 @@ object SubstringDedup {
   def lineDedup(
       df: DataFrame, idCol: String, textCol: String,
       maxDf: Int, sep: String = "\n"): DataFrame = {
+    val hot = hotLineDigests(df, textCol, maxDf, sep)
+      .agg(collect_set(col("__h")).as("__hot"))
+    df.select(col(idCol), lineSplit(col(textCol), sep).as("__lines"))
+      .crossJoin(broadcast(hot))
+      .select(col(idCol), col("__lines"),
+        keptLines(col("__lines"), col("__hot")).as("__kept"))
+      .select(lineDedupOutput(idCol, sep): _*)
+  }
+
+  /** The document-frequency half of [[lineDedup]], exposed for census
+    * use (the streaming twin learns its hot set from a batch census —
+    * a stream cannot count its own line df): md5 digests of every
+    * line appearing in MORE THAN `maxDf` distinct census documents.
+    * One digest-only shuffle; bounded by the Zipf head. */
+  def hotLineDigests(
+      census: DataFrame, textCol: String, maxDf: Int,
+      sep: String = "\n"): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
-    require(sep.nonEmpty, "separator must be non-empty")
-    val lines = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    val hot = df
-      .select(explode(array_distinct(lines)).as("__l"))
+    census
+      .select(explode(array_distinct(lineSplit(col(textCol), sep))).as("__l"))
       .select(md5(col("__l")).as("__h"))
       .groupBy(col("__h"))
       .agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
-      .agg(collect_set(col("__h")).as("__hot"))
-    df.select(col(idCol), lines.as("__lines"))
-      .crossJoin(broadcast(hot))
-      .select(
-        col(idCol), col("__lines"),
-        filter(col("__lines"),
-          l => !array_contains(col("__hot"), md5(l))).as("__kept"))
-      .select(
-        col(idCol),
-        size(col("__lines")).cast("long").as("n_lines"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        array_join(col("__kept"), sep).as("text_dedup"))
+      .select("__h")
   }
+
+  /** The MAP-ONLY removal half of [[lineDedup]] against an
+    * already-known hot set folded in as a LITERAL (the streaming-twin
+    * form — [[graft.streaming.Streaming.lineDedupStream]]): no join at
+    * all, a pure projection any micro-batch can run statelessly.
+    * Shares [[keptLines]]/[[lineDedupOutput]] with the batch form, so
+    * batch replay equals streaming output row for row. */
+  def stripHotLines(
+      df: DataFrame, idCol: String, textCol: String,
+      hotDigests: Seq[String], sep: String = "\n"): DataFrame =
+    df.select(col(idCol), lineSplit(col(textCol), sep).as("__lines"))
+      .select(col(idCol), col("__lines"),
+        keptLines(col("__lines"),
+          typedLit(hotDigests.sorted).as("__hot")).as("__kept"))
+      .select(lineDedupOutput(idCol, sep): _*)
+
+  private def lineSplit(text: Column, sep: String): Column = {
+    require(sep.nonEmpty, "separator must be non-empty")
+    split(text, java.util.regex.Pattern.quote(sep))
+  }
+
+  private def keptLines(lines: Column, hot: Column): Column =
+    filter(lines, l => !array_contains(hot, md5(l)))
+
+  private def lineDedupOutput(idCol: String, sep: String): Seq[Column] = Seq(
+    col(idCol),
+    size(col("__lines")).cast("long").as("n_lines"),
+    size(col("__kept")).cast("long").as("n_kept"),
+    array_join(col("__kept"), sep).as("text_dedup"))
 
   /** Boilerplate STRIP: remove EVERY occurrence of any `w`-word chunk
     * whose corpus document frequency exceeds `maxDf` — the

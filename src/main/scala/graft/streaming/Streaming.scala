@@ -487,6 +487,34 @@ object Streaming {
       docs, idCol, srcCol,
       graft.operators.Curation.temperatureRates(census, srcCol, alpha, total))
 
+  /** Ingest-time LINE-boilerplate strip: the streaming twin of
+    * [[graft.operators.SubstringDedup.lineDedup]] (every batch screen
+    * in this library has a streaming form and vice versa). The hot-line
+    * digest set is learned from a BATCH census — a stream cannot count
+    * its own line document-frequency — and folds into the stream as a
+    * LITERAL digest array (the Zipf-head-bounded set the batch form
+    * broadcasts), so each arriving document drops every hot line in a
+    * pure map-only projection: fully STATELESS, no join, no watermark,
+    * no state store. Identical removal expressions to the batch path
+    * ([[graft.operators.SubstringDedup.stripHotLines]]), so replaying
+    * the stream as a batch yields the identical output. */
+  def lineDedupStream(
+      docs: DataFrame,
+      census: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      maxDf: Int = 2,
+      sep: String = "\n"): DataFrame = {
+    import graft.operators.SubstringDedup
+    // Bounded driver collect: a line needs > maxDf distinct census
+    // docs, so the set is at most census-line-occurrences / maxDf and
+    // in practice the boilerplate Zipf head.
+    val hot = SubstringDedup
+      .hotLineDigests(census, textCol, maxDf, sep)
+      .collect().map(_.getString(0)).toSeq
+    SubstringDedup.stripHotLines(docs, idCol, textCol, hot, sep)
+  }
+
   /** Run a streaming DataFrame to completion against an in-memory sink
     * and return the sink table (test/backfill helper). */
   def runToMemory(

@@ -497,6 +497,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == batch && got.nonEmpty)
   }
 
+  test("streaming line dedup strips census-hot lines, stateless, batch-parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // "nav bar" is in 3 census docs (> maxDf=2) -> hot; "footer" (2) not.
+    val census = Seq(
+      (1L, "nav bar\nbody one\nfooter"),
+      (2L, "nav bar\nbody two\nfooter"),
+      (3L, "body three\nnav bar"))
+    val censusDf = census.toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, String)]
+    val screened = Streaming.lineDedupStream(
+      stream.toDF().toDF("doc_id", "text"), censusDf, maxDf = 2)
+    val q = screened.writeStream.format("memory").queryName("linestream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // An ARRIVING doc (not in the census) carrying the hot line.
+      stream.addData((10L, "nav bar\nfresh content\nfooter"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "line screen must be stateless")
+    } finally q.stop()
+    val got = spark.table("linestream").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == Seq((10L, 3L, 2L, "fresh content\nfooter")))
+    // Batch parity: census-self-screened stream == batch lineDedup.
+    val selfStream = graft.operators.SubstringDedup.stripHotLines(
+      censusDf, "doc_id", "text",
+      graft.operators.SubstringDedup.hotLineDigests(censusDf, "text", 2)
+        .collect().map(_.getString(0)).toSeq)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.SubstringDedup
+      .lineDedup(censusDf, "doc_id", "text", maxDf = 2)
+      .collect().map(_.toSeq).toSet
+    assert(selfStream == batch)
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
