@@ -45,6 +45,26 @@ object QueriesR10 {
     "q_release_resumed" -> ((s, d) =>
       operators.Pipeline.releaseResumable(
         docs(s, d), "doc_id", "text", windowLen = 2048L, bpeRounds = 5)),
+    // --- Unicode cleanup: NFC composition (native expression, ASCII
+    //     fast path) + control-char strip. The ASCII fixture is
+    //     already normalized, so the query deterministically injects
+    //     decomposed accents (a -> a + U+0301) and a control char
+    //     (e -> e + BEL) first — both engines replay the injection,
+    //     then DuckDB's nfc_normalize replays the composition. ---
+    "q_nfc_normalize" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          regexp_replace(
+            regexp_replace(col("text"), "a", "a\u0301"),
+            "e", "e\u0007").as("__dec"))
+        .select(col("doc_id"), col("__dec"),
+          operators.TextAnalysis.normalizeText(col("__dec")).as("__norm"))
+        .select(
+          col("doc_id"),
+          length(col("__dec")).cast("long").as("n_raw"),
+          length(col("__norm")).cast("long").as("n_norm"),
+          md5(col("__norm")).as("norm_md5"))
+    },
     // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
     //     shared 13-gram (k=13, minShared=1 — the published collision
     //     rule). Eval = every 5th doc so the fixture's near-dup pairs
@@ -72,6 +92,16 @@ object QueriesR10 {
         |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
         |       coalesce(r.text_dedup, '') AS text_dedup
         |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin,
+    "q_nfc_normalize" ->
+      """WITH raw AS (SELECT doc_id,
+        |  replace(replace(text, 'a', 'a' || chr(769)), 'e', 'e' || chr(7)) dtxt
+        |  FROM documents),
+        |n AS (SELECT doc_id, dtxt,
+        |  regexp_replace(nfc_normalize(dtxt),
+        |    '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') norm FROM raw)
+        |SELECT doc_id, length(dtxt)::BIGINT AS n_raw,
+        |       length(norm)::BIGINT AS n_norm, md5(norm) AS norm_md5
+        |FROM n""".stripMargin,
     "q_decontam_13g" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
         |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 13 THEN list_transform(generate_series(1, len(ts) - 12), i -> array_to_string(ts[i:i+12], ' ')) ELSE [] END) s FROM toks),

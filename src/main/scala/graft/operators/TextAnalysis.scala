@@ -32,6 +32,21 @@ object TextAnalysis {
   /** Approximate LLM token count via BPE pre-tokens. */
   def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
 
+  /** Unicode cleanup — the CCNet-style normalization pass a crawl
+    * pipeline runs BEFORE anything hashes text: NFC canonical
+    * composition (native [[graft.functions.NfcNormalize]] expression,
+    * ASCII fast path, no UDF) followed by C0/DEL control-character
+    * removal (newline and tab kept — they are document structure).
+    * Un-normalized text silently under-deduplicates: a decomposed and
+    * a composed "é" read identically but hash differently in every
+    * digest/shingle/dedup operator downstream. Map-only at any scale;
+    * RE2-portable strip + DuckDB's `nfc_normalize` make it
+    * exact-oracle-checkable. */
+  def normalizeText(text: Column): Column =
+    regexp_replace(
+      graft.functions.NfcNormalize.nfc(text),
+      "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
+
   /** Stopword list used by quality scoring and language ID. Tiny by
     * design: deterministic, language-marker oriented. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in")

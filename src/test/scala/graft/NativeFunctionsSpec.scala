@@ -240,6 +240,37 @@ class NativeFunctionsSpec extends AnyFunSuite {
     assert(again == out.map { case (k, v) => k -> v._2 })
   }
 
+  test("nfc_normalize: composes decomposed marks, ASCII fast path, SQL-callable") {
+    val s = spark
+    import s.implicits._
+    val decomposed = "caf" + "e\u0301"            // e + combining acute
+    val composed = "caf\u00e9"                    // precomposed e-acute
+    val ligature = "\ufb01le"                     // NFC leaves compatibility ligatures
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+      (4L, ligature), (5L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = rows
+      .select(col("id"), graft.functions.NfcNormalize.nfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == composed, "decomposed sequence must compose")
+    assert(out(2L) == composed, "already-NFC input is unchanged")
+    assert(out(3L) == "plain ascii")
+    assert(out(4L) == ligature, "NFC must not fold compatibility ligatures")
+    assert(out(5L) == null, "null propagates")
+    // Interpreted object path is bit-identical to the codegen'd one.
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(graft.functions.NfcNormalize
+      .normalize(UTF8String.fromString(decomposed)).toString == composed)
+    val ascii = UTF8String.fromString("abc")
+    assert(graft.functions.NfcNormalize.normalize(ascii) eq ascii,
+      "ASCII fast path must return the input instance untouched")
+    // Idempotent, and callable from SQL via the extension registry.
+    graft.functions.functions.register(spark)
+    val sqlOut = spark.sql(
+      s"SELECT nfc_normalize(nfc_normalize('$decomposed'))").collect()(0).getString(0)
+    assert(sqlOut == composed)
+  }
+
   test("dot_product reads array<float> natively without a cast in the plan") {
     val df = vecs.select(
       graft.functions.functions.dotProduct(col("a"), col("b")).as("d"))
