@@ -65,6 +65,26 @@ object QueriesR10 {
           length(col("__norm")).cast("long").as("n_norm"),
           md5(col("__norm")).as("norm_md5"))
     },
+    // --- WET-style markup strip: tags out (space-replaced), the five
+    //     predefined entities decoded (&amp; last), whitespace
+    //     collapsed. Fixture is plain text, so the query injects
+    //     deterministic markup both engines replay. ---
+    "q_html_strip" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(lit("<html><body class=\"x\">"),
+            regexp_replace(
+              regexp_replace(col("text"), "spark", "<b>spark</b>"),
+              "key", "&quot;key&quot;"),
+            lit("</body></html>")).as("__html"))
+        .select(col("doc_id"), col("__html"),
+          operators.TextAnalysis.stripMarkup(col("__html")).as("text_clean"))
+        .select(
+          col("doc_id"),
+          length(col("__html")).cast("long").as("n_raw"),
+          length(col("text_clean")).cast("long").as("n_clean"),
+          col("text_clean"))
+    },
     // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
     //     shared 13-gram (k=13, minShared=1 — the published collision
     //     rule). Eval = every 5th doc so the fixture's near-dup pairs
@@ -76,9 +96,22 @@ object QueriesR10 {
         eval = all.filter(col("doc_id") % 5 === 0)
           .withColumn("eval_set", (col("doc_id") % 2).cast("int")),
         idCol = "doc_id", textCol = "text", setCol = "eval_set")
+    },
+    // --- bloom-prefiltered 13-gram decontamination: compact bloom
+    //     over eval-gram hashes drops definitely-unshared train
+    //     shingles map-side; exact join kills false positives —
+    //     LOSSLESS, same oracle as the plain form. ---
+    "q_decontam_13g_bloom" -> { (s, d) =>
+      val all = docs(s, d)
+      operators.Decontaminate.ngramOverlapPerSetBloom(
+        train = all.filter(col("doc_id") % 5 =!= 0),
+        eval = all.filter(col("doc_id") % 5 === 0)
+          .withColumn("eval_set", (col("doc_id") % 2).cast("int")),
+        idCol = "doc_id", textCol = "text", setCol = "eval_set",
+        k = 13, minShared = 1, expectedItems = 100000L)
     })
 
-  val oracles: Map[String, String] = Map(
+  private val oraclesBase: Map[String, String] = Map(
     // Identical result contract to q_release — the cache-resumed run
     // must be bit-identical to the computed one.
     "q_release_resumed" -> QueriesR9.oracles("q_release"),
@@ -92,6 +125,21 @@ object QueriesR10 {
         |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
         |       coalesce(r.text_dedup, '') AS text_dedup
         |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin,
+    "q_html_strip" ->
+      """WITH raw AS (SELECT doc_id,
+        |  '<html><body class="x">' ||
+        |  replace(replace(text, 'spark', '<b>spark</b>'),
+        |          'key', '&quot;key&quot;') || '</body></html>' AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(
+        |    regexp_replace(h, '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS text_clean FROM raw)
+        |SELECT doc_id, length(h)::BIGINT AS n_raw,
+        |       length(text_clean)::BIGINT AS n_clean, text_clean
+        |FROM s""".stripMargin,
     "q_nfc_normalize" ->
       """WITH raw AS (SELECT doc_id,
         |  replace(replace(text, 'a', 'a' || chr(769)), 'e', 'e' || chr(7)) dtxt
@@ -110,4 +158,8 @@ object QueriesR10 {
         |tr AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 5 <> 0)
         |SELECT doc_id, eval_set, CAST(count(*) AS BIGINT) AS n_shared
         |FROM tr JOIN ev USING (g) GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin)
+
+  // The bloom pass is lossless: identical oracle to the plain form.
+  val oracles: Map[String, String] = oraclesBase +
+    ("q_decontam_13g_bloom" -> oraclesBase("q_decontam_13g"))
 }

@@ -155,4 +155,51 @@ object Decontaminate {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }
+
+  /** [[ngramOverlapPerSet]] with a BLOOM pre-filter on the exploded
+    * training shingles — the steady-state shape when the pooled eval
+    * gram set has outgrown comfortable broadcast-hash-join probing
+    * (many benchmarks × paraphrase expansions): a compact bloom over
+    * `xxhash64(gram)` drops definitely-unshared shingles MAP-SIDE in
+    * codegen before the join ever sees them, so the join input shrinks
+    * from every-train-shingle to probable-hits (crawl text shares
+    * almost nothing with benchmarks — the overwhelming majority of
+    * shingles die in the bloom probe).
+    *
+    * LOSSLESS, same contract as the bloom dedup pass
+    * ([[Dedup.dedupAgainstReferenceBloom]]): a bloom negative is
+    * definitely not in the eval pool and contributes nothing to
+    * `n_shared`; a false positive survives to the exact join and dies
+    * there. Result bit-identical to the plain form (spec-pinned). */
+  def ngramOverlapPerSetBloom(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      textCol: String,
+      setCol: String,
+      k: Int = 3,
+      minShared: Int = 5,
+      expectedItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.LongType
+    val sh = Shingles.wordShingles(col(textCol), k)
+    val evalGrams = eval
+      .select(col(setCol).as("eval_set"), explode(sh).as("g"))
+      .distinct()
+    val bf = evalGrams
+      .select(xxhash64(col("g")).as("__k"))
+      .stat.bloomFilter("__k", expectedItems, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bf)
+    val might = Bridge.column(graft.functions.BloomMightContainLong(
+      Cast(Bridge.expression(xxhash64(col("g"))), LongType), bc))
+    train
+      .select(col(idCol).as("doc_id"), explode(sh).as("g"))
+      .filter(might)
+      .join(broadcast(evalGrams), "g")
+      .groupBy("doc_id", "eval_set")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

@@ -47,6 +47,28 @@ object TextAnalysis {
       graft.functions.NfcNormalize.nfc(text),
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
 
+  /** WET-style markup strip — the raw-crawl → plain-text extraction
+    * step (what Common Crawl's WET files are to its WARC files): drop
+    * every `<...>` tag (replaced by a space so adjacent text doesn't
+    * fuse), decode the five predefined XML entities (`&amp;` LAST so
+    * nothing double-decodes — `&amp;lt;` must yield the literal
+    * `&lt;`, not `<`), collapse whitespace runs, trim. A real parser
+    * this is not (script/style CONTENT survives; malformed nesting is
+    * the crawl's problem) — it is the deterministic, RE2-portable
+    * core every engine can replay exactly, which is what makes the
+    * corpus query oracle-checkable. Pure projection, zero shuffle. */
+  def stripMarkup(html: Column): Column = {
+    val unTagged = regexp_replace(html, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(unTagged) { case (c, (ent, ch)) =>
+        regexp_replace(c, java.util.regex.Pattern.quote(ent),
+          java.util.regex.Matcher.quoteReplacement(ch))
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Stopword list used by quality scoring and language ID. Tiny by
     * design: deterministic, language-marker oriented. */
   val StopwordsEn: Seq[String] = Seq("the", "a", "and", "of", "to", "in")

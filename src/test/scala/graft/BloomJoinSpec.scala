@@ -35,6 +35,26 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(plan.toLowerCase.contains("semi"), s"no semi join in plan:\n$plan")
   }
 
+  test("bloom-prefiltered decontamination is bit-identical to the plain form") {
+    val docs = spark.read.parquet(TestSpark.sf001 + "/documents.parquet")
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+      .withColumn("eval_set", (col("doc_id") % 2).cast("int"))
+    val plain = graft.operators.Decontaminate.ngramOverlapPerSet(
+      train, eval, "doc_id", "text", "eval_set", k = 13, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val bloomed = graft.operators.Decontaminate.ngramOverlapPerSetBloom(
+      train, eval, "doc_id", "text", "eval_set", k = 13, minShared = 1,
+      expectedItems = 100000L)
+    val got = bloomed
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == plain && got.nonEmpty)
+    // The map-side probe must sit below the join in the physical plan.
+    val p = bloomed.queryExecution.executedPlan.toString
+    assert(p.contains("bloom_might_contain_long"),
+      s"no bloom prefilter in plan:\n${p.take(1500)}")
+  }
+
   test("tiny small side prunes most of the big side before the join") {
     val big = spark.read.parquet(TestSpark.sf001 + "/lineitem.parquet")
     val small = spark.read.parquet(TestSpark.sf001 + "/orders.parquet")

@@ -86,6 +86,26 @@ class RetrievalScrubSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("stripMarkup: tags spaced out, entities decoded once, whitespace collapsed") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (1L, "<p>Hello &amp; <b>world</b></p>"),
+      // Double-encoded entity must decode ONE level: &amp;lt; -> &lt;
+      (2L, "a &amp;lt; b"),
+      // Tag replaced by a space so adjacent words never fuse.
+      (3L, "one<br>two"),
+      (4L, "  <div>\n &quot;x&quot;\t&#39;y&#39; </div>  "))
+      .toDF("id", "h")
+    val out = rows
+      .select(col("id"), operators.TextAnalysis.stripMarkup(col("h")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Hello & world")
+    assert(out(2L) == "a &lt; b")
+    assert(out(3L) == "one two")
+    assert(out(4L) == "\"x\" 'y'")
+  }
+
   test("bm25 rejects empty, duplicate, and non-word terms") {
     intercept[IllegalArgumentException](
       Retrieval.bm25(docs, "doc_id", "text", Seq.empty))
