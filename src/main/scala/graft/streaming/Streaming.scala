@@ -487,6 +487,41 @@ object Streaming {
       docs, idCol, srcCol,
       graft.operators.Curation.temperatureRates(census, srcCol, alpha, total))
 
+  /** Ingest-time DECONTAMINATION screen: one detection row per
+    * (arriving document, eval set, shared k-gram) — don't let
+    * benchmark text enter the training lake at all, instead of
+    * scrubbing it out later. The streaming twin of
+    * [[graft.operators.Decontaminate.ngramOverlapPerSet]] at its
+    * published 13-gram preset; same contract as
+    * [[substringMatchesStream]]: DETECTIONS, not drops (a per-doc
+    * shared-count needs a distinct, i.e. a state store — downstream
+    * aggregation is the consumer's call; any detection at k=13 is the
+    * GPT-3 collision rule's "contaminated" already).
+    *
+    * Fully STATELESS: shingling is the native row-local one-pass
+    * expression, the eval pool reduces ONCE to its materialized
+    * distinct (set, gram) table (the static side of a stream-static
+    * join re-executes per micro-batch), and the join is a
+    * stream-static INNER equi join — no watermark, no state store. */
+  def decontamMatchesStream(
+      docs: DataFrame,
+      eval: DataFrame,
+      textCol: String = "text",
+      evalSetCol: String = "eval_set",
+      evalTextCol: String = "text",
+      k: Int = 13): DataFrame = {
+    import graft.operators.{Materialize, Shingles}
+    val evalGrams = Materialize.checkpoint(
+      eval
+        .select(col(evalSetCol),
+          explode(Shingles.wordShingles(col(evalTextCol), k)).as("__g"))
+        .distinct())
+    docs
+      .withColumn("__g", explode(Shingles.wordShingles(col(textCol), k)))
+      .join(evalGrams, "__g")
+      .withColumnRenamed("__g", "shared_gram")
+  }
+
   /** Ingest-time LINE-boilerplate strip: the streaming twin of
     * [[graft.operators.SubstringDedup.lineDedup]] (every batch screen
     * in this library has a streaming form and vice versa). The hot-line

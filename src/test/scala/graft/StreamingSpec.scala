@@ -534,6 +534,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(selfStream == batch)
   }
 
+  test("streaming decontamination flags eval-gram carriers, stateless, batch-parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalText = "zero one two three four five six seven eight nine ten eleven twelve"
+    val evalDf = Seq((0, evalText)).toDF("eval_set", "text")
+    val stream = MemoryStream[(Long, String)]
+    val screened = Streaming.decontamMatchesStream(
+      stream.toDF().toDF("doc_id", "text"), evalDf, k = 13)
+    val q = screened.writeStream.format("memory").queryName("decontamstream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (10L, "prefix words " + evalText + " suffix words"), // carries the eval 13-gram
+        (11L, "completely unrelated text with plenty of its own words here okay then"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "decontamination screen must be stateless")
+    } finally q.stop()
+    val got = spark.table("decontamstream").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("eval_set")))
+    assert(got.toSet == Set((10L, 0)), s"only the carrier flags, got ${got.toSeq}")
+    // Batch parity: the flagged (doc, set) pairs equal the batch
+    // operator's at the same preset.
+    val batchDocs = Seq(
+      (10L, "prefix words " + evalText + " suffix words"),
+      (11L, "completely unrelated text with plenty of its own words here okay then"))
+      .toDF("doc_id", "text")
+    val batch = graft.operators.Decontaminate.ngramOverlapPerSet(
+      batchDocs, evalDf, "doc_id", "text", "eval_set", k = 13, minShared = 1)
+      .select("doc_id", "eval_set")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got.toSet == batch)
+  }
+
   test("streaming transforms run identically over a batch frame") {
     val spark = TestSpark.spark
     import spark.implicits._
