@@ -296,6 +296,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"line dedup must shuffle only the digest df count, got $shuffles")
   }
 
+  test("unicode cleanup and markup strip are zero-shuffle projections") {
+    Seq("q_nfc_normalize", "q_html_strip").foreach { name =>
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"$name must be map-only, found an exchange:\n${p.take(1500)}")
+      // "*(n)" is simpleString's WholeStageCodegen marker.
+      assert(p.contains("*(1)"),
+        s"$name must stay inside one codegen stage:\n${p.take(1500)}")
+    }
+  }
+
   test("anchored substring dedup reduces text to digests before any exchange") {
     val df = q("q_substring_dedup")
     // Anchor selection and span digesting are row-local; from the first
