@@ -121,20 +121,25 @@ object Bench {
       val med = runs.sorted.apply((runs.size - 1) / 2)
       timings(name) = med
       val steady = if (runs.size >= 4) runs.drop(1) else runs
-      // Trim one burst per ~3 steady runs (4-5 steady: drop the single
-      // largest; 6+: drop the two largest — the isolated-mode extension
-      // produced 6-7 runs precisely because bursts were landing, and
-      // two bursts across seven settle-separated runs is the observed
-      // co-tenant mode). The MEDIAN is never trimmed and the raw runs
-      // are all in BENCH_DETAIL.
-      val dispersion =
-        if (steady.size >= 6) {
-          val s = steady.sorted
-          s(s.size - 3) - s.head
-        } else if (steady.size >= 4) {
-          val s = steady.sorted
-          s(s.size - 2) - s.head
-        } else steady.max - steady.min
+      // Dispersion by sample size — the MEDIAN is never trimmed and
+      // the raw runs are all in BENCH_DETAIL:
+      //  - < 4 steady: full range (nothing to trim from);
+      //  - 4-5: drop the single largest (one co-tenant burst);
+      //  - 6-7: drop the two largest (the extension ran because bursts
+      //    were landing; two bursts across six-plus runs is the
+      //    observed mode);
+      //  - 8+: the QUARTILE SPAN s[3n/4] − s[n/4] — the textbook
+      //    robust dispersion once the sample is big enough for
+      //    quartiles to mean something; symmetric, so a slow-drifting
+      //    machine doesn't read as a one-sided trim.
+      val dispersion = {
+        val s = steady.sorted
+        val n = s.size
+        if (n >= 8) s((3 * (n - 1)) / 4) - s((n - 1) / 4)
+        else if (n >= 6) s(n - 3) - s.head
+        else if (n >= 4) s(n - 2) - s.head
+        else s(n - 1) - s.head
+      }
       if (med > 0) spreads(name) = dispersion / med
       allRuns(name) = runs
     }
@@ -210,19 +215,24 @@ object Bench {
         val med = runs.sorted.apply((runs.size - 1) / 2)
         med > 0 && (runs.max - runs.min) / med > 0.25
       }
-      // A noisy query enters ISOLATED mode: settle() before EVERY
-      // extension run, up to 7 runs total. Deep in a long sweep,
-      // ContextCleaner backlog + heap debt from ~170 predecessor
-      // queries inflates runs 3-5× over the same query in isolation
-      // (q_bucket_pack 0.8 s isolated vs 3+ s in-sweep, with runs
-      // ESCALATING inside the group; q_srp_recall 2.0 ↔ 5.7 s within
-      // one group). The group-level settle() can't help mid-group, and
-      // the unconditional inter-run GC was A/B'd harmful on warm-state
-      // queries — so only the queries already drowning in noise pay
-      // the warmth loss, and each of their extension runs starts from
-      // a clean block manager + drained cleaner queue.
-      while (err.isEmpty && runs.size < 7 && noisy) {
-        settle()
+      // A noisy query extends its sample, up to 9 runs total, with the
+      // isolation level chosen by WEIGHT:
+      //  - heavy queries (median >= 1 s — the checkpoint/recall
+      //    family) settle() before EVERY extension run: deep in a long
+      //    sweep, ContextCleaner backlog + heap debt inflates their
+      //    runs 3-5× over isolation (q_bucket_pack 0.8 s isolated vs
+      //    3+ s in-sweep; q_srp_recall 2.0 ↔ 5.7 s within one group),
+      //    and block-manager debt dominates their noise;
+      //  - light queries (median < 1 s) extend WITHOUT the settle:
+      //    for them the full GC is the noise — a measured sweep showed
+      //    settle-prefixed extension runs of q_curriculum ESCALATING
+      //    0.33 → 0.73 s while its plain runs sat at 0.35-0.45 s (the
+      //    A/B'd 15-20% warm-state destruction, compounding). Their
+      //    dominant noise is ambient co-tenant jitter, which more
+      //    SAMPLES absorb and more GC only adds to.
+      while (err.isEmpty && runs.size < 9 && noisy) {
+        val med = runs.sorted.apply((runs.size - 1) / 2)
+        if (med >= 1.0) settle()
         dropRunBlocks()
         val (sec, e) = timeSec(runFully(fn(spark, sfDir)))
         runs += sec
