@@ -85,6 +85,26 @@ object QueriesR10 {
           length(col("text_clean")).cast("long").as("n_clean"),
           col("text_clean"))
     },
+    // --- the EXTRACTION front gate, composed: markup strip ∘ NFC
+    //     normalize ∘ token count — what turns a raw crawl record
+    //     into the plain text every downstream operator consumes.
+    //     Injected markup AND decomposed accents, both replayed. ---
+    "q_extract" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          concat(lit("<div>"),
+            regexp_replace(col("text"), "a", "a\u0301"),
+            lit("</div>")).as("__raw"))
+        .select(col("doc_id"),
+          operators.TextAnalysis.normalizeText(
+            operators.TextAnalysis.stripMarkup(col("__raw"))).as("__clean"))
+        .select(
+          col("doc_id"),
+          operators.TextAnalysis.tokenCount(col("__clean")).cast("long")
+            .as("n_tokens"),
+          length(col("__clean")).cast("long").as("n_chars"),
+          md5(col("__clean")).as("clean_md5"))
+    },
     // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
     //     shared 13-gram (k=13, minShared=1 — the published collision
     //     rule). Eval = every 5th doc so the fixture's near-dup pairs
@@ -140,6 +160,21 @@ object QueriesR10 {
         |SELECT doc_id, length(h)::BIGINT AS n_raw,
         |       length(text_clean)::BIGINT AS n_clean, text_clean
         |FROM s""".stripMargin,
+    "q_extract" ->
+      """WITH raw AS (SELECT doc_id,
+        |  '<div>' || replace(text, 'a', 'a' || chr(769)) || '</div>' AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, regexp_replace(nfc_normalize(trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(
+        |    regexp_replace(h, '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', chr(39)), '&amp;', '&'),
+        |  '\s+', ' ', 'g'))),
+        |  '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g') AS clean FROM raw)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(clean, '\S+'))::BIGINT AS n_tokens,
+        |       length(clean)::BIGINT AS n_chars, md5(clean) AS clean_md5
+        |FROM c""".stripMargin,
     "q_nfc_normalize" ->
       """WITH raw AS (SELECT doc_id,
         |  replace(replace(text, 'a', 'a' || chr(769)), 'e', 'e' || chr(7)) dtxt
