@@ -131,6 +131,70 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("nfc_normalize equals java.text.Normalizer and is idempotent on random text") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.frequency(
+      8 -> Gen.alphaNumChar,
+      // combining acute/diaeresis, composed e-acute, plain e;
+      // NFC also folds U+212B (angstrom sign) to U+00C5 (A-ring)
+      1 -> Gen.oneOf('\u0301', '\u0308', '\u00e9', 'e'),
+      1 -> Gen.oneOf('\u00c5', '\u212b', ' '))
+    val strGen = Gen.listOf(charGen).map(_.mkString)
+    forAll(strGen) { s0 =>
+      val once = graft.functions.NfcNormalize
+        .normalize(UTF8String.fromString(s0)).toString
+      assert(once == java.text.Normalizer
+        .normalize(s0, java.text.Normalizer.Form.NFC))
+      assert(graft.functions.NfcNormalize
+        .normalize(UTF8String.fromString(once)).toString == once,
+        s"not idempotent on: ${s0.map(_.toInt.toHexString)}")
+    }
+  }
+
+  test("stripMarkup on tag- and entity-free text is exactly whitespace normalization") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(6))
+    // Random runs of spaces/tabs/newlines between tokens.
+    val sepGen = Gen.nonEmptyListOf(Gen.oneOf(' ', ' ', '\t', '\n')).map(_.mkString.take(3))
+    val textGen = for {
+      toks <- Gen.listOf(tokenGen)
+      seps <- Gen.listOfN(toks.length, sepGen)
+    } yield toks.zip(seps).map { case (t, sp) => t + sp }.mkString
+    forAll(Gen.listOfN(15, textGen), n = 10) { texts =>
+      val df = texts.toDF("text")
+      val bad = df
+        .select(col("text"),
+          operators.TextAnalysis.stripMarkup(col("text")).as("out"))
+        .collect()
+        .filter(r => r.getString(1) !=
+          r.getString(0).replaceAll("\\s+", " ").trim)
+      assert(bad.isEmpty, s"markup strip changed clean text: ${bad.toSeq}")
+    }
+  }
+
+  test("lineDedup with maxDf >= corpus size is the identity") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val tokenGen = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString.take(5))
+    val lineGen = Gen.nonEmptyListOf(tokenGen).map(_.mkString(" "))
+    val docGen = Gen.nonEmptyListOf(lineGen).map(_.mkString("\n"))
+    forAll(Gen.listOfN(10, docGen), n = 10) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      // No line can exceed a df of texts.size, so nothing is hot.
+      val out = operators.SubstringDedup
+        .lineDedup(df, "doc_id", "text", maxDf = texts.size)
+        .join(df, "doc_id")
+        .filter(col("text_dedup") =!= col("text") ||
+          col("n_kept") =!= col("n_lines"))
+        .count()
+      assert(out == 0, s"identity violated on: $texts")
+    }
+  }
+
   test("wordChunks round-trips: rejoined chunks reproduce the text exactly") {
     import org.apache.spark.sql.functions._
     val s = TestSpark.spark
