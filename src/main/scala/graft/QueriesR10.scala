@@ -3,12 +3,24 @@ package graft
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Round-10 corpus queries: the two remaining canonical crawl-curation
-  * variants — RefinedWeb/CCNet LINE-level exact dedup (drop every line
-  * seen in more than `maxDf` distinct documents, order preserved) and
-  * the published GPT-3/Pile 13-gram decontamination collision rule.
-  * Both exact-oracle-gated; the line-dedup plan is pinned to never
-  * shuffle corpus text (PlanQualitySpec).
+/** Round-10 corpus queries — the canonical crawl-front operators the
+  * surface still lacked, all exact-oracle-gated:
+  *
+  *  - RefinedWeb/CCNet LINE-level exact dedup (q_line_dedup; plan
+  *    pinned to never shuffle corpus text);
+  *  - the release pipeline served from the PERSISTENT cache
+  *    (q_release_resumed — bit-identical to q_release, zero jobs on a
+  *    hit);
+  *  - Unicode NFC cleanup via the native `nfc_normalize` expression
+  *    (q_nfc_normalize) and WET-style markup strip (q_html_strip),
+  *    composed end-to-end as the extraction front gate (q_extract);
+  *  - the published GPT-3/Pile 13-gram decontamination collision rule
+  *    (q_decontam_13g) and its lossless bloom-prefiltered scale form
+  *    (q_decontam_13g_bloom, same oracle).
+  *
+  * The ASCII fixture is already clean, so the cleanup queries inject
+  * their markup / decomposed accents / control chars deterministically
+  * — both engines replay the identical injection.
   */
 object QueriesR10 {
 

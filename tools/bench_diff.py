@@ -36,6 +36,12 @@ def main():
     ap.add_argument("--base-ref", default="HEAD",
                     help="git ref holding the baseline BENCH_DETAIL.json")
     ap.add_argument("--cur", default="BENCH_DETAIL.json")
+    ap.add_argument("--cur-min-of", nargs="+", default=None,
+                    help="instead of --cur, combine several same-code "
+                         "sweeps by per-query MIN of medians: co-tenant "
+                         "load noise is strictly additive, so the min "
+                         "across sweeps is the robust capability "
+                         "estimate for regression detection")
     ap.add_argument("--tolerance", type=float, default=1.5)
     ap.add_argument("--floor", type=float, default=0.25)
     ap.add_argument("--out", default=None)
@@ -43,7 +49,20 @@ def main():
 
     base = (json.load(open(args.base)) if args.base
             else load_from_ref(args.base_ref))
-    cur = json.load(open(args.cur))
+    if args.cur_min_of:
+        sweeps = [json.load(open(f)) for f in args.cur_min_of]
+        qs = set().union(*(s["queries"] for s in sweeps))
+        cur = {"queries": {}, "run_spread": {}}
+        for q in qs:
+            have = [s for s in sweeps if q in s["queries"]]
+            best = min(have, key=lambda s: s["queries"][q])
+            cur["queries"][q] = best["queries"][q]
+            sp = best.get("run_spread", {}).get(q)
+            if sp is not None:
+                cur["run_spread"][q] = sp
+        args.cur = "min(" + ", ".join(args.cur_min_of) + ")"
+    else:
+        cur = json.load(open(args.cur))
     bq, cq = base["queries"], cur["queries"]
     bs, cs = base.get("run_spread", {}), cur.get("run_spread", {})
 
