@@ -117,6 +117,22 @@ object QueriesR10 {
           length(col("__clean")).cast("long").as("n_chars"),
           md5(col("__clean")).as("clean_md5"))
     },
+    // --- RAG/embedding chunking: overlapping 32-token windows with
+    //     stride 24 (8-token overlap so no boundary-straddling
+    //     passage is lost). Row-local transform + posexplode — the
+    //     chunk table that feeds the ANN/IVF operators. ---
+    "q_rag_chunks" -> { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode(operators.TextAnalysis.tokenWindows(
+            col("text"), window = 32, stride = 24)).as("c"))
+        .select(
+          col("doc_id"),
+          col("c.idx").cast("long").as("idx"),
+          col("c.start_tok").cast("long").as("start_tok"),
+          col("c.n_tokens").cast("long").as("n_tokens"),
+          col("c.chunk").as("chunk"))
+    },
     // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
     //     shared 13-gram (k=13, minShared=1 — the published collision
     //     rule). Eval = every 5th doc so the fixture's near-dup pairs
@@ -172,6 +188,17 @@ object QueriesR10 {
         |SELECT doc_id, length(h)::BIGINT AS n_raw,
         |       length(text_clean)::BIGINT AS n_clean, text_clean
         |FROM s""".stripMargin,
+    "q_rag_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(
+        |  generate_series(0, CAST(ceil(greatest(len(w) - 32, 0) / 24.0) AS BIGINT)),
+        |  k -> {'idx': k, 'start_tok': k*24 + 1,
+        |        'n_tokens': least(32, len(w) - k*24),
+        |        'chunk': array_to_string(w[k*24+1 : k*24+32], ' ')}),
+        |  recursive := true) FROM t WHERE len(w) > 0)
+        |SELECT doc_id, idx::BIGINT AS idx, start_tok::BIGINT AS start_tok,
+        |       n_tokens::BIGINT AS n_tokens, chunk
+        |FROM c""".stripMargin,
     "q_extract" ->
       """WITH raw AS (SELECT doc_id,
         |  '<div>' || replace(text, 'a', 'a' || chr(769)) || '</div>' AS h

@@ -47,6 +47,41 @@ object TextAnalysis {
       graft.functions.NfcNormalize.nfc(text),
       "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", "")
 
+  /** Overlapping token-window chunks — the document splitter an
+    * embedding / RAG indexing pipeline runs before anything embeds:
+    * windows of `window` tokens advancing by `stride` (< window ⇒
+    * overlapping context so no boundary-straddling passage is lost).
+    * Returns an array of `(idx, start_tok, n_tokens, chunk)` structs;
+    * the caller `posexplode`s it into the chunk table. The final
+    * window may be short; a window is emitted only if it STARTS
+    * before the end (so a 10-token doc at window 32 emits exactly one
+    * chunk); NULL text yields an empty array (space-split semantics
+    * give every non-null text ≥ 1 token, empty string included).
+    * Pure row-local
+    * projection — chunking 100 TB never shuffles, and the chunk table
+    * feeds the ANN/IVF operators directly. */
+  def tokenWindows(text: Column, window: Int, stride: Int): Column = {
+    require(window >= 1, s"window must be positive, got $window")
+    require(stride >= 1 && stride <= window,
+      s"stride must be in [1, window], got $stride (window $window)")
+    val toks = split(text, " ")
+    val n = size(toks)
+    // Number of windows: 1 + ceil(max(n - window, 0) / stride); 0 when
+    // the document has no tokens at all.
+    val extra = ceil(greatest(n - window, lit(0)).cast("double") / stride)
+      .cast("int")
+    when(n > lit(0),
+      transform(sequence(lit(0), extra),
+        k => struct(
+          k.as("idx"),
+          (k * stride + 1).as("start_tok"),
+          least(lit(window), n - k * stride).as("n_tokens"),
+          array_join(slice(toks, k * stride + 1, lit(window)), " ")
+            .as("chunk"))))
+      .otherwise(array().cast(
+        "array<struct<idx:int,start_tok:int,n_tokens:int,chunk:string>>"))
+  }
+
   /** WET-style markup strip — the raw-crawl → plain-text extraction
     * step (what Common Crawl's WET files are to its WARC files): drop
     * every `<...>` tag (replaced by a space so adjacent text doesn't

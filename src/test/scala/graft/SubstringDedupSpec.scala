@@ -350,6 +350,41 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(textInExchange.isEmpty, "an exchange input still carries text")
   }
 
+  test("tokenWindows: overlap, short tails, and full coverage") {
+    val s = spark
+    import s.implicits._
+    // 7 tokens, window 4, stride 2 -> starts 1, 3, 5 (ceil(3/2)=2 extra).
+    val out = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+      .select(explode(operators.TextAnalysis.tokenWindows(
+        col("text"), window = 4, stride = 2)).as("c"))
+      .select("c.idx", "c.start_tok", "c.n_tokens", "c.chunk")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0, 1, 4, "a b c d"),
+      (1, 3, 4, "c d e f"),
+      (2, 5, 3, "e f g")))
+    // Shorter than one window -> exactly one (short) chunk.
+    val short = Seq((1L, "x y")).toDF("doc_id", "text")
+      .select(explode(operators.TextAnalysis.tokenWindows(
+        col("text"), 32, 24)).as("c"))
+      .select("c.chunk").collect().map(_.getString(0))
+    assert(short.toSeq == Seq("x y"))
+    // Coverage on real data: concatenating stride-sized prefixes of
+    // each chunk (plus the last chunk whole) rebuilds the document.
+    val docs = s.read.parquet(TestSpark.sf0001 + "/documents.parquet").limit(50)
+    val rebuilt = docs
+      .select(col("doc_id"), col("text"),
+        operators.TextAnalysis.tokenWindows(col("text"), 32, 24).as("cs"))
+      .select(col("doc_id"), col("text"),
+        array_join(transform(col("cs"), c =>
+          when(c.getField("idx") === size(col("cs")) - 1, c.getField("chunk"))
+            .otherwise(array_join(
+              slice(split(c.getField("chunk"), " "), 1, 24), " "))), " ")
+          .as("rt"))
+      .filter(col("rt") =!= col("text")).count()
+    assert(rebuilt == 0, "stride-prefix concatenation must rebuild each doc")
+  }
+
   test("entropyFeatures matches hand-computed Shannon entropy") {
     val s = spark
     import s.implicits._
