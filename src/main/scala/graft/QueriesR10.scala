@@ -133,6 +133,19 @@ object QueriesR10 {
           col("c.n_tokens").cast("long").as("n_tokens"),
           col("c.chunk").as("chunk"))
     },
+    // --- chunk-level retrieval, composed: tokenWindows → BM25 over
+    //     the CHUNK table — the passage-retrieval shape a RAG index
+    //     serves (score the chunk, not the whole document). ---
+    "q_chunk_retrieval" -> { (s, d) =>
+      val chunks = docs(s, d)
+        .select(col("doc_id"),
+          explode(operators.TextAnalysis.tokenWindows(
+            col("text"), window = 32, stride = 24)).as("c"))
+        .select((col("doc_id") * 100 + col("c.idx")).as("chunk_id"),
+          col("c.chunk").as("chunk"))
+      operators.Retrieval.bm25(
+        chunks, "chunk_id", "chunk", Seq("spark", "window"), topK = 20)
+    },
     // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
     //     shared 13-gram (k=13, minShared=1 — the published collision
     //     rule). Eval = every 5th doc so the fixture's near-dup pairs
@@ -199,6 +212,30 @@ object QueriesR10 {
         |SELECT doc_id, idx::BIGINT AS idx, start_tok::BIGINT AS start_tok,
         |       n_tokens::BIGINT AS n_tokens, chunk
         |FROM c""".stripMargin,
+    "q_chunk_retrieval" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |c AS (SELECT doc_id, unnest(list_transform(
+        |  generate_series(0, CAST(ceil(greatest(len(w) - 32, 0) / 24.0) AS BIGINT)),
+        |  k -> {'idx': k, 'chunk': array_to_string(w[k*24+1 : k*24+32], ' ')}),
+        |  recursive := true) FROM t WHERE len(w) > 0),
+        |f AS (SELECT doc_id * 100 + idx AS chunk_id,
+        |    CAST(len(ts) AS DOUBLE) dl,
+        |    CAST(len(list_filter(ts, x -> x = 'spark')) AS DOUBLE) tf1,
+        |    CAST(len(list_filter(ts, x -> x = 'window')) AS DOUBLE) tf2
+        |  FROM (SELECT doc_id, idx, regexp_extract_all(chunk, '\S+') ts
+        |        FROM c)),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) n, sum(dl) sumdl,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) df2
+        |  FROM f)
+        |SELECT chunk_id, CAST(dl AS BIGINT) AS dl, round(
+        |    ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * (tf1 * (1.2 + 1))
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n)))
+        |  + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * (tf2 * (1.2 + 1))
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (sumdl / n))), 6) AS score
+        |FROM f, st
+        |WHERE tf1 > 0 OR tf2 > 0
+        |ORDER BY score DESC, chunk_id LIMIT 20""".stripMargin,
     "q_extract" ->
       """WITH raw AS (SELECT doc_id,
         |  '<div>' || replace(text, 'a', 'a' || chr(769)) || '</div>' AS h
