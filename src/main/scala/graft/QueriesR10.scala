@@ -146,6 +146,26 @@ object QueriesR10 {
       operators.Retrieval.bm25(
         chunks, "chunk_id", "chunk", Seq("spark", "window"), topK = 20)
     },
+    // --- the release DATA CARD: one-row summary of the release
+    //     manifest (docs in/out, retention, shards, total tokens) —
+    //     the provenance line a model card quotes. Composed from the
+    //     already-gated release pipeline; oracle wraps q_release's. ---
+    "q_release_card" -> { (s, d) =>
+      val dd = docs(s, d)
+      val manifest = operators.Pipeline.releaseManifest(
+        dd, "doc_id", "text", windowLen = 2048L, bpeRounds = 5)
+      manifest
+        .agg(
+          count(lit(1)).as("n_docs_out"),
+          countDistinct(col("shard")).as("n_shards"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+        .crossJoin(broadcast(dd.agg(count(lit(1)).as("n_docs_in"))))
+        .select(
+          col("n_docs_in"), col("n_docs_out"),
+          round(col("n_docs_out").cast("double") / col("n_docs_in"), 6)
+            .as("retention"),
+          col("n_shards"), col("n_tokens"))
+    },
     // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
     //     shared 13-gram (k=13, minShared=1 — the published collision
     //     rule). Eval = every 5th doc so the fixture's near-dup pairs
@@ -212,6 +232,17 @@ object QueriesR10 {
         |SELECT doc_id, idx::BIGINT AS idx, start_tok::BIGINT AS start_tok,
         |       n_tokens::BIGINT AS n_tokens, chunk
         |FROM c""".stripMargin,
+    "q_release_card" ->
+      s"""WITH m AS (
+         |${QueriesR9.oracles("q_release")}
+         |), tot AS (SELECT CAST(count(*) AS BIGINT) n_docs_in FROM documents),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) n_docs_out,
+         |    CAST(count(DISTINCT shard) AS BIGINT) n_shards,
+         |    CAST(sum(n_tokens) AS BIGINT) n_tokens FROM m)
+         |SELECT tot.n_docs_in, agg.n_docs_out,
+         |       round(agg.n_docs_out * 1.0 / tot.n_docs_in, 6) AS retention,
+         |       agg.n_shards, agg.n_tokens
+         |FROM tot, agg""".stripMargin,
     "q_chunk_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |c AS (SELECT doc_id, unnest(list_transform(
