@@ -307,6 +307,19 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("rag chunking is zero-shuffle; chunk retrieval never shuffles the corpus") {
+    val pc = q("q_rag_chunks").queryExecution.executedPlan.toString
+    assert(!pc.contains("Exchange"),
+      s"chunking must be map-only:\n${pc.take(1500)}")
+    val pr = q("q_chunk_retrieval").queryExecution.executedPlan.toString
+    // Literal-terms BM25 over the chunk table: one broadcast stats row,
+    // bounded-heap top-k — no hash exchange anywhere.
+    assert(!pr.contains("Exchange hashpartitioning"),
+      s"chunk retrieval must not shuffle the corpus:\n${pr.take(1500)}")
+    assert(pr.contains("TakeOrderedAndProject"),
+      s"top-k must use bounded heaps:\n${pr.take(1500)}")
+  }
+
   test("anchored substring dedup reduces text to digests before any exchange") {
     val df = q("q_substring_dedup")
     // Anchor selection and span digesting are row-local; from the first
