@@ -166,6 +166,24 @@ object QueriesR10 {
             .as("retention"),
           col("n_shards"), col("n_tokens"))
     },
+    // --- packing CONTINUATION: pack corpus half A from zero, then
+    //     half B starting at A's next shard boundary — the
+    //     incremental-release mechanic (append-only shard space, new
+    //     batch opens a fresh shard). Emits B's manifest. ---
+    "q_pack_continue" -> { (s, d) =>
+      val counts = docs(s, d).select(col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val packedA = operators.Packing.tokenShardOffsets(
+        counts.filter(col("doc_id") % 3 === 0), "doc_id", "n_tokens", 512L)
+      val startB = (packedA.agg(max(col("shard"))).collect()(0)
+        .getLong(0) + 1L) * 512L
+      operators.Packing
+        .tokenShardOffsets(
+          counts.filter(col("doc_id") % 3 =!= 0), "doc_id", "n_tokens",
+          512L, startTokens = startB)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("shard"), col("tok_offset"))
+    },
     // --- GPT-3/Pile 13-gram decontamination: contaminated on ANY
     //     shared 13-gram (k=13, minShared=1 — the published collision
     //     rule). Eval = every 5th doc so the fixture's near-dup pairs
@@ -232,6 +250,20 @@ object QueriesR10 {
         |SELECT doc_id, idx::BIGINT AS idx, start_tok::BIGINT AS start_tok,
         |       n_tokens::BIGINT AS n_tokens, chunk
         |FROM c""".stripMargin,
+    "q_pack_continue" ->
+      """WITH c AS (SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) n FROM documents),
+        |a AS (SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) cum
+        |  FROM c WHERE doc_id % 3 = 0),
+        |st AS (SELECT (max((cum - n) // 512) + 1) * 512 AS s0 FROM a),
+        |b AS (SELECT doc_id, n,
+        |    sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) cum
+        |  FROM c WHERE doc_id % 3 <> 0)
+        |SELECT b.doc_id, CAST(b.n AS BIGINT) AS n_tokens,
+        |       CAST((b.cum - b.n + st.s0) // 512 AS BIGINT) AS shard,
+        |       CAST((b.cum - b.n + st.s0) % 512 AS BIGINT) AS tok_offset
+        |FROM b, st""".stripMargin,
     "q_release_card" ->
       s"""WITH m AS (
          |${QueriesR9.oracles("q_release")}

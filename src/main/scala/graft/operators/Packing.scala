@@ -133,10 +133,19 @@ object Packing {
       idCol: String,
       tokenCol: String,
       budget: Long,
-      numPartitions: Int = 32): DataFrame = {
+      numPartitions: Int = 32,
+      startTokens: Long = 0L): DataFrame = {
     require(budget > 0, "token budget must be positive")
+    require(startTokens >= 0, "startTokens must be non-negative")
+    // `startTokens` CONTINUES a prior packing run's global token
+    // counter — the incremental-release case: a recrawl batch packs
+    // into shards numbered AFTER the released corpus's (pass the prior
+    // manifest's next shard boundary, e.g. (max shard + 1) × budget,
+    // so the new run opens a fresh shard). A constant added to the
+    // prefix sum, so the plan is unchanged.
     runningTotal(df, idCol, tokenCol, numPartitions)
-      .withColumn("__pre", col("__cum") - col(tokenCol).cast("long"))
+      .withColumn("__pre",
+        col("__cum") - col(tokenCol).cast("long") + lit(startTokens))
       .withColumn("shard", expr(s"__pre div ${budget}L"))
       .withColumn("tok_offset", col("__pre") - col("shard") * budget)
       .drop("__cum", "__pre")

@@ -106,6 +106,44 @@ object Pipeline {
     }
   }
 
+  /** INCREMENTAL release — the monthly-recrawl shape: clean an
+    * arriving `batch`, drop every document whose text already exists
+    * in the released `reference` corpus (digest anti join — reference
+    * text never moves), tokenize with the merges LEARNED ON THE
+    * REFERENCE (an incremental release never retrains its tokenizer
+    * mid-corpus — shard token ids must stay stable), and pack
+    * CONTINUING the prior manifest's shard numbering: the new run
+    * opens a fresh shard right after `priorManifest`'s max, so the
+    * combined shard space stays contiguous and append-only.
+    *
+    * Driver traffic: ONE row off the prior manifest (max shard) plus
+    * the vocab-sized merge learning; everything else is the same
+    * gated operators the full release composes. */
+  def releaseIncremental(
+      batch: DataFrame,
+      reference: DataFrame,
+      priorManifest: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowLen: Long = 2048L,
+      bpeRounds: Int = 5): DataFrame = {
+    val startTokens = (priorManifest
+      .agg(coalesce(max(col("shard")), lit(-1L)).as("m"))
+      .collect()(0).getLong(0) + 1L) * windowLen
+    val cleaned = Materialize.checkpoint(
+      Dedup.dedupAgainstReference(
+        cleanCorpus(batch, idCol, textCol), reference, textCol, textCol))
+    val scrubbed = Scrub.scrubReport(cleaned, idCol, textCol)
+      .select(col(idCol), col("redacted_md5"))
+    val merges = Vocab.learnedMerges(reference, textCol, bpeRounds)
+    val counted = Vocab.tokenizeWithMerges(cleaned, idCol, textCol, merges)
+      .select(col(idCol), col("n_tokens"))
+    Packing
+      .tokenShardOffsets(counted, idCol, "n_tokens", windowLen,
+        startTokens = startTokens)
+      .join(scrubbed, Seq(idCol))
+  }
+
   /** Per-stage attrition of [[cleanCorpus]]'s quality GATE — which of
     * the three gate components drops what, from one corpus scan
     * ([[TextAnalysis.qualityStages]] through

@@ -107,6 +107,62 @@ class PackingSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("startTokens continuation: A-then-B packing is append-only and boundary-exact") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+      .select(col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).as("n"))
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val packedA = operators.Packing
+      .tokenShardOffsets(a, "doc_id", "n", 512L)
+    val maxShardA = packedA.agg(max(col("shard"))).collect()(0).getLong(0)
+    val packedB = operators.Packing.tokenShardOffsets(
+      b, "doc_id", "n", 512L, startTokens = (maxShardA + 1L) * 512L)
+    // B opens a FRESH shard after A's last: disjoint, contiguous start.
+    val minShardB = packedB.agg(min(col("shard"))).collect()(0).getLong(0)
+    assert(minShardB == maxShardA + 1L,
+      s"B must start at shard ${maxShardA + 1}, got $minShardB")
+    // The first B document sits at offset 0 of that shard.
+    val firstB = packedB.orderBy("doc_id").limit(1)
+      .select("shard", "tok_offset").collect()(0)
+    assert(firstB.getLong(0) == maxShardA + 1L && firstB.getLong(1) == 0L)
+    // Continuation with startTokens = 0 is plain packing (same frame).
+    val plain = operators.Packing.tokenShardOffsets(b, "doc_id", "n", 512L)
+      .orderBy("doc_id").collect().toSeq
+    val shifted = packedB.orderBy("doc_id").collect().toSeq
+    assert(plain.size == shifted.size)
+  }
+
+  test("releaseIncremental: recrawl dedups against the release, shards append") {
+    val s = spark
+    import s.implicits._
+    val docs = s.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+    val reference = docs.filter(col("doc_id") % 3 === 0)
+    val prior = operators.Pipeline.releaseManifest(
+      reference, "doc_id", "text", windowLen = 512L, bpeRounds = 3)
+    val maxPrior = prior.agg(max(col("shard"))).collect()(0).getLong(0)
+    // Batch: the other docs PLUS an exact copy of a released document
+    // (new id, same text) — the copy must be dropped by the reference
+    // dedup even though its id is new.
+    val copied = reference.limit(1)
+      .select(lit(999999L).as("doc_id"), col("text"),
+        col("lang"), col("source"), col("n_chars"))
+    val batch = docs.filter(col("doc_id") % 3 =!= 0)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .unionByName(copied)
+    val inc = operators.Pipeline.releaseIncremental(
+      batch, reference, prior, "doc_id", "text",
+      windowLen = 512L, bpeRounds = 3)
+    val ids = inc.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(999999L), "copied released doc must be dropped")
+    assert(ids.nonEmpty)
+    val minShard = inc.agg(min(col("shard"))).collect()(0).getLong(0)
+    assert(minShard == maxPrior + 1L,
+      s"incremental shards must append after $maxPrior, got $minShard")
+  }
+
   test("no single-task global window in the plan") {
     val plan = Packing.tokenShards(base, "doc_id", "n_tok", 2048L)
       .queryExecution.executedPlan.toString
