@@ -312,8 +312,12 @@ object SubstringDedup {
   def lineDedup(
       df: DataFrame, idCol: String, textCol: String,
       maxDf: Int, sep: String = "\n"): DataFrame = {
+    // SORTED hot set: the removal probe is a native binary search
+    // (log |hot| per line). A 10× scaling probe caught the
+    // `array_contains` walk going super-linear (23× wall at 10× input)
+    // on a boilerplate-heavy corpus whose hot set grows with it.
     val hot = hotLineDigests(df, textCol, maxDf, sep)
-      .agg(collect_set(col("__h")).as("__hot"))
+      .agg(sort_array(collect_set(col("__h"))).as("__hot"))
     df.select(col(idCol), lineSplit(col(textCol), sep).as("__lines"))
       .crossJoin(broadcast(hot))
       .select(col(idCol), col("__lines"),
@@ -359,8 +363,13 @@ object SubstringDedup {
     split(text, java.util.regex.Pattern.quote(sep))
   }
 
+  /** `hot` MUST be sorted in binary string order (`sort_array`, or a
+    * `.sorted` literal of hex digests — ASCII, so JVM and binary
+    * orders agree): the membership probe is a native binary search,
+    * spec-pinned behavior-identical to `array_contains`. */
   private def keptLines(lines: Column, hot: Column): Column =
-    filter(lines, l => !array_contains(hot, md5(l)))
+    filter(lines, l =>
+      !graft.functions.SortedArrayContains.sortedContains(hot, md5(l)))
 
   private def lineDedupOutput(idCol: String, sep: String): Seq[Column] = Seq(
     col(idCol),

@@ -131,6 +131,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sorted_array_contains equals array_contains on random sorted arrays") {
+    import org.apache.spark.sql.functions._
+    val s = TestSpark.spark
+    import s.implicits._
+    val elemGen = Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+    val caseGen = for {
+      arr <- Gen.listOf(elemGen)
+      probeMember <- Gen.oneOf(true, false)
+      probe <- if (probeMember && arr.nonEmpty) Gen.oneOf(arr) else elemGen
+    } yield (arr.distinct.sorted, probe)
+    forAll(Gen.listOfN(40, caseGen), n = 5) { cases =>
+      val df = cases.toDF("arr", "probe")
+      val bad = df.select(
+        graft.functions.SortedArrayContains
+          .sortedContains(col("arr"), col("probe")).as("bs"),
+        array_contains(col("arr"), col("probe")).as("lin"),
+        col("arr"), col("probe"))
+        .filter(col("bs") =!= col("lin"))
+        .collect()
+      assert(bad.isEmpty, s"binary search diverged: ${bad.toSeq}")
+    }
+  }
+
   test("nfc_normalize equals java.text.Normalizer and is idempotent on random text") {
     import org.apache.spark.unsafe.types.UTF8String
     val charGen = Gen.frequency(

@@ -1,0 +1,75 @@
+// Scaling probe: run headline operators at 1x and 10x the sf0.1 corpus
+// and report the wall-clock growth ratio. A super-linear ratio (>> 10)
+// would expose a hidden quadratic; ~10 or below (overhead amortizes)
+// is the expected linear shape.
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft._
+import graft.operators._
+spark.experimental.extraStrategies = Seq(new graft.plans.GroupedTopKStrategy)
+spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+val vecs = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+
+// 10x: union 10 deterministic copies; each copy's text gets a distinct
+// suffix token so dedup density stays realistic instead of 90% dupes.
+def docsX(f: Int): DataFrame =
+  (0 until f).map { i =>
+    base.select(
+      (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+      concat(col("text"), lit(s" copytag$i")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+  }.reduce(_ unionByName _)
+def vecsX(f: Int): DataFrame =
+  (0 until f).map { i =>
+    vecs.select((col("vec_id") + lit(i.toLong * 10000000L)).as("vec_id"),
+      col("embedding"))
+  }.reduce(_ unionByName _)
+
+def run(df: DataFrame): Unit =
+  df.write.format("noop").mode("overwrite").save()
+def time(f: => Unit): Double = {
+  val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+}
+
+val model = Clustering.lloydCentroids(
+  vecs.limit(500), "vec_id", "embedding", k = 4, iters = 2)
+
+def ops(docs: DataFrame, vs: DataFrame): Seq[(String, () => Unit)] = Seq(
+  "exact_dedup" -> (() => run(Dedup.dropExactDuplicates(docs, "text", "doc_id"))),
+  "line_dedup" -> (() => run(SubstringDedup.lineDedup(
+    docs.select(col("doc_id"), array_join(SubstringDedup.tokenChunks(
+      split(col("text"), " "), 8), "\n").as("text")),
+    "doc_id", "text", maxDf = 2))),
+  "anchored_spans" -> (() => run(SubstringDedup.anchoredSpanProfile(
+    docs, "doc_id", "text"))),
+  "bm25" -> (() => run(Retrieval.bm25(docs, "doc_id", "text",
+    Seq("spark", "window"), topK = 20))),
+  "pack_offsets" -> (() => run(Packing.tokenShardOffsets(
+    docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n")),
+    "doc_id", "n", 2048L))),
+  "kmeans_assign" -> (() => run(Clustering.assignToCentroids(
+    vs, "vec_id", "embedding", model))),
+  "minhash_neardup" -> (() => run(Dedup.minHashNearDupPairs(
+    docs, "doc_id", "text"))),
+  "decontam_13g" -> (() => run(Decontaminate.decontaminate13Gram(
+    docs, base.limit(100).withColumn("eval_set", lit(0)),
+    "doc_id", "text", "eval_set"))))
+
+// Warm up everything once at 1x (codegen + JIT), then time 1x and 10x.
+val d1 = docsX(1).cache(); d1.count()
+val v1 = vecsX(1).cache(); v1.count()
+val d10 = docsX(10).cache(); d10.count()
+val v10 = vecsX(10).cache(); v10.count()
+ops(d1, v1).foreach { case (_, f) => f() }
+val t1 = ops(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
+val t1b = ops(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
+val t10 = ops(d10, v10).map { case (n, f) => n -> time(f()) }.toMap
+val t10b = ops(d10, v10).map { case (n, f) => n -> time(f()) }.toMap
+ops(d1, v1).map(_._1).foreach { n =>
+  val a = math.min(t1(n), t1b(n)); val b = math.min(t10(n), t10b(n))
+  println(f"PROBE $n%-16s 1x=${a}%6.2fs 10x=${b}%6.2fs ratio=${b / a}%5.1f")
+}
+sys.exit(0)
