@@ -272,15 +272,30 @@ object Dedup {
       k: Int = 3,
       rowsPerBand: Int = 3,
       numBands: Int = 6,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      // Hot-bucket cutoff (None = exact) — see
+      // [[Similarity.srpCosinePairs]]: join cost is Σ bucket², and a
+      // bucket of near-identical clones turns the candidate stage
+      // quadratic. Run digest dedup first; cap what remains.
+      maxBucket: Option[Int] = None): DataFrame = {
     val nHash = rowsPerBand * numBands
     val sig = minHashSignatures(df, idCol, textCol, k, nHash)
     val bandCols = array((0 until numBands).map(b =>
       xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
-    val bands = sig
+    val bandsAll = sig
       .select(col("id"), col("sig"), posexplode(bandCols))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bval")
+    val bands = maxBucket match {
+      case Some(m) =>
+        require(m >= 1, s"maxBucket must be >= 1, got $m")
+        val hot = bandsAll.groupBy(col("band"), col("bval"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > m)
+          .select("band", "bval")
+        bandsAll.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+      case None => bandsAll
+    }
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&

@@ -457,7 +457,17 @@ object Similarity {
       threshold: Double,
       rowsPerBand: Int = 4,
       numBands: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      // Hot-bucket cutoff (None = exact): a band bucket holding > m
+      // vectors is DROPPED before the self-join — join cost is
+      // Σ bucket², and one bucket of exact/near-identical clones turns
+      // the candidate stage quadratic (a 10× scaling probe on a
+      // clone-heavy corpus measured 25× wall growth). A pair whose
+      // vectors share any NON-hot band still surfaces; pairs living
+      // ONLY in over-full buckets are exact clones, which the pipeline
+      // removes with digest dedup BEFORE any LSH (the documented
+      // order). Same contract as the posting lists' maxDf.
+      maxBucket: Option[Int] = None): DataFrame = {
     // All r·b sign bits in ONE one-pass native expression packed into a
     // long ([[graft.functions.SrpPackedBands]] — bit-identical with the
     // 64-separate-dots formulation this replaced). Rationale: Spark
@@ -480,10 +490,22 @@ object Similarity {
     val bandVals: Seq[Column] = (0 until numBands).map { b =>
       shiftrightunsigned(col("__p"), b * rowsPerBand).bitwiseAND(lit(mask))
     }
-    val sigs = packed
+    val sigsAll = packed
       .select(col("__id"), posexplode(array(bandVals: _*)))
       .withColumnRenamed("pos", "__band")
       .withColumnRenamed("col", "__bval")
+    val sigs = maxBucket match {
+      case Some(m) =>
+        require(m >= 1, s"maxBucket must be >= 1, got $m")
+        // The over-full set is tiny (Zipf head) — broadcast anti join,
+        // the stripFrequentChunks pattern.
+        val hot = sigsAll.groupBy(col("__band"), col("__bval"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > m)
+          .select("__band", "__bval")
+        sigsAll.join(broadcast(hot), Seq("__band", "__bval"), "left_anti")
+      case None => sigsAll
+    }
     val cand = sigs.as("a")
       .join(sigs.as("b"),
         col("a.__band") === col("b.__band") && col("a.__bval") === col("b.__bval") &&

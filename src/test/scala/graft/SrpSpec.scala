@@ -42,6 +42,50 @@ class SrpSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in SRP plan:\n$p")
   }
 
+  test("maxBucket: no-op when generous; caps clone-bucket explosion when tight") {
+    val s = spark
+    import s.implicits._
+    val df = planted
+    // Generous cap changes nothing (every bucket under the cap).
+    val none = Similarity
+      .srpCosinePairs(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val generous = Similarity
+      .srpCosinePairs(df, "vec_id", "embedding", threshold = 0.9,
+        maxBucket = Some(1000))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(generous == none)
+    // Clone-heavy corpus: 30 exact copies of ONE vector + the planted
+    // set. Uncapped, the clones alone contribute C(30,2)=435 pairs;
+    // a tight cap drops the clone bucket while the planted near-dup
+    // pairs (small buckets) all survive.
+    val rnd = new scala.util.Random(3)
+    val cloneV = Array.fill(16)(rnd.nextGaussian().toFloat).toSeq
+    val clones = (0 until 30).map(i => (1000L + i, cloneV))
+    val heavy = (df.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1))).toSeq ++ clones)
+      .toDF("vec_id", "embedding")
+    val capped = Similarity
+      .srpCosinePairs(heavy, "vec_id", "embedding", threshold = 0.9,
+        maxBucket = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((none -- capped).isEmpty,
+      s"planted pairs lost under the cap: ${none -- capped}")
+    assert(!capped.exists { case (a, b) => a >= 1000L && b >= 1000L },
+      "clone-clone pairs must be dropped by the cap")
+    // Same guard on the MinHash form: clone texts capped, distinct kept.
+    val docs = ((0 until 30).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta")) ++
+      Seq((100L, "one two three four five six seven"),
+        (101L, "one two three four five six eight")))
+      .toDF("doc_id", "text")
+    val mh = Dedup.minHashNearDupPairs(docs, "doc_id", "text",
+      threshold = 0.5, maxBucket = Some(5))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.contains((100L, 101L)), s"distinct near-dup pair lost: $mh")
+    assert(!mh.exists { case (a, b) => a < 30L && b < 30L },
+      "clone-clone pairs must be dropped by the cap")
+  }
+
   test("SRP signatures are deterministic across invocations") {
     val df = planted
     val a = Similarity.srpCosinePairs(df, "vec_id", "embedding", threshold = 0.9).collect().toSet

@@ -58,17 +58,44 @@ def ops(docs: DataFrame, vs: DataFrame): Seq[(String, () => Unit)] = Seq(
     docs, base.limit(100).withColumn("eval_set", lit(0)),
     "doc_id", "text", "eval_set"))))
 
+def ops2(docs: DataFrame, vs: DataFrame): Seq[(String, () => Unit)] = Seq(
+  "winnow_contain" -> (() => run(TextAnalysis.winnowContainmentPairs(
+    docs, "doc_id", "text", maxDf = Some(50)))),
+  "tfidf" -> (() => run(TextAnalysis.tfIdfTopTerms(docs, "doc_id", "text", 5))),
+  "chunk_dedup_glob" -> (() => run(SubstringDedup.chunkDedupGlobal(
+    docs, "doc_id", "text", w = 3))),
+  "strip_freq_chunks" -> (() => run(SubstringDedup.stripFrequentChunks(
+    docs, "doc_id", "text", 3, 2))),
+  "ngram_pairs" -> (() => run(Dedup.ngramJaccardPairs(
+    docs, "doc_id", "text", k = 3, threshold = 0.8, maxDf = Some(50)))),
+  "curriculum" -> (() => run(Curation.curriculumSample(
+    docs, "doc_id", col("n_chars"), Seq(250, 500, 750, 1000)))),
+  "budget_select" -> (() => run(Curation.budgetSelect(
+    docs.select(col("doc_id"), col("n_chars").as("n")),
+    "doc_id", "n", col("n").cast("double"), 100000L))),
+  "srp_pairs_uncapped" -> (() => run(Similarity.srpCosinePairs(
+    vs, "vec_id", "embedding", threshold = 0.8))),
+  "srp_pairs_cap50" -> (() => run(Similarity.srpCosinePairs(
+    vs, "vec_id", "embedding", threshold = 0.8, maxBucket = Some(50)))),
+  "bigram_lm" -> (() => run(TextAnalysis.bigramLogProbs(
+    docs, "doc_id", "text"))),
+  "temperature_mix" -> (() => run(Curation.temperatureMix(
+    docs, "doc_id", "source", 0.5, 1000L))))
+
+
 // Warm up everything once at 1x (codegen + JIT), then time 1x and 10x.
 val d1 = docsX(1).cache(); d1.count()
 val v1 = vecsX(1).cache(); v1.count()
 val d10 = docsX(10).cache(); d10.count()
 val v10 = vecsX(10).cache(); v10.count()
-ops(d1, v1).foreach { case (_, f) => f() }
-val t1 = ops(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
-val t1b = ops(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
-val t10 = ops(d10, v10).map { case (n, f) => n -> time(f()) }.toMap
-val t10b = ops(d10, v10).map { case (n, f) => n -> time(f()) }.toMap
-ops(d1, v1).map(_._1).foreach { n =>
+def all(d: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.DataFrame) =
+  ops(d, v) ++ ops2(d, v)
+all(d1, v1).foreach { case (_, f) => f() }
+val t1 = all(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
+val t1b = all(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
+val t10 = all(d10, v10).map { case (n, f) => n -> time(f()) }.toMap
+val t10b = all(d10, v10).map { case (n, f) => n -> time(f()) }.toMap
+all(d1, v1).map(_._1).foreach { n =>
   val a = math.min(t1(n), t1b(n)); val b = math.min(t10(n), t10b(n))
   println(f"PROBE $n%-16s 1x=${a}%6.2fs 10x=${b}%6.2fs ratio=${b / a}%5.1f")
 }
