@@ -330,8 +330,15 @@ object Dedup {
       textCol: String,
       k: Int = 3,
       jaccardMin: Double = 0.5,
-      maxDist: Int = 20): DataFrame = {
-    val cand = ngramJaccardPairs(df, idCol, textCol, k, threshold = jaccardMin)
+      maxDist: Int = 20,
+      // Posting-list cutoff threaded to the candidate stage (None =
+      // exact, the oracle-gated default). Without it a boilerplate-
+      // heavy corpus makes the candidate stage quadratic BEFORE the
+      // edit verify ever runs — a 10× scaling probe measured 48×
+      // wall growth uncapped vs near-linear at maxDf = 50.
+      maxDf: Option[Int] = None): DataFrame = {
+    val cand = ngramJaccardPairs(df, idCol, textCol, k,
+      threshold = jaccardMin, maxDf = maxDf)
     val texts = df.select(col(idCol), col(textCol))
     cand
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")),

@@ -244,6 +244,15 @@ class OperatorsSpec extends AnyFunSuite {
     // (1,3) shares shingles (jaccard above 0.3) but is 19 edits away —
     // the character-level verify must drop it.
     assert(!out.contains((1L, 3L)), s"distant pair must be dropped: $out")
+    // A generous maxDf is a no-op (all posting lists under the cap) —
+    // the cutoff threads through without changing exact results.
+    val capped = Dedup
+      .editDistancePairs(df, "doc_id", "text", k = 3, jaccardMin = 0.3,
+        maxDist = 5, maxDf = Some(100))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3))
+      .toMap
+    assert(capped == out)
   }
 
   test("keySkewReport quantifies a hot key and reads 1.0 on uniform data") {

@@ -83,13 +83,26 @@ def ops2(docs: DataFrame, vs: DataFrame): Seq[(String, () => Unit)] = Seq(
     docs, "doc_id", "source", 0.5, 1000L))))
 
 
+def ops3(docs: DataFrame, vs: DataFrame): Seq[(String, () => Unit)] = Seq(
+  "semdedup" -> (() => run(Dedup.semanticDedup(
+    vs, "vec_id", "embedding", threshold = 0.45, nClusters = 8))),
+  "clean_corpus" -> (() => run(Pipeline.cleanCorpus(docs, "doc_id", "text"))),
+  "bpe_learn" -> (() => { Vocab.learnBpeMerges(docs, "text", 5).collect(); () }),
+  "edit_pairs_uncapped" -> (() => run(Dedup.editDistancePairs(
+    docs, "doc_id", "text", jaccardMin = 0.5))),
+  "edit_pairs_cap50" -> (() => run(Dedup.editDistancePairs(
+    docs, "doc_id", "text", jaccardMin = 0.5, maxDf = Some(50)))),
+  "canonical_pipe" -> (() => run(Dedup.keepCanonical(
+    docs, Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, Some(50)),
+    "doc_id", Seq(col("n_chars").desc, col("doc_id"))))))
+
 // Warm up everything once at 1x (codegen + JIT), then time 1x and 10x.
 val d1 = docsX(1).cache(); d1.count()
 val v1 = vecsX(1).cache(); v1.count()
 val d10 = docsX(10).cache(); d10.count()
 val v10 = vecsX(10).cache(); v10.count()
 def all(d: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.DataFrame) =
-  ops(d, v) ++ ops2(d, v)
+  ops(d, v) ++ ops2(d, v) ++ ops3(d, v)
 all(d1, v1).foreach { case (_, f) => f() }
 val t1 = all(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
 val t1b = all(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
