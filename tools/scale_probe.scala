@@ -96,13 +96,33 @@ def ops3(docs: DataFrame, vs: DataFrame): Seq[(String, () => Unit)] = Seq(
     docs, Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, Some(50)),
     "doc_id", Seq(col("n_chars").desc, col("doc_id"))))))
 
+val probeQueries = vecs.limit(16)
+  .withColumnRenamed("vec_id", "qid").withColumnRenamed("embedding", "qvec")
+def ops4(docs: DataFrame, vs: DataFrame): Seq[(String, () => Unit)] = Seq(
+  "brute_topk" -> (() => run(Similarity.bruteForceTopKAgg(
+    vs, probeQueries, "vec_id", "embedding", "qid", "qvec", k = 10))),
+  "ivf_topk" -> (() => run(Similarity.ivfCosineTopK(
+    vs, probeQueries, "vec_id", "embedding", "qid", "qvec", k = 10,
+    nLists = 16, nProbe = 2))),
+  "int8_topk" -> (() => run(Quantize.int8CosineTopK(
+    vs, probeQueries, "vec_id", "embedding", "qid", "qvec", k = 10))),
+  "bucketed_pack" -> (() => run(Packing.bucketedPack(
+    docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n")), "doc_id", col("n"), 2048))),
+  "rare_index" -> (() => run(Vocab.rareNgramIndex(
+    docs, "doc_id", "text", k = 3, maxDf = 2))),
+  "ann_pairs" -> (() => run(Similarity.annCosinePairs(
+    vs, vs.limit(64).withColumnRenamed("vec_id", "qid")
+      .withColumnRenamed("embedding", "qvec"),
+    "vec_id", "embedding", "qid", "qvec", maxCosDist = 0.3))))
+
 // Warm up everything once at 1x (codegen + JIT), then time 1x and 10x.
 val d1 = docsX(1).cache(); d1.count()
 val v1 = vecsX(1).cache(); v1.count()
 val d10 = docsX(10).cache(); d10.count()
 val v10 = vecsX(10).cache(); v10.count()
 def all(d: org.apache.spark.sql.DataFrame, v: org.apache.spark.sql.DataFrame) =
-  ops(d, v) ++ ops2(d, v) ++ ops3(d, v)
+  ops(d, v) ++ ops2(d, v) ++ ops3(d, v) ++ ops4(d, v)
 all(d1, v1).foreach { case (_, f) => f() }
 val t1 = all(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
 val t1b = all(d1, v1).map { case (n, f) => n -> time(f()) }.toMap
