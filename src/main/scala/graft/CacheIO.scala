@@ -72,6 +72,25 @@ object CacheIO {
     val spark = dfW.sparkSession
     val cfg = CacheConfig.current
     spark.sql(s"CREATE DATABASE IF NOT EXISTS ${cfg.cacheDatabase}")
+    // A cache table's DIRECTORY can outlive its catalog entry: the
+    // warehouse persists across processes while a fresh session
+    // metastore starts empty (and the reverse of the sidecar check in
+    // writeStandardCache). Creating a managed table over a leftover
+    // location fails LOCATION_ALREADY_EXISTS — the location is ours by
+    // construction (hash-named dir under the cache database), so clear
+    // it when the catalog has no such table.
+    if (!spark.catalog.tableExists(tbl)) {
+      try {
+        val wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        val tableDir = tbl.split('.').last
+        if (wh.nonEmpty && tableDir.nonEmpty) {
+          val loc = new Path(new Path(new Path(wh),
+            s"${cfg.cacheDatabase}.db"), tableDir)
+          val fs = loc.getFileSystem(hadoopConf(spark))
+          if (fs.exists(loc)) fs.delete(loc, true)
+        }
+      } catch { case _: Throwable => () }
+    }
     val w0 = dfW.write.format(cfg.cacheFormat).mode("overwrite")
     val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
     // Bucketing co-locates equal keys: two cache tables bucketed the

@@ -63,4 +63,22 @@ class ManagementSpec extends AnyFunSuite {
       Management.clearCacheForHash(spark, "")
     }
   }
+
+  test("writeCacheData recovers a warehouse dir orphaned from the catalog") {
+    // A persistent warehouse + fresh metastore leaves the table's
+    // DIRECTORY behind with no catalog entry; saveAsTable would fail
+    // LOCATION_ALREADY_EXISTS without the stale-location sweep.
+    val tbl = CacheConfig.current.tableNameFromHash("stale_dir_regression")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = Paths.get(wh, s"${CacheConfig.current.cacheDatabase}.db",
+      "stale_dir_regression")
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("leftover.parquet"), Array[Byte](1, 2, 3))
+    val df = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+    CacheIO.writeCacheData(df, tbl)
+    assert(spark.catalog.tableExists(tbl))
+    assert(spark.table(tbl).count() == df.count())
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }
