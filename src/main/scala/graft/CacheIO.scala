@@ -54,6 +54,18 @@ object CacheIO {
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
 
+  /** Whether a cataloged table's storage location still exists. The
+    * metastore can outlive the warehouse (persistent metastore, wiped
+    * or re-pointed warehouse dir) — the reverse of the orphan
+    * writeCacheData sweeps. Errs toward `true` so an unreadable
+    * catalog entry degrades to the previous behavior. */
+  private def tableLocationExists(spark: SparkSession, tableName: String): Boolean =
+    try {
+      val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
+      val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
+      loc.getFileSystem(hadoopConf(spark)).exists(loc)
+    } catch { case _: Throwable => true }
+
   /** `CREATE DATABASE IF NOT EXISTS` + overwrite-save the cache table
     * (reference `core_caching.py:37-44`; format pluggable, parquet
     * locally since Delta isn't on the classpath).
@@ -81,11 +93,14 @@ object CacheIO {
     // it when the catalog has no such table.
     if (!spark.catalog.tableExists(tbl)) {
       try {
-        val wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        // The database's location is fixed at creation and can differ
+        // from the session's current warehouse conf — resolve through
+        // the catalog, never by re-deriving from spark.sql.warehouse.dir.
+        val dbLoc = spark.sessionState.catalog
+          .getDatabaseMetadata(cfg.cacheDatabase).locationUri
         val tableDir = tbl.split('.').last
-        if (wh.nonEmpty && tableDir.nonEmpty) {
-          val loc = new Path(new Path(new Path(wh),
-            s"${cfg.cacheDatabase}.db"), tableDir)
+        if (tableDir.nonEmpty) {
+          val loc = new Path(new Path(dbLoc), tableDir)
           val fs = loc.getFileSystem(hadoopConf(spark))
           if (fs.exists(loc)) fs.delete(loc, true)
         }
@@ -121,9 +136,10 @@ object CacheIO {
     // can outlive its table (different warehouse dir across processes,
     // manual DROP) and skipping then would leave the entry
     // unmaterialized forever.
+    val skipTable = CacheConfig.current.tableNameFromHash(hashName)
     if (lastMeta.contains(metadataTxt) &&
-        df.sparkSession.catalog.tableExists(
-          CacheConfig.current.tableNameFromHash(hashName))) {
+        df.sparkSession.catalog.tableExists(skipTable) &&
+        tableLocationExists(df.sparkSession, skipTable)) {
       PlanFingerprint.log(s"Meta identical $hashName. Skip.")
       return
     }
@@ -147,6 +163,12 @@ object CacheIO {
     if (!exists(metadataFilePath, hadoopConf(spark))) None
     else if (!spark.catalog.tableExists(tableName)) {
       PlanFingerprint.log(s"Cache metadata exists but table $tableName does not")
+      None
+    } else if (!tableLocationExists(spark, tableName)) {
+      // Catalog entry without storage (persistent metastore, wiped
+      // warehouse): a "hit" would fail file-not-found at the user's
+      // first action. Treat as a miss; the recompute rewrites both.
+      PlanFingerprint.log(s"Cache table $tableName exists but its storage location is gone")
       None
     } else Some(spark.read.table(tableName))
   }

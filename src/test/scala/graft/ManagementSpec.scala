@@ -13,6 +13,16 @@ class ManagementSpec extends AnyFunSuite {
 
   private def spark = TestSpark.spark
 
+  /** The cache database's real storage root, resolved through the
+    * catalog (its location is fixed at creation and need not match the
+    * session's warehouse conf). */
+  private def cacheDbLocation: java.net.URI = {
+    spark.sql(
+      s"CREATE DATABASE IF NOT EXISTS ${CacheConfig.current.cacheDatabase}")
+    spark.sessionState.catalog
+      .getDatabaseMetadata(CacheConfig.current.cacheDatabase).locationUri
+  }
+
   private def cacheSomething(salt: Int): String = {
     val df = spark.read
       .parquet(s"${TestSpark.sf0001}/nation.parquet")
@@ -64,15 +74,38 @@ class ManagementSpec extends AnyFunSuite {
     }
   }
 
+  test("a catalog entry whose storage was wiped is a miss and rewrites") {
+    // Reverse orphan: metastore persists, warehouse dir wiped. The read
+    // path must report a miss (not a hit that fails file-not-found at
+    // first action) and the write path must not meta-skip.
+    val df = spark.read
+      .parquet(s"${TestSpark.sf0001}/nation.parquet")
+      .withColumn("salt", lit(6))
+    df.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+    val h = CacheIO.tableHash(df)
+    val tbl = CacheConfig.current.tableNameFromHash(h)
+    val dir = Paths.get(cacheDbLocation).resolve(h)
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator.asScala.toSeq.reverse.foreach(Files.delete)
+    assert(spark.catalog.tableExists(tbl), "catalog entry should survive the wipe")
+    assert(CacheIO.readCacheIfExist(df).isEmpty, "wiped storage must miss")
+    df.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+    assert(spark.table(tbl).count() == 25, "rewrite must rematerialize")
+  }
+
   test("writeCacheData recovers a warehouse dir orphaned from the catalog") {
     // A persistent warehouse + fresh metastore leaves the table's
     // DIRECTORY behind with no catalog entry; saveAsTable would fail
     // LOCATION_ALREADY_EXISTS without the stale-location sweep.
     val tbl = CacheConfig.current.tableNameFromHash("stale_dir_regression")
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val dir = Paths.get(wh, s"${CacheConfig.current.cacheDatabase}.db",
-      "stale_dir_regression")
+    val dir = Paths.get(cacheDbLocation).resolve("stale_dir_regression")
     Files.createDirectories(dir)
     Files.write(dir.resolve("leftover.parquet"), Array[Byte](1, 2, 3))
     val df = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
