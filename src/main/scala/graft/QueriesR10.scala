@@ -208,6 +208,26 @@ object QueriesR10 {
           .withColumn("eval_set", (col("doc_id") % 2).cast("int")),
         idCol = "doc_id", textCol = "text", setCol = "eval_set",
         k = 13, minShared = 1, expectedItems = 100000L)
+    },
+    // --- in-context (semantic) packing: fit k-means on the doc
+    //     embeddings, then fill each 256-token context window from ONE
+    //     cluster — related documents land in the same training
+    //     sequence (in-context pretraining). Composition of the two
+    //     gated operators: lloyd assignment (map-only, centroid
+    //     literals) + groupedPack (global two-pass prefix sum minus a
+    //     broadcast k-row cluster-offset table; never a hot
+    //     per-cluster window). ---
+    "q_cluster_pack" -> { (s, d) =>
+      val assigned = operators.Clustering.lloyd(
+        s.read.parquet(s"$d/embeddings.parquet"), "vec_id", "embedding",
+        k = QueriesR9.KmeansK, iters = QueriesR9.KmeansIters)
+      val counts = docs(s, d).select(col("doc_id"),
+        operators.TextAnalysis.tokenCount(col("text")).as("__nt"))
+      operators.Packing.groupedPack(
+        assigned.withColumnRenamed("vec_id", "doc_id")
+          .select("doc_id", "cluster").join(counts, "doc_id"),
+        "doc_id", groupCol = col("cluster"), groupName = "cluster",
+        tokensCol = col("__nt"), contextLen = 256)
     })
 
   private val oraclesBase: Map[String, String] = Map(
@@ -334,6 +354,22 @@ object QueriesR10 {
         |FROM tr JOIN ev USING (g) GROUP BY 1, 2 HAVING count(*) >= 1""".stripMargin)
 
   // The bloom pass is lossless: identical oracle to the plain form.
+  // q_cluster_pack replays the fitted k-means assignment (the shared
+  // R9 CTE chain), joins token counts, and packs with the same
+  // within-group prefix-sum arithmetic as q_bucket_pack.
   val oracles: Map[String, String] = oraclesBase +
-    ("q_decontam_13g_bloom" -> oraclesBase("q_decontam_13g"))
+    ("q_decontam_13g_bloom" -> oraclesBase("q_decontam_13g")) +
+    ("q_cluster_pack" ->
+      s"""WITH a AS (
+         |${QueriesR9.kmeansOracle(QueriesR9.KmeansK, QueriesR9.KmeansIters)}
+         |),
+         |n AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) n FROM documents),
+         |j AS (SELECT a.vec_id AS doc_id, CAST(a.cluster AS INTEGER) AS cluster, n.n
+         |      FROM a JOIN n ON a.vec_id = n.doc_id),
+         |c AS (SELECT doc_id, cluster, n,
+         |        sum(n) OVER (PARTITION BY cluster ORDER BY doc_id) - n AS cb FROM j)
+         |SELECT doc_id, cluster, n,
+         |  CAST(cb // 256 AS BIGINT) AS bin,
+         |  CAST(cb % 256 AS BIGINT) AS bin_offset
+         |FROM c""".stripMargin)
 }

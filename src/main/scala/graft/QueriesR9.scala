@@ -25,8 +25,8 @@ object QueriesR9 {
   private val BpeRounds = 5
 
   /** k-means shape replayed by the clustering oracles. */
-  private val KmeansK = 4
-  private val KmeansIters = 2
+  private[graft] val KmeansK = 4
+  private[graft] val KmeansIters = 2
   private val KmeansDim = 64
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -412,7 +412,7 @@ object QueriesR9 {
     (base +: rounds).mkString(",\n")
   }
 
-  private def kmeansOracle(k: Int, iters: Int, seeding: String = "hash"): String = {
+  private[graft] def kmeansOracle(k: Int, iters: Int, seeding: String = "hash"): String = {
     val seeds =
       if (seeding == "spread") kmSpreadSeedCtes(k) else kmHashSeedCtes(k)
     s"""WITH ${kmCtes(k, iters, seeds)}

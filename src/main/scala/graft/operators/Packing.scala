@@ -239,33 +239,71 @@ object Packing {
       idCol: String,
       tokensCol: org.apache.spark.sql.Column,
       contextLen: Int,
+      numPartitions: Int = 32): DataFrame =
+    groupedPack(
+      df.select(col(idCol), tokensCol.cast("long").as("__n0")),
+      idCol,
+      groupCol = length(bin(col("__n0"))).cast("int"),
+      groupName = "bucket",
+      tokensCol = col("__n0"),
+      contextLen = contextLen,
+      numPartitions = numPartitions)
+
+  /** [[bucketedPack]] generalized to ANY bounded-cardinality grouping:
+    * fill fixed `contextLen`-token bins greedily in id order WITHIN
+    * each value of `groupCol` (a deterministic row-local expression —
+    * a length bucket, a k-means cluster, a source). With a semantic
+    * cluster id this is in-context packing: each context window is
+    * filled from ONE cluster, so related documents land in the same
+    * training sequence. Output per doc: the group (named `groupName`),
+    * `n` (tokens), `bin` (which context window within the group),
+    * `bin_offset` (token start within it); docs are never split — a
+    * straddler starts in the bin its preceding within-group count
+    * falls in, matching [[tokenShards]].
+    *
+    * Scale shape: the within-group prefix sum is NOT a
+    * `Window.partitionBy(group)` — the hottest group would pull its
+    * whole population through one reducer. Instead ONE global
+    * [[runningTotalBy]] over `(group, id)` order gives a global
+    * cumulative count, and each group's start offset (one row per
+    * DISTINCT group value, which must therefore stay broadcastable —
+    * ≤ 64 length buckets, k clusters) is subtracted back via a
+    * broadcast join. The only single-task window runs over that
+    * bounded group table, never over rows. */
+  def groupedPack(
+      df: DataFrame,
+      idCol: String,
+      groupCol: org.apache.spark.sql.Column,
+      groupName: String,
+      tokensCol: org.apache.spark.sql.Column,
+      contextLen: Int,
       numPartitions: Int = 32): DataFrame = {
     require(contextLen > 0, "contextLen must be positive")
     val base = df.select(
       col(idCol),
-      tokensCol.cast("long").as("n"))
-      .withColumn("bucket", length(bin(col("n"))).cast("int"))
+      tokensCol.cast("long").as("n"),
+      groupCol.as(groupName))
     val cum = runningTotalBy(
-      base, Seq(col("bucket"), col(idCol)), col("n"), numPartitions)
-    // Bucket start offsets: ≤ 64 rows (one per binary digit count), so
-    // the unpartitioned window here is bounded, not a row-scale sort.
+      base, Seq(col(groupName), col(idCol)), col("n"), numPartitions)
+    // Group start offsets: bounded by the group cardinality, so the
+    // unpartitioned window here is bounded, not a row-scale sort.
     // Derived from `cum` — the frame runningTotalBy already
     // checkpointed — not from `base`, which would re-scan the source
     // and re-evaluate the token-count expression over every row.
-    val wBuckets = Window.orderBy("bucket")
+    val wGroups = Window.orderBy(groupName)
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = cum
-      .groupBy("bucket")
+      .groupBy(groupName)
       .agg(sum("n").as("__btotal"))
       .withColumn("__boffset",
-        coalesce(sum("__btotal").over(wBuckets), lit(0L)))
-      .select("bucket", "__boffset")
+        coalesce(sum("__btotal").over(wGroups), lit(0L)))
+      .select(groupName, "__boffset")
     cum
-      .join(broadcast(offsets), "bucket")
+      .join(broadcast(offsets), groupName)
       .withColumn("__cb", col("__cum") - col("n") - col("__boffset"))
       .withColumn("bin", expr(s"__cb DIV $contextLen"))
       .withColumn("bin_offset", col("__cb") % contextLen)
-      .select(col(idCol), col("bucket"), col("n"), col("bin"),
+      .select(col(idCol), col(groupName), col("n"), col("bin"),
         col("bin_offset"))
   }
 }

@@ -107,6 +107,30 @@ class PackingSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("groupedPack with an arbitrary group equals the per-group-window formulation") {
+    // Group by source (bounded cardinality like a cluster id) instead
+    // of the derived length bucket.
+    val df = spark.read
+      .parquet(TestSpark.sf001 + "/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tok"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    val expected = df
+      .withColumn("n", col("n_tok").cast("long"))
+      .withColumn("cb", sum("n").over(w) - col("n"))
+      .select(col("doc_id"), col("source"), col("n"),
+        expr("cb DIV 128").as("bin"), (col("cb") % 128).as("bin_offset"))
+    val got = Packing.groupedPack(
+      df, "doc_id", col("source"), "source", col("n_tok"), 128)
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+    // Bin numbering restarts per group: every group has a bin 0.
+    val groups = df.select("source").distinct.count()
+    assert(got.filter(col("bin") === 0).select("source").distinct
+      .count() == groups)
+  }
+
   test("startTokens continuation: A-then-B packing is append-only and boundary-exact") {
     val s = spark
     import s.implicits._
