@@ -211,6 +211,20 @@ class PlanQualitySpec extends AnyFunSuite {
       s"unpartitioned window over non-aggregated (row-scale) input:\n$bad")
   }
 
+  test("in-context packing's only unpartitioned window covers the bounded cluster table") {
+    // Same contract as bucketedPack, with the k-means cluster as the
+    // group: the k-row cluster-offset aggregate may window
+    // unpartitioned; every row-scale window must be partitioned.
+    import org.apache.spark.sql.catalyst.plans.logical
+    val plan = q("q_cluster_pack").queryExecution.optimizedPlan
+    val bad = plan.collect {
+      case w: logical.Window if w.partitionSpec.isEmpty &&
+        w.collectFirst { case a: logical.Aggregate => a }.isEmpty => w
+    }
+    assert(bad.isEmpty,
+      s"unpartitioned window over non-aggregated (row-scale) input:\n$bad")
+  }
+
   test("domain cap and canonical selection run through the partial top-k exec") {
     for (name <- Seq("q_domain_cap", "q_canonical")) {
       val p = plan(q(name))
