@@ -209,6 +209,42 @@ object QueriesR10 {
         idCol = "doc_id", textCol = "text", setCol = "eval_set",
         k = 13, minShared = 1, expectedItems = 100000L)
     },
+    // --- incremental near-dedup served from a PERSISTENT band index:
+    //     the reference corpus's banded-MinHash table is built once
+    //     (cache-materializable, like the IVF index); each recrawl
+    //     batch computes only ITS OWN signatures and probes the index
+    //     — no job ever re-reads the reference text. Rows-only by
+    //     design (banding is approximate); q_index_recall gates the
+    //     candidate quality ≥ 0.90 against the exact cross-corpus
+    //     pair set. ---
+    "q_dedup_index_near" -> { (s, d) =>
+      val dd = docs(s, d)
+      val index = operators.Dedup.buildMinHashBandIndex(
+        dd.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10),
+        "doc_id", "text")
+      operators.Dedup.nearDupAgainstIndex(
+        dd.filter(col("doc_id") % 3 =!= 0), index, "doc_id", "text")
+        .select("doc_id", "source", "n_chars")
+    },
+    // --- candidate recall of the index probe vs the exact Jaccard
+    //     >= 0.8 cross-corpus pair set (same split as
+    //     q_dedup_incremental_near) — the q_minhash_recall pattern for
+    //     the index-served path. ---
+    "q_index_recall" -> { (s, d) =>
+      val dd = docs(s, d)
+      val batch = dd.filter(col("doc_id") % 3 =!= 0)
+      val ref = dd.filter(col("doc_id") % 3 === 0 || col("doc_id") < 10)
+      val exact = operators.Dedup.ngramJaccardPairsAgainst(
+        batch, ref, "doc_id", "text", k = 3, threshold = 0.8)
+        .select(col("id_batch").as("id_a"), col("id_ref").as("id_b"))
+      val cand = operators.Dedup.minHashPairsAgainstIndex(
+        batch, operators.Dedup.buildMinHashBandIndex(ref, "doc_id", "text"),
+        "doc_id", "text")
+        .select(col("id_batch").as("id_a"), col("id_ref").as("id_b"))
+      operators.Quality.pairRecallCounts(exact, cand)
+        .select(col("n_exact"),
+          operators.Quality.recallOk(bps = 9000).as("recall_ok"))
+    },
     // --- in-context (semantic) packing: fit k-means on the doc
     //     embeddings, then fill each 256-token context window from ONE
     //     cluster — related documents land in the same training
@@ -359,6 +395,24 @@ object QueriesR10 {
   // within-group prefix-sum arithmetic as q_bucket_pack.
   val oracles: Map[String, String] = oraclesBase +
     ("q_decontam_13g_bloom" -> oraclesBase("q_decontam_13g")) +
+    // Exact cross-corpus >= 0.8 pair count (the recall denominator);
+    // the recall verdict itself is driver-gated TRUE, like
+    // q_minhash_recall.
+    ("q_index_recall" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(CASE WHEN len(ts) >= 3 THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) ELSE [] END) s FROM toks),
+        |b AS (SELECT * FROM sh WHERE doc_id % 3 <> 0 AND len(s) > 0),
+        |r AS (SELECT * FROM sh WHERE (doc_id % 3 = 0 OR doc_id < 10) AND len(s) > 0),
+        |exb AS (SELECT doc_id, unnest(s) g FROM b),
+        |exr AS (SELECT doc_id, unnest(s) g FROM r),
+        |cnb AS (SELECT doc_id, len(s) n FROM b),
+        |cnr AS (SELECT doc_id, len(s) n FROM r),
+        |cand AS (SELECT a.doc_id ia, c.doc_id ib, count(*) common
+        |         FROM exb a JOIN exr c ON a.g = c.g GROUP BY 1, 2)
+        |SELECT count(*)::BIGINT AS n_exact, TRUE AS recall_ok FROM (
+        |  SELECT round(common * 1.0 / (ca.n + cb.n - common), 6) AS jaccard
+        |  FROM cand JOIN cnb ca ON ia = ca.doc_id JOIN cnr cb ON ib = cb.doc_id)
+        |WHERE jaccard >= 0.8""".stripMargin) +
     ("q_cluster_pack" ->
       s"""WITH a AS (
          |${QueriesR9.kmeansOracle(QueriesR9.KmeansK, QueriesR9.KmeansIters)}

@@ -252,6 +252,125 @@ object Dedup {
         graft.functions.MinHashSignature
           .minHashSignature(col("sh"), numHashes).as("sig"))
 
+  /** `(id, band, bval, sig)` band table of a signature frame — the ONE
+    * banding definition shared by the within-corpus pair generator, the
+    * persistent index builder and the index probe, so all three agree
+    * bit-for-bit on bucket membership. */
+  private def bandedSignatures(
+      sig: DataFrame,
+      rowsPerBand: Int,
+      numBands: Int): DataFrame = {
+    val bandCols = array((0 until numBands).map(b =>
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+    sig
+      .select(col("id"), col("sig"), posexplode(bandCols))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bval")
+  }
+
+  /** Banded-MinHash band table of a REFERENCE corpus, ready for
+    * persistent materialization through the cache layer (the third
+    * index-is-a-cache-entry family after the BPE merges served by
+    * ModelCache and the IVF index of [[Similarity.buildIvfIndex]]):
+    * compute once per corpus with `cacheToDbfs`, then every recrawl
+    * batch probes it via [[minHashPairsAgainstIndex]] with NO job over
+    * the reference text — at 100 TB the reference is the giant side,
+    * and re-shingling it per batch is the cost this removes. One row
+    * per (doc, band): `(id, band, bval, sig)`. */
+  def buildMinHashBandIndex(
+      reference: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      rowsPerBand: Int = 3,
+      numBands: Int = 6): DataFrame =
+    bandedSignatures(
+      minHashSignatures(reference, idCol, textCol, k, rowsPerBand * numBands),
+      rowsPerBand, numBands)
+
+  /** Cross-corpus banded-MinHash candidate pairs of a batch against a
+    * MATERIALIZED reference band index ([[buildMinHashBandIndex]],
+    * typically read back from a cache table): batch signatures are
+    * computed live (a map-only projection), candidates come from the
+    * (band, bval) equi-join, and each candidate is scored by the
+    * full-signature agreement fraction (unbiased Jaccard estimate) and
+    * filtered at `threshold`. Output `(id_batch, id_ref,
+    * jaccard_est)`; identical ids on both sides are allowed (the same
+    * document present in both corpora estimates 1.0).
+    *
+    * The band parameters MUST match the ones the index was built with
+    * (a mismatched-width index never collides on `bval`, since the
+    * band hash covers different signature slices). `maxBucket` drops
+    * (band, bval) buckets whose COMBINED population exceeds the
+    * cutoff, the same hot-bucket guard as [[minHashNearDupPairs]]:
+    * join cost is Σ |batch_bucket|·|ref_bucket|, and a clone-heavy
+    * bucket would turn the probe quadratic. */
+  def minHashPairsAgainstIndex(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      rowsPerBand: Int = 3,
+      numBands: Int = 6,
+      threshold: Double = 0.7,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val nHash = rowsPerBand * numBands
+    val batchBands = bandedSignatures(
+      minHashSignatures(batch, idCol, textCol, k, nHash),
+      rowsPerBand, numBands)
+    val probeSides = maxBucket match {
+      case Some(m) =>
+        require(m >= 1, s"maxBucket must be >= 1, got $m")
+        val hot = batchBands.select("band", "bval")
+          .unionAll(index.select("band", "bval"))
+          .groupBy(col("band"), col("bval"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > m)
+          .select("band", "bval")
+        (batchBands.join(broadcast(hot), Seq("band", "bval"), "left_anti"),
+          index.join(broadcast(hot), Seq("band", "bval"), "left_anti"))
+      case None => (batchBands, index)
+    }
+    val (pb, pi) = probeSides
+    val cand = pb.as("a")
+      .join(pi.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval"))
+      .select(
+        col("a.id").as("id_batch"), col("b.id").as("id_ref"),
+        col("a.sig").as("siga"), col("b.sig").as("sigb"))
+      .distinct()
+    cand
+      .withColumn("jaccard_est",
+        round(size(filter(zip_with(col("siga"), col("sigb"),
+          (x, y) => when(x === y, 1).otherwise(0)), v => v === 1))
+          .cast("double") / nHash, 6))
+      .filter(col("jaccard_est") >= threshold)
+      .select("id_batch", "id_ref", "jaccard_est")
+  }
+
+  /** Incremental near-dup dedup against a persistent index: batch rows
+    * whose estimated Jaccard against ANY indexed reference document
+    * reaches `threshold` are dropped — the scale form of
+    * [[nearDupAgainstReference]] (which re-shingles the reference every
+    * batch; this probes the one-time band index instead). */
+  def nearDupAgainstIndex(
+      batch: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      rowsPerBand: Int = 3,
+      numBands: Int = 6,
+      threshold: Double = 0.7,
+      maxBucket: Option[Int] = None): DataFrame = {
+    val contaminated = minHashPairsAgainstIndex(
+      batch, index, idCol, textCol, k, rowsPerBand, numBands, threshold,
+      maxBucket)
+      .select(col("id_batch")).distinct()
+    batch.join(contaminated, col(idCol) === col("id_batch"), "left_anti")
+  }
+
   /** Banded MinHash-LSH near-duplicate pairs: signatures split into `b`
     * bands of `r` rows; documents joining on any (band, band-hash) pair
     * become candidates; candidates are scored by the full-signature
@@ -280,12 +399,7 @@ object Dedup {
       maxBucket: Option[Int] = None): DataFrame = {
     val nHash = rowsPerBand * numBands
     val sig = minHashSignatures(df, idCol, textCol, k, nHash)
-    val bandCols = array((0 until numBands).map(b =>
-      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
-    val bandsAll = sig
-      .select(col("id"), col("sig"), posexplode(bandCols))
-      .withColumnRenamed("pos", "band")
-      .withColumnRenamed("col", "bval")
+    val bandsAll = bandedSignatures(sig, rowsPerBand, numBands)
     val bands = maxBucket match {
       case Some(m) =>
         require(m >= 1, s"maxBucket must be >= 1, got $m")

@@ -75,6 +75,37 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(3L, 4L, 6L, 7L))
   }
 
+  test("minhash band index: cache round trip probes identically to the live bands") {
+    import graft.extensions._
+    val s = spark
+    import s.implicits._
+    val reference = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog", "en"),
+      (101L, "completely different words entirely here now today", "en"))
+      .toDF("doc_id", "text", "lang")
+    val live = Dedup.buildMinHashBandIndex(reference, "doc_id", "text")
+    val fromCache = live.cacheToDbfs(
+      overridePreferSparkCache = true,
+      dbfsCacheComplexityThreshold = None,
+      dbfsCacheMultiplierThreshold = None)
+    def probe(ix: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashPairsAgainstIndex(docs, ix, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a = probe(live)
+    val b = probe(fromCache)
+    assert(a == b, "index served from the cache table must probe identically")
+    assert(a.nonEmpty, "exact copies of ref doc 100 must surface as candidates")
+    // Survivor semantics: exact copies of ref 100 (docs 1 and 5) drop;
+    // the unrelated/short docs survive. Doc 6 matches ref 101 exactly
+    // and must drop too.
+    val kept = Dedup.nearDupAgainstIndex(
+      docs, fromCache, "doc_id", "text")
+      .collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(1L) && !kept.contains(5L) && !kept.contains(6L))
+    assert(kept.contains(3L) && kept.contains(4L) && kept.contains(7L),
+      s"unrelated and sub-shingle docs must survive, kept=$kept")
+  }
+
   test("bigramLogProbs matches an in-memory reference model") {
     val s = spark
     import s.implicits._
