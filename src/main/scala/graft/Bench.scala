@@ -256,7 +256,11 @@ object Bench {
     // fingerprint changes, so every write phase really writes and
     // every re-read phase hits only its own sequence's entry).
     // Dev loop: SPARK_GRAFT_ONLY=cache times just these phases.
-    if (only.isEmpty || only.exists(_.contains("cache"))) {
+    // `only` is the comma-SPLIT set, so this is an exact-element
+    // sentinel match ("cache" ∈ set), NOT a substring test — a future
+    // filter like q_cache_probe does not trigger the 18-run phases.
+    val cachePhaseSentinel = "cache"
+    if (only.isEmpty || only.exists(_.contains(cachePhaseSentinel))) {
       import org.apache.spark.sql.functions.lit
       def flagship(seq: Int): DataFrame =
         Queries.all("q_join_multi")(spark, sfDir)

@@ -3,6 +3,7 @@ package graft
 import java.nio.charset.StandardCharsets
 
 import scala.collection.immutable.ListMap
+import scala.util.control.NonFatal
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -34,7 +35,7 @@ object CacheIO {
         try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in), StandardCharsets.UTF_8))
         finally in.close()
       }
-    } catch { case _: Throwable => None }
+    } catch { case NonFatal(_) => None }
 
   def writeText(pathStr: String, content: String, conf: Configuration): Unit = {
     val p = new Path(pathStr)
@@ -49,7 +50,7 @@ object CacheIO {
     try {
       val p = new Path(pathStr)
       p.getFileSystem(conf).exists(p)
-    } catch { case _: Throwable => false }
+    } catch { case NonFatal(_) => false }
 
   private def hadoopConf(spark: SparkSession): Configuration =
     spark.sparkContext.hadoopConfiguration
@@ -64,7 +65,7 @@ object CacheIO {
       val ident = spark.sessionState.sqlParser.parseTableIdentifier(tableName)
       val loc = new Path(spark.sessionState.catalog.getTableMetadata(ident).location)
       loc.getFileSystem(hadoopConf(spark)).exists(loc)
-    } catch { case _: Throwable => true }
+    } catch { case NonFatal(_) => true }
 
   /** `CREATE DATABASE IF NOT EXISTS` + overwrite-save the cache table
     * (reference `core_caching.py:37-44`; format pluggable, parquet
@@ -90,21 +91,28 @@ object CacheIO {
     // writeStandardCache). Creating a managed table over a leftover
     // location fails LOCATION_ALREADY_EXISTS — the location is ours by
     // construction (hash-named dir under the cache database), so clear
-    // it when the catalog has no such table.
-    if (!spark.catalog.tableExists(tbl)) {
+    // it when the catalog has no such table. Guard: the sweep computes
+    // the location as <cacheDb location>/<suffix>, so it is ONLY valid
+    // for tables that actually live in the cache database — a caller
+    // passing `otherdb.t` must not delete cachedb's same-named dir.
+    val tblParts = tbl.split('.')
+    val tblInCacheDb =
+      if (tblParts.length >= 2) tblParts.dropRight(1).mkString(".") == cfg.cacheDatabase
+      else spark.catalog.currentDatabase == cfg.cacheDatabase
+    if (tblInCacheDb && !spark.catalog.tableExists(tbl)) {
       try {
         // The database's location is fixed at creation and can differ
         // from the session's current warehouse conf — resolve through
         // the catalog, never by re-deriving from spark.sql.warehouse.dir.
         val dbLoc = spark.sessionState.catalog
           .getDatabaseMetadata(cfg.cacheDatabase).locationUri
-        val tableDir = tbl.split('.').last
+        val tableDir = tblParts.last
         if (tableDir.nonEmpty) {
           val loc = new Path(new Path(dbLoc), tableDir)
           val fs = loc.getFileSystem(hadoopConf(spark))
           if (fs.exists(loc)) fs.delete(loc, true)
         }
-      } catch { case _: Throwable => () }
+      } catch { case NonFatal(_) => () }
     }
     val w0 = dfW.write.format(cfg.cacheFormat).mode("overwrite")
     val w1 = if (partitionBy.nonEmpty) w0.partitionBy(partitionBy: _*) else w0
@@ -197,7 +205,7 @@ object CacheIO {
     graft.plans.AutoSubstitute.register(plan, finalHash)
     if (replace)
       try df.sparkSession.read.table(tableName)
-      catch { case _: Throwable => df }
+      catch { case NonFatal(_) => df }
     else df
   }
 
@@ -236,13 +244,13 @@ object CacheIO {
             s"(partitionBy=$partitionBy, bucketBy=$wantBucket); returning the " +
             "stored layout. clearDbfsCache() then re-cache to relayout.")
       mismatch
-    } catch { case _: Throwable => false }
+    } catch { case NonFatal(_) => false }
 
   /** Spark-cache (memory/disk) marker check (reference
     * `core_caching.py:519-524`). */
   def isSparkCached(df: DataFrame): Boolean =
     try df.storageLevel.useMemory || df.storageLevel.useDisk
-    catch { case _: Throwable => false }
+    catch { case NonFatal(_) => false }
 
   /** Hash cascade for a DataFrame (reference `core_caching.py:527-571`):
     * direct-data registry tag, then a pure scan of a `data_*` table, then

@@ -141,7 +141,10 @@ object QueriesR10 {
         .select(col("doc_id"),
           explode(operators.TextAnalysis.tokenWindows(
             col("text"), window = 32, stride = 24)).as("c"))
-        .select((col("doc_id") * 100 + col("c.idx")).as("chunk_id"),
+        // 100000 ≫ any plausible chunks-per-doc (32-token windows,
+        // stride 24): doc_id*k + idx must stay collision-free even if
+        // fixture documents grow to ~2.4M space-tokens.
+        .select((col("doc_id") * 100000 + col("c.idx")).as("chunk_id"),
           col("c.chunk").as("chunk"))
       operators.Retrieval.bm25(
         chunks, "chunk_id", "chunk", Seq("spark", "window"), topK = 20)
@@ -337,7 +340,7 @@ object QueriesR10 {
         |  generate_series(0, CAST(ceil(greatest(len(w) - 32, 0) / 24.0) AS BIGINT)),
         |  k -> {'idx': k, 'chunk': array_to_string(w[k*24+1 : k*24+32], ' ')}),
         |  recursive := true) FROM t WHERE len(w) > 0),
-        |f AS (SELECT doc_id * 100 + idx AS chunk_id,
+        |f AS (SELECT doc_id * 100000 + idx AS chunk_id,
         |    CAST(len(ts) AS DOUBLE) dl,
         |    CAST(len(list_filter(ts, x -> x = 'spark')) AS DOUBLE) tf1,
         |    CAST(len(list_filter(ts, x -> x = 'window')) AS DOUBLE) tf2

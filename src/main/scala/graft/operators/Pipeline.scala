@@ -84,16 +84,32 @@ object Pipeline {
     * manifest (so an unchanged release is a pure table read). The
     * manifest stage is checked FIRST — on a full hit nothing is
     * constructed at all, not even the driver-side BPE merge learning. */
+  /** Implementation-version token folded into every resumable-release
+    * stage descriptor. The stage key is (raw-corpus fingerprint +
+    * descriptor) — NOT the computed plan (checkpointed intermediates
+    * are unfingerprintable) — so a code change to any release stage
+    * (cleanCorpus, Vocab, Scrub, Packing) would otherwise silently
+    * serve a manifest built by the OLD implementation from a prior
+    * session's cache. Bump this constant whenever release-stage
+    * semantics change; old entries then read as misses (and age out
+    * via `clearCachesOlderThan`). The reference gets this for free by
+    * hashing the computed frame's plan, which encodes the computation. */
+  val ReleasePipelineVersion = 2
+
   def releaseResumable(
       docs: DataFrame,
       idCol: String,
       textCol: String,
       windowLen: Long = 2048L,
-      bpeRounds: Int = 5): DataFrame = {
+      bpeRounds: Int = 5,
+      // Overridable only so specs can pin the invalidation contract
+      // (new version ⇒ old entries miss ⇒ stages recompute).
+      version: Int = ReleasePipelineVersion): DataFrame = {
     val rawPlan = graft.PlanFingerprint.getQueryPlan(docs)
     val inputInfo = graft.Freshness.inputDirModTimes(docs)
     def stage(descriptor: String)(compute: => DataFrame): DataFrame = {
-      val keyPlan = s"$rawPlan\n-- graft.release stage: $descriptor"
+      val keyPlan =
+        s"$rawPlan\n-- graft.release v$version stage: $descriptor"
       graft.CacheIO
         .readCacheIfExist(docs, Some(keyPlan), Some(inputInfo))
         .getOrElse(graft.CacheIO.writeCache(compute, replace = true,

@@ -286,6 +286,47 @@ class CacheBehaviorSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("resumable release: a bumped pipeline version invalidates prior entries") {
+    // The stage key is (raw-corpus fingerprint + descriptor), not the
+    // computed plan — so ONLY the version token protects a new session
+    // from a manifest built by an older implementation. Contract: same
+    // corpus + same parameters but a bumped ReleasePipelineVersion must
+    // MISS (recompute jobs run), while re-calling under the bumped
+    // version then HITS its own entry.
+    val docs = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+    val base = operators.Pipeline.releaseResumable(
+      docs, "doc_id", "text", windowLen = 1024L, bpeRounds = 2)
+    val baseRows = base.orderBy("doc_id").collect().toSeq
+    assert(baseRows.nonEmpty)
+    val bumped = operators.Pipeline.ReleasePipelineVersion + 1
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val miss = operators.Pipeline.releaseResumable(
+        docs, "doc_id", "text", windowLen = 1024L, bpeRounds = 2,
+        version = bumped)
+      Thread.sleep(500)
+      assert(jobs.get() > 0,
+        "a bumped version must miss the old entry and recompute")
+      assert(miss.orderBy("doc_id").collect().toSeq == baseRows,
+        "recomputed manifest must match (same implementation here)")
+      jobs.set(0)
+      val hit = operators.Pipeline.releaseResumable(
+        docs, "doc_id", "text", windowLen = 1024L, bpeRounds = 2,
+        version = bumped)
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"same bumped version must hit its own entry, saw ${jobs.get()} jobs")
+      assert(hit.orderBy("doc_id").collect().toSeq == baseRows)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("wcd caches when triggered and returns chainable DF") {
     val df = ordersAgg().withColumn("z", lit(4))
     val out = df.wcd(skipDisplay = true)

@@ -114,4 +114,30 @@ class ManagementSpec extends AnyFunSuite {
     assert(spark.table(tbl).count() == df.count())
     spark.sql(s"DROP TABLE $tbl")
   }
+
+  test("writeCacheData sweep never touches the cache db for a foreign-database table") {
+    // The stale-location sweep computes <cacheDb location>/<suffix>, so
+    // a caller passing `otherdb.t` (absent from the catalog) must NOT
+    // delete the cache database's same-named directory — that dir may
+    // be another session's in-progress or orphaned-but-recoverable data.
+    spark.sql("CREATE DATABASE IF NOT EXISTS graft_sweep_other")
+    val suffix = "sweep_guard_regression"
+    val cacheSide = Paths.get(cacheDbLocation).resolve(suffix)
+    Files.createDirectories(cacheSide)
+    Files.write(cacheSide.resolve("inprogress.parquet"), Array[Byte](7, 7))
+    val df = spark.read.parquet(s"${TestSpark.sf0001}/region.parquet")
+    try {
+      spark.sql(s"DROP TABLE IF EXISTS graft_sweep_other.$suffix")
+      CacheIO.writeCacheData(df, s"graft_sweep_other.$suffix")
+      assert(Files.exists(cacheSide.resolve("inprogress.parquet")),
+        "sweep must not delete the cache database's same-named dir " +
+          "for a table qualified in a different database")
+      assert(spark.table(s"graft_sweep_other.$suffix").count() == df.count())
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS graft_sweep_other.$suffix")
+      spark.sql("DROP DATABASE IF EXISTS graft_sweep_other CASCADE")
+      Files.deleteIfExists(cacheSide.resolve("inprogress.parquet"))
+      Files.deleteIfExists(cacheSide)
+    }
+  }
 }
