@@ -104,6 +104,10 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Raw per-run seconds (warmup excluded) — the spread's provenance.
     val allRuns = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    // Batch size per query (see the batched-measurement note below):
+    // entries with reps>1 report per-execution seconds averaged over a
+    // reps-sized back-to-back batch per timed measurement.
+    val repsUsed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
 
     // Shared median/spread bookkeeping for queries AND cache phases.
     // Median of all runs; spread over the steady-state runs: when the
@@ -173,6 +177,21 @@ object Bench {
       // steady state a live session would see.
       val (_, warmErr) = timeSec(runFully(fn(spark, sfDir)))
       err = warmErr
+      // Plan-trait classification, captured ONCE right after the
+      // untimed warmup and before any block cleanup: a query that
+      // leaves blocks in the block manager (eager localCheckpoint in
+      // the packing/components/splits/BPE family, or a persisted
+      // model cache) churns the ContextCleaner every run — its noise
+      // mode is ACCUMULATING executor debt, which only settle()'s
+      // GC-and-drain clears. The prior heuristic keyed settle on
+      // median >= 1 s and missed the sub-1 s checkpoint-churners:
+      // q_pack_continue (two eager prefix-sum checkpoints per run,
+      // 0.9 s median) ESCALATED 0.6 → 6.7 s across its extension
+      // runs because each unsettled run inherited the last one's
+      // cleaner backlog. The trait, not the weight, is the signal.
+      val leavesBlocks =
+        try spark.sparkContext.getPersistentRDDs.nonEmpty
+        catch { case _: Throwable => false }
       // Drop the blocks the previous run left behind (localCheckpoint
       // materializations in components/packing/splits live in executor
       // storage until GC'd) so run N+1 is not measured against run N's
@@ -192,12 +211,63 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         catch { case _: Throwable => () }
       }
+      // Same pre-run treatment for ALL of a block-leaving query's
+      // timed runs — initial and extension alike. Settling only the
+      // extensions made the sample BIMODAL (unsettled initial runs
+      // ~1.05 s vs settled extensions ~1.4 s on q_pack_continue),
+      // which reads as spread while being a protocol artifact. The
+      // treatment is LIGHTER than the group-boundary settle(): one GC
+      // to enqueue the weak-referenced shuffle/broadcast cleanups plus
+      // a short drain pause — enough to stop the cleaner-backlog
+      // escalation (0.6 → 6.7 s) without the full settle's measured
+      // 15-25% warm-state destruction on the multi-second entries
+      // (q_release 3.8 → 5.3 s under full per-run settle).
+      // SPARK_GRAFT_DRAIN=0 disables (A/B hook, like RUN_CLEAN).
+      val drainOn = !sys.env.get("SPARK_GRAFT_DRAIN").contains("0")
+      def drainDebt(): Unit = if (leavesBlocks && drainOn) {
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        System.gc()
+        try Thread.sleep(150) catch { case _: InterruptedException => () }
+      }
+      // Batched measurement for the sub-second queries: a 0.1 s query
+      // carries ±40-60 ms of job-launch/scheduler jitter, which reads
+      // as a 30-50% RELATIVE spread no matter how many single-run
+      // samples the extension takes (more samples estimate the same
+      // wide distribution). Timing a BATCH of back-to-back executions
+      // sized to a ~0.8 s window and reporting per-execution seconds
+      // averages the jitter inside the measured window (IQR shrinks
+      // ~1/sqrt(reps)) without changing the quantity measured — the
+      // steady-state per-execution wall time a live session sees.
+      // reps is sized from the FIRST timed measurement (a single
+      // execution — one sample of the same expectation) and recorded
+      // in BENCH_DETAIL (`reps`) for audit. Block-leaving queries stay
+      // at reps=1: their protocol needs the per-run drain between
+      // executions, and their runs are near- or multi-second anyway.
+      var reps = 1
+      def measureOnce(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        var k = 0
+        var e: Option[String] = None
+        while (k < reps && e.isEmpty) {
+          try runFully(fn(spark, sfDir))
+          catch {
+            case ex: Throwable =>
+              e = Some(s"${ex.getClass.getSimpleName}: " +
+                s"${String.valueOf(ex.getMessage).take(200)}")
+          }
+          k += 1
+        }
+        (((System.nanoTime() - t0) / 1e9) / reps, e)
+      }
       var i = 0
       while (i < 3 && err.isEmpty) {
+        drainDebt()
         dropRunBlocks()
-        val (sec, e) = timeSec(runFully(fn(spark, sfDir)))
+        val (sec, e) = measureOnce()
         runs += sec
         err = e
+        if (i == 0 && e.isEmpty && !leavesBlocks)
+          reps = math.min(8, math.max(1, math.ceil(0.8 / math.max(sec, 0.02)).toInt))
         i += 1
       }
       // Adaptive re-runs: a co-tenant CPU burst landing inside one timed
@@ -216,31 +286,42 @@ object Bench {
         med > 0 && (runs.max - runs.min) / med > 0.25
       }
       // A noisy query extends its sample, up to 9 runs total, with the
-      // isolation level chosen by WEIGHT:
-      //  - heavy queries (median >= 1 s — the checkpoint/recall
-      //    family) settle() before EVERY extension run: deep in a long
-      //    sweep, ContextCleaner backlog + heap debt inflates their
-      //    runs 3-5× over isolation (q_bucket_pack 0.8 s isolated vs
-      //    3+ s in-sweep; q_srp_recall 2.0 ↔ 5.7 s within one group),
-      //    and block-manager debt dominates their noise;
-      //  - light queries (median < 1 s) extend WITHOUT the settle:
+      // isolation level chosen by PLAN TRAIT first, weight second:
+      //  - block-leaving queries (`leavesBlocks` — the checkpoint/
+      //    persist family, REGARDLESS of median) settle() before EVERY
+      //    extension run: their noise is accumulating ContextCleaner
+      //    backlog + heap debt, which inflates runs 3-5× and ESCALATES
+      //    across unsettled extensions (q_bucket_pack 0.8 s isolated
+      //    vs 3+ s in-sweep; q_pack_continue 0.6 → 6.7 s across its
+      //    extension runs under the old median>=1s gate, which its
+      //    0.9 s median never crossed);
+      //  - heavy queries (median >= 1 s) settle too — even without
+      //    persisted blocks, a deep sweep's cleaner backlog lands in
+      //    any multi-second window (q_srp_recall 2.0 ↔ 5.7 s within
+      //    one group);
+      //  - light NON-checkpoint queries extend WITHOUT the settle:
       //    for them the full GC is the noise — a measured sweep showed
       //    settle-prefixed extension runs of q_curriculum ESCALATING
       //    0.33 → 0.73 s while its plain runs sat at 0.35-0.45 s (the
       //    A/B'd 15-20% warm-state destruction, compounding). Their
       //    dominant noise is ambient co-tenant jitter, which more
-      //    SAMPLES absorb and more GC only adds to.
+      //    SAMPLES absorb and more GC only adds to. (q_curriculum
+      //    leaves no blocks, so the trait classifier spares it.)
       while (err.isEmpty && runs.size < 9 && noisy) {
         val med = runs.sorted.apply((runs.size - 1) / 2)
-        if (med >= 1.0) settle()
+        // Block-leavers keep their uniform light drain; the full
+        // settle here is reserved for heavy NON-checkpoint queries,
+        // whose extension noise is the sweep-wide cleaner backlog.
+        if (leavesBlocks) drainDebt()
+        else if (med >= 1.0) settle()
         dropRunBlocks()
-        val (sec, e) = timeSec(runFully(fn(spark, sfDir)))
+        val (sec, e) = measureOnce()
         runs += sec
         err = e
       }
       // A failed query reports ONLY its error — a median over runs that
       // include the aborted attempt would record a misleading timing.
-      if (err.isEmpty) record(name, runs.toSeq)
+      if (err.isEmpty) { record(name, runs.toSeq); repsUsed(name) = reps }
       err.foreach(errors(name) = _)
     }
 
@@ -313,8 +394,10 @@ object Bench {
     val runsJson = allRuns.map { case (k, rs) =>
       s"${jsonStr(k)}:${rs.map(r => f"$r%.3f").mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
+    val repsJson = repsUsed.map { case (k, v) => s"${jsonStr(k)}:$v" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
 

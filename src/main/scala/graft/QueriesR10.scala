@@ -151,11 +151,19 @@ object QueriesR10 {
     },
     // --- the release DATA CARD: one-row summary of the release
     //     manifest (docs in/out, retention, shards, total tokens) —
-    //     the provenance line a model card quotes. Composed from the
-    //     already-gated release pipeline; oracle wraps q_release's. ---
+    //     the provenance line a model card quotes. The manifest comes
+    //     through releaseResumable, NOT a fresh releaseManifest run: a
+    //     data card is a report over the RELEASED ARTIFACT, so at
+    //     100 TB it must cost a table read + one-pass agg, never a
+    //     re-execution of the dedup/tokenize/pack it summarizes (a
+    //     prior release — q_release_resumed here, or any earlier
+    //     session — already persisted the manifest; a first-ever call
+    //     computes it once and persists it for everything downstream).
+    //     Oracle wraps q_release's: the card's numbers are over the
+    //     exact same manifest either way. ---
     "q_release_card" -> { (s, d) =>
       val dd = docs(s, d)
-      val manifest = operators.Pipeline.releaseManifest(
+      val manifest = operators.Pipeline.releaseResumable(
         dd, "doc_id", "text", windowLen = 2048L, bpeRounds = 5)
       manifest
         .agg(

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-11 queries: the crawl-front URL family (canonicalization,
+  * exact URL dedup, per-host crawl report) and paragraph-level dedup.
+  *
+  * The synthetic corpus carries no URL column, so the URL queries
+  * synthesize one DETERMINISTICALLY from (doc_id) — four messy
+  * spellings per logical page, exercising every canonicalization rule
+  * — and both engines replay the identical synthesis (precedent:
+  * q_nfc_normalize's accent injection). Logical page `doc_id/4` on
+  * host `site{page%7}.example.com`; variants 0-2 are the same http
+  * page spelled with host case + `www.` + `:80` + tracking param +
+  * trailing slash (v0), already-canonical (v1), and `index.html` +
+  * fragment + `:80` (v2); variant 3 is a DIFFERENT https page
+  * exercising the `:443` rule. */
+object QueriesR11 {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** Deterministic messy-URL synthesis shared by the three URL queries. */
+  private def withUrl(df: DataFrame): DataFrame = {
+    val base = floor(col("doc_id") / 4).cast("long")
+    val v = col("doc_id") % 4
+    val h = (base % 7).cast("string")
+    val b = base.cast("string")
+    val url = when(v === 0, concat(
+        lit("HTTP://WWW.Site"), h, lit(".EXAMPLE.COM:80/a/"), b,
+        lit("/?id="), b, lit("&utm_source=feed")))
+      .when(v === 1, concat(
+        lit("http://site"), h, lit(".example.com/a/"), b, lit("?id="), b))
+      .when(v === 2, concat(
+        lit("http://site"), h, lit(".example.com:80/a/"), b,
+        lit("/index.html?id="), b, lit("#sec-2")))
+      .otherwise(concat(
+        lit("HTTPS://site"), h, lit(".example.com:443/b/"), b))
+    df.select(col("doc_id"), col("n_chars"), url.as("url"))
+  }
+
+  /** The DuckDB replay of [[withUrl]] as a CTE named `u`. */
+  private val UrlCte =
+    """u AS (SELECT doc_id, n_chars,
+      |  CASE doc_id % 4
+      |    WHEN 0 THEN 'HTTP://WWW.Site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |      || '.EXAMPLE.COM:80/a/' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '/?id=' || CAST(doc_id // 4 AS VARCHAR) || '&utm_source=feed'
+      |    WHEN 1 THEN 'http://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |      || '.example.com/a/' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '?id=' || CAST(doc_id // 4 AS VARCHAR)
+      |    WHEN 2 THEN 'http://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |      || '.example.com:80/a/' || CAST(doc_id // 4 AS VARCHAR)
+      |      || '/index.html?id=' || CAST(doc_id // 4 AS VARCHAR) || '#sec-2'
+      |    ELSE 'HTTPS://site' || CAST((doc_id // 4) % 7 AS VARCHAR)
+      |      || '.example.com:443/b/' || CAST(doc_id // 4 AS VARCHAR)
+      |  END AS url
+      |  FROM documents)""".stripMargin
+
+  /** The DuckDB replay of [[operators.Crawl.canonicalizeUrl]] as a CTE
+    * named `c` over `u` — the GENERIC rule set re-expressed in SQL
+    * (regex-by-regex, not a shape-specific shortcut), so the oracle
+    * actually checks the canonicalizer. */
+  private val CanonCte =
+    """c AS (SELECT doc_id, n_chars, url,
+      |    CASE WHEN scheme = '' THEN lower(url)
+      |         ELSE scheme || '://' || host || portpart || path ||
+      |              CASE WHEN q = '' THEN '' ELSE '?' || q END
+      |    END AS canon_url,
+      |    CASE WHEN scheme = '' THEN '' ELSE host END AS host
+      |  FROM (
+      |    SELECT doc_id, n_chars, url, scheme, hostport,
+      |      regexp_replace(lower(regexp_replace(hostport, ':[0-9]+$', '')),
+      |                     '^www\.', '') AS host,
+      |      CASE WHEN port = '' THEN ''
+      |           WHEN scheme = 'http' AND port = '80' THEN ''
+      |           WHEN scheme = 'https' AND port = '443' THEN ''
+      |           ELSE ':' || port END AS portpart,
+      |      regexp_replace(regexp_replace(rawpath, '/index\.html$', '/'),
+      |                     '/+$', '') AS path,
+      |      coalesce(array_to_string(list_sort(list_filter(
+      |        string_split(rawq, '&'),
+      |        p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS q
+      |    FROM (
+      |      SELECT doc_id, n_chars, url,
+      |        lower(regexp_extract(nofrag,
+      |          '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |        regexp_extract(nofrag,
+      |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1) AS hostport,
+      |        regexp_extract(regexp_extract(nofrag,
+      |          '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)', 1),
+      |          ':([0-9]+)$', 1) AS port,
+      |        regexp_extract(nofrag,
+      |          '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)', 1) AS rawpath,
+      |        regexp_extract(nofrag, '\?(.*)$', 1) AS rawq
+      |      FROM (SELECT doc_id, n_chars, url,
+      |              regexp_replace(url, '#.*$', '') AS nofrag FROM u))))""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- URL canonicalization: the crawl-front normalize that runs
+    //     before ANY text-level pass. Map-only projection of built-in
+    //     string functions (codegen'd, RE2-portable regexes). ---
+    "q_url_canon" -> { (s, d) =>
+      withUrl(docs(s, d))
+        .select(col("doc_id"), col("url"),
+          operators.Crawl.canonicalizeUrl(col("url")).as("canon_url"))
+        .withColumn("host", operators.Crawl.urlHost(col("canon_url")))
+    },
+    // --- exact URL dedup: one survivor per canonical URL, keeping the
+    //     highest-quality fetch (n_chars desc, doc_id tiebreak). The
+    //     only exchange hash-partitions on the canonical DIGEST. ---
+    "q_url_dedup" -> { (s, d) =>
+      operators.Crawl.urlDedup(
+        withUrl(docs(s, d)), "url",
+        Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("doc_id"), col("n_chars"), col("canon_url"))
+    },
+    // --- per-host crawl report: fetches vs distinct canonical pages
+    //     and the URL-level duplicate rate — the crawl-frontier health
+    //     signal. One aggregation on the host key. ---
+    "q_host_report" -> ((s, d) =>
+      operators.Crawl.hostReport(withUrl(docs(s, d)), "url")),
+    // --- paragraph-level dedup (CCNet/RefinedWeb granularity between
+    //     line- and chunk-level): the corpus has no newlines, so the
+    //     query reflows each document into 24-word paragraphs first
+    //     (both engines replay the reflow), then drops every paragraph
+    //     appearing in > 2 distinct docs. Same plan shape as
+    //     q_line_dedup: digests-only shuffle, sorted one-row broadcast
+    //     hot set, row-local removal. ---
+    "q_para_dedup" -> { (s, d) =>
+      val reflowed = docs(s, d).select(
+        col("doc_id"),
+        array_join(
+          operators.SubstringDedup.tokenChunks(
+            split(col("text"), " "), ParaWidth), "\n\n").as("text"))
+      operators.SubstringDedup.paraDedup(reflowed, "doc_id", "text", maxDf = 2)
+        .withColumnRenamed("n_lines", "n_paras")
+    })
+
+  /** Words per reflowed paragraph for q_para_dedup. */
+  private val ParaWidth = 24
+
+  // NOTE: the composed oracles CONCATENATE the pre-stripped CTE
+  // fragments — running stripMargin over an interpolated fragment
+  // would eat the first pipe of every line-leading `||` concat.
+  val oracles: Map[String, String] = Map(
+    "q_url_canon" ->
+      (s"WITH $UrlCte,\n$CanonCte\n" +
+        "SELECT doc_id, url, canon_url, host FROM c"),
+    "q_url_dedup" ->
+      (s"WITH $UrlCte,\n$CanonCte,\n" +
+        """r AS (SELECT doc_id, n_chars, canon_url,
+          |    row_number() OVER (PARTITION BY canon_url
+          |      ORDER BY n_chars DESC, doc_id) AS rn FROM c)
+          |SELECT doc_id, n_chars, canon_url FROM r WHERE rn = 1""".stripMargin),
+    "q_host_report" ->
+      (s"WITH $UrlCte,\n$CanonCte\n" +
+        """SELECT host, CAST(count(*) AS BIGINT) AS n_fetches,
+          |       CAST(count(DISTINCT canon_url) AS BIGINT) AS n_pages,
+          |       round(1.0 - count(DISTINCT canon_url) * 1.0 / count(*), 6)
+          |         AS dup_rate
+          |FROM c GROUP BY host""".stripMargin),
+    "q_para_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
+        |p AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(w) / 24.0) AS INT) - 1), k -> {'idx': k, 'para': array_to_string(w[k*24+1 : k*24+24], ' ')}), recursive := true) FROM t),
+        |hot AS (SELECT para FROM (SELECT para, count(DISTINCT doc_id) df FROM p GROUP BY 1) WHERE df > 2),
+        |kept AS (SELECT doc_id, idx, para FROM p WHERE para NOT IN (SELECT para FROM hot)),
+        |r AS (SELECT doc_id, count(*) n_kept, string_agg(para, chr(10)||chr(10) ORDER BY idx) text_dedup FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(ceil(len(t.w) / 24.0) AS BIGINT) AS n_paras,
+        |       coalesce(r.n_kept, 0)::BIGINT AS n_kept,
+        |       coalesce(r.text_dedup, '') AS text_dedup
+        |FROM t LEFT JOIN r ON t.doc_id = r.doc_id""".stripMargin)
+}

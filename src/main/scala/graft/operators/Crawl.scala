@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Crawl-front URL operators — the FIRST dedup any web pipeline runs,
+  * before any text-level pass: the same page is typically fetched under
+  * many URL spellings (scheme/host case, default ports, `www.`,
+  * tracking params, fragments, `index.html`, trailing slashes), and
+  * collapsing those is orders of magnitude cheaper than letting the
+  * copies reach text shingling.
+  *
+  * Everything here is pure string composition over built-in functions
+  * (codegen'd, map-only) — no UDF, no network, no IDN/punycode
+  * dependency — and every rule is deterministic and replayable in
+  * ANSI-ish SQL, so the queries carry exact DuckDB oracles. The regexes
+  * avoid backreferences/lookarounds and are RE2-portable.
+  */
+object Crawl {
+
+  /** Canonical form of a crawl URL. Rules, in order:
+    *
+    *  1. fragment dropped (`#...` never reaches the server);
+    *  2. scheme and host lowercased (RFC 3986 §6.2.2.1 — path STAYS
+    *     case-sensitive);
+    *  3. leading `www.` dropped from the host;
+    *  4. default ports stripped (`:80` for http, `:443` for https;
+    *     any other explicit port kept);
+    *  5. trailing `/index.html` dropped from the path, then trailing
+    *     slashes dropped (so `/a/` ≡ `/a` ≡ `/a/index.html`);
+    *  6. query keys sorted (param order never matters), empty params
+    *     and `utm_*` tracking params dropped; an emptied query drops
+    *     its `?`.
+    *
+    * Malformed input (no `scheme://`) canonicalizes to itself
+    * lowercased-scheme-less — garbage in, stable garbage out — so the
+    * digest dedup still groups identical junk. */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]*)", 1)
+    val host = regexp_replace(
+      lower(regexp_replace(hostPort, ":[0-9]+$", "")), "^www\\.", "")
+    val port = regexp_extract(hostPort, ":([0-9]+)$", 1)
+    val portPart =
+      when(port === "", lit(""))
+        .when(scheme === "http" && port === "80", lit(""))
+        .when(scheme === "https" && port === "443", lit(""))
+        .otherwise(concat(lit(":"), port))
+    val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
+    val path = regexp_replace(
+      regexp_replace(rawPath, "/index\\.html$", "/"), "/+$", "")
+    val rawQuery = regexp_extract(noFrag, "\\?(.*)$", 1)
+    val params = array_sort(filter(split(rawQuery, "&"),
+      p => p =!= "" && !p.startsWith("utm_")))
+    val query = array_join(params, "&")
+    val queryPart =
+      when(query === "", lit("")).otherwise(concat(lit("?"), query))
+    when(scheme === "", lower(url))
+      .otherwise(concat(scheme, lit("://"), host, portPart, path, queryPart))
+  }
+
+  /** Host of a canonicalized URL (empty string for malformed input). */
+  def urlHost(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://([^/:?]*)", 1)
+
+  /** Exact URL dedup: keep ONE row per canonical URL — the first under
+    * `orderBy` (pass quality-descending columns to keep the best
+    * fetch, e.g. `Seq(col("n_chars").desc, col(idCol))`). Output is
+    * the surviving rows plus their `canon_url`.
+    *
+    * Scale shape: canonicalization is a map-only projection; the only
+    * exchange hash-partitions rows by the canonical-URL DIGEST (never
+    * by the raw URL string — equal-length fixed keys shuffle tighter
+    * and skew-salt cleanly), and within each partition `row_number`
+    * keeps one row per key. One shuffle total, same shape as
+    * [[Dedup.dropExactDuplicates]]. */
+  def urlDedup(
+      df: DataFrame,
+      urlCol: String,
+      orderBy: Seq[Column]): DataFrame = {
+    val withCanon = df.withColumn("canon_url", canonicalizeUrl(col(urlCol)))
+    val w = Window
+      .partitionBy(sha2(col("canon_url").cast("binary"), 256))
+      .orderBy(orderBy: _*)
+    withCanon
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Per-host crawl report over raw URLs: fetches, distinct canonical
+    * pages, URL-level duplicate rate (the crawl-frontier health signal
+    * — a host whose fetches collapse 10:1 wastes 90% of its crawl
+    * budget on URL spellings). One aggregation, one exchange on the
+    * host key. */
+  def hostReport(df: DataFrame, urlCol: String): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    df.select(urlHost(canon).as("host"), canon.as("canon_url"))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        countDistinct(col("canon_url")).as("n_pages"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_pages").cast("double") / col("n_fetches"), 6))
+  }
+}

@@ -252,21 +252,27 @@ object Dedup {
         graft.functions.MinHashSignature
           .minHashSignature(col("sh"), numHashes).as("sig"))
 
-  /** `(id, band, bval, sig)` band table of a signature frame — the ONE
-    * banding definition shared by the within-corpus pair generator, the
+  /** Band-hash array over a signature column — the ONE banding
+    * definition shared by the within-corpus pair generator, the
     * persistent index builder and the index probe, so all three agree
-    * bit-for-bit on bucket membership. */
+    * bit-for-bit on bucket membership: element `b` is the hash of
+    * signature rows `[b*rowsPerBand, (b+1)*rowsPerBand)` salted with
+    * the band number. */
+  private def bandArray(rowsPerBand: Int, numBands: Int) =
+    array((0 until numBands).map(b =>
+      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+
+  /** `(id, band, bval, sig)` exploded band table of a signature frame
+    * — the join-ready shape of [[bandArray]]. */
   private def bandedSignatures(
       sig: DataFrame,
       rowsPerBand: Int,
-      numBands: Int): DataFrame = {
-    val bandCols = array((0 until numBands).map(b =>
-      xxhash64(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+      numBands: Int): DataFrame =
     sig
-      .select(col("id"), col("sig"), posexplode(bandCols))
+      .select(col("id"), col("sig"),
+        posexplode(bandArray(rowsPerBand, numBands)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "bval")
-  }
 
   /** Banded-MinHash band table of a REFERENCE corpus, ready for
     * persistent materialization through the cache layer (the third
@@ -275,8 +281,14 @@ object Dedup {
     * compute once per corpus with `cacheToDbfs`, then every recrawl
     * batch probes it via [[minHashPairsAgainstIndex]] with NO job over
     * the reference text — at 100 TB the reference is the giant side,
-    * and re-shingling it per batch is the cost this removes. One row
-    * per (doc, band): `(id, band, bval, sig)`. */
+    * and re-shingling it per batch is the cost this removes. ONE row
+    * per document: `(id, sig array<bigint>, bands array<bigint>)` —
+    * the signature is stored exactly once (an exploded (doc, band)
+    * layout would duplicate the full `numBands*rowsPerBand`-long
+    * signature `numBands` times in the materialized table); the probe
+    * re-derives the join-ready (doc, band) rows with a map-only
+    * `posexplode`, which costs nothing at read time compared to the
+    * `numBands`× storage and scan amplification it avoids. */
   def buildMinHashBandIndex(
       reference: DataFrame,
       idCol: String,
@@ -284,9 +296,9 @@ object Dedup {
       k: Int = 3,
       rowsPerBand: Int = 3,
       numBands: Int = 6): DataFrame =
-    bandedSignatures(
-      minHashSignatures(reference, idCol, textCol, k, rowsPerBand * numBands),
-      rowsPerBand, numBands)
+    minHashSignatures(reference, idCol, textCol, k, rowsPerBand * numBands)
+      .select(col("id"), col("sig"),
+        bandArray(rowsPerBand, numBands).as("bands"))
 
   /** Cross-corpus banded-MinHash candidate pairs of a batch against a
     * MATERIALIZED reference band index ([[buildMinHashBandIndex]],
@@ -319,18 +331,24 @@ object Dedup {
     val batchBands = bandedSignatures(
       minHashSignatures(batch, idCol, textCol, k, nHash),
       rowsPerBand, numBands)
+    // Unpack the one-row-per-doc index layout (sig stored once) into
+    // the join-ready (id, band, bval, sig) rows — a map-only explode.
+    val indexBands = index
+      .select(col("id"), col("sig"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bval")
     val probeSides = maxBucket match {
       case Some(m) =>
         require(m >= 1, s"maxBucket must be >= 1, got $m")
         val hot = batchBands.select("band", "bval")
-          .unionAll(index.select("band", "bval"))
+          .unionAll(indexBands.select("band", "bval"))
           .groupBy(col("band"), col("bval"))
           .agg(count(lit(1)).as("__n"))
           .filter(col("__n") > m)
           .select("band", "bval")
         (batchBands.join(broadcast(hot), Seq("band", "bval"), "left_anti"),
-          index.join(broadcast(hot), Seq("band", "bval"), "left_anti"))
-      case None => (batchBands, index)
+          indexBands.join(broadcast(hot), Seq("band", "bval"), "left_anti"))
+      case None => (batchBands, indexBands)
     }
     val (pb, pi) = probeSides
     val cand = pb.as("a")

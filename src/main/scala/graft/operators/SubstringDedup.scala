@@ -325,6 +325,19 @@ object SubstringDedup {
       .select(lineDedupOutput(idCol, sep): _*)
   }
 
+  /** Paragraph-level exact dedup — the CCNet/RefinedWeb-style pass
+    * sitting between [[lineDedup]] (line granularity) and
+    * [[chunkDedupGlobal]] (fixed-width chunks): the unit is a
+    * double-newline-separated PARAGRAPH, dropped everywhere once it
+    * appears in more than `maxDf` distinct documents. Pure
+    * parameterization of the line machinery, so it inherits the same
+    * scale shape verbatim: one digest-only shuffle for the hot set,
+    * hot set as a one-row sorted broadcast, removal a row-local
+    * binary-search filter — paragraph text never reaches an exchange. */
+  def paraDedup(
+      df: DataFrame, idCol: String, textCol: String, maxDf: Int): DataFrame =
+    lineDedup(df, idCol, textCol, maxDf, sep = "\n\n")
+
   /** The document-frequency half of [[lineDedup]], exposed for census
     * use (the streaming twin learns its hot set from a batch census —
     * a stream cannot count its own line df): md5 digests of every

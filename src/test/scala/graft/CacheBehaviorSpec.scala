@@ -286,6 +286,48 @@ class CacheBehaviorSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("release data card consumes the persisted release, not a re-run") {
+    // A data card is a report over the RELEASED ARTIFACT: once any
+    // release with the same corpus+parameters has persisted its
+    // manifest, constructing q_release_card must launch ZERO jobs
+    // (the miss path's eager checkpoints + BPE learning launch many)
+    // and its plan must aggregate over the cache table.
+    val sf = TestSpark.sf0001
+    // First call: computes once and persists (or hits what an earlier
+    // test in this suite already released — either way, priming).
+    val primed = SparkEntry.queries("q_release_card")(spark, sf)
+    val cardRow = primed.collect().toSeq
+    assert(cardRow.size == 1)
+    // Pre-read the corpus OUTSIDE the listener window (spark.read
+    // .parquet's schema inference launches one footer-read job that is
+    // not the pipeline's doing — same discipline as the resumed spec).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val manifest = operators.Pipeline.releaseResumable(
+        docs, "doc_id", "text", windowLen = 2048L, bpeRounds = 5)
+      Thread.sleep(500)
+      assert(jobs.get() == 0,
+        s"consuming a persisted release must launch no jobs, saw ${jobs.get()}")
+      val card = SparkEntry.queries("q_release_card")(spark, sf)
+      val opt = card.queryExecution.optimizedPlan.toString
+      assert(opt.contains(CacheConfig.current.cacheDatabase),
+        s"card must read the persisted manifest cache table:\n$opt")
+      assert(!opt.contains("Generate") && !opt.contains("Window"),
+        s"card must not re-plan the dedup/pack pipeline:\n$opt")
+      assert(manifest.count() > 0)
+      assert(card.collect().toSeq == cardRow,
+        "card over the persisted manifest must match the computed card")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("resumable release: a bumped pipeline version invalidates prior entries") {
     // The stage key is (raw-corpus fingerprint + descriptor), not the
     // computed plan — so ONLY the version token protects a new session

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Crawl
+
+/** Crawl-front URL canonicalization/dedup semantics (rule-by-rule) and
+  * the paragraph-dedup preset. */
+class CrawlSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  private def canon(url: String): String = {
+    val s = spark
+    import s.implicits._
+    Seq(url).toDF("u")
+      .select(Crawl.canonicalizeUrl(col("u")).as("c"))
+      .collect()(0).getString(0)
+  }
+
+  test("canonicalizeUrl: every rule, one assertion each") {
+    // scheme+host lowercased, path case preserved
+    assert(canon("HTTP://ExAmPle.COM/Path/X") == "http://example.com/Path/X")
+    // www. stripped
+    assert(canon("http://www.example.com/a") == "http://example.com/a")
+    // default ports stripped per scheme; non-default kept
+    assert(canon("http://example.com:80/a") == "http://example.com/a")
+    assert(canon("https://example.com:443/a") == "https://example.com/a")
+    assert(canon("http://example.com:8080/a") == "http://example.com:8080/a")
+    // https does NOT strip :80 (not its default)
+    assert(canon("https://example.com:80/a") == "https://example.com:80/a")
+    // fragment dropped
+    assert(canon("http://example.com/a#frag") == "http://example.com/a")
+    // trailing slash + index.html equivalences
+    assert(canon("http://example.com/a/") == "http://example.com/a")
+    assert(canon("http://example.com/a/index.html") == "http://example.com/a")
+    assert(canon("http://example.com/") == "http://example.com")
+    // query keys sorted; empty + utm_* params dropped; emptied ? dropped
+    assert(canon("http://example.com/a?b=2&a=1") == "http://example.com/a?a=1&b=2")
+    assert(canon("http://example.com/a?utm_source=x&id=3") == "http://example.com/a?id=3")
+    assert(canon("http://example.com/a?utm_source=x") == "http://example.com/a")
+    assert(canon("http://example.com/a?&&id=1") == "http://example.com/a?id=1")
+    // malformed input: stable lowercased identity, never null/error
+    assert(canon("not a url") == "not a url")
+    // index.html only trims as a path SUFFIX
+    assert(canon("http://example.com/index.html/a") == "http://example.com/index.html/a")
+  }
+
+  test("urlDedup keeps the best fetch per canonical URL") {
+    val s = spark
+    import s.implicits._
+    val fetches = Seq(
+      (1L, "HTTP://WWW.X.COM:80/p/?utm_source=a", 100L),
+      (2L, "http://x.com/p", 400L), // same page, biggest fetch: wins
+      (3L, "http://x.com/p/index.html#top", 400L), // ties on size: id 2 wins
+      (4L, "http://x.com/q", 50L)) // different page: survives
+      .toDF("doc_id", "url", "n_chars")
+    val kept = Crawl.urlDedup(
+      fetches, "url", Seq(col("n_chars").desc, col("doc_id")))
+      .select("doc_id", "canon_url").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kept == Set((2L, "http://x.com/p"), (4L, "http://x.com/q")))
+  }
+
+  test("hostReport aggregates fetches vs distinct canonical pages") {
+    val s = spark
+    import s.implicits._
+    val fetches = Seq(
+      (1L, "http://a.com/p"), (2L, "http://a.com/p/"), (3L, "http://a.com/q"),
+      (4L, "http://b.com/r"))
+      .toDF("doc_id", "url")
+    val rows = Crawl.hostReport(fetches, "url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(rows == Set(("a.com", 3L, 2L, 0.333333), ("b.com", 1L, 1L, 0.0)))
+  }
+
+  test("paraDedup is lineDedup at paragraph granularity") {
+    val s = spark
+    import s.implicits._
+    val boiler = "all rights reserved by the site"
+    val docs = Seq(
+      (1L, s"unique alpha one\n\n$boiler"),
+      (2L, s"unique beta two\n\n$boiler"),
+      (3L, s"unique gamma three\n\n$boiler"),
+      (4L, "only unique paragraphs here"))
+      .toDF("doc_id", "text")
+    val out = operators.SubstringDedup.paraDedup(docs, "doc_id", "text", maxDf = 2)
+      .orderBy("doc_id").collect()
+    // boilerplate para appears in 3 > 2 docs: dropped EVERYWHERE;
+    // doc-internal newlines inside a paragraph would be preserved.
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 2L, 2L, 1L), "n_paras")
+    assert(out.map(_.getLong(2)).toSeq == Seq(1L, 1L, 1L, 1L), "n_kept")
+    assert(out.map(_.getString(3)).toSeq == Seq(
+      "unique alpha one", "unique beta two", "unique gamma three",
+      "only unique paragraphs here"))
+  }
+}

@@ -310,6 +310,51 @@ class PlanQualitySpec extends AnyFunSuite {
       s"line dedup must shuffle only the digest df count, got $shuffles")
   }
 
+  test("url canonicalization is a zero-shuffle projection") {
+    val p = q("q_url_canon").queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"canonicalization must be map-only, found an exchange:\n${p.take(1500)}")
+  }
+
+  test("url dedup shuffles ONCE, partitioned on the canonical digest") {
+    val plan = q("q_url_dedup").queryExecution.executedPlan.toString
+    val shuffles = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(shuffles.size == 1,
+      s"url dedup must have exactly one hash exchange, got ${shuffles.size}:\n" +
+        plan.take(2000))
+    // The window's partition key is projected to a `_w0` alias below
+    // the exchange, so assert the digest projection exists in the plan
+    // (it is the only sha2 in this query) and the single exchange keys
+    // on that alias.
+    assert(plan.contains("sha2("),
+      s"the exchange must partition on the canonical-url DIGEST " +
+        s"(fixed-width keys, salt-friendly):\n${plan.take(2000)}")
+  }
+
+  test("host report partial-aggregates before its single host exchange") {
+    val plan = q("q_host_report").queryExecution.executedPlan.toString
+    assert(plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"host report: host agg + countDistinct expansion only:\n${plan.take(2000)}")
+    assert(plan.contains("partial"),
+      s"map-side partial aggregation expected:\n${plan.take(2000)}")
+  }
+
+  test("paragraph dedup: text never shuffles, one digest exchange (same pins as line dedup)") {
+    val df = q("q_para_dedup")
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val exchangesCarryingText = df.queryExecution.executedPlan.collect {
+      case e: Exchange if e.child.output.exists(_.name == "text") => e
+    }
+    assert(exchangesCarryingText.isEmpty,
+      "an exchange input still carries the text column")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "hot-set probe must not be all-pairs")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      "paragraph dedup must shuffle only the digest df count")
+  }
+
   test("unicode cleanup and markup strip are zero-shuffle projections") {
     Seq("q_nfc_normalize", "q_html_strip").foreach { name =>
       val p = q(name).queryExecution.executedPlan.toString
