@@ -177,6 +177,30 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming twin of the crawl-front URL gate
+    * ([[graft.operators.Crawl]]): canonicalize each arriving fetch's
+    * URL (stateless, map-only — the identical expression to the batch
+    * path, so batch replay == stream output) and drop re-fetches of
+    * the SAME canonical URL within the watermark horizon — the
+    * frontier-side guard that stops URL-spelling duplicates from ever
+    * reaching the lake, with the at-rest [[graft.operators.Crawl
+    * .urlDedup]] handling what different crawl waves still let
+    * through. State is the canonical DIGEST (fixed 64 hex chars, not
+    * the URL string) and is watermark-bounded. */
+  def urlDedupStream(
+      fetches: DataFrame,
+      urlCol: String = "url",
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    fetches
+      .withColumn("canon_url",
+        graft.operators.Crawl.canonicalizeUrl(col(urlCol)))
+      .withColumn("__canon_digest",
+        sha2(col("canon_url").cast("binary"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__canon_digest")
+      .drop("__canon_digest")
+
   /** Stream-stream interval join: each purchase attributes to the SAME
     * user's views within the preceding `window`. Both sides carry
     * watermarks and the join condition bounds event time on both sides,

@@ -211,6 +211,34 @@ class StreamingSpec extends AnyFunSuite {
       s"re-delivered ids must be dropped, got ${ids.toSeq}")
   }
 
+  test("streaming url dedup drops re-fetches of the same canonical url") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = Streaming.urlDedupStream(
+      stream.toDF().toDF("fetch_id", "url", "ts"), watermark = "2 hours")
+    val q = deduped.writeStream.format("memory").queryName("url_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // Three spellings of the SAME page across two batches + one
+      // distinct page: only the first spelling and the distinct page
+      // survive; the canonical column is populated on survivors.
+      stream.addData(
+        (1L, "HTTP://WWW.X.COM:80/p/?utm_source=a", ts(0)),
+        (2L, "http://x.com/q", ts(1)))
+      q.processAllAvailable()
+      stream.addData(
+        (3L, "http://x.com/p", ts(5)),
+        (4L, "http://x.com/p/index.html#top", ts(6)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("url_stream").collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(rows == Set((1L, "http://x.com/p"), (2L, "http://x.com/q")),
+      s"one survivor per canonical url expected, got $rows")
+  }
+
   test("stream-stream interval join attributes purchases to preceding views") {
     val spark = TestSpark.spark
     import spark.implicits._
