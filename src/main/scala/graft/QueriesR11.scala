@@ -121,6 +121,24 @@ object QueriesR11 {
     //     signal. One aggregation on the host key. ---
     "q_host_report" -> ((s, d) =>
       operators.Crawl.hostReport(withUrl(docs(s, d)), "url")),
+    // --- per-registered-domain crawl ledger: hosts/fetches/pages per
+    //     eTLD+1 (documented heuristic: last 2 labels, 3 when the 2nd-
+    //     to-last is a registry label like co.uk). Own URL synthesis
+    //     with domain variety (subdomains of one .com domain, co.uk
+    //     hosts, bare .org hosts). Collapse-then-rollup shape — no
+    //     distinct-aggregate on the low-cardinality domain key. ---
+    "q_domain_report" -> { (s, d) =>
+      val k = (col("doc_id") % 5).cast("string")
+      val v = col("doc_id") % 3
+      val b = col("doc_id").cast("string")
+      val url = when(v === 0, concat(
+          lit("http://a"), k, lit(".example.com/p/"), b))
+        .when(v === 1, concat(
+          lit("http://news.site"), k, lit(".co.uk/p/"), b))
+        .otherwise(concat(lit("http://site"), k, lit(".org/p/"), b))
+      operators.Crawl.domainReport(
+        docs(s, d).select(col("doc_id"), url.as("url")), "url")
+    },
     // --- paragraph-level dedup (CCNet/RefinedWeb granularity between
     //     line- and chunk-level): the corpus has no newlines, so the
     //     query reflows each document into 24-word paragraphs first
@@ -161,6 +179,31 @@ object QueriesR11 {
           |       round(1.0 - count(DISTINCT canon_url) * 1.0 / count(*), 6)
           |         AS dup_rate
           |FROM c GROUP BY host""".stripMargin),
+    "q_domain_report" ->
+      """WITH u AS (SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'http://a' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+        |    WHEN 1 THEN 'http://news.site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.co.uk/p/' || CAST(doc_id AS VARCHAR)
+        |    ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |      || '.org/p/' || CAST(doc_id AS VARCHAR)
+        |  END AS url FROM documents),
+        |h AS (SELECT regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1)
+        |        AS host, url FROM u),
+        |hp AS (SELECT host, count(*) n_fetches, count(DISTINCT url) n_pages
+        |       FROM h GROUP BY host),
+        |d AS (SELECT CASE
+        |    WHEN len(string_split(host, '.')) <= 2 THEN host
+        |    WHEN string_split(host, '.')[-2] IN
+        |      ('co','com','net','org','ac','gov','edu')
+        |      THEN array_to_string(string_split(host, '.')[-3:], '.')
+        |    ELSE array_to_string(string_split(host, '.')[-2:], '.') END AS domain,
+        |  n_fetches, n_pages FROM hp)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_hosts,
+        |       CAST(sum(n_fetches) AS BIGINT) AS n_fetches,
+        |       CAST(sum(n_pages) AS BIGINT) AS n_pages
+        |FROM d GROUP BY domain""".stripMargin,
     "q_para_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |p AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(w) / 24.0) AS INT) - 1), k -> {'idx': k, 'para': array_to_string(w[k*24+1 : k*24+24], ' ')}), recursive := true) FROM t),

@@ -300,6 +300,26 @@ object Dedup {
       .select(col("id"), col("sig"),
         bandArray(rowsPerBand, numBands).as("bands"))
 
+  /** Append a new (already cleaned/accepted) batch to a persistent
+    * band index — the index-maintenance half of the monthly-recrawl
+    * loop: probe the index ([[nearDupAgainstIndex]]), keep the
+    * survivors, then EXTEND the index with exactly those survivors so
+    * the next recrawl dedups against them too. A pure union of
+    * one-row-per-doc index rows (map-only over the batch; the existing
+    * index is untouched), so the result re-materializes through
+    * `cacheToDbfs` exactly like the original. Band parameters must
+    * match the index's ([[minHashPairsAgainstIndex]]'s contract). */
+  def extendMinHashBandIndex(
+      index: DataFrame,
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      rowsPerBand: Int = 3,
+      numBands: Int = 6): DataFrame =
+    index.unionByName(
+      buildMinHashBandIndex(batch, idCol, textCol, k, rowsPerBand, numBands))
+
   /** Cross-corpus banded-MinHash candidate pairs of a batch against a
     * MATERIALIZED reference band index ([[buildMinHashBandIndex]],
     * typically read back from a cache table): batch signatures are

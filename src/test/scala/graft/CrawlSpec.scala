@@ -76,6 +76,70 @@ class CrawlSpec extends AnyFunSuite {
     assert(rows == Set(("a.com", 3L, 2L, 0.333333), ("b.com", 1L, 1L, 0.0)))
   }
 
+  test("registeredDomain: two-label default, registry second-level gets three") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      "a3.example.com" -> "example.com",
+      "news.site2.co.uk" -> "site2.co.uk",
+      "deep.sub.site.com.au" -> "site.com.au",
+      "site4.org" -> "site4.org",
+      "b.ac.jp" -> "b.ac.jp",
+      "localhost" -> "localhost")
+    val out = cases.map(_._1).toDF("h")
+      .select(col("h"), Crawl.registeredDomain(col("h")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (h, want) =>
+      assert(out(h) == want, s"registeredDomain($h)")
+    }
+  }
+
+  test("domainReport rolls hosts up to eTLD+1 without a distinct funnel") {
+    val s = spark
+    import s.implicits._
+    val fetches = Seq(
+      (1L, "http://a.example.com/1"), (2L, "http://a.example.com/1/"),
+      (3L, "http://b.example.com/2"), (4L, "http://x.site.co.uk/3"))
+      .toDF("doc_id", "url")
+    val rows = Crawl.domainReport(fetches, "url")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // a.example.com: 2 fetches 1 page; b.example.com: 1/1 -> example.com
+    // rolls to 2 hosts, 3 fetches, 2 pages.
+    assert(rows == Set(
+      ("example.com", 2L, 3L, 2L), ("site.co.uk", 1L, 1L, 1L)))
+  }
+
+  test("extendMinHashBandIndex: probing the extended index == probing a rebuilt one") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "completely different words entirely here now today"))
+      .toDF("doc_id", "text")
+    val accepted = Seq(
+      (200L, "a newly accepted document with its own words"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a newly accepted document with its own words"),
+      (3L, "nothing like anything indexed before at all"))
+      .toDF("doc_id", "text")
+    val extended = operators.Dedup.extendMinHashBandIndex(
+      operators.Dedup.buildMinHashBandIndex(ref, "doc_id", "text"),
+      accepted, "doc_id", "text")
+    val rebuilt = operators.Dedup.buildMinHashBandIndex(
+      ref.unionByName(accepted), "doc_id", "text")
+    def pairs(ix: org.apache.spark.sql.DataFrame) =
+      operators.Dedup.minHashPairsAgainstIndex(probe, ix, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = pairs(extended)
+    assert(a == pairs(rebuilt), "append must equal rebuild")
+    assert(a.contains((1L, 100L)) && a.contains((2L, 200L)),
+      s"copies of both the original AND the appended doc must hit: $a")
+    assert(!a.exists(_._1 == 3L), "the novel doc must not hit")
+  }
+
   test("paraDedup is lineDedup at paragraph granularity") {
     val s = spark
     import s.implicits._
