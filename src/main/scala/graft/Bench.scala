@@ -211,20 +211,31 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         catch { case _: Throwable => () }
       }
-      // Same pre-run treatment for ALL of a block-leaving query's
-      // timed runs — initial and extension alike. Settling only the
-      // extensions made the sample BIMODAL (unsettled initial runs
-      // ~1.05 s vs settled extensions ~1.4 s on q_pack_continue),
-      // which reads as spread while being a protocol artifact. The
-      // treatment is LIGHTER than the group-boundary settle(): one GC
-      // to enqueue the weak-referenced shuffle/broadcast cleanups plus
-      // a short drain pause — enough to stop the cleaner-backlog
-      // escalation (0.6 → 6.7 s) without the full settle's measured
-      // 15-25% warm-state destruction on the multi-second entries
-      // (q_release 3.8 → 5.3 s under full per-run settle).
+      // Per-run cleaner-debt drain for the SHORT-run checkpoint
+      // churners only. The escalation pathology (q_pack_continue
+      // 0.6 → 6.7 s across extension runs) is specific to block-
+      // leaving queries whose runs are short: each run enqueues
+      // checkpoint/shuffle/broadcast cleanups faster than the async
+      // ContextCleaner drains them, so debt compounds run over run. A
+      // MULTI-second block-leaver self-drains — the cleaner catches up
+      // inside the run's own window (A/B'd: q_release runs sit stable
+      // at 3.3-4.3 s with NO drain, spread 0.07) — while the drain's
+      // GC actively hurts it by destroying warm state the next run
+      // rebuilds inside the measured window (A/B'd: q_dup_hist 1.43 →
+      // 2.04 s, q_pack_bpe 1.91 → 2.35 s under per-run drain).
+      // So: block-leavers with a sub-1.5 s first run get the light
+      // drain (one GC + short pause — cheaper than the full settle's
+      // 15-25%) before EVERY kept run, uniformly; heavier ones keep
+      // the round-10 protocol (plain runs, settle only on noisy
+      // extensions). The drain-or-not decision is made from the first
+      // timed run, which is then DISCARDED for drained queries so the
+      // kept sample is protocol-uniform (settling only some runs made
+      // the sample bimodal: ~1.05 s unsettled vs ~1.4 s settled on
+      // q_pack_continue).
       // SPARK_GRAFT_DRAIN=0 disables (A/B hook, like RUN_CLEAN).
       val drainOn = !sys.env.get("SPARK_GRAFT_DRAIN").contains("0")
-      def drainDebt(): Unit = if (leavesBlocks && drainOn) {
+      var drainPerRun = false
+      def drainDebt(): Unit = if (drainPerRun && drainOn) {
         try spark.catalog.clearCache() catch { case _: Throwable => () }
         System.gc()
         try Thread.sleep(150) catch { case _: InterruptedException => () }
@@ -259,16 +270,26 @@ object Bench {
         }
         (((System.nanoTime() - t0) / 1e9) / reps, e)
       }
-      var i = 0
-      while (i < 3 && err.isEmpty) {
+      // First timed run: classifies (reps for light non-block queries;
+      // drain-per-run for short block-leavers) and joins the sample
+      // only when the classification keeps its protocol uniform.
+      if (err.isEmpty) {
+        dropRunBlocks()
+        val (sec, e) = measureOnce()
+        err = e
+        if (e.isEmpty) {
+          if (leavesBlocks) drainPerRun = sec < 1.5
+          else reps =
+            math.min(8, math.max(1, math.ceil(0.8 / math.max(sec, 0.02)).toInt))
+          if (!drainPerRun) runs += sec
+        }
+      }
+      while (runs.size < 3 && err.isEmpty) {
         drainDebt()
         dropRunBlocks()
         val (sec, e) = measureOnce()
         runs += sec
         err = e
-        if (i == 0 && e.isEmpty && !leavesBlocks)
-          reps = math.min(8, math.max(1, math.ceil(0.8 / math.max(sec, 0.02)).toInt))
-        i += 1
       }
       // Adaptive re-runs: a co-tenant CPU burst landing inside one timed
       // run shifts a 3-run median by 2-3× (observed cross-sweep on
@@ -287,18 +308,17 @@ object Bench {
       }
       // A noisy query extends its sample, up to 9 runs total, with the
       // isolation level chosen by PLAN TRAIT first, weight second:
-      //  - block-leaving queries (`leavesBlocks` — the checkpoint/
-      //    persist family, REGARDLESS of median) settle() before EVERY
+      //  - short-run block-leavers (`drainPerRun` — the checkpoint
+      //    churners) keep their uniform light drain before EVERY
       //    extension run: their noise is accumulating ContextCleaner
-      //    backlog + heap debt, which inflates runs 3-5× and ESCALATES
-      //    across unsettled extensions (q_bucket_pack 0.8 s isolated
-      //    vs 3+ s in-sweep; q_pack_continue 0.6 → 6.7 s across its
-      //    extension runs under the old median>=1s gate, which its
-      //    0.9 s median never crossed);
-      //  - heavy queries (median >= 1 s) settle too — even without
-      //    persisted blocks, a deep sweep's cleaner backlog lands in
-      //    any multi-second window (q_srp_recall 2.0 ↔ 5.7 s within
-      //    one group);
+      //    backlog + heap debt, which ESCALATES across undrained
+      //    extensions (q_pack_continue 0.6 → 6.7 s under the old
+      //    median>=1s gate, which its 0.9 s median never crossed);
+      //  - heavy queries (median >= 1 s, including multi-second
+      //    block-leavers, which self-drain within their runs) settle
+      //    before extensions only — the round-10 protocol — because a
+      //    deep sweep's cleaner backlog lands in any multi-second
+      //    window (q_srp_recall 2.0 ↔ 5.7 s within one group);
       //  - light NON-checkpoint queries extend WITHOUT the settle:
       //    for them the full GC is the noise — a measured sweep showed
       //    settle-prefixed extension runs of q_curriculum ESCALATING
@@ -309,10 +329,7 @@ object Bench {
       //    leaves no blocks, so the trait classifier spares it.)
       while (err.isEmpty && runs.size < 9 && noisy) {
         val med = runs.sorted.apply((runs.size - 1) / 2)
-        // Block-leavers keep their uniform light drain; the full
-        // settle here is reserved for heavy NON-checkpoint queries,
-        // whose extension noise is the sweep-wide cleaner backlog.
-        if (leavesBlocks) drainDebt()
+        if (drainPerRun) drainDebt()
         else if (med >= 1.0) settle()
         dropRunBlocks()
         val (sec, e) = measureOnce()
