@@ -139,6 +139,52 @@ object QueriesR11 {
       operators.Crawl.domainReport(
         docs(s, d).select(col("doc_id"), url.as("url")), "url")
     },
+    // --- robots-style URL gate: per-host longest-prefix allow/deny
+    //     with the REP tie rule (equal-length allow beats disallow),
+    //     default allow. The rule table broadcasts; the verdict fold
+    //     is a plain max over 2*len+allow scores (map-side combine).
+    //     Own URL synthesis: 5 hosts x 4 path shapes exercising
+    //     longest-match, tie, deny-all-except, and no-rule default. ---
+    "q_robots_filter" -> { (s, d) =>
+      import s.implicits._
+      val h = (col("doc_id") % 5).cast("string")
+      val b = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 4 === 0, concat(lit("/private/p"), b))
+        .when(col("doc_id") % 4 === 1, concat(lit("/private/public/p"), b))
+        .when(col("doc_id") % 4 === 2, concat(lit("/public/p"), b))
+        .otherwise(concat(lit("/p"), b))
+      val urls = docs(s, d).select(col("doc_id"),
+        concat(lit("http://site"), h, lit(".example.com"), path).as("url"))
+      val rules = (
+        (0 to 4).flatMap(i => Seq(
+          (s"site$i.example.com", "/private/", false),
+          (s"site$i.example.com", "/private/public/", true))) ++
+          Seq(("site0.example.com", "/", false),
+            ("site0.example.com", "/public/", true),
+            ("site1.example.com", "/p", true),
+            ("site1.example.com", "/p", false))
+        ).toDF("host", "prefix", "allow")
+      operators.Crawl.robotsFilter(urls, "url", "doc_id", rules)
+    },
+    // --- crawl-frontier politeness schedule: per-host queue capped at
+    //     the 40 best-priority URLs (partial top-k BEFORE the exchange
+    //     via GroupedTopK), fetch slots spaced by the host's crawl
+    //     delay from a 4-row broadcast policy table (default 5 s for
+    //     the three uncovered hosts). ---
+    "q_frontier_plan" -> { (s, d) =>
+      val h = (col("doc_id") % 7).cast("string")
+      val b = col("doc_id").cast("string")
+      val frontier = docs(s, d).select(
+        concat(lit("http://site"), h, lit(".example.com/p/"), b).as("url"),
+        col("n_chars").as("priority"))
+      val policy = s.range(4).select(
+        concat(lit("site"), col("id").cast("string"),
+          lit(".example.com")).as("host"),
+        (col("id") + 1).cast("double").as("delay_s"))
+      operators.Crawl.frontierPlan(
+        frontier, "url", "priority", policy,
+        defaultDelayS = 5.0, maxPerHost = 40)
+    },
     // --- paragraph-level dedup (CCNet/RefinedWeb granularity between
     //     line- and chunk-level): the corpus has no newlines, so the
     //     query reflows each document into 24-word paragraphs first
@@ -204,6 +250,67 @@ object QueriesR11 {
         |       CAST(sum(n_fetches) AS BIGINT) AS n_fetches,
         |       CAST(sum(n_pages) AS BIGINT) AS n_pages
         |FROM d GROUP BY domain""".stripMargin,
+    "q_robots_filter" ->
+      """WITH c AS (SELECT doc_id,
+        |    'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ||
+        |      CASE doc_id % 4
+        |        WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |        WHEN 1 THEN '/private/public/p' || CAST(doc_id AS VARCHAR)
+        |        WHEN 2 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+        |        ELSE '/p' || CAST(doc_id AS VARCHAR)
+        |      END AS canon_url,
+        |    'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS host,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/private/public/p' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+        |      ELSE '/p' || CAST(doc_id AS VARCHAR)
+        |    END AS path
+        |  FROM documents),
+        |r(rhost, prefix, allow) AS (VALUES
+        |  ('site0.example.com', '/private/', false),
+        |  ('site0.example.com', '/private/public/', true),
+        |  ('site1.example.com', '/private/', false),
+        |  ('site1.example.com', '/private/public/', true),
+        |  ('site2.example.com', '/private/', false),
+        |  ('site2.example.com', '/private/public/', true),
+        |  ('site3.example.com', '/private/', false),
+        |  ('site3.example.com', '/private/public/', true),
+        |  ('site4.example.com', '/private/', false),
+        |  ('site4.example.com', '/private/public/', true),
+        |  ('site0.example.com', '/', false),
+        |  ('site0.example.com', '/public/', true),
+        |  ('site1.example.com', '/p', true),
+        |  ('site1.example.com', '/p', false)),
+        |m AS (SELECT c.doc_id, c.canon_url, c.host, c.path,
+        |    max(CASE WHEN r.prefix IS NOT NULL
+        |        THEN len(r.prefix) * 2 + CAST(r.allow AS INT) END) AS best
+        |  FROM c LEFT JOIN r
+        |    ON c.host = r.rhost AND starts_with(c.path, r.prefix)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, canon_url, host, path,
+        |       (best IS NULL OR best % 2 = 1) AS allowed,
+        |       CAST(best // 2 AS INT) AS matched_len
+        |FROM m""".stripMargin,
+    "q_frontier_plan" ->
+      """WITH u AS (SELECT
+        |    'http://site' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS canon_url,
+        |    CAST(n_chars AS DOUBLE) AS priority,
+        |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' AS host
+        |  FROM documents),
+        |r AS (SELECT canon_url, priority, host,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY priority DESC, canon_url) AS rank
+        |  FROM u),
+        |c AS (SELECT * FROM r WHERE rank <= 40),
+        |p AS (SELECT 'site' || CAST(i AS VARCHAR) || '.example.com' AS host,
+        |        CAST(i + 1 AS DOUBLE) AS delay_s
+        |      FROM generate_series(0, 3) t(i))
+        |SELECT c.canon_url, c.priority, c.host, c.rank,
+        |       coalesce(p.delay_s, 5.0) AS delay_s,
+        |       (c.rank - 1) * coalesce(p.delay_s, 5.0) AS fetch_at_s
+        |FROM c LEFT JOIN p ON c.host = p.host""".stripMargin,
     "q_para_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |p AS (SELECT doc_id, unnest(list_transform(generate_series(0, CAST(ceil(len(w) / 24.0) AS INT) - 1), k -> {'idx': k, 'para': array_to_string(w[k*24+1 : k*24+24], ' ')}), recursive := true) FROM t),

@@ -125,6 +125,107 @@ object Crawl {
       .drop("__rn")
   }
 
+  /** Path component of a canonicalized URL (empty for malformed input
+    * and for bare-host URLs — the canonicalizer already dropped the
+    * lone trailing slash). */
+  def urlPath(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)", 1)
+
+  /** Robots-style URL gate: per-host longest-prefix allow/deny rules,
+    * the politeness filter a crawler applies AFTER canonicalization
+    * and BEFORE scheduling. `rules` is the parsed policy table —
+    * `(host, prefix, allow)` — small by construction (robots files are
+    * per-host and bounded), so it broadcasts. Semantics follow the
+    * REP as deployed: the longest matching prefix wins, an allow beats
+    * a disallow of equal length, and a URL matching no rule is
+    * allowed.
+    *
+    * The verdict fold encodes each matching rule as the integer
+    * `2*len(prefix) + (allow ? 1 : 0)` and takes the MAX — longest
+    * prefix dominates via the `2*len` term, allow wins equal-length
+    * ties via the parity bit — which keeps the aggregation a plain
+    * partial-aggregating `max` (map-side combine, no ordered
+    * collection per URL) and is replayable verbatim in SQL.
+    *
+    * Scale shape: rules broadcast (one hash join, host equi-key +
+    * prefix-match residual), then ONE exchange on the high-cardinality
+    * (id, url) group key. Never a shuffle of the rule fan-out beyond
+    * that, never a per-URL sort. Output keeps every input URL with its
+    * `allowed` verdict and `matched_len` (null = no rule matched) —
+    * callers filter on `allowed` to gate the frontier. */
+  def robotsFilter(
+      df: DataFrame,
+      urlCol: String,
+      idCol: String,
+      rules: DataFrame): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    val base = df
+      .select(col(idCol), canon.as("canon_url"))
+      .withColumn("host", urlHost(col("canon_url")))
+      .withColumn("path", urlPath(col("canon_url")))
+    val r = broadcast(rules.select(
+      col("host").as("__rhost"),
+      col("prefix").as("__prefix"),
+      col("allow").as("__allow")))
+    base
+      .join(r,
+        base("host") === col("__rhost") &&
+          base("path").startsWith(col("__prefix")),
+        "left")
+      .groupBy(col(idCol), col("canon_url"), col("host"), col("path"))
+      .agg(max(when(col("__prefix").isNotNull,
+        length(col("__prefix")) * 2 + col("__allow").cast("int")))
+        .as("__best"))
+      .withColumn("allowed",
+        col("__best").isNull || col("__best") % 2 === 1)
+      .withColumn("matched_len",
+        floor(col("__best") / 2).cast("int"))
+      .drop("__best")
+  }
+
+  /** Crawl-frontier politeness schedule: cap each host's queue at
+    * `maxPerHost` best-priority URLs, then assign per-host fetch slots
+    * `fetch_at_s = rank * delay` spaced by the host's crawl delay
+    * (from the small broadcast `policy` table `(host, delay_s)`;
+    * `defaultDelayS` where a host has no policy row).
+    *
+    * Scale shape: the per-host cap runs through
+    * [[graft.plans.GroupedTopK.topKPerGroup]] — partial top-k per
+    * input partition BEFORE the exchange, so a mega-host contributes
+    * at most `maxPerHost` rows per partition to the shuffle instead of
+    * funneling its whole queue into one task (the same
+    * low-cardinality-key discipline as [[hostReport]]). The ranking
+    * window after the cap partitions on host but is BOUNDED at
+    * `maxPerHost` rows per partition by construction. One bounded
+    * exchange + one broadcast join total. */
+  def frontierPlan(
+      df: DataFrame,
+      urlCol: String,
+      priorityCol: String,
+      policy: DataFrame,
+      defaultDelayS: Double,
+      maxPerHost: Int): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    val base = df
+      .select(canon.as("canon_url"),
+        col(priorityCol).cast("double").as("priority"))
+      .withColumn("host", urlHost(col("canon_url")))
+    val capped = graft.plans.GroupedTopK.topKPerGroup(
+      base, Seq("host"),
+      Seq(col("priority").desc, col("canon_url").asc), maxPerHost)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("canon_url").asc)
+    val p = broadcast(policy.select(
+      col("host").as("__phost"),
+      col("delay_s").cast("double").as("__delay")))
+    capped
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .join(p, col("host") === col("__phost"), "left")
+      .withColumn("delay_s", coalesce(col("__delay"), lit(defaultDelayS)))
+      .withColumn("fetch_at_s", (col("rank") - 1) * col("delay_s"))
+      .drop("__phost", "__delay")
+  }
+
   /** Per-host crawl report over raw URLs: fetches, distinct canonical
     * pages, URL-level duplicate rate (the crawl-frontier health signal
     * — a host whose fetches collapse 10:1 wastes 90% of its crawl

@@ -140,6 +140,69 @@ class CrawlSpec extends AnyFunSuite {
     assert(!a.exists(_._1 == 3L), "the novel doc must not hit")
   }
 
+  test("robotsFilter: longest prefix wins, allow beats equal-length deny, default allow") {
+    val s = spark
+    import s.implicits._
+    val urls = Seq(
+      (1L, "http://x.com/private/a"), // deny via /private/
+      (2L, "http://x.com/private/public/a"), // longer allow overrides
+      (3L, "http://x.com/open/a"), // no rule matches: default allow
+      (4L, "http://x.com/tie/a"), // equal-length allow+deny: allow wins
+      (5L, "http://Y.com/private/a")) // no rules for this host at all
+      .toDF("doc_id", "url")
+    val rules = Seq(
+      ("x.com", "/private/", false),
+      ("x.com", "/private/public/", true),
+      ("x.com", "/tie/", true),
+      ("x.com", "/tie/", false)).toDF("host", "prefix", "allow")
+    val out = Crawl.robotsFilter(urls, "url", "doc_id", rules)
+    val byId = out.collect().map { r =>
+      r.getLong(r.fieldIndex("doc_id")) -> ((
+        r.getBoolean(r.fieldIndex("allowed")),
+        if (r.isNullAt(r.fieldIndex("matched_len"))) -1
+        else r.getInt(r.fieldIndex("matched_len"))))
+    }.toMap
+    assert(byId == Map(
+      1L -> ((false, 9)), // "/private/".length
+      2L -> ((true, 16)), // "/private/public/".length
+      3L -> ((true, -1)), // no match
+      4L -> ((true, 5)), // "/tie/".length, REP tie rule
+      5L -> ((true, -1))))
+    // the rule table must broadcast, never shuffle
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+  }
+
+  test("frontierPlan: per-host cap, priority order, delay spacing, default delay") {
+    val s = spark
+    import s.implicits._
+    val frontier = Seq(
+      ("http://a.com/1", 10.0), ("http://a.com/2", 30.0),
+      ("http://a.com/3", 20.0), ("http://a.com/4", 5.0),
+      ("http://b.com/1", 1.0)).toDF("url", "pri")
+    val policy = Seq(("a.com", 2.0)).toDF("host", "delay_s")
+    val out = Crawl.frontierPlan(
+      frontier, "url", "pri", policy, defaultDelayS = 7.0, maxPerHost = 3)
+    val rows = out.collect().map { r =>
+      r.getString(r.fieldIndex("canon_url")) -> ((
+        r.getLong(r.fieldIndex("rank")),
+        r.getDouble(r.fieldIndex("delay_s")),
+        r.getDouble(r.fieldIndex("fetch_at_s"))))
+    }.toMap
+    // a.com capped at its 3 best-priority URLs (pri 5.0 dropped),
+    // slots spaced by the 2 s policy delay; b.com takes the default.
+    assert(rows == Map(
+      "http://a.com/2" -> ((1L, 2.0, 0.0)),
+      "http://a.com/3" -> ((2L, 2.0, 2.0)),
+      "http://a.com/1" -> ((3L, 2.0, 4.0)),
+      "http://b.com/1" -> ((1L, 7.0, 0.0))))
+    // the cap must run as partial-then-final GroupedTopK (a mega-host
+    // never funnels its whole queue through one task pre-cap)
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("GroupedTopKExec(partial")
+      && p.contains("GroupedTopKExec(final"), p.take(2000))
+  }
+
   test("paraDedup is lineDedup at paragraph granularity") {
     val s = spark
     import s.implicits._
