@@ -52,6 +52,16 @@ def reflow(df: DataFrame, w: Int, sep: String): DataFrame =
   df.select(col("doc_id"), array_join(
     SubstringDedup.tokenChunks(split(col("text"), " "), w), sep).as("text"))
 
+// Fixed-size rule/policy tables for the round-11 crawl gates (both
+// broadcast; the corpus is the 1x/10x variable).
+val robotsRules = spark.range(7)
+  .selectExpr("concat('site', id, '.example.com') as host")
+  .crossJoin(Seq(("/a/", false), ("/a/1", true), ("/b/", false))
+    .toDF("prefix", "allow"))
+val frontierPolicy = spark.range(4).selectExpr(
+  "concat('site', id, '.example.com') as host",
+  "cast(id + 1 as double) as delay_s")
+
 def ops(docs: DataFrame, index: DataFrame, batch: DataFrame,
         priorManifest: DataFrame): Seq[(String, () => Unit)] = Seq(
   "band_index_build" -> (() => run(
@@ -80,6 +90,10 @@ def ops(docs: DataFrame, index: DataFrame, batch: DataFrame,
   "url_dedup" -> (() => run(Crawl.urlDedup(withUrl(docs), "url",
     Seq(col("n_chars").desc, col("doc_id"))))),
   "host_report" -> (() => run(Crawl.hostReport(withUrl(docs), "url"))),
+  "robots_filter" -> (() => run(Crawl.robotsFilter(
+    withUrl(docs), "url", "doc_id", robotsRules))),
+  "frontier_plan" -> (() => run(Crawl.frontierPlan(
+    withUrl(docs), "url", "n_chars", frontierPolicy, 5.0, 1000))),
   "para_dedup" -> (() => run(SubstringDedup.paraDedup(
     reflow(docs, 24, "\n\n"), "doc_id", "text", maxDf = 2))))
 
