@@ -185,6 +185,64 @@ object QueriesR11 {
         frontier, "url", "priority", policy,
         defaultDelayS = 5.0, maxPerHost = 40)
     },
+    // --- fixed-point PageRank over a deterministic synthetic link
+    //     graph (doc u -> (u + j*131) % N for j in 1..u%4; u%4==0 docs
+    //     are dangling). Integer arithmetic end-to-end, so the power
+    //     iteration is bit-stable under any partitioning and the
+    //     oracle replays it exactly — a float PageRank could never be
+    //     hash-compared across engines. 4 iterations, damping 85/100. ---
+    "q_pagerank" -> { (s, d) =>
+      operators.LinkGraph.pageRank(
+        linkEdges(s, d), "src", "dst", iterations = PageRankIters)
+    },
+    // --- per-vertex degree + link-locality report over the same graph
+    //     (hosts synthesized as id%7): out/in degree and the fraction
+    //     of out-links staying on the source's own host — the
+    //     link-farm signal. Two partial-agg exchanges + one join. ---
+    "q_link_degree" -> { (s, d) =>
+      val e = linkEdges(s, d).select(
+        col("src"), col("dst"),
+        concat(lit("site"), (col("src") % 7).cast("string")).as("src_host"),
+        concat(lit("site"), (col("dst") % 7).cast("string")).as("dst_host"))
+      operators.LinkGraph.degreeReport(e, "src", "dst", "src_host", "dst_host")
+    },
+    // --- rank-prioritized frontier: the composition the link family
+    //     exists for — PageRank over the crawl graph becomes the
+    //     priority column of the politeness scheduler, so recrawl
+    //     budget flows to the highest-authority pages first. 2 rank
+    //     iterations, per-host queue capped at 40, policy delays from
+    //     the 4-row broadcast table. ---
+    "q_rank_frontier" -> { (s, d) =>
+      val ranks = operators.LinkGraph.pageRank(
+        linkEdges(s, d), "src", "dst", iterations = 2)
+      val frontier = ranks.select(
+        concat(lit("http://site"), (col("id") % 7).cast("string"),
+          lit(".example.com/p/"), col("id").cast("string")).as("url"),
+        col("rank_fp").as("priority"))
+      val policy = s.range(4).select(
+        concat(lit("site"), col("id").cast("string"),
+          lit(".example.com")).as("host"),
+        (col("id") + 1).cast("double").as("delay_s"))
+      operators.Crawl.frontierPlan(
+        frontier, "url", "priority", policy,
+        defaultDelayS = 5.0, maxPerHost = 40)
+    },
+    // --- per-destination anchor-text profile: top-3 terms of incoming
+    //     link anchors (anchor = the source doc's first 3 words). The
+    //     (dst, term) count is partial-aggregating on the well-spread
+    //     pair; the per-page cut is the partial-then-final GroupedTopK
+    //     exec; the rank window is bounded at k rows per page. ---
+    "q_anchor_text" -> { (s, d) =>
+      val ds = docs(s, d)
+      val n = ds.count()
+      val m = col("doc_id") % 4
+      val e = ds.select(col("doc_id").as("src"),
+          array_join(slice(split(col("text"), " "), 1, 3), " ").as("anchor"),
+          explode(when(m > 0, sequence(lit(1L), m))
+            .otherwise(array().cast("array<long>"))).as("j"))
+        .select(((col("src") + col("j") * 131) % n).as("dst"), col("anchor"))
+      operators.LinkGraph.anchorTerms(e, "dst", "anchor", k = 3)
+    },
     // --- paragraph-level dedup (CCNet/RefinedWeb granularity between
     //     line- and chunk-level): the corpus has no newlines, so the
     //     query reflows each document into 24-word paragraphs first
@@ -205,10 +263,110 @@ object QueriesR11 {
   /** Words per reflowed paragraph for q_para_dedup. */
   private val ParaWidth = 24
 
+  /** Power-iteration count for q_pagerank (unrolled in the oracle). */
+  private val PageRankIters = 4
+
+  /** Deterministic synthetic link graph over the documents table:
+    * doc u links to (u + j*131) % N for j in 1..(u%4), so out-degrees
+    * vary 0-3 and every fourth doc is dangling. Both engines replay
+    * the synthesis (the modulus N is the document count). */
+  private def linkEdges(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val n = ds.count()
+    val m = col("doc_id") % 4
+    ds.select(col("doc_id").as("src"),
+        explode(when(m > 0, sequence(lit(1L), m))
+          .otherwise(array().cast("array<long>"))).as("j"))
+      .select(col("src"), ((col("src") + col("j") * 131) % n).as("dst"))
+  }
+
+  /** The DuckDB replay of [[linkEdges]] as a CTE named `e`. */
+  private val EdgeCte =
+    """e AS (SELECT doc_id AS src,
+      |    (doc_id + j * 131) % (SELECT count(*) FROM documents) AS dst
+      |  FROM documents, unnest(generate_series(1, doc_id % 4)) t(j))""".stripMargin
+
+  /** The q_pagerank oracle: [[operators.LinkGraph.pageRank]]'s fixed-
+    * point iteration unrolled as chained CTEs (r0 -> c1/d1/r1 -> ...),
+    * arithmetic mirrored operator-for-operator (`//` for `div`).
+    * [[pageRankCtes]] emits the chain (final ranks in `r<iters>`) so
+    * compositions can keep building on it. */
+  private def pageRankOracle(iters: Int): String =
+    s"WITH ${pageRankCtes(iters)}\nSELECT id, rank_fp FROM r$iters"
+
+  private def pageRankCtes(iters: Int): String = {
+    val header =
+      s"""$EdgeCte,
+         |v AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |r0 AS (SELECT id, CAST(1000000000 // n AS BIGINT) AS rank_fp
+         |       FROM v, nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, sum(r.rank_fp // od.outdeg) AS insum
+         |  FROM e JOIN od ON e.src = od.src JOIN r${i - 1} r ON e.src = r.id
+         |  GROUP BY e.dst),
+         |d$i AS (SELECT coalesce(sum(r.rank_fp), 0) AS dang FROM r${i - 1} r
+         |  WHERE r.id NOT IN (SELECT src FROM od)),
+         |r$i AS (SELECT v.id, CAST((15 * (1000000000 // nn.n)) // 100
+         |    + (85 * (coalesce(c.insum, 0) + d.dang // nn.n)) // 100
+         |    AS BIGINT) AS rank_fp
+         |  FROM v LEFT JOIN c$i c ON v.id = c.id, d$i d, nn)""".stripMargin
+    }
+    (header +: steps).mkString(",\n")
+  }
+
   // NOTE: the composed oracles CONCATENATE the pre-stripped CTE
   // fragments — running stripMargin over an interpolated fragment
   // would eat the first pipe of every line-leading `||` concat.
   val oracles: Map[String, String] = Map(
+    "q_pagerank" -> pageRankOracle(PageRankIters),
+    "q_rank_frontier" ->
+      (s"WITH ${pageRankCtes(2)},\n" +
+        """u AS (SELECT
+          |    'http://site' || CAST(id % 7 AS VARCHAR)
+          |      || '.example.com/p/' || CAST(id AS VARCHAR) AS canon_url,
+          |    CAST(rank_fp AS DOUBLE) AS priority,
+          |    'site' || CAST(id % 7 AS VARCHAR) || '.example.com' AS host
+          |  FROM r2),
+          |rk AS (SELECT canon_url, priority, host,
+          |    row_number() OVER (PARTITION BY host
+          |      ORDER BY priority DESC, canon_url) AS rank
+          |  FROM u),
+          |cp AS (SELECT * FROM rk WHERE rank <= 40),
+          |p AS (SELECT 'site' || CAST(i AS VARCHAR) || '.example.com' AS host,
+          |        CAST(i + 1 AS DOUBLE) AS delay_s
+          |      FROM generate_series(0, 3) t(i))
+          |SELECT cp.canon_url, cp.priority, cp.host, cp.rank,
+          |       coalesce(p.delay_s, 5.0) AS delay_s,
+          |       (cp.rank - 1) * coalesce(p.delay_s, 5.0) AS fetch_at_s
+          |FROM cp LEFT JOIN p ON cp.host = p.host""".stripMargin),
+    "q_anchor_text" ->
+      """WITH e AS (SELECT
+        |    (doc_id + j * 131) % (SELECT count(*) FROM documents) AS dst,
+        |    array_to_string(string_split(text, ' ')[1:3], ' ') AS anchor
+        |  FROM documents, unnest(generate_series(1, doc_id % 4)) t(j)),
+        |t AS (SELECT dst AS id, unnest(string_split(lower(anchor), ' ')) AS term
+        |      FROM e),
+        |c AS (SELECT id, term, count(*) AS n FROM t WHERE term <> ''
+        |      GROUP BY id, term),
+        |r AS (SELECT id, term, CAST(n AS BIGINT) AS n,
+        |    CAST(row_number() OVER (PARTITION BY id
+        |      ORDER BY n DESC, term) AS BIGINT) AS rank FROM c)
+        |SELECT id, term, n, rank FROM r WHERE rank <= 3""".stripMargin,
+    "q_link_degree" ->
+      (s"WITH $EdgeCte,\n" +
+        """x AS (SELECT src, dst,
+          |    CASE WHEN src % 7 = dst % 7 THEN 1 ELSE 0 END AS intra FROM e),
+          |o AS (SELECT src AS id, count(*) AS out_deg, sum(intra) AS out_intra
+          |      FROM x GROUP BY src),
+          |i AS (SELECT dst AS id, count(*) AS in_deg FROM x GROUP BY dst)
+          |SELECT coalesce(o.id, i.id) AS id,
+          |       CAST(coalesce(o.out_deg, 0) AS BIGINT) AS out_deg,
+          |       CAST(coalesce(i.in_deg, 0) AS BIGINT) AS in_deg,
+          |       round(o.out_intra * 1.0 / o.out_deg, 6) AS intra_rate
+          |FROM o FULL OUTER JOIN i ON o.id = i.id""".stripMargin),
     "q_url_canon" ->
       (s"WITH $UrlCte,\n$CanonCte\n" +
         "SELECT doc_id, url, canon_url, host FROM c"),

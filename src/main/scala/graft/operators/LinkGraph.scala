@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics over a crawl's edge list — the ranking signal a
+  * frontier scheduler consumes ([[Crawl.frontierPlan]]'s `priority`
+  * column) and the classic quality prior for training-data curation
+  * (page rank as a document-quality feature next to the Gopher/quality
+  * screens).
+  *
+  * PageRank here is FIXED-POINT: every rank is a `Long` in units of
+  * `1/scale`, and every step is integer arithmetic (`div`, `sum`, `*`).
+  * Floating-point power iteration is not reproducible under Spark's
+  * re-associated parallel sums — the same graph can produce
+  * last-ulp-different ranks run to run, which breaks exact oracles,
+  * cache fingerprints, and cross-engine replay. Integer sums are
+  * associative and commutative EXACTLY, so the fixed-point iteration is
+  * bit-stable under any partitioning and replays verbatim in ANSI-ish
+  * SQL (the q_pagerank oracle unrolls the same iterations in DuckDB).
+  * With the default `scale` = 1e9 the quantization error per step is
+  * one part in ~1e9 per vertex — far below any ranking-relevant
+  * difference — and all intermediates stay well inside `Long` (total
+  * mass ≈ `scale`, times `dampingNum` ≈ 1e11).
+  */
+object LinkGraph {
+
+  /** Fixed-point PageRank over `edges` (duplicate edges count as
+    * parallel links, weighting the contribution — dedup first with
+    * [[Crawl.urlDedup]]/`distinct` if unwanted).
+    *
+    * Semantics (the published random-surfer model, Brin & Page 1998,
+    * with the standard dangling-mass redistribution):
+    *
+    *   rank₀(v)    = scale div N
+    *   rankₜ₊₁(v) = (den−num)·(scale div N) div den
+    *               + num·( Σ_{u→v} rankₜ(u) div outdeg(u)
+    *                       + (Σ_{dangling u} rankₜ(u)) div N ) div den
+    *
+    * with num/den the damping fraction (85/100) and every `div` a
+    * truncating integer division. Vertices = src ∪ dst of the edge
+    * list; dangling vertices (no out-edges) spread their mass evenly.
+    *
+    * Scale shape, per iteration: contributions are ONE exchange on the
+    * destination key (partial-aggregating `sum`, map-side combine); the
+    * dangling total is a one-row aggregate CROSS-JOINED as a broadcast
+    * — kept lazy, no per-iteration driver action; the vertex left-join
+    * keeps rank mass on no-inlink pages. The only driver scalar is N
+    * (one `count`). Lineage grows linearly with `iterations` — fine for
+    * the typical 5-20; at 100 TB materialize `ranks` through the
+    * persistent cache layer every few iterations (the same
+    * checkpoint-vs-lineage tradeoff as [[Dedup]]'s pointer-jumping,
+    * which documents the identical discipline).
+    *
+    * Returns `(id, rank_fp)` — `rank_fp/scale` is the rank as a
+    * fraction of total mass.
+    */
+  def pageRank(
+      edgesIn: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      dampingNum: Long = 85L,
+      dampingDen: Long = 100L,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    require(dampingNum >= 0 && dampingNum <= dampingDen,
+      s"damping $dampingNum/$dampingDen outside [0,1]")
+    val edges = edgesIn.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val n = verts.count() // the one driver scalar
+    val init = scale / n
+    val base = ((dampingDen - dampingNum) * init) / dampingDen
+
+    var ranks = verts.select(col("id"), lit(init).as("rank_fp"))
+    for (_ <- 1 to iterations) {
+      // Every frame here descends from `edges`, so joins use column
+      // NAMES (unique by construction), never dataset-qualified refs —
+      // qualified attributes are ambiguous under Spark's self-join
+      // dedup once the lineages share a scan.
+      val contribs = edges
+        .join(outdeg, "src")
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("insum"))
+      val dangling = ranks
+        .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
+      ranks = verts
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(
+          col("id"),
+          (lit(base) +
+            expr(s"$dampingNum * (coalesce(insum, 0L) + (dang div $n))" +
+              s" div $dampingDen")).as("rank_fp"))
+    }
+    ranks
+  }
+
+  /** Per-destination anchor-text profile: the k most frequent terms in
+    * the anchor text of a page's incoming links — how the REST of the
+    * web describes a page, the classic index-side retrieval/quality
+    * signal (it names pages better than their own titles and feeds the
+    * same curation screens as the text-quality scores).
+    *
+    * Output is one row per `(id, term)` kept: `(id, term, n, rank)`,
+    * ranked by count descending with the term as the deterministic
+    * tiebreak.
+    *
+    * Scale shape: terms count on the HIGH-cardinality (dst, term) pair
+    * (partial-aggregating, skew-safe — never a collect_list of raw
+    * anchors per page); the per-page cut runs through the
+    * partial-then-final [[graft.plans.GroupedTopK]] exec so a page with
+    * millions of in-links contributes at most k rows per partition to
+    * the final exchange; the rank window after the cut is bounded at k
+    * rows per page by construction (the [[Crawl.frontierPlan]]
+    * discipline). */
+  def anchorTerms(
+      edges: DataFrame,
+      dstCol: String,
+      anchorCol: String,
+      k: Int): DataFrame = {
+    val counts = edges
+      .select(col(dstCol).as("id"),
+        explode(split(lower(col(anchorCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("n"))
+    val order = Seq(col("n").desc, col("term").asc)
+    graft.plans.GroupedTopK.topKPerGroup(counts, Seq("id"), order, k)
+      .withColumn("rank", row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("id")).orderBy(order: _*))
+        .cast("long"))
+  }
+
+  /** Per-vertex degree summary of an edge list: out-degree, in-degree,
+    * and the intra-group link fraction under `groupOf` (e.g.
+    * [[Crawl.urlHost]] of both endpoints) — the link-locality signal
+    * that separates organically-linked pages from link-farm clusters
+    * whose edges never leave their own host.
+    *
+    * Scale shape: one exchange per side keyed on the vertex (partial
+    * sums), one final join of the two degree tables. No distinct
+    * aggregates, no window.
+    */
+  def degreeReport(
+      edgesIn: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      srcGroupCol: String,
+      dstGroupCol: String): DataFrame = {
+    val edges = edgesIn.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"),
+      (col(srcGroupCol) === col(dstGroupCol)).cast("long").as("intra"))
+    val out = edges.groupBy(col("src").as("id")).agg(
+      count(lit(1)).as("out_deg"),
+      sum(col("intra")).as("out_intra"))
+    val in = edges.groupBy(col("dst").as("id")).agg(
+      count(lit(1)).as("in_deg"))
+    out.join(in, Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
+        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
+        round(coalesce(col("out_intra"), lit(0L)).cast("double") /
+          when(col("out_deg").isNull || col("out_deg") === 0, lit(null))
+            .otherwise(col("out_deg")), 6).as("intra_rate"))
+  }
+}

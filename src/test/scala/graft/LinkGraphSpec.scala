@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.LinkGraph
+
+/** Fixed-point PageRank semantics (hand-computed iteration, dangling
+  * mass, mass conservation, partitioning bit-stability) and the degree
+  * / link-locality report. */
+class LinkGraphSpec extends AnyFunSuite {
+
+  private def spark = TestSpark.spark
+
+  /** 1 -> 2, 2 -> {1, 3}; vertex 3 dangling. */
+  private def triangle = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+  }
+
+  private def rankMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: one hand-computed fixed-point iteration") {
+    // N=3, scale=1e9: init = 333333333, base = (15*init) div 100 = 49999999.
+    // Contribs: 1->2 full 333333333; 2 splits 166666666 to 1 and 3.
+    // Dangling 3 contributes 333333333 div 3 = 111111111 to everyone.
+    // r1(1) = r1(3) = 49999999 + 85*(166666666+111111111) div 100 = 286111109
+    // r1(2) =          49999999 + 85*(333333333+111111111) div 100 = 427777776
+    val r = rankMap(LinkGraph.pageRank(triangle, "src", "dst", iterations = 1))
+    assert(r == Map(1L -> 286111109L, 2L -> 427777776L, 3L -> 286111109L))
+  }
+
+  test("pageRank: mass conserved up to truncation loss") {
+    val r = LinkGraph.pageRank(triangle, "src", "dst", iterations = 5)
+      .agg(sum("rank_fp")).collect()(0).getLong(0)
+    // Each div truncates < 1 unit per edge/vertex per iteration: the
+    // total can only drift a few hundred units below the scale.
+    assert(r <= 1000000000L && r > 999990000L, s"mass $r")
+  }
+
+  test("pageRank: bit-identical under repartitioning") {
+    val a = rankMap(LinkGraph.pageRank(triangle, "src", "dst", 3))
+    val b = rankMap(LinkGraph.pageRank(triangle.repartition(7), "src", "dst", 3))
+    assert(a == b)
+  }
+
+  test("pageRank: sink accumulates rank, no-inlink vertex keeps base") {
+    val s = spark
+    import s.implicits._
+    // Star into 9: vertices 0-8 each link only to 9 (9 dangling).
+    val star = (0L to 8L).map(u => (u, 9L)).toDF("src", "dst")
+    val r = rankMap(LinkGraph.pageRank(star, "src", "dst", 2))
+    assert(r(9L) > r(0L) * 3, s"sink should dominate: ${r(9L)} vs ${r(0L)}")
+    assert((0L to 8L).map(r).toSet.size == 1, "symmetric sources tie exactly")
+  }
+
+  test("degreeReport: degrees, locality, full-outer vertex coverage") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, 2L, "a", "a"), // intra
+      (1L, 3L, "a", "b"), // cross
+      (2L, 3L, "a", "b")) // cross
+      .toDF("src", "dst", "sh", "dh")
+    val rows = LinkGraph.degreeReport(e, "src", "dst", "sh", "dh")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(rows(1L) == ((2L, 0L, Some(0.5))))
+    assert(rows(2L) == ((1L, 1L, Some(0.0))))
+    // in-only vertex: out_deg 0, intra_rate null (not 0 — no out-links
+    // to be local, and 0.0 would alias the all-cross case)
+    assert(rows(3L) == ((0L, 2L, None)))
+  }
+
+  test("anchorTerms: top-k terms per destination, count desc / term asc ties") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      (1L, "big cat"), (1L, "big dog"), (1L, "big cat"), (1L, "ant"),
+      (2L, "zz aa")) // one in-link: both terms tie at 1, term asc breaks
+      .toDF("dst", "anchor")
+    val rows = LinkGraph.anchorTerms(e, "dst", "anchor", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // dst 1: big=3, cat=2, dog/ant tie at 1 -> ant wins rank 3 (term asc)
+    assert(rows == Set(
+      (1L, "big", 3L, 1L), (1L, "cat", 2L, 2L), (1L, "ant", 1L, 3L),
+      (2L, "aa", 1L, 1L), (2L, "zz", 1L, 2L)))
+  }
+
+  test("pageRank: the only driver action is the vertex count") {
+    // Plan sanity: ranks is a lazy frame — building k iterations must
+    // not run per-iteration jobs (the dangling total is a broadcast
+    // cross join, not a collect), so construction cost is the vertex
+    // count alone, independent of k.
+    val sc = spark.sparkContext
+    def jobs: Int = sc.statusTracker.getJobIdsForGroup(null).length
+    val b1 = jobs
+    val df = LinkGraph.pageRank(triangle, "src", "dst", 1)
+    val oneIter = jobs - b1
+    val b6 = jobs
+    LinkGraph.pageRank(triangle, "src", "dst", 6)
+    val sixIter = jobs - b6
+    assert(sixIter == oneIter,
+      s"construction jobs must not scale with iterations: 1-iter=$oneIter 6-iter=$sixIter")
+    assert(df.columns.toSeq == Seq("id", "rank_fp"))
+  }
+}

@@ -355,6 +355,31 @@ class PlanQualitySpec extends AnyFunSuite {
       "paragraph dedup must shuffle only the digest df count")
   }
 
+  test("pagerank: partial-agg contributions, dangling mass broadcast, no cartesian") {
+    val p = q("q_pagerank").queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row dangling total must broadcast, not go cartesian:\n${p.take(2000)}")
+    assert(p.contains("partial"),
+      s"per-destination contribution sums must partial-aggregate map-side:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      s"pagerank has no per-vertex ordering — a window would be a planner bug:\n${p.take(2000)}")
+  }
+
+  test("link degree report: two partial-agg sides, no window, no distinct-agg expand") {
+    val p = q("q_link_degree").queryExecution.executedPlan.toString
+    assert(p.contains("partial"), s"degree sums must partial-aggregate:\n${p.take(2000)}")
+    assert(!p.contains("Window") && !p.contains("Expand"),
+      s"degree report is plain sums — no window, no distinct-aggregate Expand:\n${p.take(2000)}")
+  }
+
+  test("anchor-text profile cuts per page through the partial top-k exec") {
+    val p = plan(q("q_anchor_text"))
+    assert(p.contains("GroupedTopK"),
+      s"the per-page cut must be the partial-then-final top-k exec:\n${p.take(2000)}")
+    assert(p.contains("partial"),
+      s"(dst, term) counts must partial-aggregate map-side:\n${p.take(2000)}")
+  }
+
   test("unicode cleanup and markup strip are zero-shuffle projections") {
     Seq("q_nfc_normalize", "q_html_strip").foreach { name =>
       val p = q(name).queryExecution.executedPlan.toString

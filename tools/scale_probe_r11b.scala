@@ -1,0 +1,68 @@
+// Round-11 probe, part 2: 1x/10x wall-clock ratios for the link-graph
+// family (fixed-point PageRank, degree/locality report). Edges grow
+// linearly with the corpus (1.5 per doc); PageRank runs 4 iterations,
+// so the expected shape is ~linear with a constant-factor iteration
+// count. Run via spark-shell with compiled classes (see
+// .claude/skills/verify); results land as rows in SCALE.md.
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+import graft._
+import graft.operators._
+spark.experimental.extraStrategies = Seq(new graft.plans.GroupedTopKStrategy)
+spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+
+def idsX(f: Int): DataFrame =
+  (0 until f).map { i =>
+    base.select((col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"))
+  }.reduce(_ unionByName _)
+
+// The q_pagerank synthesis: doc u -> (u + j*131) % maxId, j in 1..u%4.
+def edges(ids: DataFrame, maxId: Long): DataFrame = {
+  val m = col("doc_id") % 4
+  ids.select(col("doc_id").as("src"),
+      explode(when(m > 0, sequence(lit(1L), m))
+        .otherwise(array().cast("array<long>"))).as("j"))
+    .select(col("src"), ((col("src") + col("j") * 131) % maxId).as("dst"))
+}
+
+def run(df: DataFrame): Unit =
+  df.write.format("noop").mode("overwrite").save()
+def time(f: => Unit): Double = {
+  val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+}
+
+val e1 = edges(idsX(1), 600000L).cache(); e1.count()
+val e10 = edges(idsX(10), 6000000L).cache(); e10.count()
+
+def withHosts(e: DataFrame): DataFrame = e.select(
+  col("src"), col("dst"),
+  concat(lit("site"), (col("src") % 7).cast("string")).as("sh"),
+  concat(lit("site"), (col("dst") % 7).cast("string")).as("dh"))
+
+// Three-word synthetic anchors with term variety (src mod buckets).
+def withAnchor(e: DataFrame): DataFrame = e.select(
+  col("dst"),
+  concat(lit("word"), (col("src") % 997).cast("string"),
+    lit(" link"), (col("src") % 31).cast("string"),
+    lit(" page")).as("anchor"))
+
+def ops(e: DataFrame): Seq[(String, () => Unit)] = Seq(
+  "pagerank_4it" -> (() => run(
+    LinkGraph.pageRank(e, "src", "dst", iterations = 4))),
+  "degree_report" -> (() => run(
+    LinkGraph.degreeReport(withHosts(e), "src", "dst", "sh", "dh"))),
+  "anchor_terms" -> (() => run(
+    LinkGraph.anchorTerms(withAnchor(e), "dst", "anchor", k = 3))))
+
+ops(e1).foreach { case (_, f) => f() } // warm codegen/JIT
+val t1 = ops(e1).map { case (n, f) => n -> time(f()) }.toMap
+val t1b = ops(e1).map { case (n, f) => n -> time(f()) }.toMap
+val t10 = ops(e10).map { case (n, f) => n -> time(f()) }.toMap
+val t10b = ops(e10).map { case (n, f) => n -> time(f()) }.toMap
+ops(e1).map(_._1).foreach { n =>
+  val a = math.min(t1(n), t1b(n)); val b = math.min(t10(n), t10b(n))
+  println(f"PROBE $n%-18s 1x=${a}%6.2fs 10x=${b}%6.2fs ratio=${b / a}%5.1f")
+}
+sys.exit(0)
