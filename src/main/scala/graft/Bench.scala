@@ -124,7 +124,24 @@ object Bench {
     def record(name: String, runs: Seq[Double]): Unit = {
       val med = runs.sorted.apply((runs.size - 1) / 2)
       timings(name) = med
-      val steady = if (runs.size >= 4) runs.drop(1) else runs
+      // Steady-state detection (the JMH warm-up-iteration discipline):
+      // some checkpoint-heavy queries take SEVERAL runs to shed their
+      // first-use transient (q_bucket_pack measured 12.1 → 5.8 → 2.5 →
+      // 1.4 before settling at 0.8-0.9), so a fixed drop-one-run cut
+      // still reports the tail of the descent as "spread". Drop the
+      // longest strictly-DECREASING prefix of runs that sit above
+      // 1.5× the full-sample median, capped at half the sample — a
+      // monotone descent from 13× median to steady state is a warm-in
+      // curve, not dispersion; genuine co-tenant bursts are neither
+      // leading, monotone, nor median-anchored, and still count.
+      val maxDrop = runs.size / 2
+      var cut = 0
+      while (cut < maxDrop && runs(cut) > 1.5 * med &&
+          (cut == 0 || runs(cut) < runs(cut - 1))) cut += 1
+      val steady =
+        if (cut > 0) runs.drop(cut)
+        else if (runs.size >= 4) runs.drop(1)
+        else runs
       // Dispersion by sample size — the MEDIAN is never trimmed and
       // the raw runs are all in BENCH_DETAIL:
       //  - < 4 steady: full range (nothing to trim from);

@@ -206,6 +206,37 @@ object QueriesR11 {
         concat(lit("site"), (col("dst") % 7).cast("string")).as("dst_host"))
       operators.LinkGraph.degreeReport(e, "src", "dst", "src_host", "dst_host")
     },
+    // --- crawler-trap report: URL-template mining (digit runs -> N).
+    //     Even doc_ids generate one-URL-per-doc '/d/<id>' paths (the
+    //     trap signature: 50 distinct URLs per (host, template) cell);
+    //     odd doc_ids cycle 7 stable '/p/<k>' pages. Collapse on the
+    //     spread triple first, then roll up — the hostReport shape. ---
+    "q_url_traps" -> { (s, d) =>
+      val h = (col("doc_id") % 5).cast("string")
+      val url = when(col("doc_id") % 2 === 0, concat(
+          lit("http://site"), h, lit(".example.com/d/"),
+          col("doc_id").cast("string")))
+        .otherwise(concat(
+          lit("http://site"), h, lit(".example.com/p/"),
+          (col("doc_id") % 7).cast("string")))
+      operators.Crawl.urlTemplateReport(
+        docs(s, d).select(url.as("url")), "url", maxUrlsPerTemplate = 20)
+    },
+    // --- mirror-host detection: every third doc is served by both its
+    //     h<k> host and a m<k> mirror, so each (h<k>, m<k>) pair shares
+    //     ~N/30 identical texts. Pairing is digest-only with the maxDf
+    //     hot-content cutoff; text never crosses an exchange. ---
+    "q_mirror_hosts" -> { (s, d) =>
+      val k = (col("doc_id") % 10).cast("string")
+      val base = docs(s, d)
+      val primary = base.select(
+        concat(lit("h"), k, lit(".example.com")).as("host"), col("text"))
+      val mirror = base.filter(col("doc_id") % 3 === 0).select(
+        concat(lit("m"), k, lit(".example.com")).as("host"), col("text"))
+      operators.Crawl.mirrorHosts(
+        primary.unionByName(mirror), "host", "text",
+        maxDf = 5, minShared = 3)
+    },
     // --- rank-prioritized frontier: the composition the link family
     //     exists for — PageRank over the crawl graph becomes the
     //     priority column of the politeness scheduler, so recrawl
@@ -322,6 +353,42 @@ object QueriesR11 {
   // would eat the first pipe of every line-leading `||` concat.
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(PageRankIters),
+    "q_url_traps" ->
+      """WITH u AS (SELECT CASE WHEN doc_id % 2 = 0
+        |      THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |        || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+        |        || '.example.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+        |    END AS url FROM documents),
+        |c AS (SELECT
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS host,
+        |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1)
+        |      AS path, url FROM u),
+        |t AS (SELECT host, regexp_replace(path, '[0-9]+', 'N', 'g')
+        |        AS template, url FROM c),
+        |g AS (SELECT host, template, url, count(*) AS f
+        |      FROM t GROUP BY host, template, url)
+        |SELECT host, template, CAST(sum(f) AS BIGINT) AS n_fetches,
+        |       CAST(count(*) AS BIGINT) AS n_urls,
+        |       count(*) > 20 AS trap
+        |FROM g GROUP BY host, template""".stripMargin,
+    "q_mirror_hosts" ->
+      """WITH f AS (
+        |  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+        |    AS host, text FROM documents
+        |  UNION ALL
+        |  SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+        |    text FROM documents WHERE doc_id % 3 = 0),
+        |hd AS (SELECT DISTINCT host, text FROM f),
+        |fr AS (SELECT text FROM
+        |    (SELECT text, count(*) AS c FROM hd GROUP BY text)
+        |  WHERE c BETWEEN 2 AND 5),
+        |p AS (SELECT hd.host, hd.text FROM hd JOIN fr USING (text))
+        |SELECT a.host AS host_a, b.host AS host_b,
+        |       CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p a JOIN p b ON a.text = b.text AND a.host < b.host
+        |GROUP BY a.host, b.host
+        |HAVING count(*) >= 3""".stripMargin,
     "q_rank_frontier" ->
       (s"WITH ${pageRankCtes(2)},\n" +
         """u AS (SELECT

@@ -226,6 +226,75 @@ object Crawl {
       .drop("__phost", "__delay")
   }
 
+  /** Crawler-trap report: URL-template mining over the fetch log. Each
+    * canonical URL's path collapses to a TEMPLATE (digit runs → `N`),
+    * and a (host, template) cell whose distinct-URL count explodes past
+    * `maxUrlsPerTemplate` is flagged — the calendar/pagination/session-id
+    * trap signature (one handler generating unbounded URL spellings), the
+    * standard frontier guard after robots and politeness.
+    *
+    * Scale shape: the [[hostReport]] discipline — collapse on the
+    * well-spread (host, template, canon_url) triple FIRST, then a
+    * partial-aggregating rollup to (host, template); never a
+    * distinct-aggregate hanging off the low-cardinality template key.
+    * Template extraction is a map-only RE2-portable projection. */
+  def urlTemplateReport(
+      df: DataFrame,
+      urlCol: String,
+      maxUrlsPerTemplate: Long): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    df.select(urlHost(canon).as("host"), urlPath(canon).as("path"),
+        canon.as("canon_url"))
+      .withColumn("template", regexp_replace(col("path"), "[0-9]+", "N"))
+      .groupBy(col("host"), col("template"), col("canon_url"))
+      .agg(count(lit(1)).as("__fetches"))
+      .groupBy(col("host"), col("template"))
+      .agg(
+        sum(col("__fetches")).as("n_fetches"),
+        count(lit(1)).as("n_urls"))
+      .withColumn("trap", col("n_urls") > maxUrlsPerTemplate)
+  }
+
+  /** Mirror-host detection: pairs of hosts serving ≥ `minShared`
+    * identical content items — the site-level dedup a crawl runs before
+    * any text-level pass (a mirrored site is thousands of duplicate
+    * pages that one host-pair decision removes).
+    *
+    * Digests with more than `maxDf` distinct hosts are EXCLUDED before
+    * pairing: content on 50+ hosts is boilerplate (empty pages, error
+    * stubs, licence text), not mirror evidence, and it is exactly the
+    * hot key that would otherwise quadratically blow up the pair join
+    * — the same hot-key cutoff invariant as [[Dedup]]'s `maxDf`/
+    * `maxBucket` (SCALE.md: every pair generator carries one).
+    *
+    * Scale shape: one exchange to collapse (host, digest) distinct; a
+    * partial-aggregating digest-frequency filter; the pair join fans
+    * out at most `maxDf`² rows per digest by construction; one final
+    * exchange on the (host_a, host_b) pair. Content text never crosses
+    * a wire — only fixed-width digests. */
+  def mirrorHosts(
+      df: DataFrame,
+      hostCol: String,
+      contentCol: String,
+      maxDf: Int,
+      minShared: Long): DataFrame = {
+    val hd = df.select(col(hostCol).as("host"),
+        sha2(col(contentCol).cast("binary"), 256).as("digest"))
+      .distinct()
+    val shared = hd.groupBy(col("digest"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2 && col("__n") <= maxDf)
+      .select(col("digest"))
+    val posting = hd.join(shared, "digest")
+    posting
+      .join(posting.withColumnRenamed("host", "host_b"), "digest")
+      .filter(col("host") < col("host_b"))
+      .select(col("host").as("host_a"), col("host_b"))
+      .groupBy(col("host_a"), col("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Per-host crawl report over raw URLs: fetches, distinct canonical
     * pages, URL-level duplicate rate (the crawl-frontier health signal
     * — a host whose fetches collapse 10:1 wastes 90% of its crawl

@@ -203,6 +203,39 @@ class CrawlSpec extends AnyFunSuite {
       && p.contains("GroupedTopKExec(final"), p.take(2000))
   }
 
+  test("urlTemplateReport: digit runs collapse, trap flag on the URL explosion") {
+    val s = spark
+    import s.implicits._
+    val urls = (
+      (1 to 30).map(i => s"http://x.com/cal/2026/$i") ++ // 30 URLs, 1 template
+        Seq("http://x.com/about", "http://x.com/about", // refetch: 1 URL
+          "http://y.com/item/7", "http://y.com/item/12")).toDF("url")
+    val out = Crawl.urlTemplateReport(urls, "url", maxUrlsPerTemplate = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(("x.com", "/cal/N/N")) == ((30L, 30L, true)))
+    assert(out(("x.com", "/about")) == ((2L, 1L, false)))
+    assert(out(("y.com", "/item/N")) == ((2L, 2L, false)))
+  }
+
+  test("mirrorHosts: shared-content pairs, boilerplate cut by maxDf") {
+    val s = spark
+    import s.implicits._
+    val boiler = "404 not found"
+    val fetches = (
+      Seq("a.com" -> "page one", "a.com" -> "page two", "a.com" -> "page three",
+        "b.com" -> "page one", "b.com" -> "page two", "b.com" -> "page three",
+        "c.com" -> "page one", // one shared doc: below minShared
+        "b.com" -> "page one") ++ // duplicate fetch: distinct'd, not double-counted
+        Seq("a.com", "b.com", "c.com", "d.com", "e.com", "f.com")
+          .map(_ -> boiler)) // boilerplate on 6 hosts > maxDf: excluded
+      .toDF("host", "text")
+    val out = Crawl.mirrorHosts(fetches, "host", "text", maxDf = 4, minShared = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a.com", "b.com", 3L)),
+      s"only the a/b mirror pair qualifies: ${out.mkString(",")}")
+  }
+
   test("paraDedup is lineDedup at paragraph granularity") {
     val s = spark
     import s.implicits._

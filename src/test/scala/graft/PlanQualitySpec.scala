@@ -372,6 +372,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"degree report is plain sums — no window, no distinct-aggregate Expand:\n${p.take(2000)}")
   }
 
+  test("trap report rolls up the spread triple; mirror pairs never ship text") {
+    val traps = q("q_url_traps").queryExecution.executedPlan.toString
+    assert(traps.contains("partial") && !traps.contains("Expand"),
+      s"trap report must partial-aggregate, never distinct-expand:\n${traps.take(2000)}")
+    val m = q("q_mirror_hosts").queryExecution.executedPlan.toString
+    assert(!m.contains("CartesianProduct"),
+      s"mirror pairing joins on the digest key:\n${m.take(2000)}")
+    // Text reduces to sha2 digests BEFORE any exchange: no exchange row
+    // type may carry the text column.
+    val textInExchange = m.linesIterator
+      .filter(_.contains("Exchange")).exists(_.contains("text"))
+    assert(!textInExchange,
+      s"content must cross exchanges as digests only:\n${m.take(2000)}")
+  }
+
   test("anchor-text profile cuts per page through the partial top-k exec") {
     val p = plan(q("q_anchor_text"))
     assert(p.contains("GroupedTopK"),

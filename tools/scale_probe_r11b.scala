@@ -48,6 +48,25 @@ def withAnchor(e: DataFrame): DataFrame = e.select(
     lit(" link"), (col("src") % 31).cast("string"),
     lit(" page")).as("anchor"))
 
+// Trap/mirror inputs derived from the same id space: half the ids make
+// one-URL-per-id trap paths, half cycle 97 stable pages; every third
+// id mirrors its content digest onto a partner host.
+def trapUrls(ids: DataFrame): DataFrame = ids.select(
+  when(col("doc_id") % 2 === 0, concat(
+      lit("http://site"), (col("doc_id") % 23).cast("string"),
+      lit(".example.com/d/"), col("doc_id").cast("string")))
+    .otherwise(concat(
+      lit("http://site"), (col("doc_id") % 23).cast("string"),
+      lit(".example.com/p/"), (col("doc_id") % 97).cast("string")))
+    .as("url"))
+def mirrorFetches(ids: DataFrame): DataFrame = {
+  val k = (col("doc_id") % 50).cast("string")
+  val t = concat(lit("content body "), col("doc_id").cast("string"))
+  ids.select(concat(lit("h"), k).as("host"), t.as("text"))
+    .unionByName(ids.filter(col("doc_id") % 3 === 0)
+      .select(concat(lit("m"), k).as("host"), t.as("text")))
+}
+
 def ops(e: DataFrame): Seq[(String, () => Unit)] = Seq(
   "pagerank_4it" -> (() => run(
     LinkGraph.pageRank(e, "src", "dst", iterations = 4))),
@@ -56,12 +75,24 @@ def ops(e: DataFrame): Seq[(String, () => Unit)] = Seq(
   "anchor_terms" -> (() => run(
     LinkGraph.anchorTerms(withAnchor(e), "dst", "anchor", k = 3))))
 
-ops(e1).foreach { case (_, f) => f() } // warm codegen/JIT
-val t1 = ops(e1).map { case (n, f) => n -> time(f()) }.toMap
-val t1b = ops(e1).map { case (n, f) => n -> time(f()) }.toMap
-val t10 = ops(e10).map { case (n, f) => n -> time(f()) }.toMap
-val t10b = ops(e10).map { case (n, f) => n -> time(f()) }.toMap
-ops(e1).map(_._1).foreach { n =>
+def ops2(ids: DataFrame): Seq[(String, () => Unit)] = Seq(
+  "url_traps" -> (() => run(
+    Crawl.urlTemplateReport(trapUrls(ids), "url", 1000))),
+  "mirror_hosts" -> (() => run(
+    Crawl.mirrorHosts(mirrorFetches(ids), "host", "text",
+      maxDf = 5, minShared = 3))))
+
+val i1 = idsX(1).cache(); i1.count()
+val i10 = idsX(10).cache(); i10.count()
+
+def all1 = ops(e1) ++ ops2(i1)
+def all10 = ops(e10) ++ ops2(i10)
+all1.foreach { case (_, f) => f() } // warm codegen/JIT
+val t1 = all1.map { case (n, f) => n -> time(f()) }.toMap
+val t1b = all1.map { case (n, f) => n -> time(f()) }.toMap
+val t10 = all10.map { case (n, f) => n -> time(f()) }.toMap
+val t10b = all10.map { case (n, f) => n -> time(f()) }.toMap
+all1.map(_._1).foreach { n =>
   val a = math.min(t1(n), t1b(n)); val b = math.min(t10(n), t10b(n))
   println(f"PROBE $n%-18s 1x=${a}%6.2fs 10x=${b}%6.2fs ratio=${b / a}%5.1f")
 }
