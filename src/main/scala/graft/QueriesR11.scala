@@ -206,6 +206,30 @@ object QueriesR11 {
         concat(lit("site"), (col("dst") % 7).cast("string")).as("dst_host"))
       operators.LinkGraph.degreeReport(e, "src", "dst", "src_host", "dst_host")
     },
+    // --- per-host quality prior: docs, Gopher-gate pass rate, mean
+    //     token count per host — the domain-level curation signal
+    //     (RefinedWeb-style) that feeds recrawl prioritization. All
+    //     three repetition gates fold row-locally (map-only native
+    //     expressions); the rollup is one partial-agg exchange on the
+    //     host key; pass_rate/mean_tokens are exact integer sums over
+    //     one division, so the floats hash-compare. ---
+    "q_host_quality" -> { (s, d) =>
+      val top2 = operators.TextAnalysis.gopherRepetition(col("text"), 2).head
+      val top3 = operators.TextAnalysis.gopherRepetition(col("text"), 3).head
+      val dup5 = operators.TextAnalysis.gopherRepetition(col("text"), 5)(1)
+      docs(s, d)
+        .select(
+          concat(lit("site"), (col("doc_id") % 7).cast("string")).as("host"),
+          (top2 < 0.20 && top3 < 0.18 && dup5 < 0.15)
+            .cast("double").as("p"),
+          operators.TextAnalysis.tokenCount(col("text"))
+            .cast("double").as("nt"))
+        .groupBy(col("host"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          round(avg(col("p")), 6).as("pass_rate"),
+          round(avg(col("nt")), 6).as("mean_tokens"))
+    },
     // --- crawler-trap report: URL-template mining (digit runs -> N).
     //     Even doc_ids generate one-URL-per-doc '/d/<id>' paths (the
     //     trap signature: 50 distinct URLs per (host, template) cell);
@@ -353,6 +377,18 @@ object QueriesR11 {
   // would eat the first pipe of every line-leading `||` concat.
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(PageRankIters),
+    "q_host_quality" ->
+      (s"WITH g AS (${QueriesR9.gopherRepOracle}),\n" +
+        """t AS (SELECT doc_id,
+          |    len(regexp_extract_all(text, '\S+')) AS nt FROM documents)
+          |SELECT 'site' || CAST(g.doc_id % 7 AS VARCHAR) AS host,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       round(avg(CASE WHEN top2_frac < 0.2 AND top3_frac < 0.18
+          |         AND dup5_frac < 0.15 THEN 1.0 ELSE 0.0 END), 6)
+          |         AS pass_rate,
+          |       round(avg(nt * 1.0), 6) AS mean_tokens
+          |FROM g JOIN t USING (doc_id)
+          |GROUP BY 1""".stripMargin),
     "q_url_traps" ->
       """WITH u AS (SELECT CASE WHEN doc_id % 2 = 0
         |      THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)

@@ -438,7 +438,7 @@ object QueriesR9 {
 
   /** Per-doc (top2_frac, top3_frac, dup5_frac) replay shared by the
     * q_gopher_rep gate and the q_gopher_funnel stage arithmetic. */
-  private val gopherRepOracle: String =
+  private[graft] val gopherRepOracle: String =
     """WITH toks AS (SELECT doc_id, string_split(text, ' ') ts FROM documents),
       |gg AS (
       |  SELECT doc_id, n, unnest(gs) g FROM (
