@@ -278,6 +278,7 @@ object Crawl {
       contentCol: String,
       maxDf: Int,
       minShared: Long): DataFrame = {
+    require(maxDf >= 2, s"maxDf=$maxDf would exclude every shared digest")
     val hd = df.select(col(hostCol).as("host"),
         sha2(col(contentCol).cast("binary"), 256).as("digest"))
       .distinct()

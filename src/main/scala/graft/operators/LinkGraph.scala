@@ -74,6 +74,7 @@ object LinkGraph {
       .distinct()
     val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val n = verts.count() // the one driver scalar
+    require(n > 0, "pageRank needs a non-empty edge list")
     val init = scale / n
     val base = ((dampingDen - dampingNum) * init) / dampingDen
 
