@@ -261,6 +261,16 @@ object QueriesR11 {
         primary.unionByName(mirror), "host", "text",
         maxDf = 5, minShared = 3)
     },
+    // --- warm-started PageRank: resume 2 more iterations from a prior
+    //     2-iteration run (the recrawl shape — last release's ranks
+    //     seed the new graph). The oracle is the STRAIGHT 4-iteration
+    //     replay: resuming is bit-exact by construction, and the
+    //     driver gate enforces that identity cross-engine. ---
+    "q_pagerank_warm" -> { (s, d) =>
+      val e = linkEdges(s, d)
+      val prior = operators.LinkGraph.pageRank(e, "src", "dst", 2)
+      operators.LinkGraph.pageRank(e, "src", "dst", 2, initial = Some(prior))
+    },
     // --- rank-prioritized frontier: the composition the link family
     //     exists for — PageRank over the crawl graph becomes the
     //     priority column of the politeness scheduler, so recrawl
@@ -377,6 +387,8 @@ object QueriesR11 {
   // would eat the first pipe of every line-leading `||` concat.
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> pageRankOracle(PageRankIters),
+    // Resume-is-exact: the warm-started 2+2 equals the straight 4.
+    "q_pagerank_warm" -> pageRankOracle(4),
     "q_host_quality" ->
       (s"WITH g AS (${QueriesR9.gopherRepOracle}),\n" +
         """t AS (SELECT doc_id,

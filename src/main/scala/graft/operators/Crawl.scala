@@ -183,6 +183,31 @@ object Crawl {
       .drop("__best")
   }
 
+  /** The rules table folded to one row per host — `(host,
+    * rules: array<struct<prefix,allow>>)` — the broadcast shape
+    * [[robotsVerdict]] consumes. Bounded by construction (robots
+    * policies are per-host and small), so the collect_list is safe. */
+  def robotsRulesPerHost(rules: DataFrame): DataFrame =
+    rules.groupBy(col("host"))
+      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+
+  /** Stateless single-row REP verdict: the same `max(2·len + allow)`
+    * fold as [[robotsFilter]], computed by a higher-order `aggregate`
+    * over the host's rule array instead of a relational group-by —
+    * -1 encodes "no rule matched" (allowed). Because it is a pure
+    * per-row projection it runs unchanged on a STREAM (no aggregation
+    * state, no watermark) — [[graft.streaming.Streaming
+    * .robotsGateStream]] is exactly this fold behind a broadcast
+    * stream-static join; parity with the relational form is
+    * spec-pinned. */
+  def robotsVerdict(path: Column, rulesArr: Column): Column =
+    when(rulesArr.isNull, lit(-1L)).otherwise(
+      aggregate(rulesArr, lit(-1L), (acc, r) =>
+        when(path.startsWith(r.getField("prefix")),
+          greatest(acc, length(r.getField("prefix")).cast("long") * 2 +
+            r.getField("allow").cast("long")))
+          .otherwise(acc)))
+
   /** Crawl-frontier politeness schedule: cap each host's queue at
     * `maxPerHost` best-priority URLs, then assign per-host fetch slots
     * `fetch_at_s = rank * delay` spaced by the host's crawl delay

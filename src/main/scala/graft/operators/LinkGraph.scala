@@ -55,6 +55,19 @@ object LinkGraph {
     * Returns `(id, rank_fp)` — `rank_fp/scale` is the rank as a
     * fraction of total mass.
     */
+  /** `initial` warm-starts the iteration from a prior run's
+    * `(id, rank_fp)` frame — the recrawl shape: last month's converged
+    * ranks seed this month's graph, so a handful of iterations absorb
+    * the delta instead of re-converging from uniform. Vertices absent
+    * from `initial` (newly discovered pages) enter at the uniform
+    * `scale div N`; `initial` rows for vertices no longer in the edge
+    * list (dead pages) drop — the vertex set is always the current
+    * graph's. Because each iteration is a deterministic function of
+    * the rank frame, warm-starting from `pageRank(k1)` and running k2
+    * more is BIT-IDENTICAL to `pageRank(k1+k2)` (spec-pinned), so
+    * resuming is exact, not approximate. Mass drift in a hand-rolled
+    * `initial` self-corrects: the update is a contraction that
+    * re-approaches total mass `scale` at rate num/den per iteration. */
   def pageRank(
       edgesIn: DataFrame,
       srcCol: String,
@@ -62,7 +75,8 @@ object LinkGraph {
       iterations: Int,
       dampingNum: Long = 85L,
       dampingDen: Long = 100L,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      initial: Option[DataFrame] = None): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping $dampingNum/$dampingDen outside [0,1]")
@@ -78,7 +92,15 @@ object LinkGraph {
     val init = scale / n
     val base = ((dampingDen - dampingNum) * init) / dampingDen
 
-    var ranks = verts.select(col("id"), lit(init).as("rank_fp"))
+    var ranks = initial match {
+      case None => verts.select(col("id"), lit(init).as("rank_fp"))
+      case Some(prior) =>
+        verts.join(
+            prior.select(col("id"), col("rank_fp").as("__prior")),
+            Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("__prior"), lit(init)).as("rank_fp"))
+    }
     for (_ <- 1 to iterations) {
       // Every frame here descends from `edges`, so joins use column
       // NAMES (unique by construction), never dataset-qualified refs —

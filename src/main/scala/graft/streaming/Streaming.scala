@@ -201,6 +201,34 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__canon_digest")
       .drop("__canon_digest")
 
+  /** Streaming robots gate: the REP allow/deny verdict applied to each
+    * arriving fetch — canonicalize, broadcast-join the per-host rule
+    * arrays ([[graft.operators.Crawl.robotsRulesPerHost]]), and fold
+    * the verdict with the STATELESS higher-order
+    * [[graft.operators.Crawl.robotsVerdict]] — no aggregation state,
+    * no watermark, so the gate adds zero streaming state and its
+    * output is spec-pinned identical to the batch
+    * [[graft.operators.Crawl.robotsFilter]]. Emits every fetch with
+    * `allowed` / `matched_len`; callers filter on `allowed` before the
+    * frontier. */
+  def robotsGateStream(
+      fetches: DataFrame,
+      rulesPerHost: DataFrame,
+      urlCol: String = "url"): DataFrame = {
+    val canon = graft.operators.Crawl.canonicalizeUrl(col(urlCol))
+    fetches
+      .withColumn("canon_url", canon)
+      .withColumn("host", graft.operators.Crawl.urlHost(col("canon_url")))
+      .withColumn("path", graft.operators.Crawl.urlPath(col("canon_url")))
+      .join(broadcast(rulesPerHost), Seq("host"), "left")
+      .withColumn("__best",
+        graft.operators.Crawl.robotsVerdict(col("path"), col("rules")))
+      .withColumn("allowed", col("__best") === -1 || col("__best") % 2 === 1)
+      .withColumn("matched_len",
+        when(col("__best") >= 0, floor(col("__best") / 2).cast("int")))
+      .drop("rules", "__best")
+  }
+
   /** Stream-stream interval join: each purchase attributes to the SAME
     * user's views within the preceding `window`. Both sides carry
     * watermarks and the join condition bounds event time on both sides,

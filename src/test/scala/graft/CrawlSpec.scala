@@ -236,6 +236,39 @@ class CrawlSpec extends AnyFunSuite {
       s"only the a/b mirror pair qualifies: ${out.mkString(",")}")
   }
 
+  test("stateless robots fold == relational robotsFilter, rule for rule") {
+    val s = spark
+    import s.implicits._
+    // The q_robots_filter fixture shapes: longest-match, equal-length
+    // allow-beats-deny tie, deny-all-except, no-rule default.
+    val urls = (0L to 39L).map { i =>
+      val path = (i % 4) match {
+        case 0 => s"/private/p$i"
+        case 1 => s"/private/public/p$i"
+        case 2 => s"/public/p$i"
+        case _ => s"/p$i"
+      }
+      (i, s"http://site${i % 5}.example.com$path")
+    }.toDF("doc_id", "url")
+    val rules = (
+      (0 to 4).flatMap(i => Seq(
+        (s"site$i.example.com", "/private/", false),
+        (s"site$i.example.com", "/private/public/", true))) ++
+        Seq(("site0.example.com", "/", false),
+          ("site0.example.com", "/public/", true),
+          ("site1.example.com", "/p", true),
+          ("site1.example.com", "/p", false))
+      ).toDF("host", "prefix", "allow")
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "allowed", "matched_len").collect()
+        .map(r => r.getLong(0) -> ((r.getBoolean(1), Option(r.get(2))))).toMap
+    val batch = verdicts(Crawl.robotsFilter(urls, "url", "doc_id", rules))
+    val folded = verdicts(graft.streaming.Streaming.robotsGateStream(
+      urls, Crawl.robotsRulesPerHost(rules)))
+    assert(folded == batch,
+      "the stream gate's stateless fold must match the relational verdict")
+  }
+
   test("paraDedup is lineDedup at paragraph granularity") {
     val s = spark
     import s.implicits._

@@ -74,6 +74,28 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(rows(3L) == ((0L, 2L, None)))
   }
 
+  test("pageRank warm-start: resume from k1 ranks == running k1+k2 straight") {
+    val full = rankMap(LinkGraph.pageRank(triangle, "src", "dst", 5))
+    val k2 = LinkGraph.pageRank(triangle, "src", "dst", 2)
+    val resumed = rankMap(LinkGraph.pageRank(
+      triangle, "src", "dst", 3, initial = Some(k2)))
+    assert(resumed == full, "warm-start must be exact, not approximate")
+  }
+
+  test("pageRank warm-start: new vertices enter at uniform, dead rows drop") {
+    val s = spark
+    import s.implicits._
+    // Prior ranks cover vertex 1 only (+ a dead vertex 99); the graph
+    // has vertices 1,2,3 — 2 and 3 must enter at scale div 3.
+    val prior = Seq((1L, 777L), (99L, 123L)).toDF("id", "rank_fp")
+    val r = LinkGraph.pageRank(triangle, "src", "dst", 1,
+      initial = Some(prior))
+    assert(!rankMap(r).contains(99L), "dead vertices drop")
+    // One iteration from (777, init, init) — just pin it runs and keeps
+    // the full current vertex set.
+    assert(rankMap(r).keySet == Set(1L, 2L, 3L))
+  }
+
   test("anchorTerms: top-k terms per destination, count desc / term asc ties") {
     val s = spark
     import s.implicits._

@@ -239,6 +239,33 @@ class StreamingSpec extends AnyFunSuite {
       s"one survivor per canonical url expected, got $rows")
   }
 
+  test("streaming robots gate verdicts fetches with zero streaming state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(
+      ("x.com", "/private/", false),
+      ("x.com", "/private/open/", true)).toDF("host", "prefix", "allow")
+    val perHost = graft.operators.Crawl.robotsRulesPerHost(rules)
+    val stream = MemoryStream[(Long, String)]
+    val gated = Streaming.robotsGateStream(
+      stream.toDF().toDF("fetch_id", "url"), perHost)
+    val q = gated.writeStream.format("memory").queryName("robots_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, "http://x.com/private/a"), (2L, "http://x.com/ok"))
+      q.processAllAvailable()
+      stream.addData((3L, "http://x.com/private/open/a"),
+        (4L, "http://other.com/anything"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("robots_stream")
+      .select("fetch_id", "allowed").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> true, 4L -> true),
+      s"deny under /private/, allow the longer /private/open/, default allow: $out")
+  }
+
   test("stream-stream interval join attributes purchases to preceding views") {
     val spark = TestSpark.spark
     import spark.implicits._
