@@ -271,6 +271,23 @@ object QueriesR11 {
       val prior = operators.LinkGraph.pageRank(e, "src", "dst", 2)
       operators.LinkGraph.pageRank(e, "src", "dst", 2, initial = Some(prior))
     },
+    // --- mirror clusters: the pair table closed into components with
+    //     a canonical host per cluster (min host) — the per-cluster
+    //     fetch-one decision a crawl actually takes. Same synthesis as
+    //     q_mirror_hosts plus a THREE-way mirror (w<k> hosts for
+    //     doc_id%6==0) so clusters of size 3 exercise transitivity. ---
+    "q_mirror_clusters" -> { (s, d) =>
+      val k = (col("doc_id") % 10).cast("string")
+      val base = docs(s, d)
+      val fetches = base.select(
+          concat(lit("h"), k, lit(".example.com")).as("host"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 3 === 0).select(
+          concat(lit("m"), k, lit(".example.com")).as("host"), col("text")))
+        .unionByName(base.filter(col("doc_id") % 6 === 0).select(
+          concat(lit("w"), k, lit(".example.com")).as("host"), col("text")))
+      operators.Crawl.mirrorClusters(
+        fetches, "host", "text", maxDf = 5, minShared = 3)
+    },
     // --- rank-prioritized frontier: the composition the link family
     //     exists for — PageRank over the crawl graph becomes the
     //     priority column of the politeness scheduler, so recrawl
@@ -437,6 +454,35 @@ object QueriesR11 {
         |FROM p a JOIN p b ON a.text = b.text AND a.host < b.host
         |GROUP BY a.host, b.host
         |HAVING count(*) >= 3""".stripMargin,
+    "q_mirror_clusters" ->
+      """WITH RECURSIVE f AS (
+        |  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+        |    AS host, text FROM documents
+        |  UNION ALL
+        |  SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+        |    text FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'w' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+        |    text FROM documents WHERE doc_id % 6 = 0),
+        |hd AS (SELECT DISTINCT host, text FROM f),
+        |fr AS (SELECT text FROM
+        |    (SELECT text, count(*) AS c FROM hd GROUP BY text)
+        |  WHERE c BETWEEN 2 AND 5),
+        |p AS (SELECT hd.host, hd.text FROM hd JOIN fr USING (text)),
+        |mp AS (SELECT a.host AS host_a, b.host AS host_b
+        |  FROM p a JOIN p b ON a.text = b.text AND a.host < b.host
+        |  GROUP BY a.host, b.host HAVING count(*) >= 3),
+        |edges AS (SELECT host_a AS src, host_b AS dst FROM mp
+        |          UNION ALL SELECT host_b, host_a FROM mp),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |rep AS (SELECT src AS host, least(src, min(dst)) AS canonical_host
+        |        FROM reach GROUP BY src),
+        |hosts AS (SELECT DISTINCT host FROM f)
+        |SELECT h.host, coalesce(r.canonical_host, h.host) AS canonical_host
+        |FROM hosts h LEFT JOIN rep r ON h.host = r.host""".stripMargin,
     "q_rank_frontier" ->
       (s"WITH ${pageRankCtes(2)},\n" +
         """u AS (SELECT

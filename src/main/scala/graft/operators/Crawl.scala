@@ -321,6 +321,35 @@ object Crawl {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Mirror CLUSTERS: [[mirrorHosts]] pairs closed into connected
+    * components with a canonical host elected per cluster (the
+    * lexicographically smallest — deterministic, like
+    * [[Dedup.keepCanonical]]'s tiebreak). A mirror set is rarely just
+    * two hosts (regional mirrors, www/cdn variants, archived copies),
+    * and the decision a crawl actually takes — fetch ONE of them — is
+    * per-cluster, not per-pair. Output: `(host, canonical_host)` for
+    * every host in the input, identity for un-mirrored hosts.
+    *
+    * Scale shape: pair generation is [[mirrorHosts]] (digests-only,
+    * maxDf-capped); the closure is [[Dedup.nearDupComponents]]'
+    * pointer-jumping label propagation — O(log diameter) rounds, each
+    * one partial-aggregating exchange, labels checkpointed between
+    * rounds. Works on host STRINGS directly (min/least are the label
+    * order), so no id-mapping pass and the oracle replays it with a
+    * recursive CTE. */
+  def mirrorClusters(
+      df: DataFrame,
+      hostCol: String,
+      contentCol: String,
+      maxDf: Int,
+      minShared: Long): DataFrame = {
+    val pairs = mirrorHosts(df, hostCol, contentCol, maxDf, minShared)
+      .select(col("host_a").as("id_a"), col("host_b").as("id_b"))
+    val hosts = df.select(col(hostCol).as("doc_id")).distinct()
+    Dedup.nearDupComponents(hosts, pairs)
+      .select(col("doc_id").as("host"), col("rep").as("canonical_host"))
+  }
+
   /** Per-host crawl report over raw URLs: fetches, distinct canonical
     * pages, URL-level duplicate rate (the crawl-frontier health signal
     * — a host whose fetches collapse 10:1 wastes 90% of its crawl

@@ -236,6 +236,20 @@ class CrawlSpec extends AnyFunSuite {
       s"only the a/b mirror pair qualifies: ${out.mkString(",")}")
   }
 
+  test("mirrorClusters: transitive closure elects one canonical host per set") {
+    val s = spark
+    import s.implicits._
+    // a=b (3 shared), b=c (3 shared), a/c share nothing directly:
+    // transitivity must still put all three in one cluster under 'a'.
+    val fetches = (
+      Seq("a", "b").flatMap(h => Seq(h -> "x1", h -> "x2", h -> "x3")) ++
+        Seq("b", "c").flatMap(h => Seq(h -> "y1", h -> "y2", h -> "y3")) ++
+        Seq("d" -> "solo")).toDF("host", "text")
+    val out = Crawl.mirrorClusters(fetches, "host", "text", 4, 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
+  }
+
   test("stateless robots fold == relational robotsFilter, rule for rule") {
     val s = spark
     import s.implicits._
