@@ -80,7 +80,25 @@ def ops2(ids: DataFrame): Seq[(String, () => Unit)] = Seq(
     Crawl.urlTemplateReport(trapUrls(ids), "url", 1000))),
   "mirror_hosts" -> (() => run(
     Crawl.mirrorHosts(mirrorFetches(ids), "host", "text",
-      maxDf = 5, minShared = 3))))
+      maxDf = 5, minShared = 3))),
+  "mirror_clusters" -> (() => run(
+    Crawl.mirrorClusters(mirrorFetches(ids), "host", "text",
+      maxDf = 5, minShared = 3))),
+  "host_quality" -> (() => {
+    val docs = ids.select(
+      concat(lit("site"), (col("doc_id") % 23).cast("string")).as("host"),
+      concat(lit("body text segment "), (col("doc_id") % 997).cast("string"),
+        lit(" with some repeated repeated filler words to score")).as("text"))
+    val top2 = TextAnalysis.gopherRepetition(col("text"), 2).head
+    val top3 = TextAnalysis.gopherRepetition(col("text"), 3).head
+    val dup5 = TextAnalysis.gopherRepetition(col("text"), 5)(1)
+    run(docs.select(col("host"),
+        (top2 < 0.20 && top3 < 0.18 && dup5 < 0.15).cast("double").as("p"),
+        TextAnalysis.tokenCount(col("text")).cast("double").as("nt"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("p")).as("pass_rate"),
+        avg(col("nt")).as("mean_tokens")))
+  }))
 
 val i1 = idsX(1).cache(); i1.count()
 val i10 = idsX(10).cache(); i10.count()
