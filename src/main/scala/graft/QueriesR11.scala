@@ -77,8 +77,7 @@ object QueriesR11 {
       |           WHEN scheme = 'http' AND port = '80' THEN ''
       |           WHEN scheme = 'https' AND port = '443' THEN ''
       |           ELSE ':' || port END AS portpart,
-      |      regexp_replace(regexp_replace(rawpath, '/index\.html$', '/'),
-      |                     '/+$', '') AS path,
+      |      regexp_replace(rawpath, '(/index\.html|/)+$', '') AS path,
       |      coalesce(array_to_string(list_sort(list_filter(
       |        string_split(rawq, '&'),
       |        p -> p <> '' AND NOT starts_with(p, 'utm_'))), '&'), '') AS q

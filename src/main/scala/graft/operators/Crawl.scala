@@ -27,8 +27,13 @@ object Crawl {
     *  3. leading `www.` dropped from the host;
     *  4. default ports stripped (`:80` for http, `:443` for https;
     *     any other explicit port kept);
-    *  5. trailing `/index.html` dropped from the path, then trailing
-    *     slashes dropped (so `/a/` ≡ `/a` ≡ `/a/index.html`);
+    *  5. any TRAILING RUN of `/index.html` and `/` tokens dropped from
+    *     the path in one anchored pass (so `/a/` ≡ `/a` ≡
+    *     `/a/index.html` ≡ `/a/index.html/`), which makes the rule a
+    *     FIXPOINT — canon(canon(u)) == canon(u), property-pinned. The
+    *     earlier two-step form (strip `/index.html$`, then slashes)
+    *     missed `/a/index.html/` and stacked `/index.html/index.html`,
+    *     so a recrawl would re-digest the same page under a new key;
     *  6. query keys sorted (param order never matters), empty params
     *     and `utm_*` tracking params dropped; an emptied query drops
     *     its `?`.
@@ -49,8 +54,7 @@ object Crawl {
         .when(scheme === "https" && port === "443", lit(""))
         .otherwise(concat(lit(":"), port))
     val rawPath = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*([^?]*)", 1)
-    val path = regexp_replace(
-      regexp_replace(rawPath, "/index\\.html$", "/"), "/+$", "")
+    val path = regexp_replace(rawPath, "(/index\\.html|/)+$", "")
     val rawQuery = regexp_extract(noFrag, "\\?(.*)$", 1)
     val params = array_sort(filter(split(rawQuery, "&"),
       p => p =!= "" && !p.startsWith("utm_")))

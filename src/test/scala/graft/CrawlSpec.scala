@@ -32,9 +32,13 @@ class CrawlSpec extends AnyFunSuite {
     assert(canon("https://example.com:80/a") == "https://example.com:80/a")
     // fragment dropped
     assert(canon("http://example.com/a#frag") == "http://example.com/a")
-    // trailing slash + index.html equivalences
+    // trailing slash + index.html equivalences — a FIXPOINT: any
+    // trailing run of /index.html and / tokens drops in one pass
+    // (property-pinned idempotent in PropertySpec)
     assert(canon("http://example.com/a/") == "http://example.com/a")
     assert(canon("http://example.com/a/index.html") == "http://example.com/a")
+    assert(canon("http://example.com/a/index.html/") == "http://example.com/a")
+    assert(canon("http://example.com/index.html/index.html") == "http://example.com")
     assert(canon("http://example.com/") == "http://example.com")
     // query keys sorted; empty + utm_* params dropped; emptied ? dropped
     assert(canon("http://example.com/a?b=2&a=1") == "http://example.com/a?a=1&b=2")

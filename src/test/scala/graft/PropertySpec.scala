@@ -174,6 +174,52 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalizeUrl is idempotent on random messy URLs") {
+    // A canonical URL must re-canonicalize to ITSELF: a recrawl stores
+    // canonical forms, and if canon(canon(u)) != canon(u) the same page
+    // re-digests to a new key next wave and the dedup silently forks.
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Crawl
+    val urlGen: Gen[String] = for {
+      scheme <- Gen.oneOf("http", "HTTP", "https", "HtTpS")
+      www <- Gen.oneOf("", "www.", "WWW.")
+      host <- Gen.oneOf("Example.COM", "a.b.co.uk", "x1.example.org")
+      port <- Gen.oneOf("", ":80", ":443", ":8080")
+      segs <- Gen.listOfN(2, Gen.oneOf("A", "b9", "Cc", "index.html"))
+      slash <- Gen.oneOf("", "/", "//")
+      query <- Gen.oneOf("", "?b=2&a=1", "?utm_source=x&id=3", "?&&z=1")
+      frag <- Gen.oneOf("", "#frag", "#a/b?c")
+    } yield s"$scheme://$www$host$port/${segs.mkString("/")}$slash$query$frag"
+    val urls = scala.collection.mutable.ListBuffer.empty[String]
+    forAll(urlGen, n = 120)(urls += _)
+    val sess = s
+    import sess.implicits._
+    val once = urls.toSeq.toDF("u")
+      .select(Crawl.canonicalizeUrl(col("u")).as("c"))
+    val twice = once.select(col("c").as("orig"),
+      Crawl.canonicalizeUrl(col("c")).as("again"))
+    val diff = twice.filter(col("orig") =!= col("again")).collect()
+    assert(diff.isEmpty,
+      s"non-idempotent canonicalizations: ${diff.take(5).mkString("; ")}")
+  }
+
+  test("urlTemplateReport template extraction is idempotent and digit-free") {
+    val s = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val gen: Gen[String] = Gen.listOfN(3,
+      Gen.oneOf("cal", "2026", "p7x", "99", "item")).map("/" + _.mkString("/"))
+    val paths = scala.collection.mutable.ListBuffer.empty[String]
+    forAll(gen, n = 80)(paths += _)
+    val sess = s
+    import sess.implicits._
+    val t = paths.toSeq.toDF("p")
+      .select(regexp_replace(col("p"), "[0-9]+", "N").as("t"))
+    val bad = t.filter(col("t").rlike("[0-9]") ||
+        regexp_replace(col("t"), "[0-9]+", "N") =!= col("t")).collect()
+    assert(bad.isEmpty, s"templates must be digit-free fixpoints: ${bad.take(5).mkString(";")}")
+  }
+
   test("stripMarkup on tag- and entity-free text is exactly whitespace normalization") {
     import org.apache.spark.sql.functions._
     val s = TestSpark.spark
