@@ -146,6 +146,14 @@ object Bench {
       var cut = 0
       while (cut < maxDrop && runs(cut) > 1.5 * med &&
           (cut == 0 || runs(cut) < runs(cut - 1))) cut += 1
+      // A ONE-element "warm-in prefix" in a 3-run sample is vacuously
+      // monotone — it cannot be distinguished from a genuine co-tenant
+      // burst that happened to land first, and trimming it undercounts
+      // exactly the noise mode that dominates this machine. Demand
+      // either a real descent (>= 2 decreasing over-median runs) or a
+      // sample big enough (>= 4) that the fallback would drop the
+      // first run anyway.
+      if (cut == 1 && runs.size < 4) cut = 0
       val steady =
         if (cut > 0) runs.drop(cut)
         else if (runs.size >= 4) runs.drop(1)
@@ -468,8 +476,12 @@ object Bench {
       .mkString("{", ",", "}")
     val repsJson = repsUsed.map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
+    // `recycle_every` records the session-recycle cadence the sweep ran
+    // under: recycling changes the measurement context for late-sweep
+    // entries, so a cross-round diff must be able to see whether both
+    // sides used the same cadence (0 = recycling disabled).
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"recycle_every":$recycleEvery,"sf":${jsonStr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
 

@@ -507,7 +507,8 @@ object QueriesR11 {
         |    (doc_id + j * 131) % (SELECT count(*) FROM documents) AS dst,
         |    array_to_string(string_split(text, ' ')[1:3], ' ') AS anchor
         |  FROM documents, unnest(generate_series(1, doc_id % 4)) t(j)),
-        |t AS (SELECT dst AS id, unnest(string_split(lower(anchor), ' ')) AS term
+        |t AS (SELECT dst AS id,
+        |        unnest(regexp_split_to_array(lower(anchor), '\s+')) AS term
         |      FROM e),
         |c AS (SELECT id, term, count(*) AS n FROM t WHERE term <> ''
         |      GROUP BY id, term),

@@ -129,6 +129,53 @@ object Crawl {
       .drop("__rn")
   }
 
+  /** MIRROR-AWARE exact URL dedup: [[urlDedup]] with the host first
+    * rewritten to its cluster-canonical host ([[mirrorClusters]]'
+    * `(host, canonical_host)` output, broadcast) — so the SAME page
+    * fetched from a mirror (`m3.example.com/p/7` vs
+    * `h3.example.com/p/7`) collapses to ONE survivor, which plain
+    * urlDedup cannot do (the canonical URLs differ in host). This is
+    * the decision the mirror-cluster election exists to feed: fetch
+    * one copy of a mirrored site, not one per mirror.
+    *
+    * The rewrite is pure string surgery on the canonical URL —
+    * scheme + elected host + everything after the original host
+    * (port, path, query untouched) — and hosts absent from `hostMap`
+    * map to themselves. Output keeps the input columns plus
+    * `canon_url` (the MIRROR-canonical URL the survivor represents).
+    *
+    * Scale shape: [[urlDedup]]'s — map-only canonicalization, the
+    * host map as one broadcast join (|hosts| rows, tiny relative to
+    * fetches), then the single digest-keyed exchange. */
+  def mirrorAwareUrlDedup(
+      df: DataFrame,
+      urlCol: String,
+      hostMap: DataFrame,
+      orderBy: Seq[Column]): DataFrame = {
+    val canon = df.withColumn("__canon0", canonicalizeUrl(col(urlCol)))
+      .withColumn("__host0", urlHost(col("__canon0")))
+    val hm = broadcast(hostMap.select(
+      col("host").as("__mh"), col("canonical_host").as("__mcanon")))
+    val scheme = regexp_extract(col("__canon0"),
+      "^([a-z][a-z0-9+.-]*)://", 1)
+    val rest = regexp_extract(col("__canon0"),
+      "^[a-z][a-z0-9+.-]*://[^/:?]*(.*)$", 1)
+    val rewritten = canon
+      .join(hm, col("__host0") === col("__mh"), "left")
+      .withColumn("canon_url",
+        when(col("__host0") === "", col("__canon0")) // malformed input
+          .otherwise(concat(scheme, lit("://"),
+            coalesce(col("__mcanon"), col("__host0")), rest)))
+      .drop("__canon0", "__host0", "__mh", "__mcanon")
+    val w = Window
+      .partitionBy(sha2(col("canon_url").cast("binary"), 256))
+      .orderBy(orderBy: _*)
+    rewritten
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** Path component of a canonicalized URL (empty for malformed input
     * and for bare-host URLs — the canonicalizer already dropped the
     * lone trailing slash). */
@@ -255,6 +302,78 @@ object Crawl {
       .drop("__phost", "__delay")
   }
 
+  /** Path template for trap mining: digit runs collapse to `N`, so a
+    * calendar/pagination/session-id handler's unbounded URL spellings
+    * all land in one (host, template) cell. Shared by
+    * [[urlTemplateReport]] (which mines the cells) and
+    * [[frontierPlanGated]] (which excludes candidates matching a
+    * mined trap cell) — the two sides MUST template identically or
+    * the gate silently misses. */
+  def urlTemplate(path: Column): Column =
+    regexp_replace(path, "[0-9]+", "N")
+
+  /** The frontier, GATED: [[frontierPlan]] with the robots verdict and
+    * the trap report composed IN FRONT of the politeness schedule —
+    * what a production frontier actually runs (scheduling a denied or
+    * trap URL wastes the crawl budget politeness exists to protect).
+    *
+    *   1. canonicalize each candidate (map-only);
+    *   2. robots gate: [[robotsVerdict]] against the per-host rule
+    *      array (one broadcast join + a row-local fold — NOT
+    *      [[robotsFilter]]'s relational group-by, which would add an
+    *      URL-key exchange for rule fan-out this per-row fold avoids);
+    *   3. trap gate: (host, template) cells mined from `fetchLog` by
+    *      [[urlTemplateReport]], flagged cells broadcast as the anti
+    *      side (the trap table is bounded by the number of distinct
+    *      path TEMPLATES per host, small by construction);
+    *   4. survivors through the [[frontierPlan]] politeness schedule.
+    *
+    * Scale shape: both gates are broadcast joins over map-only
+    * projections, so the ONLY exchange on the candidate (high-
+    * cardinality) side is the politeness schedule's bounded per-host
+    * top-k — plan-pinned in CrawlSpec: exactly one exchange upstream
+    * of the final window, fed by the partial-top-k exec. The trap
+    * MINING side aggregates the fetch log separately (hostReport
+    * discipline, collapse-then-rollup) and only its flagged cells
+    * cross to the candidate side. */
+  def frontierPlanGated(
+      df: DataFrame,
+      urlCol: String,
+      priorityCol: String,
+      rules: DataFrame,
+      fetchLog: DataFrame,
+      logUrlCol: String,
+      policy: DataFrame,
+      defaultDelayS: Double,
+      maxPerHost: Int,
+      maxUrlsPerTemplate: Long): DataFrame = {
+    val base = df
+      .select(canonicalizeUrl(col(urlCol)).as("canon_url"),
+        col(priorityCol).cast("double").as("priority"))
+      .withColumn("host", urlHost(col("canon_url")))
+      .withColumn("path", urlPath(col("canon_url")))
+    val perHost = broadcast(robotsRulesPerHost(rules)
+      .select(col("host").as("__rhost"), col("rules").as("__rules")))
+    val traps = broadcast(
+      urlTemplateReport(fetchLog, logUrlCol, maxUrlsPerTemplate)
+        .filter(col("trap"))
+        .select(col("host").as("__thost"), col("template").as("__ttpl")))
+    val gated = base
+      .join(perHost, col("host") === col("__rhost"), "left")
+      .filter(robotsVerdict(col("path"), col("__rules")) % 2 =!= 0)
+      .join(traps,
+        col("host") === col("__thost") &&
+          urlTemplate(col("path")) === col("__ttpl"),
+        "left_anti")
+      .select(col("canon_url"), col("priority"), col("host"))
+    // canonicalizeUrl is a FIXPOINT (property-pinned), so handing the
+    // already-canonical URL back through frontierPlan's own
+    // canonicalization changes nothing — the survivors reuse the
+    // schedule verbatim instead of a copy of its window logic.
+    frontierPlan(gated, "canon_url", "priority", policy,
+      defaultDelayS, maxPerHost)
+  }
+
   /** Crawler-trap report: URL-template mining over the fetch log. Each
     * canonical URL's path collapses to a TEMPLATE (digit runs → `N`),
     * and a (host, template) cell whose distinct-URL count explodes past
@@ -274,7 +393,7 @@ object Crawl {
     val canon = canonicalizeUrl(col(urlCol))
     df.select(urlHost(canon).as("host"), urlPath(canon).as("path"),
         canon.as("canon_url"))
-      .withColumn("template", regexp_replace(col("path"), "[0-9]+", "N"))
+      .withColumn("template", urlTemplate(col("path")))
       .groupBy(col("host"), col("template"), col("canon_url"))
       .agg(count(lit(1)).as("__fetches"))
       .groupBy(col("host"), col("template"))

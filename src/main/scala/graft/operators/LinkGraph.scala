@@ -46,11 +46,17 @@ object LinkGraph {
     * dangling total is a one-row aggregate CROSS-JOINED as a broadcast
     * — kept lazy, no per-iteration driver action; the vertex left-join
     * keeps rank mass on no-inlink pages. The only driver scalar is N
-    * (one `count`). Lineage grows linearly with `iterations` — fine for
-    * the typical 5-20; at 100 TB materialize `ranks` through the
-    * persistent cache layer every few iterations (the same
-    * checkpoint-vs-lineage tradeoff as [[Dedup]]'s pointer-jumping,
-    * which documents the identical discipline).
+    * (one `count`). Lineage growth is EXPONENTIAL, not linear: each
+    * iteration references the previous `ranks` frame TWICE (once via
+    * the contribution sum, once via the dangling-mass aggregate), so
+    * the unmaterialized plan contains 2^k copies of the base scan
+    * after k iterations — measured at the knee in
+    * `tools/scale_probe_r12.scala` (4 iterations analyze in
+    * milliseconds; 12+ unpinned stalls Catalyst for minutes on a
+    * 5-vertex graph). `materializeEvery` (below) is therefore not an
+    * optimization but a correctness-of-scale requirement for real
+    * iteration counts — the same checkpoint-vs-lineage discipline as
+    * [[Dedup]]'s pointer-jumping.
     *
     * Returns `(id, rank_fp)` — `rank_fp/scale` is the rank as a
     * fraction of total mass.
@@ -67,7 +73,22 @@ object LinkGraph {
     * more is BIT-IDENTICAL to `pageRank(k1+k2)` (spec-pinned), so
     * resuming is exact, not approximate. Mass drift in a hand-rolled
     * `initial` self-corrects: the update is a contraction that
-    * re-approaches total mass `scale` at rate num/den per iteration. */
+    * re-approaches total mass `scale` at rate num/den per iteration.
+    *
+    * `materializeEvery` is the checkpoint-vs-lineage discipline the
+    * scaladoc above demands, as a parameter instead of prose: every k
+    * iterations `ranks` routes through [[Materialize.checkpoint]],
+    * bounding the plan at 2^k copies of the base per segment instead
+    * of 2^iterations total (the doubling comes from the two `ranks`
+    * references per iteration — see the lineage note above; measured
+    * in `tools/scale_probe_r12.scala`). Because every rank is a
+    * fixed-point Long, the checkpointed run is BIT-IDENTICAL to the
+    * unmaterialized one (spec-pinned in LinkGraphSpec) —
+    * materialization is purely a physical decision, exactly like
+    * [[Dedup.nearDupComponents]]' per-round pinning. The default 4
+    * keeps segments at 16 base copies (Catalyst-trivial) and leaves
+    * every ≤ 4-iteration refresh — including the declared queries —
+    * checkpoint-free; 0 disables. */
   def pageRank(
       edgesIn: DataFrame,
       srcCol: String,
@@ -76,7 +97,8 @@ object LinkGraph {
       dampingNum: Long = 85L,
       dampingDen: Long = 100L,
       scale: Long = 1000000000L,
-      initial: Option[DataFrame] = None): DataFrame = {
+      initial: Option[DataFrame] = None,
+      materializeEvery: Int = 4): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping $dampingNum/$dampingDen outside [0,1]")
@@ -101,7 +123,7 @@ object LinkGraph {
           .select(col("id"),
             coalesce(col("__prior"), lit(init)).as("rank_fp"))
     }
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
       // Every frame here descends from `edges`, so joins use column
       // NAMES (unique by construction), never dataset-qualified refs —
       // qualified attributes are ambiguous under Spark's self-join
@@ -123,6 +145,13 @@ object LinkGraph {
           (lit(base) +
             expr(s"$dampingNum * (coalesce(insum, 0L) + (dang div $n))" +
               s" div $dampingDen")).as("rank_fp"))
+      // Pin the rank frame every k iterations (never after the last —
+      // the caller decides whether the RESULT materializes). The
+      // values are fixed-point Longs, so this changes nothing but the
+      // plan depth.
+      if (materializeEvery > 0 && iter % materializeEvery == 0 &&
+          iter < iterations)
+        ranks = Materialize.checkpoint(ranks)
     }
     ranks
   }

@@ -122,6 +122,73 @@ object Pipeline {
     }
   }
 
+  /** Raw crawl records → the plain-text corpus every downstream
+    * operator consumes: exact URL dedup ([[Crawl.urlDedup]] — one
+    * survivor per canonical URL, best fetch first under `orderBy`),
+    * then WET-style markup strip + NFC normalization + control-char
+    * removal ([[TextAnalysis.stripMarkup]] ∘ `normalizeText`). The
+    * crawl front of [[releaseFromCrawl]], exposed separately so
+    * audits can query the extracted corpus without packing it.
+    *
+    * Scale shape: extraction is a map-only projection; the only
+    * exchange is urlDedup's digest-keyed window. Raw payloads never
+    * shuffle — the digest partitioning key is the canonical URL, and
+    * the payload column rides inside the one exchange that decides
+    * survivorship. */
+  def webCorpus(
+      fetches: DataFrame,
+      idCol: String,
+      urlCol: String,
+      rawCol: String,
+      orderBy: Seq[org.apache.spark.sql.Column]): DataFrame =
+    Crawl.urlDedup(fetches, urlCol, orderBy)
+      .select(col(idCol), col("canon_url"),
+        TextAnalysis.normalizeText(
+          TextAnalysis.stripMarkup(col(rawCol))).as("text"))
+
+  /** The END-TO-END web release — what a real pipeline runs from the
+    * fetch log to the training shards, every stage an already-gated
+    * operator:
+    *
+    *   urlDedup → extract (markup strip + NFC) → quality gate →
+    *   exact + near dedup → PII fingerprint → learned-BPE tokenize →
+    *   context-window packing
+    *
+    * i.e. [[webCorpus]] feeding [[releaseManifest]] — where
+    * `q_release` starts from already-extracted text, this starts from
+    * raw crawl records (the reference's own smoke sequence spirit,
+    * `integration_test_notebook.py:270-308`, applied to the full
+    * composition). Output schema is releaseManifest's: one manifest
+    * row per surviving document. */
+  def releaseFromCrawl(
+      fetches: DataFrame,
+      idCol: String,
+      urlCol: String,
+      rawCol: String,
+      orderBy: Seq[org.apache.spark.sql.Column],
+      windowLen: Long = 2048L,
+      bpeRounds: Int = 5): DataFrame =
+    releaseManifest(webCorpus(fetches, idCol, urlCol, rawCol, orderBy),
+      idCol, "text", windowLen, bpeRounds)
+
+  /** [[releaseFromCrawl]] routed through the persistent cache layer —
+    * [[releaseResumable]] over the extracted corpus. The extracted
+    * frame is a pure projection/window over the fetch log (no
+    * checkpoint in its lineage), so its plan fingerprints normally
+    * and the same version-tokened stage keys give the same resume
+    * semantics: a re-run in a NEW session reads the manifest table
+    * and executes no extract/dedup/tokenize/pack jobs at all. */
+  def releaseFromCrawlResumable(
+      fetches: DataFrame,
+      idCol: String,
+      urlCol: String,
+      rawCol: String,
+      orderBy: Seq[org.apache.spark.sql.Column],
+      windowLen: Long = 2048L,
+      bpeRounds: Int = 5): DataFrame =
+    releaseResumable(webCorpus(fetches, idCol, urlCol, rawCol, orderBy),
+      idCol, "text", windowLen, bpeRounds)
+
   /** INCREMENTAL release — the monthly-recrawl shape: clean an
     * arriving `batch`, drop every document whose text already exists
     * in the released `reference` corpus (digest anti join — reference

@@ -78,6 +78,113 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** BM25 over body text PLUS incoming anchor text as a second,
+    * weighted field — the web-search-101 composition
+    * ([[graft.operators.LinkGraph.anchorTerms]] produces the signal;
+    * this consumes it): how the rest of the web DESCRIBES a page
+    * often names it better than its own words, so a page whose
+    * in-link anchors say "spark" ranks for `spark` even when its body
+    * barely does. The simplified-BM25F shape: each field gets its own
+    * Okapi score with its own length normalization and document
+    * frequencies, and the document's score is
+    * `score_body + anchorWeight · score_anchor`.
+    *
+    * Anchor tokenization matches [[LinkGraph.anchorTerms]] exactly
+    * (lowercase, `\s+` split, empties dropped) so the two views of
+    * the anchor signal never diverge. The anchor FIELD of a document
+    * is the concatenation of all its incoming anchors: per-edge term
+    * counts sum per destination, and the field length is the total
+    * incoming term count. Documents with no in-links score on body
+    * alone (anchor tf 0); a corpus with no anchors at all scores
+    * identically to [[bm25]] (the anchor term is gated to 0, not
+    * NaN).
+    *
+    * Scale shape: the body side is [[bm25]]'s map-only scan. The
+    * anchor side folds each edge row-locally to fixed-width counts
+    * (the query terms are literals — the edge list is never exploded
+    * into (edge, term) rows), then ONE partial-aggregating exchange
+    * on the destination key sums them; the join back to the body scan
+    * is id-keyed on the (far smaller) pages-with-inlinks side. Stats
+    * stay one broadcast row, top-k stays TakeOrderedAndProject. */
+  def bm25WithAnchors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      edges: DataFrame,
+      dstCol: String,
+      anchorCol: String,
+      terms: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      anchorWeight: Double = 1.0,
+      topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct == terms, "query terms must be distinct")
+    require(terms.forall(_.matches("\\w+")),
+      "query terms must be single word tokens")
+    val toks = TextAnalysis.tokens(col(textCol))
+    def tfCol(t: String): String = s"__tf_$t"
+    def atfCol(t: String): String = s"__atf_$t"
+    val perDoc = df.select(
+      col(idCol) +:
+        size(toks).cast("long").as("__dl") +:
+        terms.map(t =>
+          size(filter(toks, x => x === lit(t))).cast("long").as(tfCol(t))): _*)
+    // Anchor tokenization — the anchorTerms contract.
+    val aToks = filter(split(lower(col(anchorCol)), "\\s+"), x => x =!= "")
+    val perDst = edges
+      .select(
+        col(dstCol).as(idCol) +:
+          size(aToks).cast("long").as("__alen") +:
+          terms.map(t => size(filter(aToks, x => x === lit(t)))
+            .cast("long").as(atfCol(t))): _*)
+      .groupBy(col(idCol))
+      .agg(sum(col("__alen")).as("__adl"),
+        terms.map(t => sum(col(atfCol(t))).as(atfCol(t))): _*)
+    val fielded = perDoc.join(perDst, Seq(idCol), "left")
+      .select(
+        col(idCol) +: col("__dl") +:
+          coalesce(col("__adl"), lit(0L)).as("__adl") +:
+          (terms.map(t => col(tfCol(t))) ++
+            terms.map(t =>
+              coalesce(col(atfCol(t)), lit(0L)).as(atfCol(t)))): _*)
+    val statCols =
+      count(lit(1)).as("__n") +: sum("__dl").as("__sumdl") +:
+        sum("__adl").as("__sumadl") +:
+        (terms.map(t =>
+          sum(when(col(tfCol(t)) > 0, 1L).otherwise(0L)).as(s"__df_$t")) ++
+          terms.map(t =>
+            sum(when(col(atfCol(t)) > 0, 1L).otherwise(0L)).as(s"__adf_$t")))
+    val stats = fielded.agg(statCols.head, statCols.tail: _*)
+    def okapi(tf: Column, dfT: Column, dl: Column, sumdl: Column): Column = {
+      val avgdl = sumdl.cast("double") / col("__n")
+      val idf = log(lit(1.0) +
+        (col("__n") - dfT.cast("double") + lit(0.5)) /
+          (dfT.cast("double") + lit(0.5)))
+      idf * (tf.cast("double") * (k1 + 1)) /
+        (tf.cast("double") +
+          lit(k1) * (lit(1.0 - b) + lit(b) * dl.cast("double") / avgdl))
+    }
+    val bodyScore = terms.map(t =>
+      okapi(col(tfCol(t)), col(s"__df_$t"), col("__dl"), col("__sumdl")))
+      .reduce(_ + _)
+    // Gate on corpus-level anchor presence so an anchor-free corpus
+    // degrades to plain bm25 instead of dividing by avgdl = 0.
+    val anchorScore = when(col("__sumadl") > 0,
+      terms.map(t =>
+        okapi(col(atfCol(t)), col(s"__adf_$t"), col("__adl"),
+          col("__sumadl"))).reduce(_ + _))
+      .otherwise(lit(0.0))
+    fielded
+      .crossJoin(broadcast(stats))
+      .filter((terms.map(t => col(tfCol(t)) > 0) ++
+        terms.map(t => col(atfCol(t)) > 0)).reduce(_ || _))
+      .select(col(idCol), col("__dl").as("dl"), col("__adl").as("adl"),
+        round(bodyScore + lit(anchorWeight) * anchorScore, 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** BM25 for MANY queries at once — `queries` is a `(qid, term)` row
     * table, answers are the `topK` docs per qid. The general form of
     * [[bm25]]'s literal-terms special case, shaped like an inverted

@@ -287,6 +287,78 @@ class CrawlSpec extends AnyFunSuite {
       "the stream gate's stateless fold must match the relational verdict")
   }
 
+  test("frontierPlanGated: robots-denied and trap URLs never reach the schedule") {
+    val s = spark
+    import s.implicits._
+    val cand = Seq(
+      ("http://a.com/private/x", 50.0), // robots-denied
+      ("http://a.com/cal/2026/5", 40.0), // lands in a mined trap cell
+      ("http://a.com/ok/1", 10.0),
+      ("http://a.com/ok/2", 30.0),
+      ("http://b.com/ok/9", 1.0)) // host with no rules, no traps
+      .toDF("url", "pri")
+    val rules = Seq(("a.com", "/private/", false)).toDF("host", "prefix", "allow")
+    val fetchLog = ((1 to 30).map(i => s"http://a.com/cal/2026/$i") ++
+      Seq("http://a.com/about")).toDF("url")
+    val policy = Seq(("a.com", 2.0)).toDF("host", "delay_s")
+    val out = Crawl.frontierPlanGated(cand, "url", "pri", rules,
+      fetchLog, "url", policy, defaultDelayS = 7.0, maxPerHost = 3,
+      maxUrlsPerTemplate = 10)
+    // Plan pin FIRST — after collect() AQE swaps exchanges for
+    // materialized query-stage leaves and the shuffle is invisible.
+    // The CANDIDATE side must cross exactly one exchange (the
+    // schedule's bounded top-k) — both gates are broadcast joins, and
+    // only the candidate lineage carries `priority`.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    // AdaptiveSparkPlanExec is a LEAF to TreeNode.collect — descend
+    // into it explicitly or the whole plan is invisible to the pin.
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case _ => p +: p.children.flatMap(nodes)
+    }
+    val candExchanges = nodes(out.queryExecution.executedPlan).collect {
+      case e: ShuffleExchangeLike
+        if e.child.output.exists(_.name == "priority") => e
+    }
+    assert(candExchanges.size == 1,
+      s"candidate side must shuffle exactly once, saw ${candExchanges.size}")
+    val rows = out.collect().map { r =>
+      r.getString(r.fieldIndex("canon_url")) -> ((
+        r.getLong(r.fieldIndex("rank")),
+        r.getDouble(r.fieldIndex("fetch_at_s"))))
+    }.toMap
+    assert(rows == Map(
+      "http://a.com/ok/2" -> ((1L, 0.0)),
+      "http://a.com/ok/1" -> ((2L, 2.0)),
+      "http://b.com/ok/9" -> ((1L, 0.0))),
+      s"gated schedule: $rows")
+  }
+
+  test("mirrorAwareUrlDedup: mirrored copies collapse to one survivor") {
+    val s = spark
+    import s.implicits._
+    val hostMap = Seq(
+      ("a.com", "a.com"), ("b.com", "a.com")) // b mirrors a
+      .toDF("host", "canonical_host")
+    val fetches = Seq(
+      (1L, "http://a.com/p/1"),
+      (2L, "http://b.com/p/1"), // same page via the mirror
+      (3L, "http://b.com/p/2"), // mirror-only page: still kept (rewritten)
+      (4L, "http://d.com/p/9")) // host absent from the map: identity
+      .toDF("id", "url")
+    val out = Crawl.mirrorAwareUrlDedup(
+        fetches, "url", hostMap, Seq(col("url").asc))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, "http://a.com/p/1", "http://a.com/p/1"), // a-copy wins (url asc)
+      (3L, "http://b.com/p/2", "http://a.com/p/2"),
+      (4L, "http://d.com/p/9", "http://d.com/p/9")),
+      s"survivors: ${out.mkString(",")}")
+  }
+
   test("paraDedup is lineDedup at paragraph granularity") {
     val s = spark
     import s.implicits._

@@ -112,18 +112,44 @@ class LinkGraphSpec extends AnyFunSuite {
       (2L, "aa", 1L, 1L), (2L, "zz", 1L, 2L)))
   }
 
+  test("pageRank materializeEvery: bit-identical ranks, plan depth bounded") {
+    // The checkpoint discipline is a PHYSICAL decision only: fixed-
+    // point Longs make the materialized run provably equal to the
+    // straight one, value for value.
+    val straight = rankMap(LinkGraph.pageRank(
+      triangle, "src", "dst", 7, materializeEvery = 0))
+    val pinned = LinkGraph.pageRank(
+      triangle, "src", "dst", 7, materializeEvery = 2)
+    assert(rankMap(pinned) == straight,
+      "materialization must not change a single rank unit")
+    // And it is WHY the option exists: the pinned plan's analyzed
+    // depth stays bounded by the window since the last checkpoint
+    // instead of growing with the full iteration count.
+    val unpinnedDepth = LinkGraph.pageRank(
+      triangle, "src", "dst", 7, materializeEvery = 0)
+      .queryExecution.analyzed.treeString.linesIterator.size
+    val pinnedDepth = pinned.queryExecution.analyzed.treeString
+      .linesIterator.size
+    assert(pinnedDepth < unpinnedDepth / 2,
+      s"pinned plan should be far shallower: $pinnedDepth vs $unpinnedDepth")
+  }
+
   test("pageRank: the only driver action is the vertex count") {
-    // Plan sanity: ranks is a lazy frame — building k iterations must
-    // not run per-iteration jobs (the dangling total is a broadcast
-    // cross join, not a collect), so construction cost is the vertex
-    // count alone, independent of k.
+    // Plan sanity: with materialization OFF, ranks is a lazy frame —
+    // building k iterations must not run per-iteration jobs (the
+    // dangling total is a broadcast cross join, not a collect), so
+    // construction cost is the vertex count alone, independent of k.
+    // (The materializeEvery default deliberately trades this laziness
+    // for bounded lineage past 4 iterations — its eager checkpoint
+    // jobs are the feature, covered by the bit-identity test above.)
     val sc = spark.sparkContext
     def jobs: Int = sc.statusTracker.getJobIdsForGroup(null).length
     val b1 = jobs
-    val df = LinkGraph.pageRank(triangle, "src", "dst", 1)
+    val df = LinkGraph.pageRank(triangle, "src", "dst", 1,
+      materializeEvery = 0)
     val oneIter = jobs - b1
     val b6 = jobs
-    LinkGraph.pageRank(triangle, "src", "dst", 6)
+    LinkGraph.pageRank(triangle, "src", "dst", 6, materializeEvery = 0)
     val sixIter = jobs - b6
     assert(sixIter == oneIter,
       s"construction jobs must not scale with iterations: 1-iter=$oneIter 6-iter=$sixIter")

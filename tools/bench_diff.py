@@ -14,8 +14,30 @@ Entries whose recorded run spread (either round) already exceeds the
 tolerance band are reported as "noisy" rather than violations: a delta
 inside the measurement's own noise is not evidence of regression.
 
+Ambient normalization (round 12): a whole SWEEP can run hot — the
+round-11 driver sweep measured 132.2 s where two same-tree builder
+sweeps measured 116.7/117.2 s, and its 6 "violations" were all queries
+nobody had touched. The sweep-wide slowdown estimator is the MEDIAN of
+per-query ratios cur/base over the common entries with a non-trivial
+base (>= 0.05 s): a co-tenant/ambient shift moves the median, a few
+genuine regressions cannot. When that `ambient_ratio` exceeds
+--ambient-threshold (default 1.10), each would-be violation is
+re-tested with its current median DEFLATED by the ambient ratio; an
+entry that passes the deflated test moves to `ambient_suspect` —
+reported, not fatal, with the instruction to re-measure it isolated.
+An entry that fails even after deflation is a genuine violation.
+
+Isolated re-measures: --isolated FILE(s) take BENCH_DETAIL(_PARTIAL)
+files from `SPARK_GRAFT_ONLY=...` runs of the SAME build; their
+medians override --cur for the queries they contain (marked
+`isolated: true` in the report). An isolated single-query run carries
+no sweep-context debt, so it settles ambient-suspect entries
+mechanically: the final verdict for an overridden query uses the
+isolated median against the plain (undeflated) tolerance.
+
 Usage:
   tools/bench_diff.py [--base-ref HEAD~1 | --base FILE] [--cur FILE]
+                      [--isolated FILE ...]
                       [--tolerance 1.5] [--floor 0.25] [--out FILE]
 Exit 1 when violations is non-empty.
 """
@@ -42,8 +64,17 @@ def main():
                          "load noise is strictly additive, so the min "
                          "across sweeps is the robust capability "
                          "estimate for regression detection")
+    ap.add_argument("--isolated", nargs="+", default=None,
+                    help="BENCH_DETAIL(_PARTIAL).json files from "
+                         "SPARK_GRAFT_ONLY isolated re-measures of the "
+                         "same build; their medians override --cur for "
+                         "the queries they contain")
     ap.add_argument("--tolerance", type=float, default=1.5)
     ap.add_argument("--floor", type=float, default=0.25)
+    ap.add_argument("--ambient-threshold", type=float, default=1.10,
+                    help="median cur/base ratio above which the sweep "
+                         "is classified ambient-hot and would-be "
+                         "violations are re-tested deflated")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -66,30 +97,69 @@ def main():
     bq, cq = base["queries"], cur["queries"]
     bs, cs = base.get("run_spread", {}), cur.get("run_spread", {})
 
+    isolated = {}
+    for f in (args.isolated or []):
+        iso = json.load(open(f))
+        for q, v in iso["queries"].items():
+            # Several isolated files may re-measure the same query;
+            # keep the min (additive-noise argument, as --cur-min-of).
+            if q not in isolated or v < isolated[q][0]:
+                isolated[q] = (v, iso.get("run_spread", {}).get(q), f)
+
     common = sorted(set(bq) & set(cq))
-    violations, noisy, improved = [], [], []
+    # Sweep-wide ambient estimator: median per-query ratio over entries
+    # whose base is big enough that the ratio means something.
+    ratios = sorted(cq[q] / bq[q] for q in common if bq[q] >= 0.05)
+    ambient = ratios[len(ratios) // 2] if ratios else 1.0
+    ambient_hot = ambient > args.ambient_threshold
+
+    violations, noisy, improved, suspects = [], [], [], []
     for q in common:
         b, c = bq[q], cq[q]
         entry = {"query": q, "base": b, "cur": c,
                  "ratio": round(c / b, 3) if b > 0 else None,
                  "spread_base": bs.get(q), "spread_cur": cs.get(q)}
+        if q in isolated:
+            iv, isp, ifile = isolated[q]
+            entry.update({"isolated": True, "cur": iv,
+                          "cur_in_sweep": c,
+                          "ratio": round(iv / b, 3) if b > 0 else None,
+                          "spread_cur": isp, "isolated_from": ifile})
+            c = iv
         if b > 0 and c / b > args.tolerance and c - b > args.floor:
-            spread = max(bs.get(q, 0.0), cs.get(q, 0.0))
-            (noisy if spread > args.tolerance - 1.0 else violations).append(entry)
+            spread = max(bs.get(q, 0.0) or 0.0, (entry["spread_cur"] or 0.0))
+            if spread > args.tolerance - 1.0:
+                noisy.append(entry)
+            elif (ambient_hot and not entry.get("isolated")
+                  and (c / ambient) / b <= args.tolerance):
+                entry["deflated_ratio"] = round((c / ambient) / b, 3)
+                suspects.append(entry)
+            else:
+                violations.append(entry)
         elif c > 0 and b / c > args.tolerance and b - c > args.floor:
             improved.append(entry)
 
     report = {
         "base": args.base or f"{args.base_ref}:BENCH_DETAIL.json",
         "cur": args.cur,
+        "isolated_overrides": sorted(isolated),
         "tolerance": args.tolerance,
         "floor_sec": args.floor,
         "n_common": len(common),
+        "ambient_ratio": round(ambient, 3),
+        "ambient_hot": ambient_hot,
+        "ambient_note": (
+            "median per-query cur/base ratio > threshold: the whole "
+            "sweep ran hot; entries in ambient_suspect pass at the "
+            "deflated ratio and need an isolated re-measure "
+            "(SPARK_GRAFT_ONLY=<q> runMain graft.Bench), passed back "
+            "via --isolated, to be settled" if ambient_hot else None),
         "added": sorted(set(cq) - set(bq)),
         "removed": sorted(set(bq) - set(cq)),
         "sum_base": round(sum(bq[q] for q in common), 3),
         "sum_cur": round(sum(cq[q] for q in common), 3),
         "violations": sorted(violations, key=lambda e: -e["ratio"]),
+        "ambient_suspect": sorted(suspects, key=lambda e: -e["ratio"]),
         "noisy_regressions": sorted(noisy, key=lambda e: -e["ratio"]),
         "improvements": sorted(improved, key=lambda e: e["ratio"]),
         "ok": not violations,
