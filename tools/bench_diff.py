@@ -120,12 +120,17 @@ def main():
                  "ratio": round(c / b, 3) if b > 0 else None,
                  "spread_base": bs.get(q), "spread_cur": cs.get(q)}
         if q in isolated:
+            # Same-build measurements all estimate one capability and
+            # co-tenant noise is additive, so the MIN of sweep and
+            # isolated medians is the robust estimate (an isolated run
+            # on a hot machine must not mask a clean in-sweep number).
             iv, isp, ifile = isolated[q]
-            entry.update({"isolated": True, "cur": iv,
-                          "cur_in_sweep": c,
-                          "ratio": round(iv / b, 3) if b > 0 else None,
+            best = min(c, iv)
+            entry.update({"isolated": True, "cur": best,
+                          "cur_in_sweep": c, "cur_isolated": iv,
+                          "ratio": round(best / b, 3) if b > 0 else None,
                           "spread_cur": isp, "isolated_from": ifile})
-            c = iv
+            c = best
         if b > 0 and c / b > args.tolerance and c - b > args.floor:
             spread = max(bs.get(q, 0.0) or 0.0, (entry["spread_cur"] or 0.0))
             if spread > args.tolerance - 1.0:
