@@ -351,7 +351,7 @@ object QueriesR11 {
     * doc u links to (u + j*131) % N for j in 1..(u%4), so out-degrees
     * vary 0-3 and every fourth doc is dangling. Both engines replay
     * the synthesis (the modulus N is the document count). */
-  private def linkEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def linkEdges(s: SparkSession, d: String): DataFrame = {
     val ds = docs(s, d)
     val n = ds.count()
     val m = col("doc_id") % 4
@@ -362,7 +362,7 @@ object QueriesR11 {
   }
 
   /** The DuckDB replay of [[linkEdges]] as a CTE named `e`. */
-  private val EdgeCte =
+  private[graft] val EdgeCte =
     """e AS (SELECT doc_id AS src,
       |    (doc_id + j * 131) % (SELECT count(*) FROM documents) AS dst
       |  FROM documents, unnest(generate_series(1, doc_id % 4)) t(j))""".stripMargin
@@ -372,10 +372,10 @@ object QueriesR11 {
     * arithmetic mirrored operator-for-operator (`//` for `div`).
     * [[pageRankCtes]] emits the chain (final ranks in `r<iters>`) so
     * compositions can keep building on it. */
-  private def pageRankOracle(iters: Int): String =
+  private[graft] def pageRankOracle(iters: Int): String =
     s"WITH ${pageRankCtes(iters)}\nSELECT id, rank_fp FROM r$iters"
 
-  private def pageRankCtes(iters: Int): String = {
+  private[graft] def pageRankCtes(iters: Int): String = {
     val header =
       s"""$EdgeCte,
          |v AS (SELECT DISTINCT id FROM

@@ -115,6 +115,36 @@ object QueriesR12 {
         ds, "doc_id", "text", e, "dst", "anchor",
         Seq("spark", "window", "vector"), anchorWeight = 1.5)
     },
+    // --- PERSONALIZED PageRank: teleport mass restricted to the seed
+    //     set (doc_id % 17 == 0) — the "more pages like these trusted
+    //     ones" curation expansion. Same fixed-point integer
+    //     discipline as q_pagerank; dangling mass teleports back to
+    //     the seeds; the oracle unrolls the identical arithmetic. ---
+    "q_ppr" -> { (s, d) =>
+      val ds = docs(s, d)
+      val seeds = ds.select(col("doc_id").as("id"))
+        .filter(col("id") % 17 === 0)
+      operators.LinkGraph.personalizedPageRank(
+        QueriesR11.linkEdges(s, d), "src", "dst", seeds, iterations = 4)
+    },
+    // --- HITS hubs & authorities: the Kleinberg complement to
+    //     PageRank — authorities are content pages worth keeping,
+    //     hubs the directory pages worth crawling. Fixed-point with
+    //     integer renormalization to total mass each half-step, so
+    //     both engines replay it exactly. 2 iterations. ---
+    "q_hits" -> ((s, d) =>
+      operators.LinkGraph.hits(
+        QueriesR11.linkEdges(s, d), "src", "dst", iterations = HitsIters)),
+    // --- PageRank through the CHECKPOINT discipline: 6 iterations
+    //     pinned every 2 — the oracle is the straight 6-iteration
+    //     unroll, so the cache/checkpoint layer's bit-transparency is
+    //     driver-gated cross-engine, not just spec-asserted (the
+    //     lineage doubles per iteration, so real iteration counts
+    //     REQUIRE the pinning; this proves it free of semantics). ---
+    "q_pagerank_pinned" -> ((s, d) =>
+      operators.LinkGraph.pageRank(
+        QueriesR11.linkEdges(s, d), "src", "dst", iterations = 6,
+        materializeEvery = 2)),
     // --- the END-TO-END web release: fetch log (two messy spellings
     //     per page, markup-wrapped payload) → urlDedup → extract
     //     (markup strip + NFC) → quality gate → exact/near dedup →
@@ -162,6 +192,75 @@ object QueriesR12 {
       |  ('site0.example.com', '/public/', true),
       |  ('site1.example.com', '/p', true),
       |  ('site1.example.com', '/p', false)""".stripMargin
+
+  /** HITS power-iteration count for q_hits (unrolled in the oracle). */
+  private val HitsIters = 2
+
+  /** The q_ppr oracle: [[operators.LinkGraph.personalizedPageRank]]
+    * unrolled — the [[QueriesR11.EdgeCte]] graph, seeds doc_id%17==0,
+    * the seed-gated base + dangling-teleport + contribution arithmetic
+    * mirrored `div` for `//`. */
+  private def pprOracle(iters: Int): String = {
+    val header =
+      s"""${QueriesR11.EdgeCte},
+         |v AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 17 = 0),
+         |ss AS (SELECT count(*) AS s FROM sd),
+         |r0 AS (SELECT v.id,
+         |    CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
+         |    CAST(CASE WHEN sd.id IS NOT NULL
+         |      THEN 1000000000 // ss.s ELSE 0 END AS BIGINT) AS rank_fp
+         |  FROM v LEFT JOIN sd ON v.id = sd.id, ss)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS (SELECT e.dst AS id, sum(r.rank_fp // od.outdeg) AS insum
+         |  FROM e JOIN od ON e.src = od.src JOIN r${i - 1} r ON e.src = r.id
+         |  GROUP BY e.dst),
+         |d$i AS (SELECT coalesce(sum(r.rank_fp), 0) AS dang FROM r${i - 1} r
+         |  WHERE r.id NOT IN (SELECT src FROM od)),
+         |r$i AS (SELECT r0.id, r0.is_seed, CAST(
+         |    r0.is_seed * ((15 * (1000000000 // ss.s)) // 100
+         |      + (85 * (d.dang // ss.s)) // 100)
+         |    + (85 * coalesce(c.insum, 0)) // 100 AS BIGINT) AS rank_fp
+         |  FROM r0 LEFT JOIN c$i c ON r0.id = c.id, d$i d, ss)""".stripMargin
+    }
+    s"WITH ${(header +: steps).mkString(",\n")}\n" +
+      s"SELECT id, rank_fp FROM r$iters"
+  }
+
+  /** The q_hits oracle: hub/authority half-steps each renormalized to
+    * total mass scale by `x·scale // Σx`, unrolled per iteration. */
+  private def hitsOracle(iters: Int): String = {
+    val header =
+      s"""${QueriesR11.EdgeCte},
+         |v AS (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |nn AS (SELECT count(*) AS n FROM v),
+         |h0 AS (SELECT id, CAST(1000000000 // nn.n AS BIGINT) AS hub
+         |       FROM v, nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""ar$i AS (SELECT e.dst AS id, sum(h.hub) AS x
+         |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
+         |arf$i AS (SELECT v.id, coalesce(ar$i.x, 0) AS x
+         |  FROM v LEFT JOIN ar$i ON v.id = ar$i.id),
+         |at$i AS (SELECT sum(x) AS t FROM arf$i),
+         |a$i AS (SELECT id, CAST(CASE WHEN t > 0
+         |    THEN (x * 1000000000) // t ELSE 0 END AS BIGINT) AS auth
+         |  FROM arf$i, at$i),
+         |hr$i AS (SELECT e.src AS id, sum(a.auth) AS x
+         |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
+         |hrf$i AS (SELECT v.id, coalesce(hr$i.x, 0) AS x
+         |  FROM v LEFT JOIN hr$i ON v.id = hr$i.id),
+         |ht$i AS (SELECT sum(x) AS t FROM hrf$i),
+         |h$i AS (SELECT id, CAST(CASE WHEN t > 0
+         |    THEN (x * 1000000000) // t ELSE 0 END AS BIGINT) AS hub
+         |  FROM hrf$i, ht$i)""".stripMargin
+    }
+    s"WITH ${(header +: steps).mkString(",\n")}\n" +
+      s"SELECT h$iters.id, h$iters.hub AS hub_fp, a$iters.auth AS auth_fp\n" +
+      s"FROM h$iters JOIN a$iters USING (id)"
+  }
 
   private def okapiTerm(tf: String, df: String, dl: String,
       sumdl: String): String =
@@ -315,6 +414,11 @@ object QueriesR12 {
          |WHERE tf1 > 0 OR tf2 > 0 OR tf3 > 0
          |   OR atf1 > 0 OR atf2 > 0 OR atf3 > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_ppr" -> pprOracle(4),
+    "q_hits" -> hitsOracle(HitsIters),
+    // Checkpointing is bit-transparent: the pinned 6-iteration run
+    // replays against the straight 6-iteration unroll.
+    "q_pagerank_pinned" -> QueriesR11.pageRankOracle(6),
     // The web release must be bit-identical to the plain release —
     // the crawl front's URL dedup and extraction invert the fetch
     // synthesis exactly (same contract as q_release_resumed).

@@ -156,6 +156,154 @@ object LinkGraph {
     ranks
   }
 
+  /** PERSONALIZED PageRank: teleport mass flows only to `seeds` — the
+    * seed-set expansion primitive behind curation ("give me more pages
+    * like these trusted ones"): rank concentrates in the seeds'
+    * link neighborhood instead of spreading globally, so the top
+    * non-seed ranks ARE the expansion set. Same fixed-point integer
+    * discipline as [[pageRank]] (bit-stable, SQL-replayable):
+    *
+    *   rank₀(v)    = [v∈S] · (scale div |S|)
+    *   rankₜ₊₁(v) = [v∈S]·( (den−num)·(scale div |S|) div den
+    *                        + num·(dangₜ div |S|) div den )
+    *               + num·Σ_{u→v} rankₜ(u) div outdeg(u) div den
+    *
+    * with dangling mass teleporting back to the seeds (the standard
+    * PPR convention — dangling pages "restart" the surfer). Note the
+    * dangling term sits in its own num·x div den so every operation
+    * stays integer and order-free.
+    *
+    * Scale shape: identical to [[pageRank]] — one dst-keyed exchange
+    * per iteration, dangling total as a one-row broadcast, seeds as a
+    * broadcast flag join (seed sets are small by definition). Driver
+    * scalars: |S| (one count). Same `materializeEvery` discipline
+    * (the lineage doubles per iteration here too). */
+  def personalizedPageRank(
+      edgesIn: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      iterations: Int,
+      dampingNum: Long = 85L,
+      dampingDen: Long = 100L,
+      scale: Long = 1000000000L,
+      materializeEvery: Int = 4): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val edges = edgesIn.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val seedFlag = broadcast(
+      seeds.select(col("id").cast("long").as("id")).distinct()
+        .withColumn("__seed", lit(1L)))
+    val flagged = verts.join(seedFlag, Seq("id"), "left")
+      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
+    val s = seedFlag.count() // the one driver scalar
+    require(s > 0, "personalizedPageRank needs a non-empty seed set")
+    val init = scale / s
+    val base = ((dampingDen - dampingNum) * init) / dampingDen
+    var ranks = flagged.select(col("id"), col("is_seed"),
+      (col("is_seed") * init).as("rank_fp"))
+    for (iter <- 1 to iterations) {
+      val contribs = edges
+        .join(outdeg, "src")
+        .join(ranks.select(col("id").as("src"), col("rank_fp")), "src")
+        .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("insum"))
+      val dangling = ranks
+        .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
+      ranks = flagged
+        .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(
+          col("id"), col("is_seed"),
+          (col("is_seed") * (lit(base) +
+              expr(s"$dampingNum * (dang div $s) div $dampingDen")) +
+            expr(s"$dampingNum * coalesce(insum, 0L) div $dampingDen"))
+            .as("rank_fp"))
+      if (materializeEvery > 0 && iter % materializeEvery == 0 &&
+          iter < iterations)
+        ranks = Materialize.checkpoint(ranks)
+    }
+    ranks.select(col("id"), col("rank_fp"))
+  }
+
+  /** HITS hubs & authorities (Kleinberg 1999) in the same fixed-point
+    * integer discipline: authority = sum of in-neighbor hub scores,
+    * hub = sum of out-neighbor authority scores, each renormalized to
+    * total mass `scale` after every half-step (`x·scale div Σx` —
+    * the one-row sum broadcasts, so normalization is exact integer
+    * arithmetic and the whole iteration replays in SQL). The classic
+    * complement to PageRank for crawl curation: authorities are the
+    * content pages worth keeping, hubs are the link/directory pages
+    * worth crawling but not training on.
+    *
+    * Scale shape, per iteration: one dst-keyed exchange (authority
+    * sum), one src-keyed exchange (hub sum), two one-row broadcasts.
+    * Lineage growth is even steeper than [[pageRank]]'s: each
+    * half-step references its input once for the sum and once for the
+    * renormalization total, so an unpinned plan grows ~4^k with k
+    * iterations — `materializeEvery` defaults to 2 here (≤ 16 base
+    * copies per segment), and like pageRank the pinned run is
+    * bit-identical (spec-pinned). Returns `(id, hub_fp, auth_fp)`. */
+  def hits(
+      edgesIn: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iterations: Int,
+      scale: Long = 1000000000L,
+      materializeEvery: Int = 2): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val edges = edgesIn.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val n = verts.count()
+    var scores = verts.select(col("id"),
+      lit(scale / n).as("hub_fp"), lit(scale / n).as("auth_fp"))
+    def renorm(df: DataFrame, cName: String): DataFrame = {
+      val total = df.agg(
+        coalesce(sum(col(cName)), lit(0L)).as("__tot"))
+      df.crossJoin(broadcast(total))
+        .select(col("id"),
+          when(col("__tot") > 0,
+            expr(s"$cName * ${scale}L div __tot"))
+            .otherwise(lit(0L)).as(cName))
+    }
+    for (iter <- 1 to iterations) {
+      val auth = renorm(
+        verts.join(
+            edges.join(scores.select(col("id").as("src"), col("hub_fp")),
+                "src")
+              .groupBy(col("dst")).agg(sum(col("hub_fp")).as("auth_fp"))
+              .withColumnRenamed("dst", "id"),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("auth_fp"), lit(0L)).as("auth_fp")),
+        "auth_fp")
+      val hub = renorm(
+        verts.join(
+            edges.join(auth.select(col("id").as("dst"), col("auth_fp")),
+                "dst")
+              .groupBy(col("src")).agg(sum(col("auth_fp")).as("hub_fp"))
+              .withColumnRenamed("src", "id"),
+            Seq("id"), "left")
+          .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp")),
+        "hub_fp")
+      scores = hub.join(auth, Seq("id"))
+      if (materializeEvery > 0 && iter % materializeEvery == 0 &&
+          iter < iterations)
+        scores = Materialize.checkpoint(scores)
+    }
+    scores.select(col("id"), col("hub_fp"), col("auth_fp"))
+  }
+
   /** Per-destination anchor-text profile: the k most frequent terms in
     * the anchor text of a page's incoming links — how the REST of the
     * web describes a page, the classic index-side retrieval/quality

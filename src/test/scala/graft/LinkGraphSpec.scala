@@ -134,6 +134,56 @@ class LinkGraphSpec extends AnyFunSuite {
       s"pinned plan should be far shallower: $pinnedDepth vs $unpinnedDepth")
   }
 
+  test("personalizedPageRank: one hand-computed iteration, seed-only teleport") {
+    val s = spark
+    import s.implicits._
+    val seeds = Seq(1L).toDF("id")
+    // s=1: init=1e9 on vertex 1 only; base=(15*1e9)/100.
+    // Contribs after r0: 1 -> 2 carries the full 1e9; 2's rank is 0.
+    // Dangling 3 holds 0. So r1 = (seed base, 85% of 1e9, 0).
+    val r = rankMap(LinkGraph.personalizedPageRank(
+      triangle, "src", "dst", seeds, iterations = 1))
+    assert(r == Map(1L -> 150000000L, 2L -> 850000000L, 3L -> 0L), r.toString)
+  }
+
+  test("personalizedPageRank: mass stays in the seed neighborhood") {
+    val s = spark
+    import s.implicits._
+    // Two disconnected triangles 1-2-3 and 11-12-13; seeding {1} must
+    // leave the other component at exactly zero forever.
+    val twoTri = Seq((1L, 2L), (2L, 3L), (3L, 1L),
+      (11L, 12L), (12L, 13L), (13L, 11L)).toDF("src", "dst")
+    val r = rankMap(LinkGraph.personalizedPageRank(
+      twoTri, "src", "dst", Seq(1L).toDF("id"), iterations = 5))
+    assert(Seq(11L, 12L, 13L).forall(r(_) == 0L),
+      s"unreachable component must hold zero mass: $r")
+    assert(r(1L) > 0 && r(2L) > 0 && r(3L) > 0)
+  }
+
+  test("hits: star graph — sink is the authority, sources are the hubs") {
+    val s = spark
+    import s.implicits._
+    val star = (0L to 8L).map(u => (u, 9L)).toDF("src", "dst")
+    val rows = LinkGraph.hits(star, "src", "dst", iterations = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // auth: only 9 has in-links; renorm gives it the whole scale.
+    // hub: each source's raw hub = auth(9) = 1e9; nine-way split.
+    assert(rows(9L) == ((0L, 1000000000L)), rows.toString)
+    (0L to 8L).foreach(u => assert(rows(u) == ((111111111L, 0L))))
+  }
+
+  test("hits: materialization is bit-transparent") {
+    // 3 iterations unpinned is already 4^3 = 64 base copies (each
+    // half-step reads its input twice: sum + renorm total) — more
+    // than enough to prove transparency without stalling Catalyst.
+    val r0 = LinkGraph.hits(triangle, "src", "dst", 3, materializeEvery = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val r1 = LinkGraph.hits(triangle, "src", "dst", 3, materializeEvery = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(r0 == r1)
+  }
+
   test("pageRank: the only driver action is the vertex count") {
     // Plan sanity: with materialization OFF, ranks is a lazy frame —
     // building k iterations must not run per-iteration jobs (the
