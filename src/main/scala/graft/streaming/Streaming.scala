@@ -229,6 +229,32 @@ object Streaming {
       .drop("rules", "__best")
   }
 
+  /** Streaming FRONTIER GATE: [[robotsGateStream]] composed with the
+    * trap-cell exclusion — the full admission decision of
+    * [[graft.operators.Crawl.frontierPlanGated]] minus the politeness
+    * ranking (per-host rank/slot assignment is a global order, which
+    * a stream cannot emit incrementally; scheduling stays a batch
+    * decision over the gated pool). `traps` is the batch-mined
+    * `(host, template)` flagged-cell table
+    * ([[graft.operators.Crawl.urlTemplateReport]] filtered to
+    * `trap`), joined broadcast-anti; like the robots fold it is a
+    * stream-static per-row lookup, so the whole gate still carries
+    * ZERO streaming state. Emits the admitted fetches with their
+    * `canon_url`/`host`/`path`; parity with the batch gate is
+    * spec-pinned. */
+  def frontierGateStream(
+      fetches: DataFrame,
+      rulesPerHost: DataFrame,
+      traps: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    robotsGateStream(fetches, rulesPerHost, urlCol)
+      .filter(col("allowed"))
+      .join(broadcast(traps.select(
+          col("host").as("__thost"), col("template").as("__ttpl"))),
+        col("host") === col("__thost") &&
+          graft.operators.Crawl.urlTemplate(col("path")) === col("__ttpl"),
+        "left_anti")
+
   /** Stream-stream interval join: each purchase attributes to the SAME
     * user's views within the preceding `window`. Both sides carry
     * watermarks and the join condition bounds event time on both sides,

@@ -266,6 +266,51 @@ class StreamingSpec extends AnyFunSuite {
       s"deny under /private/, allow the longer /private/open/, default allow: $out")
   }
 
+  test("streaming frontier gate: robots verdict + trap cells, batch parity") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rules = Seq(("a.com", "/private/", false)).toDF("host", "prefix", "allow")
+    val perHost = graft.operators.Crawl.robotsRulesPerHost(rules)
+    // Trap cells as the batch miner produces them on a calendar trap.
+    val trapLog = ((1 to 30).map(i => s"http://a.com/cal/2026/$i") ++
+      Seq("http://a.com/about")).toDF("url")
+    val traps = graft.operators.Crawl
+      .urlTemplateReport(trapLog, "url", maxUrlsPerTemplate = 10)
+      .filter(col("trap")).select("host", "template")
+    val fetches = Seq(
+      (1L, "http://a.com/private/x"), // robots-denied
+      (2L, "http://a.com/cal/2026/5"), // trap template
+      (3L, "http://a.com/ok/1"),
+      (4L, "http://b.com/ok/9")) // no rules, no traps
+    val stream = MemoryStream[(Long, String)]
+    val gated = Streaming.frontierGateStream(
+      stream.toDF().toDF("fetch_id", "url"), perHost, traps)
+    val q = gated.writeStream.format("memory").queryName("frontier_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(fetches: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamIds = spark.table("frontier_stream").select("fetch_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamIds == Set(3L, 4L), s"admitted: $streamIds")
+    // Batch parity: the same fetches through the batch gate (the
+    // frontierPlanGated admission, before scheduling).
+    val batchIds = graft.operators.Crawl
+      .robotsFilter(fetches.toDF("fetch_id", "url"), "url", "fetch_id", rules)
+      .filter(col("allowed"))
+      .join(broadcast(traps.select(col("host").as("__th"),
+        col("template").as("__tt"))),
+        col("host") === col("__th") &&
+          graft.operators.Crawl.urlTemplate(col("path")) === col("__tt"),
+        "left_anti")
+      .select("fetch_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batchIds == streamIds, "stream and batch gates must agree")
+  }
+
   test("stream-stream interval join attributes purchases to preceding views") {
     val spark = TestSpark.spark
     import spark.implicits._
