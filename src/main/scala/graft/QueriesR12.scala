@@ -145,6 +145,19 @@ object QueriesR12 {
       operators.LinkGraph.pageRank(
         QueriesR11.linkEdges(s, d), "src", "dst", iterations = 6,
         materializeEvery = 2)),
+    // --- PageRank TO CONVERGENCE: the production loop — segments of
+    //     4 iterations, checkpoint at each boundary, stop when the
+    //     boundary-to-boundary L1 delta hits ZERO. Fixed-point Longs
+    //     reach an EXACT fixed point (measured: iteration 15 at both
+    //     sf0.001 and sf0.01), so the oracle is simply a straight
+    //     unroll safely past it (24) — any longer unroll equals the
+    //     fixed point. Bounded to the doc_id < 2000 subgraph so the
+    //     per-segment actions stay cheap in the sweep at every sf. ---
+    "q_pagerank_conv" -> { (s, d) =>
+      operators.LinkGraph.pageRankConverged(
+        convEdges(s, d), "src", "dst", tolFp = 0L,
+        maxIterations = 40, segment = 4)._1
+    },
     // --- the END-TO-END web release: fetch log (two messy spellings
     //     per page, markup-wrapped payload) → urlDedup → extract
     //     (markup strip + NFC) → quality gate → exact/near dedup →
@@ -196,6 +209,56 @@ object QueriesR12 {
   /** HITS power-iteration count for q_hits (unrolled in the oracle). */
   private val HitsIters = 2
 
+  /** q_pagerank_conv's bounded link graph: the [[QueriesR11.linkEdges]]
+    * synthesis restricted to doc_id < 2000, modulus the restricted
+    * count — identical topology family at every sf, cheap per-segment
+    * actions in the sweep. */
+  private def convEdges(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d).filter(col("doc_id") < ConvCap)
+    val n = ds.count()
+    val m = col("doc_id") % 4
+    ds.select(col("doc_id").as("src"),
+        explode(when(m > 0, sequence(lit(1L), m))
+          .otherwise(array().cast("array<long>"))).as("j"))
+      .select(col("src"), ((col("src") + col("j") * 131) % n).as("dst"))
+  }
+
+  private val ConvCap = 2000L
+
+  /** The q_pagerank_conv oracle: the q_pagerank unroll over the capped
+    * subgraph, carried PAST the measured exact fixed point (iteration
+    * 15) — at and beyond the fixed point every further iteration is
+    * identity, so a 24-step unroll equals whatever iteration count the
+    * convergence loop stopped at. */
+  private def convOracle(iters: Int): String = {
+    val header =
+      s"""e AS MATERIALIZED (SELECT doc_id AS src,
+         |    (doc_id + j * 131) %
+         |      (SELECT count(*) FROM documents WHERE doc_id < $ConvCap)
+         |      AS dst
+         |  FROM documents, unnest(generate_series(1, doc_id % 4)) t(j)
+         |  WHERE doc_id < $ConvCap),
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+         |r0 AS MATERIALIZED (SELECT id, CAST(1000000000 // n AS BIGINT) AS rank_fp
+         |       FROM v, nn)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank_fp // od.outdeg) AS insum
+         |  FROM e JOIN od ON e.src = od.src JOIN r${i - 1} r ON e.src = r.id
+         |  GROUP BY e.dst),
+         |d$i AS MATERIALIZED (SELECT coalesce(sum(r.rank_fp), 0) AS dang FROM r${i - 1} r
+         |  WHERE r.id NOT IN (SELECT src FROM od)),
+         |r$i AS MATERIALIZED (SELECT v.id, CAST((15 * (1000000000 // nn.n)) // 100
+         |    + (85 * (coalesce(c.insum, 0) + d.dang // nn.n)) // 100
+         |    AS BIGINT) AS rank_fp
+         |  FROM v LEFT JOIN c$i c ON v.id = c.id, d$i d, nn)""".stripMargin
+    }
+    s"WITH ${(header +: steps).mkString(",\n")}\n" +
+      s"SELECT id, rank_fp FROM r$iters"
+  }
+
   /** The q_ppr oracle: [[operators.LinkGraph.personalizedPageRank]]
     * unrolled — the [[QueriesR11.EdgeCte]] graph, seeds doc_id%17==0,
     * the seed-gated base + dangling-teleport + contribution arithmetic
@@ -203,23 +266,23 @@ object QueriesR12 {
   private def pprOracle(iters: Int): String = {
     val header =
       s"""${QueriesR11.EdgeCte},
-         |v AS (SELECT DISTINCT id FROM
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM
          |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
-         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
          |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 17 = 0),
          |ss AS (SELECT count(*) AS s FROM sd),
-         |r0 AS (SELECT v.id,
+         |r0 AS MATERIALIZED (SELECT v.id,
          |    CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
          |    CAST(CASE WHEN sd.id IS NOT NULL
          |      THEN 1000000000 // ss.s ELSE 0 END AS BIGINT) AS rank_fp
          |  FROM v LEFT JOIN sd ON v.id = sd.id, ss)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""c$i AS (SELECT e.dst AS id, sum(r.rank_fp // od.outdeg) AS insum
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank_fp // od.outdeg) AS insum
          |  FROM e JOIN od ON e.src = od.src JOIN r${i - 1} r ON e.src = r.id
          |  GROUP BY e.dst),
-         |d$i AS (SELECT coalesce(sum(r.rank_fp), 0) AS dang FROM r${i - 1} r
+         |d$i AS MATERIALIZED (SELECT coalesce(sum(r.rank_fp), 0) AS dang FROM r${i - 1} r
          |  WHERE r.id NOT IN (SELECT src FROM od)),
-         |r$i AS (SELECT r0.id, r0.is_seed, CAST(
+         |r$i AS MATERIALIZED (SELECT r0.id, r0.is_seed, CAST(
          |    r0.is_seed * ((15 * (1000000000 // ss.s)) // 100
          |      + (85 * (d.dang // ss.s)) // 100)
          |    + (85 * coalesce(c.insum, 0)) // 100 AS BIGINT) AS rank_fp
@@ -234,13 +297,13 @@ object QueriesR12 {
   private def hitsOracle(iters: Int): String = {
     val header =
       s"""${QueriesR11.EdgeCte},
-         |v AS (SELECT DISTINCT id FROM
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM
          |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
-         |nn AS (SELECT count(*) AS n FROM v),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
          |h0 AS (SELECT id, CAST(1000000000 // nn.n AS BIGINT) AS hub
          |       FROM v, nn)""".stripMargin
     val steps = (1 to iters).map { i =>
-      s"""ar$i AS (SELECT e.dst AS id, sum(h.hub) AS x
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub) AS x
          |  FROM e JOIN h${i - 1} h ON e.src = h.id GROUP BY e.dst),
          |arf$i AS (SELECT v.id, coalesce(ar$i.x, 0) AS x
          |  FROM v LEFT JOIN ar$i ON v.id = ar$i.id),
@@ -248,7 +311,7 @@ object QueriesR12 {
          |a$i AS (SELECT id, CAST(CASE WHEN t > 0
          |    THEN (x * 1000000000) // t ELSE 0 END AS BIGINT) AS auth
          |  FROM arf$i, at$i),
-         |hr$i AS (SELECT e.src AS id, sum(a.auth) AS x
+         |hr$i AS MATERIALIZED (SELECT e.src AS id, sum(a.auth) AS x
          |  FROM e JOIN a$i a ON e.dst = a.id GROUP BY e.src),
          |hrf$i AS (SELECT v.id, coalesce(hr$i.x, 0) AS x
          |  FROM v LEFT JOIN hr$i ON v.id = hr$i.id),
@@ -415,6 +478,7 @@ object QueriesR12 {
          |   OR atf1 > 0 OR atf2 > 0 OR atf3 > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_ppr" -> pprOracle(4),
+    "q_pagerank_conv" -> convOracle(24),
     "q_hits" -> hitsOracle(HitsIters),
     // Checkpointing is bit-transparent: the pinned 6-iteration run
     // replays against the straight 6-iteration unroll.

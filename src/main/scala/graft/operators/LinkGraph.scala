@@ -156,6 +156,58 @@ object LinkGraph {
     ranks
   }
 
+  /** PageRank TO CONVERGENCE — the production loop: nobody knows the
+    * right iteration count up front, so iterate in SEGMENTS of
+    * `segment` iterations, materialize the segment boundary, and stop
+    * when the L1 rank delta across the last segment drops to
+    * `tolFp` fixed-point units (or `maxIterations` is hit — loudly
+    * fine, the ranks are still exact for the iterations run).
+    *
+    * Driver traffic is one scalar per SEGMENT (the L1 aggregate),
+    * never per iteration, and the segment boundary is checkpointed
+    * anyway (the lineage discipline), so the convergence test rides
+    * the materialization it already needed. Warm-start exactness
+    * (`pageRank(k1)` then k2 more ≡ `pageRank(k1+k2)`, spec-pinned)
+    * is what makes the segmented loop BIT-IDENTICAL to a straight
+    * run of the same total iteration count — pinned by the
+    * q_pagerank_conv_exact companion cross-engine.
+    *
+    * Returns (ranks, iterationsRun). */
+  def pageRankConverged(
+      edgesIn: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      tolFp: Long,
+      maxIterations: Int = 64,
+      segment: Int = 4,
+      dampingNum: Long = 85L,
+      dampingDen: Long = 100L,
+      scale: Long = 1000000000L): (DataFrame, Int) = {
+    require(tolFp >= 0, "tolerance must be non-negative")
+    require(segment >= 1 && maxIterations >= segment,
+      s"need 1 <= segment <= maxIterations, got $segment/$maxIterations")
+    var prev = Materialize.checkpoint(pageRank(
+      edgesIn, srcCol, dstCol, iterations = segment,
+      dampingNum, dampingDen, scale, initial = None,
+      materializeEvery = 0))
+    var iters = segment
+    var done = false
+    while (!done && iters < maxIterations) {
+      val next = Materialize.checkpoint(pageRank(
+        edgesIn, srcCol, dstCol, iterations = segment,
+        dampingNum, dampingDen, scale, initial = Some(prev),
+        materializeEvery = 0))
+      val l1 = next.withColumnRenamed("rank_fp", "__new")
+        .join(prev.withColumnRenamed("rank_fp", "__old"), Seq("id"))
+        .agg(sum(abs(col("__new") - col("__old"))).as("l1"))
+        .collect()(0).getLong(0) // the one driver scalar per segment
+      prev = next
+      iters += segment
+      done = l1 <= tolFp
+    }
+    (prev, iters)
+  }
+
   /** PERSONALIZED PageRank: teleport mass flows only to `seeds` — the
     * seed-set expansion primitive behind curation ("give me more pages
     * like these trusted ones"): rank concentrates in the seeds'

@@ -134,6 +134,21 @@ class LinkGraphSpec extends AnyFunSuite {
       s"pinned plan should be far shallower: $pinnedDepth vs $unpinnedDepth")
   }
 
+  test("pageRankConverged: stops at the exact fixed point") {
+    val (conv, k) = LinkGraph.pageRankConverged(
+      triangle, "src", "dst", tolFp = 0L, maxIterations = 64, segment = 4)
+    val m = rankMap(conv)
+    // The converged state equals a straight run of the same length
+    // (warm-start exactness), and one more iteration is the identity
+    // — the definition of a fixed point in fixed-point arithmetic.
+    assert(m == rankMap(LinkGraph.pageRank(
+      triangle, "src", "dst", k, materializeEvery = 4)), s"k=$k")
+    assert(m == rankMap(LinkGraph.pageRank(
+      triangle, "src", "dst", 1, initial = Some(conv))),
+      "fixed point must be stable under one more iteration")
+    assert(k >= 8 && k < 64, s"plausible convergence length, got $k")
+  }
+
   test("personalizedPageRank: one hand-computed iteration, seed-only teleport") {
     val s = spark
     import s.implicits._
