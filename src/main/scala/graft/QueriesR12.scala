@@ -145,6 +145,32 @@ object QueriesR12 {
       operators.LinkGraph.pageRank(
         QueriesR11.linkEdges(s, d), "src", "dst", iterations = 6,
         materializeEvery = 2)),
+    // --- RANK-WEIGHTED CURATION: the data-selection side of the link
+    //     graph (q_rank_frontier is the crawl side) — documents pass
+    //     the Gopher repetition gates, then the top 20 per source by
+    //     PageRank are selected (the RefinedWeb-style "quality prior
+    //     × authority prior" cut). Gate folds row-locally; one join
+    //     rank↔docs; the cut is the bounded GroupedTopK heaps. ---
+    "q_rank_curation" -> { (s, d) =>
+      val ds = docs(s, d)
+      val ranks = operators.LinkGraph.pageRank(
+        QueriesR11.linkEdges(s, d), "src", "dst", iterations = 2)
+      val top2 = operators.TextAnalysis.gopherRepetition(col("text"), 2).head
+      val top3 = operators.TextAnalysis.gopherRepetition(col("text"), 3).head
+      val dup5 = operators.TextAnalysis.gopherRepetition(col("text"), 5)(1)
+      val gated = ds
+        .filter(top2 < 0.20 && top3 < 0.18 && dup5 < 0.15)
+        .select(col("doc_id"), col("source"))
+      val joined = gated.join(
+        ranks.withColumnRenamed("id", "doc_id"), "doc_id")
+      val order = Seq(col("rank_fp").desc, col("doc_id").asc)
+      graft.plans.GroupedTopK
+        .topKPerGroup(joined, Seq("source"), order, 20)
+        .withColumn("rank", row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source")).orderBy(order: _*))
+          .cast("long"))
+    },
     // --- PageRank TO CONVERGENCE: the production loop — segments of
     //     4 iterations, checkpoint at each boundary, stop when the
     //     boundary-to-boundary L1 delta hits ZERO. Fixed-point Longs
@@ -479,6 +505,21 @@ object QueriesR12 {
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_ppr" -> pprOracle(4),
     "q_pagerank_conv" -> convOracle(24),
+    "q_rank_curation" ->
+      (s"WITH ${QueriesR11.pageRankCtes(2)},\n" +
+        s"g AS (${QueriesR9.gopherRepOracle}),\n" +
+        """gated AS (SELECT d.doc_id, d.source FROM documents d
+          |  JOIN g ON d.doc_id = g.doc_id
+          |  WHERE g.top2_frac < 0.2 AND g.top3_frac < 0.18
+          |    AND g.dup5_frac < 0.15),
+          |j AS (SELECT gated.source, gated.doc_id, r2.rank_fp
+          |      FROM gated JOIN r2 ON gated.doc_id = r2.id),
+          |rk AS (SELECT doc_id, source, rank_fp,
+          |    CAST(row_number() OVER (PARTITION BY source
+          |      ORDER BY rank_fp DESC, doc_id) AS BIGINT) AS rank
+          |  FROM j)
+          |SELECT doc_id, source, rank_fp, rank FROM rk
+          |WHERE rank <= 20""".stripMargin),
     "q_hits" -> hitsOracle(HitsIters),
     // Checkpointing is bit-transparent: the pinned 6-iteration run
     // replays against the straight 6-iteration unroll.

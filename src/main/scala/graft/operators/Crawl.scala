@@ -147,6 +147,19 @@ object Crawl {
     * Scale shape: [[urlDedup]]'s — map-only canonicalization, the
     * host map as one broadcast join (|hosts| rows, tiny relative to
     * fetches), then the single digest-keyed exchange. */
+  /** A canonical URL with its host swapped for `newHost` — scheme and
+    * everything after the authority's host (port, path, query) kept.
+    * Malformed input (no scheme) passes through untouched. Shared by
+    * the batch [[mirrorAwareUrlDedup]] and the streaming twin so the
+    * two rewrites can never diverge. */
+  def rewriteHost(canonUrl: Column, newHost: Column): Column = {
+    val scheme = regexp_extract(canonUrl, "^([a-z][a-z0-9+.-]*)://", 1)
+    val rest = regexp_extract(canonUrl,
+      "^[a-z][a-z0-9+.-]*://[^/:?]*(.*)$", 1)
+    when(urlHost(canonUrl) === "", canonUrl)
+      .otherwise(concat(scheme, lit("://"), newHost, rest))
+  }
+
   def mirrorAwareUrlDedup(
       df: DataFrame,
       urlCol: String,
@@ -156,16 +169,11 @@ object Crawl {
       .withColumn("__host0", urlHost(col("__canon0")))
     val hm = broadcast(hostMap.select(
       col("host").as("__mh"), col("canonical_host").as("__mcanon")))
-    val scheme = regexp_extract(col("__canon0"),
-      "^([a-z][a-z0-9+.-]*)://", 1)
-    val rest = regexp_extract(col("__canon0"),
-      "^[a-z][a-z0-9+.-]*://[^/:?]*(.*)$", 1)
     val rewritten = canon
       .join(hm, col("__host0") === col("__mh"), "left")
       .withColumn("canon_url",
-        when(col("__host0") === "", col("__canon0")) // malformed input
-          .otherwise(concat(scheme, lit("://"),
-            coalesce(col("__mcanon"), col("__host0")), rest)))
+        rewriteHost(col("__canon0"),
+          coalesce(col("__mcanon"), col("__host0"))))
       .drop("__canon0", "__host0", "__mh", "__mcanon")
     val w = Window
       .partitionBy(sha2(col("canon_url").cast("binary"), 256))

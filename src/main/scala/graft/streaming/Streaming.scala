@@ -201,6 +201,37 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__canon_digest")
       .drop("__canon_digest")
 
+  /** MIRROR-AWARE streaming URL dedup: [[urlDedupStream]] with the
+    * host first rewritten to its cluster-canonical host (the
+    * batch-elected [[graft.operators.Crawl.mirrorClusters]] map,
+    * static broadcast) — so a page arriving from a mirror is dropped
+    * as a duplicate of the primary fetch within the watermark. The
+    * rewrite shares [[graft.operators.Crawl.rewriteHost]] with the
+    * batch operator, so stream and at-rest dedup agree on the key.
+    * State is the rewritten canonical digest, watermark-bounded. */
+  def mirrorAwareUrlDedupStream(
+      fetches: DataFrame,
+      hostMap: DataFrame,
+      urlCol: String = "url",
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val hm = broadcast(hostMap.select(
+      col("host").as("__mh"), col("canonical_host").as("__mcanon")))
+    fetches
+      .withColumn("__canon0",
+        graft.operators.Crawl.canonicalizeUrl(col(urlCol)))
+      .withColumn("__host0", graft.operators.Crawl.urlHost(col("__canon0")))
+      .join(hm, col("__host0") === col("__mh"), "left")
+      .withColumn("canon_url", graft.operators.Crawl.rewriteHost(
+        col("__canon0"), coalesce(col("__mcanon"), col("__host0"))))
+      .drop("__canon0", "__host0", "__mh", "__mcanon")
+      .withColumn("__canon_digest",
+        sha2(col("canon_url").cast("binary"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__canon_digest")
+      .drop("__canon_digest")
+  }
+
   /** Streaming robots gate: the REP allow/deny verdict applied to each
     * arriving fetch — canonicalize, broadcast-join the per-host rule
     * arrays ([[graft.operators.Crawl.robotsRulesPerHost]]), and fold

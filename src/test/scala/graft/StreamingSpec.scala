@@ -266,6 +266,36 @@ class StreamingSpec extends AnyFunSuite {
       s"deny under /private/, allow the longer /private/open/, default allow: $out")
   }
 
+  test("streaming mirror-aware url dedup drops the mirror's copy") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hostMap = Seq(("a.com", "a.com"), ("b.com", "a.com"))
+      .toDF("host", "canonical_host")
+    val stream = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val deduped = Streaming.mirrorAwareUrlDedupStream(
+      stream.toDF().toDF("fetch_id", "url", "ts"), hostMap,
+      watermark = "2 hours")
+    val q = deduped.writeStream.format("memory").queryName("mirror_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (1L, "http://a.com/p/1", ts(0)),
+        (2L, "http://d.com/p/9", ts(1))) // unmapped host: identity
+      q.processAllAvailable()
+      stream.addData(
+        (3L, "http://b.com/p/1", ts(5)), // mirror copy of fetch 1: dropped
+        (4L, "http://b.com/p/2", ts(6))) // mirror-only page: kept, rewritten
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("mirror_stream").select("fetch_id", "canon_url")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows == Set(
+      (1L, "http://a.com/p/1"),
+      (2L, "http://d.com/p/9"),
+      (4L, "http://a.com/p/2")), s"got $rows")
+  }
+
   test("streaming frontier gate: robots verdict + trap cells, batch parity") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions.{broadcast, col}
