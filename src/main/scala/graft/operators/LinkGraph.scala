@@ -81,14 +81,20 @@ object LinkGraph {
     * bounding the plan at 2^k copies of the base per segment instead
     * of 2^iterations total (the doubling comes from the two `ranks`
     * references per iteration — see the lineage note above; measured
-    * in `tools/scale_probe_r12.scala`). Because every rank is a
-    * fixed-point Long, the checkpointed run is BIT-IDENTICAL to the
-    * unmaterialized one (spec-pinned in LinkGraphSpec) —
+    * in `tools/scale_probe_r12.scala`). The doubling is EXECUTION
+    * work, not just plan size — Spark shares no common subtrees
+    * across the two references, so every unpinned iteration's work is
+    * re-run by the next iteration's second branch: measured at 200k
+    * vertices / 300k edges, 8 iterations, the pinned-every-4 /
+    * every-2 / every-1 runs cost 44.7 / 18.2 / 14.7 s. Hence the
+    * DEFAULT IS 1: one O(V)-row checkpoint write per iteration buys
+    * linear total work, which dominates from the second iteration on.
+    * Because every rank is a fixed-point Long, the checkpointed run
+    * is BIT-IDENTICAL to the unmaterialized one (spec-pinned in
+    * LinkGraphSpec, driver-gated by q_pagerank_pinned) —
     * materialization is purely a physical decision, exactly like
-    * [[Dedup.nearDupComponents]]' per-round pinning. The default 4
-    * keeps segments at 16 base copies (Catalyst-trivial) and leaves
-    * every ≤ 4-iteration refresh — including the declared queries —
-    * checkpoint-free; 0 disables. */
+    * [[Dedup.nearDupComponents]]' per-round pinning. 0 disables
+    * (lazy construction — right only for 1-2 iteration refreshes). */
   def pageRank(
       edgesIn: DataFrame,
       srcCol: String,
@@ -98,7 +104,7 @@ object LinkGraph {
       dampingDen: Long = 100L,
       scale: Long = 1000000000L,
       initial: Option[DataFrame] = None,
-      materializeEvery: Int = 4): DataFrame = {
+      materializeEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping $dampingNum/$dampingDen outside [0,1]")
@@ -189,14 +195,14 @@ object LinkGraph {
     var prev = Materialize.checkpoint(pageRank(
       edgesIn, srcCol, dstCol, iterations = segment,
       dampingNum, dampingDen, scale, initial = None,
-      materializeEvery = 0))
+      materializeEvery = 1))
     var iters = segment
     var done = false
     while (!done && iters < maxIterations) {
       val next = Materialize.checkpoint(pageRank(
         edgesIn, srcCol, dstCol, iterations = segment,
         dampingNum, dampingDen, scale, initial = Some(prev),
-        materializeEvery = 0))
+        materializeEvery = 1))
       val l1 = next.withColumnRenamed("rank_fp", "__new")
         .join(prev.withColumnRenamed("rank_fp", "__old"), Seq("id"))
         .agg(sum(abs(col("__new") - col("__old"))).as("l1"))
@@ -239,7 +245,7 @@ object LinkGraph {
       dampingNum: Long = 85L,
       dampingDen: Long = 100L,
       scale: Long = 1000000000L,
-      materializeEvery: Int = 4): DataFrame = {
+      materializeEvery: Int = 1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val edges = edgesIn.select(
       col(srcCol).cast("long").as("src"),
@@ -297,19 +303,22 @@ object LinkGraph {
     *
     * Scale shape, per iteration: one dst-keyed exchange (authority
     * sum), one src-keyed exchange (hub sum), two one-row broadcasts.
-    * Lineage growth is even steeper than [[pageRank]]'s: each
-    * half-step references its input once for the sum and once for the
-    * renormalization total, so an unpinned plan grows ~4^k with k
-    * iterations — `materializeEvery` defaults to 2 here (≤ 16 base
-    * copies per segment), and like pageRank the pinned run is
-    * bit-identical (spec-pinned). Returns `(id, hub_fp, auth_fp)`. */
+    * Renormalization is inherently TWO-PASS (the total must exist
+    * before any row can be scaled), and each half-step would
+    * otherwise reference its input twice — sum + total — growing
+    * plan AND executed work ~4^k (the [[pageRank]] doubling,
+    * squared). So every half-step's raw frame is materialized through
+    * [[Materialize.checkpoint]] before the total is taken: the second
+    * pass reads the materialized O(V) rows instead of re-running the
+    * half-step, total work stays linear in iterations, and the values
+    * are untouched (fixed-point Longs; the q_hits oracle is the
+    * transparency gate). Returns `(id, hub_fp, auth_fp)`. */
   def hits(
       edgesIn: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      scale: Long = 1000000000L,
-      materializeEvery: Int = 2): DataFrame = {
+      scale: Long = 1000000000L): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val edges = edgesIn.select(
       col(srcCol).cast("long").as("src"),
@@ -320,7 +329,11 @@ object LinkGraph {
     val n = verts.count()
     var scores = verts.select(col("id"),
       lit(scale / n).as("hub_fp"), lit(scale / n).as("auth_fp"))
-    def renorm(df: DataFrame, cName: String): DataFrame = {
+    def renorm(df0: DataFrame, cName: String): DataFrame = {
+      // Pin the raw half-step before the total: the two-pass renorm
+      // then reads O(V) materialized rows twice instead of running
+      // the half-step's joins twice.
+      val df = Materialize.checkpoint(df0)
       val total = df.agg(
         coalesce(sum(col(cName)), lit(0L)).as("__tot"))
       df.crossJoin(broadcast(total))
@@ -329,7 +342,7 @@ object LinkGraph {
             expr(s"$cName * ${scale}L div __tot"))
             .otherwise(lit(0L)).as(cName))
     }
-    for (iter <- 1 to iterations) {
+    for (_ <- 1 to iterations) {
       val auth = renorm(
         verts.join(
             edges.join(scores.select(col("id").as("src"), col("hub_fp")),
@@ -349,9 +362,6 @@ object LinkGraph {
           .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp")),
         "hub_fp")
       scores = hub.join(auth, Seq("id"))
-      if (materializeEvery > 0 && iter % materializeEvery == 0 &&
-          iter < iterations)
-        scores = Materialize.checkpoint(scores)
     }
     scores.select(col("id"), col("hub_fp"), col("auth_fp"))
   }

@@ -188,15 +188,16 @@ class LinkGraphSpec extends AnyFunSuite {
     (0L to 8L).foreach(u => assert(rows(u) == ((111111111L, 0L))))
   }
 
-  test("hits: materialization is bit-transparent") {
-    // 3 iterations unpinned is already 4^3 = 64 base copies (each
-    // half-step reads its input twice: sum + renorm total) — more
-    // than enough to prove transparency without stalling Catalyst.
-    val r0 = LinkGraph.hits(triangle, "src", "dst", 3, materializeEvery = 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val r1 = LinkGraph.hits(triangle, "src", "dst", 3, materializeEvery = 1)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    assert(r0 == r1)
+  test("hits: mass renormalizes to scale each half-step, runs deep") {
+    // Every half-step pins its raw frame before the renorm total, so
+    // 6 iterations stay linear work (unpinned this would be 4^6 plan
+    // copies). Both totals must sit within one truncation unit per
+    // vertex of the full scale.
+    val rows = LinkGraph.hits(triangle, "src", "dst", 6).collect()
+    val hubMass = rows.map(_.getLong(1)).sum
+    val authMass = rows.map(_.getLong(2)).sum
+    assert(hubMass > 999999990L && hubMass <= 1000000000L, s"hub $hubMass")
+    assert(authMass > 999999990L && authMass <= 1000000000L, s"auth $authMass")
   }
 
   test("pageRank: the only driver action is the vertex count") {
@@ -207,17 +208,31 @@ class LinkGraphSpec extends AnyFunSuite {
     // (The materializeEvery default deliberately trades this laziness
     // for bounded lineage past 4 iterations — its eager checkpoint
     // jobs are the feature, covered by the bit-identity test above.)
+    // Count job STARTS with a listener — statusTracker's retained-job
+    // list is bounded, so length deltas go negative once the suite has
+    // run enough jobs (observed after the convergence test landed).
+    val started = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        started.incrementAndGet()
+    }
     val sc = spark.sparkContext
-    def jobs: Int = sc.statusTracker.getJobIdsForGroup(null).length
-    val b1 = jobs
-    val df = LinkGraph.pageRank(triangle, "src", "dst", 1,
-      materializeEvery = 0)
-    val oneIter = jobs - b1
-    val b6 = jobs
-    LinkGraph.pageRank(triangle, "src", "dst", 6, materializeEvery = 0)
-    val sixIter = jobs - b6
-    assert(sixIter == oneIter,
-      s"construction jobs must not scale with iterations: 1-iter=$oneIter 6-iter=$sixIter")
-    assert(df.columns.toSeq == Seq("id", "rank_fp"))
+    sc.addSparkListener(listener)
+    try {
+      // The bus posts asynchronously; a short drain keeps both deltas
+      // under the same (tiny) lag.
+      def settled(): Int = { Thread.sleep(500); started.get() }
+      val b1 = settled()
+      val df = LinkGraph.pageRank(triangle, "src", "dst", 1,
+        materializeEvery = 0)
+      val oneIter = settled() - b1
+      val b6 = settled()
+      LinkGraph.pageRank(triangle, "src", "dst", 6, materializeEvery = 0)
+      val sixIter = settled() - b6
+      assert(sixIter == oneIter,
+        s"construction jobs must not scale with iterations: 1-iter=$oneIter 6-iter=$sixIter")
+      assert(df.columns.toSeq == Seq("id", "rank_fp"))
+    } finally sc.removeSparkListener(listener)
   }
 }
