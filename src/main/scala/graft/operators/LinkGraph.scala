@@ -25,6 +25,18 @@ import org.apache.spark.sql.functions._
   */
 object LinkGraph {
 
+  /** Vertex count at which the iterative operators switch from lazy
+    * 4-iteration segments to pin-every-iteration (AUTO cadence, the
+    * measured crossover band: 5k vertices — job latency dominates,
+    * lazy wins 2×; 200k vertices — recompute dominates, pinning wins
+    * 3×). */
+  val AutoPinVertices = 50000L
+
+  private def resolveCadence(materializeEvery: Int, n: Long): Int =
+    if (materializeEvery >= 0) materializeEvery
+    else if (n >= AutoPinVertices) 1
+    else 4
+
   /** Fixed-point PageRank over `edges` (duplicate edges count as
     * parallel links, weighting the contribution — dedup first with
     * [[Crawl.urlDedup]]/`distinct` if unwanted).
@@ -86,15 +98,20 @@ object LinkGraph {
     * across the two references, so every unpinned iteration's work is
     * re-run by the next iteration's second branch: measured at 200k
     * vertices / 300k edges, 8 iterations, the pinned-every-4 /
-    * every-2 / every-1 runs cost 44.7 / 18.2 / 14.7 s. Hence the
-    * DEFAULT IS 1: one O(V)-row checkpoint write per iteration buys
-    * linear total work, which dominates from the second iteration on.
-    * Because every rank is a fixed-point Long, the checkpointed run
-    * is BIT-IDENTICAL to the unmaterialized one (spec-pinned in
-    * LinkGraphSpec, driver-gated by q_pagerank_pinned) —
-    * materialization is purely a physical decision, exactly like
-    * [[Dedup.nearDupComponents]]' per-round pinning. 0 disables
-    * (lazy construction — right only for 1-2 iteration refreshes). */
+    * every-2 / every-1 runs cost 44.7 / 18.2 / 14.7 s. On a SMALL
+    * graph the trade flips — each eager checkpoint is a full job
+    * launch, and at 5k vertices the per-job fixed latency dominates
+    * the (cheap) recompute: pin-every-1 measured 2× SLOWER than lazy
+    * segments in-sweep. Hence the default is AUTO (`-1`): pin every
+    * iteration when the vertex count — already on the driver for the
+    * uniform init — reaches [[LinkGraph.AutoPinVertices]], else every
+    * 4 (16 bounded base copies, zero mid-loop jobs). The crossover
+    * sits between those two measurements; 50k splits the band.
+    * Because every rank is a fixed-point Long, ANY cadence is
+    * BIT-IDENTICAL (spec-pinned in LinkGraphSpec, driver-gated by
+    * q_pagerank_pinned) — materialization is purely a physical
+    * decision, exactly like [[Dedup.nearDupComponents]]' per-round
+    * pinning. 0 disables (lazy — right only for 1-2 iterations). */
   def pageRank(
       edgesIn: DataFrame,
       srcCol: String,
@@ -104,7 +121,7 @@ object LinkGraph {
       dampingDen: Long = 100L,
       scale: Long = 1000000000L,
       initial: Option[DataFrame] = None,
-      materializeEvery: Int = 1): DataFrame = {
+      materializeEvery: Int = -1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping $dampingNum/$dampingDen outside [0,1]")
@@ -119,6 +136,7 @@ object LinkGraph {
     require(n > 0, "pageRank needs a non-empty edge list")
     val init = scale / n
     val base = ((dampingDen - dampingNum) * init) / dampingDen
+    val cadence = resolveCadence(materializeEvery, n)
 
     var ranks = initial match {
       case None => verts.select(col("id"), lit(init).as("rank_fp"))
@@ -151,12 +169,11 @@ object LinkGraph {
           (lit(base) +
             expr(s"$dampingNum * (coalesce(insum, 0L) + (dang div $n))" +
               s" div $dampingDen")).as("rank_fp"))
-      // Pin the rank frame every k iterations (never after the last —
-      // the caller decides whether the RESULT materializes). The
-      // values are fixed-point Longs, so this changes nothing but the
-      // plan depth.
-      if (materializeEvery > 0 && iter % materializeEvery == 0 &&
-          iter < iterations)
+      // Pin the rank frame every `cadence` iterations (never after
+      // the last — the caller decides whether the RESULT
+      // materializes). The values are fixed-point Longs, so this
+      // changes nothing but the plan depth and the execution shape.
+      if (cadence > 0 && iter % cadence == 0 && iter < iterations)
         ranks = Materialize.checkpoint(ranks)
     }
     ranks
@@ -175,8 +192,12 @@ object LinkGraph {
     * the materialization it already needed. Warm-start exactness
     * (`pageRank(k1)` then k2 more ≡ `pageRank(k1+k2)`, spec-pinned)
     * is what makes the segmented loop BIT-IDENTICAL to a straight
-    * run of the same total iteration count — pinned by the
-    * q_pagerank_conv_exact companion cross-engine.
+    * run of the same total iteration count — driver-gated by
+    * q_pagerank_conv's exact fixed-point oracle. Inner iterations pin
+    * EVERY step (explicit `materializeEvery = 1`, not AUTO): a
+    * convergence loop exists because the iteration count is real, and
+    * a lazy 4-segment re-executes ~2^4 of itself per boundary — A/B'd
+    * 13.7 s lazy vs 8.3 s pinned on the 2k-vertex declared query.
     *
     * Returns (ranks, iterationsRun). */
   def pageRankConverged(
@@ -245,7 +266,7 @@ object LinkGraph {
       dampingNum: Long = 85L,
       dampingDen: Long = 100L,
       scale: Long = 1000000000L,
-      materializeEvery: Int = 1): DataFrame = {
+      materializeEvery: Int = -1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val edges = edgesIn.select(
       col(srcCol).cast("long").as("src"),
@@ -259,8 +280,11 @@ object LinkGraph {
         .withColumn("__seed", lit(1L)))
     val flagged = verts.join(seedFlag, Seq("id"), "left")
       .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
-    val s = seedFlag.count() // the one driver scalar
+    val s = seedFlag.count() // one driver scalar
     require(s > 0, "personalizedPageRank needs a non-empty seed set")
+    // Cadence keys on the VERTEX count (the work per iteration), not
+    // the seed count — one more driver scalar, same job as pageRank's.
+    val cadence = resolveCadence(materializeEvery, verts.count())
     val init = scale / s
     val base = ((dampingDen - dampingNum) * init) / dampingDen
     var ranks = flagged.select(col("id"), col("is_seed"),
@@ -284,8 +308,7 @@ object LinkGraph {
               expr(s"$dampingNum * (dang div $s) div $dampingDen")) +
             expr(s"$dampingNum * coalesce(insum, 0L) div $dampingDen"))
             .as("rank_fp"))
-      if (materializeEvery > 0 && iter % materializeEvery == 0 &&
-          iter < iterations)
+      if (cadence > 0 && iter % cadence == 0 && iter < iterations)
         ranks = Materialize.checkpoint(ranks)
     }
     ranks.select(col("id"), col("rank_fp"))
