@@ -296,7 +296,7 @@ object QueriesR12 {
          |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
          |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
          |sd AS (SELECT doc_id AS id FROM documents WHERE doc_id % 17 = 0),
-         |ss AS (SELECT count(*) AS s FROM sd),
+         |ss AS (SELECT count(*) AS s FROM sd JOIN v USING (id)),
          |r0 AS MATERIALIZED (SELECT v.id,
          |    CASE WHEN sd.id IS NOT NULL THEN 1 ELSE 0 END AS is_seed,
          |    CAST(CASE WHEN sd.id IS NOT NULL

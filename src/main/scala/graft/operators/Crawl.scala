@@ -129,6 +129,19 @@ object Crawl {
       .drop("__rn")
   }
 
+  /** A canonical URL with its host swapped for `newHost` — scheme and
+    * everything after the authority's host (port, path, query) kept.
+    * Malformed input (no scheme) passes through untouched. Shared by
+    * the batch [[mirrorAwareUrlDedup]] and the streaming twin so the
+    * two rewrites can never diverge. */
+  def rewriteHost(canonUrl: Column, newHost: Column): Column = {
+    val scheme = regexp_extract(canonUrl, "^([a-z][a-z0-9+.-]*)://", 1)
+    val rest = regexp_extract(canonUrl,
+      "^[a-z][a-z0-9+.-]*://[^/:?]*(.*)$", 1)
+    when(urlHost(canonUrl) === "", canonUrl)
+      .otherwise(concat(scheme, lit("://"), newHost, rest))
+  }
+
   /** MIRROR-AWARE exact URL dedup: [[urlDedup]] with the host first
     * rewritten to its cluster-canonical host ([[mirrorClusters]]'
     * `(host, canonical_host)` output, broadcast) — so the SAME page
@@ -147,19 +160,6 @@ object Crawl {
     * Scale shape: [[urlDedup]]'s — map-only canonicalization, the
     * host map as one broadcast join (|hosts| rows, tiny relative to
     * fetches), then the single digest-keyed exchange. */
-  /** A canonical URL with its host swapped for `newHost` — scheme and
-    * everything after the authority's host (port, path, query) kept.
-    * Malformed input (no scheme) passes through untouched. Shared by
-    * the batch [[mirrorAwareUrlDedup]] and the streaming twin so the
-    * two rewrites can never diverge. */
-  def rewriteHost(canonUrl: Column, newHost: Column): Column = {
-    val scheme = regexp_extract(canonUrl, "^([a-z][a-z0-9+.-]*)://", 1)
-    val rest = regexp_extract(canonUrl,
-      "^[a-z][a-z0-9+.-]*://[^/:?]*(.*)$", 1)
-    when(urlHost(canonUrl) === "", canonUrl)
-      .otherwise(concat(scheme, lit("://"), newHost, rest))
-  }
-
   def mirrorAwareUrlDedup(
       df: DataFrame,
       urlCol: String,

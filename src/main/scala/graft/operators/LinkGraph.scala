@@ -220,8 +220,12 @@ object LinkGraph {
     var iters = segment
     var done = false
     while (!done && iters < maxIterations) {
+      // Clamp the last segment so the loop NEVER overruns
+      // maxIterations (segment=4, maxIterations=6 runs 4 then 2, not
+      // 4 then 4) — the "or maxIterations is hit" contract is exact.
+      val step = math.min(segment, maxIterations - iters)
       val next = Materialize.checkpoint(pageRank(
-        edgesIn, srcCol, dstCol, iterations = segment,
+        edgesIn, srcCol, dstCol, iterations = step,
         dampingNum, dampingDen, scale, initial = Some(prev),
         materializeEvery = 1))
       val l1 = next.withColumnRenamed("rank_fp", "__new")
@@ -229,7 +233,7 @@ object LinkGraph {
         .agg(sum(abs(col("__new") - col("__old"))).as("l1"))
         .collect()(0).getLong(0) // the one driver scalar per segment
       prev = next
-      iters += segment
+      iters += step
       done = l1 <= tolFp
     }
     (prev, iters)
@@ -251,6 +255,13 @@ object LinkGraph {
     * PPR convention — dangling pages "restart" the surfer). Note the
     * dangling term sits in its own num·x div den so every operation
     * stays integer and order-free.
+    *
+    * S is `seeds` INTERSECTED with the graph's vertex set: a seed URL
+    * that never appears in the edge list (a dead page, a typo'd id)
+    * cannot receive teleport mass anyway, so counting it would
+    * silently ship `scale div |seeds|` of rank mass to nowhere and
+    * total mass would fall below `scale`. Phantom seeds are therefore
+    * ignored — total teleport mass always lands on real vertices.
     *
     * Scale shape: identical to [[pageRank]] — one dst-keyed exchange
     * per iteration, dangling total as a one-row broadcast, seeds as a
@@ -280,11 +291,17 @@ object LinkGraph {
         .withColumn("__seed", lit(1L)))
     val flagged = verts.join(seedFlag, Seq("id"), "left")
       .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
-    val s = seedFlag.count() // one driver scalar
-    require(s > 0, "personalizedPageRank needs a non-empty seed set")
-    // Cadence keys on the VERTEX count (the work per iteration), not
-    // the seed count — one more driver scalar, same job as pageRank's.
-    val cadence = resolveCadence(materializeEvery, verts.count())
+    // ONE driver job for both scalars: |S ∩ V| (the teleport divisor —
+    // phantom seeds outside the graph are excluded, see the scaladoc)
+    // and |V| (the cadence key, the work per iteration).
+    val nsRow = flagged
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(col("is_seed")), lit(0L)).as("__s"))
+      .collect()(0)
+    val s = nsRow.getLong(1)
+    require(s > 0,
+      "personalizedPageRank needs at least one seed present in the graph")
+    val cadence = resolveCadence(materializeEvery, nsRow.getLong(0))
     val init = scale / s
     val base = ((dampingDen - dampingNum) * init) / dampingDen
     var ranks = flagged.select(col("id"), col("is_seed"),

@@ -149,6 +149,39 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(k >= 8 && k < 64, s"plausible convergence length, got $k")
   }
 
+  test("pageRankConverged: never overruns maxIterations (clamped last segment)") {
+    // segment=4, maxIterations=6: 4 then a CLAMPED 2 — the old loop
+    // ran 4+4=8, contradicting the "or maxIterations is hit" contract.
+    val (ranks, k) = LinkGraph.pageRankConverged(
+      triangle, "src", "dst", tolFp = 0L, maxIterations = 6, segment = 4)
+    assert(k == 6, s"must stop exactly at maxIterations, ran $k")
+    // The clamped 4+2 run equals the straight 6-iteration run
+    // (warm-start exactness holds for any segment lengths).
+    assert(rankMap(ranks) ==
+      rankMap(LinkGraph.pageRank(triangle, "src", "dst", 6)))
+  }
+
+  test("personalizedPageRank: phantom seeds outside the graph are excluded") {
+    val s = spark
+    import s.implicits._
+    // Seed 99 appears in no edge: it can never receive teleport mass,
+    // so counting it would ship scale/|seeds| of rank to nowhere.
+    // |S ∩ V| = 1, so the result must equal the {1}-only run and total
+    // mass must stay at full scale (up to truncation).
+    val phantom = LinkGraph.personalizedPageRank(
+      triangle, "src", "dst", Seq(1L, 99L).toDF("id"), iterations = 3)
+    val clean = LinkGraph.personalizedPageRank(
+      triangle, "src", "dst", Seq(1L).toDF("id"), iterations = 3)
+    assert(rankMap(phantom) == rankMap(clean))
+    val mass = phantom.agg(sum("rank_fp")).collect()(0).getLong(0)
+    assert(mass > 999990000L && mass <= 1000000000L, s"mass $mass")
+    // An all-phantom seed set has no vertex to teleport to — refuse.
+    intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPageRank(
+        triangle, "src", "dst", Seq(99L).toDF("id"), iterations = 1)
+    }
+  }
+
   test("personalizedPageRank: one hand-computed iteration, seed-only teleport") {
     val s = spark
     import s.implicits._
@@ -220,9 +253,14 @@ class LinkGraphSpec extends AnyFunSuite {
     val sc = spark.sparkContext
     sc.addSparkListener(listener)
     try {
-      // The bus posts asynchronously; a short drain keeps both deltas
-      // under the same (tiny) lag.
-      def settled(): Int = { Thread.sleep(500); started.get() }
+      // The bus posts asynchronously; drain it DETERMINISTICALLY
+      // (waitUntilEmpty via the test bridge) so a late-posted
+      // job-start event can never land between the two deltas — a
+      // fixed sleep flaked under CI load.
+      def settled(): Int = {
+        org.apache.spark.GraftTestBus.drain(sc)
+        started.get()
+      }
       val b1 = settled()
       val df = LinkGraph.pageRank(triangle, "src", "dst", 1,
         materializeEvery = 0)
