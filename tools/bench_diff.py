@@ -27,6 +27,17 @@ entry that passes the deflated test moves to `ambient_suspect` —
 reported, not fatal, with the instruction to re-measure it isolated.
 An entry that fails even after deflation is a genuine violation.
 
+Control-based ambient (round 13): graft.Bench interleaves FROZEN
+control queries (pure Spark built-ins, never part of SparkEntry) at
+fixed points through every sweep and records their per-point samples
+in BENCH_DETAIL under `controls`. When BOTH artifacts carry controls,
+the ambient ratio is the median over controls of
+median(cur samples)/median(base samples) — by construction the
+controls' code is identical across rounds, so their ratio measures
+the MACHINE and cannot be moved by genuine operator regressions the
+way the all-queries median could (ambient_source: "controls" vs
+"query_median"). Per-control ratios are reported for audit.
+
 Isolated re-measures: --isolated FILE(s) take BENCH_DETAIL(_PARTIAL)
 files from `SPARK_GRAFT_ONLY=...` runs of the SAME build; their
 medians override --cur for the queries they contain (marked
@@ -98,8 +109,23 @@ def main():
     bs, cs = base.get("run_spread", {}), cur.get("run_spread", {})
 
     isolated = {}
+    iso_ambients = {}
     for f in (args.isolated or []):
         iso = json.load(open(f))
+        # An isolated session's own control samples vs the BASE's
+        # controls give that session's ambient — recorded per file for
+        # audit (the override verdict still uses the raw min: a hot
+        # isolated session is already handled by min-of-same-build).
+        ic, ibc = iso.get("controls") or {}, base.get("controls") or {}
+        pairs = [(k, ic[k], ibc[k]) for k in ic
+                 if k in ibc and ic[k] and ibc[k]]
+        if pairs:
+            def _med(xs):
+                s = sorted(xs)
+                return s[(len(s) - 1) // 2]
+            rs = sorted(_med(c) / _med(b) for _, c, b in pairs if _med(b) > 0)
+            if rs:
+                iso_ambients[f] = round(rs[(len(rs) - 1) // 2], 3)
         for q, v in iso["queries"].items():
             # Several isolated files may re-measure the same query;
             # keep the min (additive-noise argument, as --cur-min-of).
@@ -107,10 +133,29 @@ def main():
                 isolated[q] = (v, iso.get("run_spread", {}).get(q), f)
 
     common = sorted(set(bq) & set(cq))
-    # Sweep-wide ambient estimator: median per-query ratio over entries
-    # whose base is big enough that the ratio means something.
-    ratios = sorted(cq[q] / bq[q] for q in common if bq[q] >= 0.05)
-    ambient = ratios[len(ratios) // 2] if ratios else 1.0
+
+    def med(xs):
+        s = sorted(xs)
+        return s[(len(s) - 1) // 2]
+
+    # Preferred ambient estimator: the frozen interleaved controls,
+    # when both artifacts carry them (code-identical across rounds, so
+    # their ratio is pure machine/context drift). Fallback: median
+    # per-query ratio over entries whose base is big enough that the
+    # ratio means something.
+    control_ratios = None
+    bc, cc = base.get("controls") or {}, cur.get("controls") or {}
+    ctl_common = [k for k in sorted(bc)
+                  if k in cc and bc[k] and cc[k] and med(bc[k]) > 0]
+    if ctl_common:
+        control_ratios = {k: round(med(cc[k]) / med(bc[k]), 3)
+                          for k in ctl_common}
+        ambient = med(list(control_ratios.values()))
+        ambient_source = "controls"
+    else:
+        ratios = sorted(cq[q] / bq[q] for q in common if bq[q] >= 0.05)
+        ambient = ratios[len(ratios) // 2] if ratios else 1.0
+        ambient_source = "query_median"
     ambient_hot = ambient > args.ambient_threshold
 
     violations, noisy, improved, suspects = [], [], [], []
@@ -148,10 +193,13 @@ def main():
         "base": args.base or f"{args.base_ref}:BENCH_DETAIL.json",
         "cur": args.cur,
         "isolated_overrides": sorted(isolated),
+        "isolated_control_ambient": iso_ambients or None,
         "tolerance": args.tolerance,
         "floor_sec": args.floor,
         "n_common": len(common),
         "ambient_ratio": round(ambient, 3),
+        "ambient_source": ambient_source,
+        "control_ratios": control_ratios,
         "ambient_hot": ambient_hot,
         "ambient_note": (
             "median per-query cur/base ratio > threshold: the whole "
