@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-13 queries: the INCREMENTAL side of the link/crawl family —
+  * PageRank maintained through an edge delta instead of a rebuild
+  * (q_pagerank_delta) and mirror clusters maintained through new pair
+  * evidence instead of a re-closure (q_mirror_incremental). Both are
+  * exact-gated against FULL-REBUILD oracles: incrementality must be a
+  * physical decision, never a semantic one — the same contract as the
+  * cache layer's bit-transparency.
+  *
+  * Synthesis discipline (rounds 11-12): the corpus carries no links,
+  * so edges derive deterministically from doc_id and both engines
+  * replay the identical synthesis. */
+object QueriesR13 {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** The PREVIOUS release's edge list: [[QueriesR11.linkEdges]] minus
+    * every doc's third link (j == 3, present when doc_id % 4 == 3),
+    * plus a STALE link (src + 977) % n from every fifth doc. The
+    * recrawl then discovers the third links (added) and finds the
+    * stale ones dead (removed), so the patched graph is exactly
+    * [[QueriesR11.linkEdges]] — whose straight unroll the oracle
+    * continues from. 977 is coprime-ish padding chosen so a stale
+    * edge can never coincide with a real (src + j*131) % n edge at
+    * the fixture document counts (500 / 5k / 50k): exceptAll removes
+    * BY VALUE, so a collision would eat a genuine link. */
+  private def prevEdges(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val n = ds.count()
+    val m2 = least(col("doc_id") % 4, lit(2L))
+    ds.select(col("doc_id").as("src"),
+        explode(when(m2 > 0, sequence(lit(1L), m2))
+          .otherwise(array().cast("array<long>"))).as("j"))
+      .select(col("src"), ((col("src") + col("j") * 131) % n).as("dst"))
+      .unionByName(ds.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id").as("src"),
+          ((col("doc_id") + 977) % n).as("dst")))
+  }
+
+  private def addedEdges(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val n = ds.count()
+    ds.filter(col("doc_id") % 4 === 3)
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 3 * 131) % n).as("dst"))
+  }
+
+  private def removedEdges(s: SparkSession, d: String): DataFrame = {
+    val ds = docs(s, d)
+    val n = ds.count()
+    ds.filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("src"),
+        ((col("doc_id") + 977) % n).as("dst"))
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- INCREMENTAL PageRank: prior release's ranks (2 iterations on
+    //     the stale graph) + an edge delta (3rd links discovered,
+    //     stale links dead) -> pageRankDelta patches the edge list and
+    //     warm-starts 2 more iterations. The oracle replays BOTH
+    //     phases (prev-graph unroll, then the patched-graph unroll
+    //     warm-started from it) — the patch itself must be invisible
+    //     in the values. ---
+    "q_pagerank_delta" -> { (s, d) =>
+      val prior = operators.LinkGraph.pageRank(
+        prevEdges(s, d), "src", "dst", iterations = 2)
+      operators.LinkGraph.pageRankDelta(
+        prevEdges(s, d), addedEdges(s, d), removedEdges(s, d),
+        "src", "dst", prior, iterations = 2)
+    },
+    // --- INCREMENTAL mirror clusters: prior clusters from the 2-way
+    //     (h/m) corpus, new pair evidence mined from the 3-way
+    //     (h/m/w) corpus; the contracted closure runs only on touched
+    //     reps, and the result must equal the full 3-way rebuild —
+    //     the oracle is q_mirror_clusters' verbatim. ---
+    "q_mirror_incremental" -> { (s, d) =>
+      val k = (col("doc_id") % 10).cast("string")
+      val base = docs(s, d)
+      val twoWay = base.select(
+          concat(lit("h"), k, lit(".example.com")).as("host"), col("text"))
+        .unionByName(base.filter(col("doc_id") % 3 === 0).select(
+          concat(lit("m"), k, lit(".example.com")).as("host"), col("text")))
+      val threeWay = twoWay
+        .unionByName(base.filter(col("doc_id") % 6 === 0).select(
+          concat(lit("w"), k, lit(".example.com")).as("host"), col("text")))
+      val prior = operators.Crawl.mirrorClusters(
+        twoWay, "host", "text", maxDf = 5, minShared = 3)
+      val newPairs = operators.Crawl.mirrorHosts(
+        threeWay, "host", "text", maxDf = 5, minShared = 3)
+      operators.Crawl.mirrorClustersIncremental(
+        threeWay.select(col("host")), prior, newPairs)
+    })
+
+  /** The q_pagerank_delta oracle: the q_pagerank unroll arithmetic,
+    * first over the PREVIOUS edge list (p-prefixed CTEs, uniform
+    * init), then over the patched list (= the standard `e`) with r0
+    * warm-started from the prev unroll's final ranks — new vertices
+    * enter at uniform `scale // n`, dead vertices drop (the vertex
+    * set is always the current graph's), exactly
+    * [[operators.LinkGraph.pageRank]]'s `initial` contract. */
+  private def prDeltaOracle(prevIters: Int, deltaIters: Int): String = {
+    val header =
+      s"""ep AS MATERIALIZED (
+         |  SELECT doc_id AS src,
+         |      (doc_id + j * 131) % (SELECT count(*) FROM documents) AS dst
+         |    FROM documents,
+         |      unnest(generate_series(1, least(doc_id % 4, 2))) t(j)
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id + 977) % (SELECT count(*) FROM documents)
+         |    FROM documents WHERE doc_id % 5 = 0),
+         |vp AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM ep UNION ALL SELECT dst AS id FROM ep)),
+         |odp AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM ep GROUP BY src),
+         |np AS MATERIALIZED (SELECT count(*) AS n FROM vp),
+         |rp0 AS MATERIALIZED (SELECT id, CAST(1000000000 // n AS BIGINT) AS rank_fp
+         |       FROM vp, np)""".stripMargin
+    val prevSteps = (1 to prevIters).map { i =>
+      s"""cp$i AS MATERIALIZED (SELECT ep.dst AS id, sum(r.rank_fp // odp.outdeg) AS insum
+         |  FROM ep JOIN odp ON ep.src = odp.src JOIN rp${i - 1} r ON ep.src = r.id
+         |  GROUP BY ep.dst),
+         |dp$i AS MATERIALIZED (SELECT coalesce(sum(r.rank_fp), 0) AS dang FROM rp${i - 1} r
+         |  WHERE r.id NOT IN (SELECT src FROM odp)),
+         |rp$i AS MATERIALIZED (SELECT vp.id, CAST((15 * (1000000000 // np.n)) // 100
+         |    + (85 * (coalesce(c.insum, 0) + d.dang // np.n)) // 100
+         |    AS BIGINT) AS rank_fp
+         |  FROM vp LEFT JOIN cp$i c ON vp.id = c.id, dp$i d, np)""".stripMargin
+    }
+    val patched =
+      s"""${QueriesR11.EdgeCte},
+         |v AS MATERIALIZED (SELECT DISTINCT id FROM
+         |  (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |nn AS MATERIALIZED (SELECT count(*) AS n FROM v),
+         |r0 AS MATERIALIZED (SELECT v.id,
+         |    CAST(coalesce(rp.rank_fp, 1000000000 // nn.n) AS BIGINT) AS rank_fp
+         |  FROM v LEFT JOIN rp$prevIters rp ON v.id = rp.id, nn)""".stripMargin
+    val deltaSteps = (1 to deltaIters).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank_fp // od.outdeg) AS insum
+         |  FROM e JOIN od ON e.src = od.src JOIN r${i - 1} r ON e.src = r.id
+         |  GROUP BY e.dst),
+         |d$i AS MATERIALIZED (SELECT coalesce(sum(r.rank_fp), 0) AS dang FROM r${i - 1} r
+         |  WHERE r.id NOT IN (SELECT src FROM od)),
+         |r$i AS MATERIALIZED (SELECT v.id, CAST((15 * (1000000000 // nn.n)) // 100
+         |    + (85 * (coalesce(c.insum, 0) + d.dang // nn.n)) // 100
+         |    AS BIGINT) AS rank_fp
+         |  FROM v LEFT JOIN c$i c ON v.id = c.id, d$i d, nn)""".stripMargin
+    }
+    s"WITH ${((header +: prevSteps) ++ (patched +: deltaSteps)).mkString(",\n")}\n" +
+      s"SELECT id, rank_fp FROM r$deltaIters"
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank_delta" -> prDeltaOracle(2, 2),
+    // Incrementality must be invisible: the full 3-way rebuild oracle
+    // gates the contracted-closure path verbatim.
+    "q_mirror_incremental" -> QueriesR11.oracles("q_mirror_clusters"))
+}

@@ -481,6 +481,63 @@ object Crawl {
       .select(col("doc_id").as("host"), col("rep").as("canonical_host"))
   }
 
+  /** INCREMENTAL mirror-cluster maintenance for the recrawl loop:
+    * [[mirrorClusters]] recomputes the full closure every recrawl,
+    * but mirror-pair evidence is append-only — a recrawl only ever
+    * ADDS `(host_a, host_b)` observations. Given the PRIOR cluster
+    * table (a valid depth-1 union-find forest: `closure(priorPairs)`
+    * with the min host elected per cluster) and the NEW pair
+    * evidence, the merged closure factors through the QUOTIENT graph:
+    * rewrite each new pair endpoint to its prior canonical, drop the
+    * now-internal self-pairs, and close ONLY that contracted pair set
+    * — its size is bounded by the clusters the new evidence touches,
+    * not the host universe, so a recrawl that touches 1% of clusters
+    * runs pointer-jumping on 1% of the reps. The final canonical is
+    * `newRep(priorCanon(host))`: the min of prior-cluster minima IS
+    * the min over the merged cluster, so the result is spec-pinned
+    * EQUAL to a full [[mirrorClusters]]-style rebuild over
+    * `priorPairs ∪ newPairs` (CrawlSpec), and exact-gated
+    * cross-engine by q_mirror_incremental against the full-rebuild
+    * oracle.
+    *
+    * `hosts` is the CURRENT host universe — output has one row per
+    * host; hosts unknown to both the prior table and the new pairs
+    * map to themselves.
+    *
+    * Scale shape: two hash joins keyed on host (prior table ×
+    * new-pair endpoints, prior table × universe), then
+    * [[Dedup.nearDupComponents]]' O(log diameter) pointer-jumping on
+    * the TOUCHED subgraph only, then one hash join mapping touched
+    * canonicals to their new reps. No closure work scales with the
+    * untouched cluster count. */
+  def mirrorClustersIncremental(
+      hosts: DataFrame,
+      priorClusters: DataFrame,
+      newPairs: DataFrame): DataFrame = {
+    val prior = priorClusters.select(col("host"), col("canonical_host"))
+    val contractedPairs = newPairs
+      .join(prior.select(col("host").as("host_a"),
+        col("canonical_host").as("__ca")), Seq("host_a"), "left")
+      .join(prior.select(col("host").as("host_b"),
+        col("canonical_host").as("__cb")), Seq("host_b"), "left")
+      .select(
+        coalesce(col("__ca"), col("host_a")).as("id_a"),
+        coalesce(col("__cb"), col("host_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val touched = contractedPairs.select(col("id_a").as("doc_id"))
+      .union(contractedPairs.select(col("id_b").as("doc_id")))
+      .distinct()
+    val remap = Dedup.nearDupComponents(touched, contractedPairs)
+      .select(col("doc_id").as("__c0"), col("rep").as("__new_rep"))
+    hosts.select(col("host")).distinct()
+      .join(prior, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("canonical_host"), col("host")).as("__c0"))
+      .join(remap, Seq("__c0"), "left")
+      .select(col("host"),
+        coalesce(col("__new_rep"), col("__c0")).as("canonical_host"))
+  }
+
   /** Per-host crawl report over raw URLs: fetches, distinct canonical
     * pages, URL-level duplicate rate (the crawl-frontier health signal
     * — a host whose fetches collapse 10:1 wastes 90% of its crawl

@@ -37,6 +37,12 @@ object LinkGraph {
     else if (n >= AutoPinVertices) 1
     else 4
 
+  /** [[pageRankConverged]]'s small-graph inner cadence (AUTO below
+    * [[AutoPinVertices]], and the long-segment fallback): every 2,
+    * the 5k winner in the r13 A/B (SCALE.md — 13.2 s vs 14.2 lazy
+    * vs 19.6 pin-every-1). */
+  private[graft] val ConvergedSmallCadence = 2
+
   /** Fixed-point PageRank over `edges` (duplicate edges count as
     * parallel links, weighting the contribution — dedup first with
     * [[Crawl.urlDedup]]/`distinct` if unwanted).
@@ -179,6 +185,61 @@ object LinkGraph {
     ranks
   }
 
+  /** Patched edge list for the recrawl loop: `prev ⊎ added ∖ removed`
+    * with MULTISET semantics — duplicate edges weight [[pageRank]]
+    * contributions, so multiplicity is load-bearing: removing one
+    * instance of a doubled link keeps the other, and adding a
+    * duplicate genuinely doubles the link's weight.
+    *
+    * This is the link-graph side of the crawl family's incremental
+    * story ([[Dedup]]'s `extendMinHashBandIndex`,
+    * [[Pipeline]]'s `releaseIncremental`): a recrawl discovers some
+    * new links and finds some dead, and the graph should be PATCHED —
+    * one pass over prev+added — never rebuilt from the raw fetch log.
+    *
+    * Scale shape: the union is shuffle-free; the multiset difference
+    * is ONE exchange keyed on the full (src,dst) pair (`exceptAll`'s
+    * count-based anti semantics — partial-aggregating, spread across
+    * the pair space, skew-safe). */
+  def applyEdgeDelta(
+      prevEdges: DataFrame,
+      addedEdges: DataFrame,
+      removedEdges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    norm(prevEdges).union(norm(addedEdges)).exceptAll(norm(removedEdges))
+  }
+
+  /** Incremental PageRank maintenance: [[applyEdgeDelta]] patches the
+    * edge list, then [[pageRank]] warm-starts from the prior release's
+    * converged ranks — a handful of iterations absorb the delta
+    * instead of re-converging from uniform. Spec-pinned EQUAL to a
+    * from-scratch warm-started run over the patched edge list (the
+    * patch is a value-level identity), exact-gated cross-engine by
+    * q_pagerank_delta. Vertices/out-degrees re-derive from the patched
+    * list by partial aggregation inside [[pageRank]] — the same two
+    * exchanges any run needs, now fed by the patch instead of a
+    * rebuild. */
+  def pageRankDelta(
+      prevEdges: DataFrame,
+      addedEdges: DataFrame,
+      removedEdges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      priorRanks: DataFrame,
+      iterations: Int,
+      dampingNum: Long = 85L,
+      dampingDen: Long = 100L,
+      scale: Long = 1000000000L,
+      materializeEvery: Int = -1): DataFrame =
+    pageRank(
+      applyEdgeDelta(prevEdges, addedEdges, removedEdges, srcCol, dstCol),
+      "src", "dst", iterations, dampingNum, dampingDen, scale,
+      initial = Some(priorRanks), materializeEvery)
+
   /** PageRank TO CONVERGENCE — the production loop: nobody knows the
     * right iteration count up front, so iterate in SEGMENTS of
     * `segment` iterations, materialize the segment boundary, and stop
@@ -193,11 +254,23 @@ object LinkGraph {
     * (`pageRank(k1)` then k2 more ≡ `pageRank(k1+k2)`, spec-pinned)
     * is what makes the segmented loop BIT-IDENTICAL to a straight
     * run of the same total iteration count — driver-gated by
-    * q_pagerank_conv's exact fixed-point oracle. Inner iterations pin
-    * EVERY step (explicit `materializeEvery = 1`, not AUTO): a
-    * convergence loop exists because the iteration count is real, and
-    * a lazy 4-segment re-executes ~2^4 of itself per boundary — A/B'd
-    * 13.7 s lazy vs 8.3 s pinned on the 2k-vertex declared query.
+    * q_pagerank_conv's exact fixed-point oracle.
+    *
+    * `materializeEvery` is the INNER cadence (within a segment; the
+    * segment boundary ALWAYS pins — the L1 test needs it). AUTO
+    * (`-1`) INVERTS [[pageRank]]'s rule, because the boundary pin is
+    * already paid: it bounds lineage at 2^segment copies per segment
+    * regardless, and Spark's exchange reuse dedups the duplicated
+    * subtrees inside the one boundary job — so extra inner pins buy
+    * little recompute and cost one O(V) checkpoint write + job each.
+    * A/B'd at 5k and 200k vertices, segment 4, to the exact fixed
+    * point (tools/scale_probe_r13.scala, SCALE.md): inner cadence
+    * 0/1/2 cost 14.2/19.6/13.2 s at 5k and 23.9/29.2/26.1 s at 200k —
+    * pin-every-1 loses at BOTH sizes, lazy wins large (the O(V)
+    * writes dominate), every-2 wins small (job latency vs Catalyst
+    * mix). AUTO: fully lazy at ≥ [[AutoPinVertices]] when the segment
+    * is short enough for Catalyst (≤ 6), else every 2. Bit-identical
+    * at any cadence (spec-pinned).
     *
     * Returns (ranks, iterationsRun). */
   def pageRankConverged(
@@ -209,14 +282,31 @@ object LinkGraph {
       segment: Int = 4,
       dampingNum: Long = 85L,
       dampingDen: Long = 100L,
-      scale: Long = 1000000000L): (DataFrame, Int) = {
+      scale: Long = 1000000000L,
+      materializeEvery: Int = -1): (DataFrame, Int) = {
     require(tolFp >= 0, "tolerance must be non-negative")
     require(segment >= 1 && maxIterations >= segment,
       s"need 1 <= segment <= maxIterations, got $segment/$maxIterations")
+    val inner =
+      if (materializeEvery >= 0) materializeEvery
+      else {
+        // One vertex-count job to key the cadence (the same scalar
+        // every inner pageRank call derives anyway).
+        val e = edgesIn.select(
+          col(srcCol).cast("long").as("v"),
+          col(dstCol).cast("long").as("w"))
+        val n = e.select(col("v")).union(e.select(col("w").as("v")))
+          .distinct().count()
+        // Lazy segments need Catalyst to chew 2^segment plan copies at
+        // each boundary — fine at the default 4, a stall past ~6 (the
+        // r12 knee measurements), hence the segment guard.
+        if (n >= AutoPinVertices && segment <= 6) 0
+        else ConvergedSmallCadence
+      }
     var prev = Materialize.checkpoint(pageRank(
       edgesIn, srcCol, dstCol, iterations = segment,
       dampingNum, dampingDen, scale, initial = None,
-      materializeEvery = 1))
+      materializeEvery = inner))
     var iters = segment
     var done = false
     while (!done && iters < maxIterations) {
@@ -227,7 +317,7 @@ object LinkGraph {
       val next = Materialize.checkpoint(pageRank(
         edgesIn, srcCol, dstCol, iterations = step,
         dampingNum, dampingDen, scale, initial = Some(prev),
-        materializeEvery = 1))
+        materializeEvery = inner))
       val l1 = next.withColumnRenamed("rank_fp", "__new")
         .join(prev.withColumnRenamed("rank_fp", "__old"), Seq("id"))
         .agg(sum(abs(col("__new") - col("__old"))).as("l1"))
@@ -344,21 +434,31 @@ object LinkGraph {
     * Scale shape, per iteration: one dst-keyed exchange (authority
     * sum), one src-keyed exchange (hub sum), two one-row broadcasts.
     * Renormalization is inherently TWO-PASS (the total must exist
-    * before any row can be scaled), and each half-step would
-    * otherwise reference its input twice — sum + total — growing
-    * plan AND executed work ~4^k (the [[pageRank]] doubling,
-    * squared). So every half-step's raw frame is materialized through
-    * [[Materialize.checkpoint]] before the total is taken: the second
-    * pass reads the materialized O(V) rows instead of re-running the
-    * half-step, total work stays linear in iterations, and the values
-    * are untouched (fixed-point Longs; the q_hits oracle is the
-    * transparency gate). Returns `(id, hub_fp, auth_fp)`. */
+    * before any row can be scaled), and each half-step references its
+    * input twice — sum + total — so unpinned growth is ~4^k per
+    * iteration (the [[pageRank]] doubling, squared).
+    *
+    * `materializeEvery` is the same checkpoint-vs-lineage knob as
+    * [[pageRank]]'s: every `materializeEvery`-th ITERATION both
+    * half-steps pin their raw frame before the renorm total (the
+    * second pass then reads O(V) materialized rows instead of
+    * re-running the half-step's joins); in-between iterations stay
+    * lazy. AUTO (`-1`) resolves to pin-every-iteration at EVERY graph
+    * size — A/B'd at 5k and 200k vertices (SCALE.md): unlike
+    * pageRank, an unpinned half-step is re-executed within its OWN
+    * iteration by the renorm's second pass, so laziness duplicates
+    * work instead of deferring it and the small-graph job-latency
+    * trade never wins. Any cadence is BIT-IDENTICAL (fixed-point
+    * Longs; the q_hits oracle is the transparency gate, the
+    * cross-cadence spec pins 0/1/2 equal). Returns
+    * `(id, hub_fp, auth_fp)`. */
   def hits(
       edgesIn: DataFrame,
       srcCol: String,
       dstCol: String,
       iterations: Int,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L,
+      materializeEvery: Int = -1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     val edges = edgesIn.select(
       col(srcCol).cast("long").as("src"),
@@ -367,13 +467,22 @@ object LinkGraph {
       .union(edges.select(col("dst").as("id")))
       .distinct()
     val n = verts.count()
+    // AUTO resolves to pin-every-iteration at EVERY size — measured at
+    // 5k AND 200k vertices, 4 iterations (tools/scale_probe_r13.scala,
+    // SCALE.md): 7.0/7.9/15.6 s and 10.6/11.8/21.4 s for cadence
+    // 1/2/4. Unlike pageRank, laziness never pays here: the two-pass
+    // renorm re-executes an unpinned half-step within its OWN
+    // iteration (total + scale are two references), so skipping a pin
+    // DUPLICATES work instead of deferring it, at any graph size.
+    val cadence = if (materializeEvery >= 0) materializeEvery else 1
     var scores = verts.select(col("id"),
       lit(scale / n).as("hub_fp"), lit(scale / n).as("auth_fp"))
-    def renorm(df0: DataFrame, cName: String): DataFrame = {
-      // Pin the raw half-step before the total: the two-pass renorm
-      // then reads O(V) materialized rows twice instead of running
-      // the half-step's joins twice.
-      val df = Materialize.checkpoint(df0)
+    def renorm(df0: DataFrame, cName: String, pin: Boolean): DataFrame = {
+      // Pinned: the two-pass renorm reads O(V) materialized rows
+      // twice instead of running the half-step's joins twice. Lazy:
+      // the doubled work is deferred to the next pinned iteration —
+      // cheaper on small graphs where job latency dominates.
+      val df = if (pin) Materialize.checkpoint(df0) else df0
       val total = df.agg(
         coalesce(sum(col(cName)), lit(0L)).as("__tot"))
       df.crossJoin(broadcast(total))
@@ -382,7 +491,8 @@ object LinkGraph {
             expr(s"$cName * ${scale}L div __tot"))
             .otherwise(lit(0L)).as(cName))
     }
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
+      val pin = cadence > 0 && iter % cadence == 0
       val auth = renorm(
         verts.join(
             edges.join(scores.select(col("id").as("src"), col("hub_fp")),
@@ -391,7 +501,7 @@ object LinkGraph {
               .withColumnRenamed("dst", "id"),
             Seq("id"), "left")
           .select(col("id"), coalesce(col("auth_fp"), lit(0L)).as("auth_fp")),
-        "auth_fp")
+        "auth_fp", pin)
       val hub = renorm(
         verts.join(
             edges.join(auth.select(col("id").as("dst"), col("auth_fp")),
@@ -400,7 +510,7 @@ object LinkGraph {
               .withColumnRenamed("src", "id"),
             Seq("id"), "left")
           .select(col("id"), coalesce(col("hub_fp"), lit(0L)).as("hub_fp")),
-        "hub_fp")
+        "hub_fp", pin)
       scores = hub.join(auth, Seq("id"))
     }
     scores.select(col("id"), col("hub_fp"), col("auth_fp"))

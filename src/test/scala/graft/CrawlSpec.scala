@@ -254,6 +254,33 @@ class CrawlSpec extends AnyFunSuite {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d"))
   }
 
+  test("mirrorClustersIncremental == full rebuild (incl. cross-cluster merge)") {
+    val s = spark
+    import s.implicits._
+    // Prior evidence: {a,b} one cluster, {c,d} another, e/f singletons.
+    val priorPairs = Seq(("a", "b"), ("c", "d")).toDF("id_a", "id_b")
+    val allHosts0 = Seq("a", "b", "c", "d", "e", "f").toDF("doc_id")
+    val prior = graft.operators.Dedup
+      .nearDupComponents(allHosts0, priorPairs)
+      .select(col("doc_id").as("host"), col("rep").as("canonical_host"))
+    // New evidence: b~c MERGES the two prior clusters; e~g attaches a
+    // BRAND-NEW host to a prior singleton; f stays untouched.
+    val newPairs = Seq(("b", "c"), ("e", "g")).toDF("host_a", "host_b")
+    val hosts = Seq("a", "b", "c", "d", "e", "f", "g").toDF("host")
+    val inc = Crawl.mirrorClustersIncremental(hosts, prior, newPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // Full rebuild over priorPairs ∪ newPairs on the same universe.
+    val full = graft.operators.Dedup
+      .nearDupComponents(
+        hosts.select(col("host").as("doc_id")),
+        priorPairs.unionByName(
+          newPairs.select(col("host_a").as("id_a"), col("host_b").as("id_b"))))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(inc == full, s"incremental $inc vs full $full")
+    assert(inc == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+      "e" -> "e", "f" -> "f", "g" -> "e"))
+  }
+
   test("stateless robots fold == relational robotsFilter, rule for rule") {
     val s = spark
     import s.implicits._

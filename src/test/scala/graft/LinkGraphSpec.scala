@@ -149,6 +149,57 @@ class LinkGraphSpec extends AnyFunSuite {
     assert(k >= 8 && k < 64, s"plausible convergence length, got $k")
   }
 
+  test("applyEdgeDelta: multiset patch semantics") {
+    val s = spark
+    import s.implicits._
+    // prev holds 1->2 TWICE (a doubled link) plus 2->3; the delta adds
+    // 3->1 and removes ONE instance of 1->2 — the other must survive.
+    val prev = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val added = Seq((3L, 1L)).toDF("src", "dst")
+    val removed = Seq((1L, 2L)).toDF("src", "dst")
+    val patched = LinkGraph.applyEdgeDelta(prev, added, removed, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(patched == Seq((1L, 2L), (2L, 3L), (3L, 1L)), patched.toString)
+  }
+
+  test("pageRankDelta == warm-started pageRank on the hand-patched graph") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq((1L, 2L), (2L, 1L), (2L, 3L), (4L, 1L)).toDF("src", "dst")
+    val added = Seq((3L, 4L), (1L, 3L)).toDF("src", "dst")
+    val removed = Seq((4L, 1L)).toDF("src", "dst")
+    val prior = LinkGraph.pageRank(prev, "src", "dst", 3)
+    val viaDelta = rankMap(LinkGraph.pageRankDelta(
+      prev, added, removed, "src", "dst", prior, iterations = 2))
+    val handPatched = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (1L, 3L))
+      .toDF("src", "dst")
+    val fromScratch = rankMap(LinkGraph.pageRank(
+      handPatched, "src", "dst", 2, initial = Some(prior)))
+    assert(viaDelta == fromScratch)
+    // Vertex 4 lost its only out-edge but gained an in-edge: it must
+    // still be in the result (the vertex set is the patched graph's).
+    assert(viaDelta.contains(4L))
+  }
+
+  test("hits: bit-identical across materialization cadences") {
+    val a = LinkGraph.hits(triangle, "src", "dst", 4, materializeEvery = 0)
+    val b = LinkGraph.hits(triangle, "src", "dst", 4, materializeEvery = 1)
+    val c = LinkGraph.hits(triangle, "src", "dst", 4, materializeEvery = 2)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(a) == m(b) && m(b) == m(c))
+  }
+
+  test("pageRankConverged: bit-identical across inner cadences") {
+    val (a, ka) = LinkGraph.pageRankConverged(
+      triangle, "src", "dst", tolFp = 0L, maxIterations = 24, segment = 4,
+      materializeEvery = 0)
+    val (b, kb) = LinkGraph.pageRankConverged(
+      triangle, "src", "dst", tolFp = 0L, maxIterations = 24, segment = 4,
+      materializeEvery = 1)
+    assert(ka == kb && rankMap(a) == rankMap(b))
+  }
+
   test("pageRankConverged: never overruns maxIterations (clamped last segment)") {
     // segment=4, maxIterations=6: 4 then a CLAMPED 2 — the old loop
     // ran 4+4=8, contradicting the "or maxIterations is hit" contract.
