@@ -43,6 +43,48 @@ object LinkGraph {
     * vs 19.6 pin-every-1). */
   private[graft] val ConvergedSmallCadence = 2
 
+  /** The static per-graph frames every iteration reuses. */
+  private case class GraphFrames(
+      edges: DataFrame, verts: DataFrame, outdeg: DataFrame)
+
+  private def graphFrames(
+      edgesIn: DataFrame, srcCol: String, dstCol: String): GraphFrames = {
+    val edges = edgesIn.select(
+      col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val verts = edges.select(col("src").as("id"))
+      .union(edges.select(col("dst").as("id")))
+      .distinct()
+    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    GraphFrames(edges, verts, outdeg)
+  }
+
+  /** Pin the STATIC frames once: every materialization job of an
+    * iterative loop otherwise re-derives the edge list (source scan +
+    * synthesis), the vertex distinct, and the out-degree aggregate
+    * from scratch — k checkpointed iterations pay those exchanges k
+    * times over. One O(E) + 2·O(V) local write buys every later job a
+    * block read instead. Measured at 200k vertices / 300k edges
+    * (SCALE.md r13 statics table): pageRank 8-it 11.3→9.0 s, PPR 8-it
+    * 11.0→9.8 s, hits 4-it 11.2→8.3 s; the 5k convergence loop
+    * 13.2→10.7 s. Values untouched — checkpoint is value-transparent,
+    * and the existing oracles gate it cross-engine. Callers skip the
+    * pin when no mid-loop materialization will happen (lazy runs,
+    * short loops): ONE job computes the statics once via exchange
+    * reuse anyway, and there the pin consistently LOSES — the
+    * checkpoint scans break whole-stage codegen at the source while
+    * the recompute stays fused (A/B'd on the lazy convergence loop at
+    * 200k: pinned 26.6-27.4 s vs unpinned 21.1-25.9 s). */
+  private def pinnedFrames(g: GraphFrames): GraphFrames = {
+    val e = Materialize.checkpoint(g.edges)
+    val v = Materialize.checkpoint(
+      e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id"))).distinct())
+    val o = Materialize.checkpoint(
+      e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")))
+    GraphFrames(e, v, o)
+  }
+
   /** Fixed-point PageRank over `edges` (duplicate edges count as
     * parallel links, weighting the contribution — dedup first with
     * [[Crawl.urlDedup]]/`distinct` if unwanted).
@@ -131,23 +173,37 @@ object LinkGraph {
     require(iterations >= 1, "iterations must be >= 1")
     require(dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping $dampingNum/$dampingDen outside [0,1]")
-    val edges = edgesIn.select(
-      col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val verts = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    val n = verts.count() // the one driver scalar
+    val g0 = graphFrames(edgesIn, srcCol, dstCol)
+    val n = g0.verts.count() // the one driver scalar
     require(n > 0, "pageRank needs a non-empty edge list")
+    val cadence = resolveCadence(materializeEvery, n)
+    // Pin the statics only when the loop materializes MID-STREAM:
+    // then ≥ 2 jobs (checkpoints + the final consumption) would each
+    // re-derive them. A lazy or single-segment run keeps the zero-
+    // setup-jobs construction property instead.
+    val g = if (cadence > 0 && iterations > cadence) pinnedFrames(g0) else g0
+    pageRankLoop(g, n, iterations, dampingNum, dampingDen, scale,
+      initial, cadence)
+  }
+
+  /** The iteration core over prebuilt [[GraphFrames]] — shared by
+    * [[pageRank]] (which derives the frames) and [[pageRankConverged]]
+    * (which derives AND pins them ONCE across all segments). */
+  private def pageRankLoop(
+      g: GraphFrames,
+      n: Long,
+      iterations: Int,
+      dampingNum: Long,
+      dampingDen: Long,
+      scale: Long,
+      initial: Option[DataFrame],
+      cadence: Int): DataFrame = {
     val init = scale / n
     val base = ((dampingDen - dampingNum) * init) / dampingDen
-    val cadence = resolveCadence(materializeEvery, n)
-
     var ranks = initial match {
-      case None => verts.select(col("id"), lit(init).as("rank_fp"))
+      case None => g.verts.select(col("id"), lit(init).as("rank_fp"))
       case Some(prior) =>
-        verts.join(
+        g.verts.join(
             prior.select(col("id"), col("rank_fp").as("__prior")),
             Seq("id"), "left")
           .select(col("id"),
@@ -158,16 +214,16 @@ object LinkGraph {
       // NAMES (unique by construction), never dataset-qualified refs —
       // qualified attributes are ambiguous under Spark's self-join
       // dedup once the lineages share a scan.
-      val contribs = edges
-        .join(outdeg, "src")
+      val contribs = g.edges
+        .join(g.outdeg, "src")
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("insum"))
       val dangling = ranks
-        .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .join(g.outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
-      ranks = verts
+      ranks = g.verts
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(
@@ -287,26 +343,29 @@ object LinkGraph {
     require(tolFp >= 0, "tolerance must be non-negative")
     require(segment >= 1 && maxIterations >= segment,
       s"need 1 <= segment <= maxIterations, got $segment/$maxIterations")
+    val g0 = graphFrames(edgesIn, srcCol, dstCol)
+    val n = g0.verts.count()
+    require(n > 0, "pageRankConverged needs a non-empty edge list")
     val inner =
       if (materializeEvery >= 0) materializeEvery
       else {
-        // One vertex-count job to key the cadence (the same scalar
-        // every inner pageRank call derives anyway).
-        val e = edgesIn.select(
-          col(srcCol).cast("long").as("v"),
-          col(dstCol).cast("long").as("w"))
-        val n = e.select(col("v")).union(e.select(col("w").as("v")))
-          .distinct().count()
         // Lazy segments need Catalyst to chew 2^segment plan copies at
         // each boundary — fine at the default 4, a stall past ~6 (the
         // r12 knee measurements), hence the segment guard.
         if (n >= AutoPinVertices && segment <= 6) 0
         else ConvergedSmallCadence
       }
-    var prev = Materialize.checkpoint(pageRank(
-      edgesIn, srcCol, dstCol, iterations = segment,
-      dampingNum, dampingDen, scale, initial = None,
-      materializeEvery = inner))
+    // Statics pinned across segments ONLY when the inner cadence pins
+    // (several jobs per segment re-derive them). A lazy segment is ONE
+    // boundary job, and exchange reuse inside it computes the statics
+    // once anyway — there the pin consistently LOSES (A/B'd at 200k
+    // vertices: pinned 26.6-27.4 s vs unpinned 21.1-25.9 s across 3
+    // runs each; the checkpoint scans break whole-stage codegen at the
+    // source while the recompute stays fused).
+    val g = if (inner > 0) pinnedFrames(g0) else g0
+    var prev = Materialize.checkpoint(pageRankLoop(
+      g, n, iterations = segment, dampingNum, dampingDen, scale,
+      initial = None, cadence = inner))
     var iters = segment
     var done = false
     while (!done && iters < maxIterations) {
@@ -314,10 +373,9 @@ object LinkGraph {
       // maxIterations (segment=4, maxIterations=6 runs 4 then 2, not
       // 4 then 4) — the "or maxIterations is hit" contract is exact.
       val step = math.min(segment, maxIterations - iters)
-      val next = Materialize.checkpoint(pageRank(
-        edgesIn, srcCol, dstCol, iterations = step,
-        dampingNum, dampingDen, scale, initial = Some(prev),
-        materializeEvery = inner))
+      val next = Materialize.checkpoint(pageRankLoop(
+        g, n, iterations = step, dampingNum, dampingDen, scale,
+        initial = Some(prev), cadence = inner))
       val l1 = next.withColumnRenamed("rank_fp", "__new")
         .join(prev.withColumnRenamed("rank_fp", "__old"), Seq("id"))
         .agg(sum(abs(col("__new") - col("__old"))).as("l1"))
@@ -369,22 +427,18 @@ object LinkGraph {
       scale: Long = 1000000000L,
       materializeEvery: Int = -1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val edges = edgesIn.select(
-      col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val verts = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-    val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val g0 = graphFrames(edgesIn, srcCol, dstCol)
     val seedFlag = broadcast(
       seeds.select(col("id").cast("long").as("id")).distinct()
         .withColumn("__seed", lit(1L)))
-    val flagged = verts.join(seedFlag, Seq("id"), "left")
-      .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
+    def flagVerts(verts: DataFrame): DataFrame =
+      verts.join(seedFlag, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
+    val flagged0 = flagVerts(g0.verts)
     // ONE driver job for both scalars: |S ∩ V| (the teleport divisor —
     // phantom seeds outside the graph are excluded, see the scaladoc)
     // and |V| (the cadence key, the work per iteration).
-    val nsRow = flagged
+    val nsRow = flagged0
       .agg(count(lit(1)).as("__n"),
         coalesce(sum(col("is_seed")), lit(0L)).as("__s"))
       .collect()(0)
@@ -392,19 +446,27 @@ object LinkGraph {
     require(s > 0,
       "personalizedPageRank needs at least one seed present in the graph")
     val cadence = resolveCadence(materializeEvery, nsRow.getLong(0))
+    // Same statics-pinning rule as [[pageRank]]: only when mid-loop
+    // checkpoints will re-derive them. `flagged` is the per-iteration
+    // base frame here, so it pins with the rest.
+    val pinStatics = cadence > 0 && iterations > cadence
+    val g = if (pinStatics) pinnedFrames(g0) else g0
+    val flagged =
+      if (pinStatics) Materialize.checkpoint(flagVerts(g.verts))
+      else flagged0
     val init = scale / s
     val base = ((dampingDen - dampingNum) * init) / dampingDen
     var ranks = flagged.select(col("id"), col("is_seed"),
       (col("is_seed") * init).as("rank_fp"))
     for (iter <- 1 to iterations) {
-      val contribs = edges
-        .join(outdeg, "src")
+      val contribs = g.edges
+        .join(g.outdeg, "src")
         .join(ranks.select(col("id").as("src"), col("rank_fp")), "src")
         .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("insum"))
       val dangling = ranks
-        .join(outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .join(g.outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
         .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
       ranks = flagged
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
@@ -460,13 +522,6 @@ object LinkGraph {
       scale: Long = 1000000000L,
       materializeEvery: Int = -1): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val edges = edgesIn.select(
-      col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val verts = edges.select(col("src").as("id"))
-      .union(edges.select(col("dst").as("id")))
-      .distinct()
-    val n = verts.count()
     // AUTO resolves to pin-every-iteration at EVERY size — measured at
     // 5k AND 200k vertices, 4 iterations (tools/scale_probe_r13.scala,
     // SCALE.md): 7.0/7.9/15.6 s and 10.6/11.8/21.4 s for cadence
@@ -475,6 +530,20 @@ object LinkGraph {
     // iteration (total + scale are two references), so skipping a pin
     // DUPLICATES work instead of deferring it, at any graph size.
     val cadence = if (materializeEvery >= 0) materializeEvery else 1
+    val g0 = graphFrames(edgesIn, srcCol, dstCol)
+    // Statics pinning (edges + verts; hits never needs out-degrees):
+    // any pinned half-step is a job that would re-derive them, so pin
+    // whenever the cadence pins at all — fully-lazy runs keep the
+    // zero-setup-jobs construction.
+    val (edges, verts) =
+      if (cadence > 0) {
+        val e = Materialize.checkpoint(g0.edges)
+        val v = Materialize.checkpoint(
+          e.select(col("src").as("id"))
+            .union(e.select(col("dst").as("id"))).distinct())
+        (e, v)
+      } else (g0.edges, g0.verts)
+    val n = verts.count()
     var scores = verts.select(col("id"),
       lit(scale / n).as("hub_fp"), lit(scale / n).as("auth_fp"))
     def renorm(df0: DataFrame, cName: String, pin: Boolean): DataFrame = {
