@@ -94,6 +94,26 @@ object QueriesR13 {
         threeWay, "host", "text", maxDf = 5, minShared = 3)
       operators.Crawl.mirrorClustersIncremental(
         threeWay.select(col("host")), prior, newPairs)
+    },
+    // --- INCREMENTAL near-dup components: prior labels from the
+    //     even-id half of the corpus, new pair evidence from the full
+    //     corpus (pair Jaccard is a property of the two documents
+    //     alone, so evidence is append-only and prior pairs stay
+    //     valid); the contracted closure touches only clusters the
+    //     new pairs reach, and the result must equal the full-rebuild
+    //     closure — q_dedup_components' recursive-CTE oracle
+    //     verbatim. ---
+    "q_dedup_components_inc" -> { (s, d) =>
+      val dd = docs(s, d)
+      val half = dd.filter(col("doc_id") % 2 === 0)
+      val prior = operators.Dedup.nearDupComponents(
+        half.select("doc_id"),
+        operators.Dedup.nearDupPairs(half, "doc_id", "text",
+          k = 3, threshold = 0.8).select("id_a", "id_b"))
+      val newPairs = operators.Dedup.nearDupPairs(dd, "doc_id", "text",
+        k = 3, threshold = 0.8).select("id_a", "id_b")
+      operators.Dedup.nearDupComponentsIncremental(
+        dd.select("doc_id"), prior, newPairs)
     })
 
   /** The q_pagerank_delta oracle: the q_pagerank unroll arithmetic,
@@ -156,7 +176,9 @@ object QueriesR13 {
 
   val oracles: Map[String, String] = Map(
     "q_pagerank_delta" -> prDeltaOracle(2, 2),
-    // Incrementality must be invisible: the full 3-way rebuild oracle
-    // gates the contracted-closure path verbatim.
-    "q_mirror_incremental" -> QueriesR11.oracles("q_mirror_clusters"))
+    // Incrementality must be invisible: the full-rebuild oracles gate
+    // the contracted-closure paths verbatim.
+    "q_mirror_incremental" -> QueriesR11.oracles("q_mirror_clusters"),
+    "q_dedup_components_inc" ->
+      operators.PipelineQueries.oracles("q_dedup_components"))
 }

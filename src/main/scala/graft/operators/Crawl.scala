@@ -509,34 +509,18 @@ object Crawl {
     * [[Dedup.nearDupComponents]]' O(log diameter) pointer-jumping on
     * the TOUCHED subgraph only, then one hash join mapping touched
     * canonicals to their new reps. No closure work scales with the
-    * untouched cluster count. */
+    * untouched cluster count. Delegates to
+    * [[Dedup.nearDupComponentsIncremental]], the id-space generic. */
   def mirrorClustersIncremental(
       hosts: DataFrame,
       priorClusters: DataFrame,
-      newPairs: DataFrame): DataFrame = {
-    val prior = priorClusters.select(col("host"), col("canonical_host"))
-    val contractedPairs = newPairs
-      .join(prior.select(col("host").as("host_a"),
-        col("canonical_host").as("__ca")), Seq("host_a"), "left")
-      .join(prior.select(col("host").as("host_b"),
-        col("canonical_host").as("__cb")), Seq("host_b"), "left")
-      .select(
-        coalesce(col("__ca"), col("host_a")).as("id_a"),
-        coalesce(col("__cb"), col("host_b")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
-    val touched = contractedPairs.select(col("id_a").as("doc_id"))
-      .union(contractedPairs.select(col("id_b").as("doc_id")))
-      .distinct()
-    val remap = Dedup.nearDupComponents(touched, contractedPairs)
-      .select(col("doc_id").as("__c0"), col("rep").as("__new_rep"))
-    hosts.select(col("host")).distinct()
-      .join(prior, Seq("host"), "left")
-      .select(col("host"),
-        coalesce(col("canonical_host"), col("host")).as("__c0"))
-      .join(remap, Seq("__c0"), "left")
-      .select(col("host"),
-        coalesce(col("__new_rep"), col("__c0")).as("canonical_host"))
-  }
+      newPairs: DataFrame): DataFrame =
+    Dedup.nearDupComponentsIncremental(
+        hosts.select(col("host").as("doc_id")).distinct(),
+        priorClusters.select(col("host").as("doc_id"),
+          col("canonical_host").as("rep")),
+        newPairs.select(col("host_a").as("id_a"), col("host_b").as("id_b")))
+      .select(col("doc_id").as("host"), col("rep").as("canonical_host"))
 
   /** Per-host crawl report over raw URLs: fetches, distinct canonical
     * pages, URL-level duplicate rate (the crawl-frontier health signal

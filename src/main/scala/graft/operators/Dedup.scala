@@ -634,6 +634,63 @@ object Dedup {
     labels
   }
 
+  /** INCREMENTAL connected components for the append-only corpus loop:
+    * [[nearDupComponents]]' labels maintained through NEW pair
+    * evidence instead of a full re-closure. Near-dup pair evidence
+    * only ever GROWS as a corpus is extended (a pair's Jaccard is a
+    * property of the two documents alone), so the merged closure
+    * factors through the QUOTIENT graph: contract each new pair
+    * endpoint to its prior representative (prior labels are a valid
+    * depth-1 union-find forest — every rep is its component's min),
+    * drop the now-internal self-pairs, run the pointer-jumping
+    * closure on that contracted set ONLY — its size is bounded by the
+    * clusters the new evidence touches, not the corpus — and remap:
+    * `rep(doc) = newRep(priorRep(doc))`. Min-of-component-minima IS
+    * the merged component's min, so the result is spec-pinned EQUAL
+    * to a full [[nearDupComponents]] over `priorPairs ∪ newPairs`
+    * (DedupSpec) and exact-gated cross-engine by
+    * q_dedup_components_inc against the full-rebuild recursive-CTE
+    * oracle verbatim. [[Crawl.mirrorClustersIncremental]] is this
+    * operator on host strings.
+    *
+    * `ids` is the CURRENT universe (old + new documents) — output has
+    * one row per id; ids unknown to both the prior table and the new
+    * pairs map to themselves.
+    *
+    * Scale shape: two hash joins keyed on the id (prior labels ×
+    * new-pair endpoints, prior labels × universe), the O(log d)
+    * pointer-jumping rounds on the TOUCHED subgraph only, one hash
+    * join remapping touched reps. Nothing scales with the untouched
+    * cluster count — the recrawl/append case runs closure work
+    * proportional to the delta. */
+  def nearDupComponentsIncremental(
+      ids: DataFrame,
+      priorLabels: DataFrame,
+      newPairs: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val prior = priorLabels.select(col("doc_id"), col("rep"))
+    val contracted = newPairs
+      .join(prior.select(col("doc_id").as("id_a"), col("rep").as("__ra")),
+        Seq("id_a"), "left")
+      .join(prior.select(col("doc_id").as("id_b"), col("rep").as("__rb")),
+        Seq("id_b"), "left")
+      .select(
+        coalesce(col("__ra"), col("id_a")).as("id_a"),
+        coalesce(col("__rb"), col("id_b")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    val touched = contracted.select(col("id_a").as("doc_id"))
+      .union(contracted.select(col("id_b").as("doc_id")))
+      .distinct()
+    val remap = nearDupComponents(touched, contracted, maxIter)
+      .select(col("doc_id").as("__r0"), col("rep").as("__new_rep"))
+    ids.select(col("doc_id"))
+      .join(prior, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("rep"), col("doc_id")).as("__r0"))
+      .join(remap, Seq("__r0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("__new_rep"), col("__r0")).as("rep"))
+  }
+
   /** Full corpus dedup: exact dups collapse via content hash, near-dup
     * clusters (MinHash candidates verified by exact Jaccard) collapse to
     * their min-id representative. Returns the surviving rows. */

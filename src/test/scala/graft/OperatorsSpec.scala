@@ -218,6 +218,26 @@ class OperatorsSpec extends AnyFunSuite {
       s"all chain members must collapse to rep 0: $reps")
   }
 
+  test("nearDupComponentsIncremental == full rebuild over all evidence") {
+    val s = spark
+    import s.implicits._
+    // Prior: clusters {1,2,3} and {4,5}, singletons 6/7.
+    val priorPairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val oldIds = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val prior = Dedup.nearDupComponents(oldIds, priorPairs)
+    // New evidence: 3~4 MERGES the two prior clusters; brand-new doc 8
+    // attaches to singleton 6; 7 untouched; new doc 9 is a singleton.
+    val newPairs = Seq((3L, 4L), (6L, 8L)).toDF("id_a", "id_b")
+    val ids = (1L to 9L).toDF("doc_id")
+    val inc = Dedup.nearDupComponentsIncremental(ids, prior, newPairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.nearDupComponents(ids, priorPairs.unionByName(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, s"incremental $inc vs full $full")
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      6L -> 6L, 7L -> 7L, 8L -> 6L, 9L -> 9L))
+  }
+
   test("nearDupComponents fails loudly when the round cap is exhausted") {
     val s = spark
     import s.implicits._
