@@ -114,6 +114,33 @@ object QueriesR13 {
         k = 3, threshold = 0.8).select("id_a", "id_b")
       operators.Dedup.nearDupComponentsIncremental(
         dd.select("doc_id"), prior, newPairs)
+    },
+    // --- INCREMENTAL IVF index: quantizer fit on the 6/7 base corpus,
+    //     the 1/7 delta assigned to the FROZEN centroids relationally
+    //     (no fit job) and appended; top-k from the extended index is
+    //     recall-gated against full-corpus brute force — the same gate
+    //     shape and threshold as q_ivf_recall, so extension must not
+    //     cost recall on this corpus. ---
+    "q_ivf_extend" -> { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val base = e.filter(col("vec_id") % 7 =!= 0)
+      val delta = e.filter(col("vec_id") % 7 === 0)
+      val (assigned, centroids) = operators.Similarity.buildIvfIndex(
+        base, "vec_id", "embedding", nLists = 16)
+      val extended = assigned.unionByName(
+        operators.Similarity.extendIvfIndex(
+          delta, centroids, "vec_id", "embedding"))
+      val ivf = operators.Similarity.ivfTopKFromIndex(
+        extended, centroids, qs, "vec_id", "embedding", "qid", "qvec",
+        k = 5, nProbe = 4)
+      val exact = operators.Similarity.bruteForceTopKAgg(
+        e, qs, "vec_id", "embedding", "qid", "qvec", k = 5)
+      operators.Quality.topKRecallCounts(exact, ivf, "qid", "vec_id")
+        .select(col("n_q"), col("n_exact"),
+          operators.Quality.recallOk(bps = 3500).as("recall_ok"))
     })
 
   /** The q_pagerank_delta oracle: the q_pagerank unroll arithmetic,
@@ -180,5 +207,12 @@ object QueriesR13 {
     // the contracted-closure paths verbatim.
     "q_mirror_incremental" -> QueriesR11.oracles("q_mirror_clusters"),
     "q_dedup_components_inc" ->
-      operators.PipelineQueries.oracles("q_dedup_components"))
+      operators.PipelineQueries.oracles("q_dedup_components"),
+    // Same exact-side counts + thresholded-boolean contract as
+    // q_ivf_recall: the exact top-k side is engine-reproducible, the
+    // recall gate is deterministic for the fixed seeds.
+    "q_ivf_extend" ->
+      """SELECT count(DISTINCT vec_id) AS n_q,
+        |  5 * count(DISTINCT vec_id) AS n_exact, TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin)
 }

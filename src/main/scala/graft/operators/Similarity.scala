@@ -390,6 +390,53 @@ object Similarity {
     (assigned, centroids)
   }
 
+  /** EXTEND an already-materialized IVF index with newly-arrived
+    * vectors: assign each to its nearest EXISTING centroid — squared
+    * euclidean on the unit vector, exactly the quantizer's assignment
+    * rule, computed relationally against the broadcast centroid table
+    * (no model object, no fit job) — and return rows in
+    * [[buildIvfIndex]]'s `assigned` schema for the caller to APPEND
+    * to the index's cache table. The embedding-side twin of
+    * [[Dedup.extendMinHashBandIndex]]: the quantizer is deliberately
+    * FROZEN, which is what makes the index incremental; new-vector
+    * recall matches build recall while the corpus distribution holds
+    * (q_ivf_extend gates the recall of an extended index end-to-end;
+    * re-fit when drift is suspected). Assignment parity with
+    * `KMeansModel.transform` is spec-pinned (SimilaritySpec).
+    *
+    * Zero-norm vectors have no direction and are dropped — the same
+    * rule as every cosine path here.
+    *
+    * Scale shape: one scan of the delta × a broadcast of nLists
+    * centroid rows, then a partial-aggregating `min_by` per vector —
+    * no shuffle of the existing index, no driver collect. */
+  def extendIvfIndex(
+      newVectors: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    val withUnit = newVectors
+      .select(col(idCol), col(vecCol))
+      .withColumn("__nrm",
+        sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x)))
+      .filter(col("__nrm") > 0)
+      .withColumn("__u", transform(vd, x => x / col("__nrm")))
+      .drop("__nrm")
+    val cb = broadcast(centroids.select(col("cell"), col("centroid")))
+    withUnit.join(cb)
+      .withColumn("__d2",
+        aggregate(
+          zip_with(col("__u"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (a, x) => a + x))
+      .groupBy(col(idCol))
+      .agg(min_by(
+          struct(col("cell"), col(vecCol).as("__v")),
+          struct(col("__d2"), col("cell"))).as("__best"))
+      .select(col(idCol), col("__best.__v").as(vecCol),
+        col("__best.cell").as("cell"))
+  }
+
   /** Top-k cosine search over an ALREADY-MATERIALIZED IVF index (the
     * frames of [[buildIvfIndex]], typically read back from cache
     * tables): identical probe + exact-rerank shape to

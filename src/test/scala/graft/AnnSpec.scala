@@ -138,6 +138,22 @@ class AnnSpec extends AnyFunSuite {
     assert(fromIndex.nonEmpty)
   }
 
+  test("extendIvfIndex assignment == the quantizer's own assignment") {
+    val (assigned, centroids) = Similarity.buildIvfIndex(
+      embs, "vec_id", "embedding", nLists = 4)
+    // Re-assign the SAME vectors relationally against the frozen
+    // centroid table: every cell must match model.transform's choice —
+    // the parity that makes extending an index equivalent to having
+    // assigned the new vectors at build time.
+    val re = Similarity.extendIvfIndex(embs, centroids, "vec_id", "embedding")
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val ref = assigned.select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(re == ref)
+    assert(re.nonEmpty)
+  }
+
   test("embeddingCard counts nulls, zero vectors, ragged dims, and exact norms") {
     val s = spark
     import s.implicits._
