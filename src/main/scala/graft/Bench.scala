@@ -74,10 +74,38 @@ object Bench {
       Fixtures.warm(spark, sfDir)
     } catch { case _: Throwable => () }
 
+    // ---- Per-query executor CPU attribution ------------------------
+    // Wall-clock moves with co-tenant load; task CPU time (the
+    // executor threads' actual compute, GC excluded — jvmGcTime is a
+    // separate metric) barely does. Recording BOTH per query gives
+    // bench_diff a mechanical ambient discriminator: a wall-time
+    // violation whose CPU ratio is flat is load, not regression. The
+    // counter accumulates across the whole context; timed windows
+    // bracket it with a deterministic listener-bus drain so late
+    // task-end events can't leak into the next query's delta.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    def attachCpuListener(s: SparkSession): Unit =
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+          }
+        })
+
     var spark = newSession()
+    attachCpuListener(spark)
     CacheConfig.current = CacheConfig(sparkCacheDir =
       java.nio.file.Files.createTempDirectory("graft-bench-cache").toString + "/")
     warm(spark)
+
+    def cpuNow(): Long = {
+      try org.apache.spark.sql.graftbridge.Bridge
+        .drainListenerBus(spark.sparkContext)
+      catch { case _: Throwable => () }
+      cpuNs.get()
+    }
 
     // ---- Ambient control queries ----------------------------------
     // FROZEN plans, pure Spark built-ins over the fixture parquet —
@@ -126,6 +154,9 @@ object Bench {
       scala.collection.mutable.LinkedHashMap.empty[
         String, scala.collection.mutable.ArrayBuffer[Double]]
     val controlReps = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val controlCpuSamples =
+      scala.collection.mutable.LinkedHashMap.empty[
+        String, scala.collection.mutable.ArrayBuffer[Double]]
     // One control point: each plan runs ONE untimed warmup exec (so a
     // point right after a session recycle pays its parquet-footer /
     // codegen re-warm outside the timed window, same as every query
@@ -143,12 +174,16 @@ object Bench {
           val reps = controlReps.getOrElseUpdate(name,
             math.min(16,
               math.max(1, math.ceil(0.5 / math.max(warmSec, 0.03)).toInt)))
+          val c0 = cpuNow()
           val t0 = System.nanoTime()
           var k = 0
           while (k < reps) { runFully(mk()); k += 1 }
           controlSamples.getOrElseUpdate(name,
             scala.collection.mutable.ArrayBuffer.empty[Double]) +=
             ((System.nanoTime() - t0) / 1e9) / reps
+          controlCpuSamples.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer.empty[Double]) +=
+            ((cpuNow() - c0) / 1e9) / reps
         } catch { case _: Throwable => () }
     }
 
@@ -189,6 +224,10 @@ object Bench {
     // entries with reps>1 report per-execution seconds averaged over a
     // reps-sized back-to-back batch per timed measurement.
     val repsUsed = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    // Median executor-CPU seconds per execution (see the CPU
+    // attribution note above): the load-insensitive companion to the
+    // wall-clock median.
+    val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // Shared median/spread bookkeeping for queries AND cache phases.
     // Median of all runs; spread over the steady-state runs: when the
@@ -288,6 +327,7 @@ object Bench {
           SparkSession.clearDefaultSession()
         } catch { case _: Throwable => () }
         spark = newSession()
+        attachCpuListener(spark)
         warm(spark)
       }
     }
@@ -397,7 +437,11 @@ object Bench {
       // at reps=1: their protocol needs the per-run drain between
       // executions, and their runs are near- or multi-second anyway.
       var reps = 1
-      def measureOnce(): (Double, Option[String]) = {
+      // Returns (wall sec, executor-CPU sec, error) per execution —
+      // both averaged over the reps-sized batch, CPU bracketed by the
+      // deterministic bus drain.
+      def measureOnce(): (Double, Double, Option[String]) = {
+        val c0 = cpuNow()
         val t0 = System.nanoTime()
         var k = 0
         var e: Option[String] = None
@@ -410,14 +454,16 @@ object Bench {
           }
           k += 1
         }
-        (((System.nanoTime() - t0) / 1e9) / reps, e)
+        val wall = ((System.nanoTime() - t0) / 1e9) / reps
+        ((wall, ((cpuNow() - c0) / 1e9) / reps, e))
       }
       // First timed run: classifies (reps for light non-block queries;
       // drain-per-run for short block-leavers) and joins the sample
       // only when the classification keeps its protocol uniform.
+      val cpuRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
       if (err.isEmpty) {
         dropRunBlocks()
-        val (sec, e) = measureOnce()
+        val (sec, cpu, e) = measureOnce()
         err = e
         if (e.isEmpty) {
           if (leavesBlocks) drainPerRun = sec < 1.5
@@ -437,14 +483,15 @@ object Bench {
             val n = math.ceil(w / math.max(sec, 0.04)).toInt
             math.min(32, math.max(1, if (sec < 0.3) math.max(n, 8) else n))
           }
-          if (!drainPerRun) runs += sec
+          if (!drainPerRun) { runs += sec; cpuRuns += cpu }
         }
       }
       while (runs.size < 3 && err.isEmpty) {
         drainDebt()
         dropRunBlocks()
-        val (sec, e) = measureOnce()
+        val (sec, cpu, e) = measureOnce()
         runs += sec
+        cpuRuns += cpu
         err = e
       }
       // Adaptive re-runs: a co-tenant CPU burst landing inside one timed
@@ -488,13 +535,19 @@ object Bench {
         if (drainPerRun) drainDebt()
         else if (med >= 1.0) settle()
         dropRunBlocks()
-        val (sec, e) = measureOnce()
+        val (sec, cpu, e) = measureOnce()
         runs += sec
+        cpuRuns += cpu
         err = e
       }
       // A failed query reports ONLY its error — a median over runs that
       // include the aborted attempt would record a misleading timing.
-      if (err.isEmpty) { record(name, runs.toSeq); repsUsed(name) = reps }
+      if (err.isEmpty) {
+        record(name, runs.toSeq)
+        repsUsed(name) = reps
+        if (cpuRuns.nonEmpty)
+          cpuSecs(name) = cpuRuns.sorted.apply((cpuRuns.size - 1) / 2)
+      }
       err.foreach(errors(name) = _)
     }
     // Closing control point: end-of-sweep ambient, after every query
@@ -588,8 +641,15 @@ object Bench {
       .mkString("{", ",", "}")
     val controlRepsJson = controlReps.map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
+    // `cpu_sec` / `controls_cpu`: executor-CPU medians beside the wall
+    // medians — bench_diff's load-insensitive second opinion.
+    val cpuJson = cpuSecs.map { case (k, v) => s"${jsonStr(k)}:${f"$v%.3f"}" }
+      .mkString("{", ",", "}")
+    val controlsCpuJson = controlCpuSamples.map { case (k, ss) =>
+      s"${jsonStr(k)}:${ss.map(v => f"$v%.4f").mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"recycle_every":$recycleEvery,"controls":$controlsJson,"control_reps":$controlRepsJson,"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"cpu_sec":$cpuJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"recycle_every":$recycleEvery,"controls":$controlsJson,"control_reps":$controlRepsJson,"controls_cpu":$controlsCpuJson,"sf":${jsonStr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
 

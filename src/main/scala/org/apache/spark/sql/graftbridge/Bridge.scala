@@ -24,6 +24,14 @@ object Bridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** Block until every posted listener event has been delivered — the
+    * listener bus is `private[spark]`, and graft.Bench's per-query CPU
+    * attribution needs a deterministic drain between timed windows (a
+    * fixed sleep would race late task-end events into the next
+    * query's counter). */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+
   /** Register a native function in an existing session's registry (the
     * registry is also behind `private[sql]` session state). */
   def registerFunction(

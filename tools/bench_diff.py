@@ -38,6 +38,14 @@ the MACHINE and cannot be moved by genuine operator regressions the
 way the all-queries median could (ambient_source: "controls" vs
 "query_median"). Per-control ratios are reported for audit.
 
+CPU second opinion (round 13): BENCH_DETAIL also carries `cpu_sec` —
+the median executor-CPU seconds per execution, bracketed by a
+deterministic listener drain. Co-tenant load inflates wall-clock but
+barely touches task CPU, so a would-be wall violation whose CPU ratio
+is inside tolerance is mechanically reclassified `ambient_suspect`
+(`cpu_flat: true`) — a genuine regression does more work and moves
+BOTH numbers.
+
 Isolated re-measures: --isolated FILE(s) take BENCH_DETAIL(_PARTIAL)
 files from `SPARK_GRAFT_ONLY=...` runs of the SAME build; their
 medians override --cur for the queries they contain (marked
@@ -107,6 +115,7 @@ def main():
         cur = json.load(open(args.cur))
     bq, cq = base["queries"], cur["queries"]
     bs, cs = base.get("run_spread", {}), cur.get("run_spread", {})
+    bcpu, ccpu = base.get("cpu_sec", {}), cur.get("cpu_sec", {})
 
     isolated = {}
     iso_ambients = {}
@@ -164,6 +173,10 @@ def main():
         entry = {"query": q, "base": b, "cur": c,
                  "ratio": round(c / b, 3) if b > 0 else None,
                  "spread_base": bs.get(q), "spread_cur": cs.get(q)}
+        cpu_ratio = None
+        if bcpu.get(q) and ccpu.get(q) and bcpu[q] > 0:
+            cpu_ratio = round(ccpu[q] / bcpu[q], 3)
+            entry["cpu_ratio"] = cpu_ratio
         if q in isolated:
             # Same-build measurements all estimate one capability and
             # co-tenant noise is additive, so the MIN of sweep and
@@ -180,6 +193,15 @@ def main():
             spread = max(bs.get(q, 0.0) or 0.0, (entry["spread_cur"] or 0.0))
             if spread > args.tolerance - 1.0:
                 noisy.append(entry)
+            elif (cpu_ratio is not None and cpu_ratio <= args.tolerance
+                  and bcpu.get(q, 0) >= 0.05):
+                # The wall moved but the actual compute did not: load,
+                # not regression — a real regression does more WORK.
+                # (Still a SUSPECT, not a silent pass: a pure I/O-wait
+                # regression — an extra checkpoint write, say — could
+                # also leave CPU flat, so the entry stays visible.)
+                entry["cpu_flat"] = True
+                suspects.append(entry)
             elif (ambient_hot and not entry.get("isolated")
                   and (c / ambient) / b <= args.tolerance):
                 entry["deflated_ratio"] = round((c / ambient) / b, 3)
