@@ -58,6 +58,45 @@ object QueriesR13 {
         ((col("doc_id") + 977) % n).as("dst"))
   }
 
+  /** The q_robots_parse fixture: raw robots.txt bodies as ONE Scala
+    * constant rendered into BOTH engines (toDF on the Spark side,
+    * VALUES + chr(10) concatenation on the DuckDB side), so the two
+    * parsers read byte-identical text. The five hosts exercise the REP
+    * grammar corners: exact-agent group beats `*`, trailing comments,
+    * case-insensitive field names, an EMPTY `Disallow:` (allow-all —
+    * yields no rule, and the exact group still shadows the `*`
+    * group), multi-`User-agent` groups with interleaved comments,
+    * ignored unknown fields, and a host whose only group names a
+    * different agent (no rules at all). */
+  private val RobotsBodies: Seq[(String, Seq[String])] = Seq(
+    "site0.example.com" -> Seq(
+      "# robots for site0",
+      "User-agent: graftbot",
+      "Disallow: /private/",
+      "Allow: /private/public/",
+      "",
+      "User-agent: *",
+      "Disallow: /"),
+    "site1.example.com" -> Seq(
+      "User-Agent: *",
+      "Disallow: /tmp/   # trailing comment",
+      "allow: /tmp/pub"),
+    "site2.example.com" -> Seq(
+      "User-agent: graftbot",
+      "Disallow:",
+      "",
+      "User-agent: *",
+      "Disallow: /"),
+    "site3.example.com" -> Seq(
+      "User-agent: helper",
+      "# interleaved comment",
+      "User-agent: graftbot",
+      "Disallow: /cgi/",
+      "Crawl-delay: 10"),
+    "site4.example.com" -> Seq(
+      "User-agent: other",
+      "Disallow: /"))
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- INCREMENTAL PageRank: prior release's ranks (2 iterations on
     //     the stale graph) + an edge delta (3rd links discovered,
@@ -141,6 +180,17 @@ object QueriesR13 {
       operators.Quality.topKRecallCounts(exact, ivf, "qid", "vec_id")
         .select(col("n_q"), col("n_exact"),
           operators.Quality.recallOk(bps = 3500).as("recall_ok"))
+    },
+    // --- robots.txt PARSING: raw bodies -> the (host, prefix, allow)
+    //     rule table robotsFilter/robotsVerdict consume — the missing
+    //     first step of the fetch-to-frontier composition, exact-gated
+    //     against a full SQL replay of the group/selection grammar. ---
+    "q_robots_parse" -> { (s, d) =>
+      import s.implicits._
+      val bodies = RobotsBodies
+        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .toDF("host", "body")
+      operators.Crawl.parseRobots(bodies, "host", "body", "graftbot")
     })
 
   /** The q_pagerank_delta oracle: the q_pagerank unroll arithmetic,
@@ -214,5 +264,56 @@ object QueriesR13 {
     "q_ivf_extend" ->
       """SELECT count(DISTINCT vec_id) AS n_q,
         |  5 * count(DISTINCT vec_id) AS n_exact, TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 10""".stripMargin)
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    "q_robots_parse" -> robotsParseOracle)
+
+  /** The q_robots_parse oracle: [[RobotsBodies]] rendered as VALUES
+    * rows (lines joined with `chr(10)` so the text is byte-identical
+    * to the Spark fixture), then the full REP group/selection grammar
+    * replayed with the same window logic: comment strip, field/value
+    * split, consecutive-User-agent group starts via `lag`, running-sum
+    * group ids, exact-agent-beats-star selection, empty-Disallow drop.
+    */
+  private def robotsParseOracle: String = {
+    val valuesRows = RobotsBodies.map { case (h, ls) =>
+      val bodyExpr = ls.map {
+        case "" => "''"
+        case l => s"'${l.replace("'", "''")}'"
+      }.mkString(" || chr(10) || ")
+      s"  ('$h', $bodyExpr)"
+    }.mkString(",\n")
+    s"""WITH bodies(host, body) AS (VALUES
+       |$valuesRows),
+       |ls AS (SELECT host, string_split(body, chr(10)) AS arr FROM bodies),
+       |l0 AS (SELECT host, i AS ln, arr[i] AS line
+       |       FROM ls, unnest(generate_series(1, len(arr))) t(i)),
+       |l1 AS (SELECT host, ln,
+       |         trim(regexp_replace(line, '#.*', '')) AS clean FROM l0),
+       |l2 AS (SELECT host, ln,
+       |         lower(trim(regexp_extract(clean, '^([^:]+):', 1))) AS field,
+       |         trim(regexp_extract(clean, '^[^:]+:(.*)$$', 1)) AS value
+       |       FROM l1 WHERE clean <> ''),
+       |l3 AS (SELECT host, ln, field, value,
+       |         CASE WHEN field = 'user-agent' THEN 1 ELSE 0 END AS isua
+       |       FROM l2),
+       |l4 AS (SELECT host, ln, field, value, isua,
+       |         CASE WHEN isua = 1 AND coalesce(
+       |             lag(isua) OVER (PARTITION BY host ORDER BY ln), 0) = 0
+       |           THEN 1 ELSE 0 END AS bs FROM l3),
+       |l5 AS (SELECT host, ln, field, value, isua,
+       |         sum(bs) OVER (PARTITION BY host ORDER BY ln
+       |           ROWS UNBOUNDED PRECEDING) AS grp FROM l4),
+       |uas AS (SELECT host, grp, lower(value) AS ua FROM l5 WHERE isua = 1),
+       |gs AS (SELECT host, grp,
+       |        max(CASE WHEN ua = 'graftbot' THEN 1 ELSE 0 END) AS ex,
+       |        max(CASE WHEN ua = '*' THEN 1 ELSE 0 END) AS st
+       |      FROM uas GROUP BY host, grp),
+       |he AS (SELECT host, max(ex) AS hx FROM gs GROUP BY host),
+       |sel AS (SELECT gs.host, gs.grp FROM gs JOIN he USING (host)
+       |        WHERE (hx = 1 AND ex = 1) OR (hx = 0 AND st = 1))
+       |SELECT DISTINCT l5.host AS host, value AS prefix,
+       |  (field = 'allow') AS allow
+       |FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
+       |WHERE field IN ('allow', 'disallow') AND value <> ''""".stripMargin
+  }
 }

@@ -242,6 +242,73 @@ object Crawl {
       .drop("__best")
   }
 
+  /** Parse raw robots.txt BODIES into the `(host, prefix, allow)`
+    * rule table [[robotsFilter]]/[[robotsVerdict]] consume — the
+    * missing first step of the fetch-to-frontier composition: a crawl
+    * stores the robots fetch like any other page, and this turns that
+    * raw text into policy, relationally.
+    *
+    * REP subset implemented (per the published REP / RFC 9309
+    * grammar): `#` comments strip anywhere on a line; field names are
+    * case-insensitive; CONSECUTIVE `User-agent` lines (comments and
+    * blanks between them included) open one GROUP that owns the
+    * following `Allow`/`Disallow` lines; a later `User-agent` line
+    * after rules starts a new group. Group selection per host: if ANY
+    * group names `agent` exactly (case-insensitive product token),
+    * the union of those groups' rules applies, else the `*` groups —
+    * the RFC's most-specific-agent rule. An empty `Disallow:` is
+    * ignored (allow-all — matching no rule is allowed downstream).
+    * Unknown fields (Crawl-delay, Sitemap, …) are ignored.
+    *
+    * Scale shape: one exchange on the host key for the line windows
+    * (`lag` for group starts, a running sum for group ids — robots
+    * bodies are small per host, so a host's lines fit one task by
+    * construction), then host+group-keyed partial aggregations for
+    * the agent-selection join. Output is DISTINCT (duplicate rule
+    * lines collapse; the downstream max-fold is insensitive either
+    * way). */
+  def parseRobots(
+      df: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      agent: String): DataFrame = {
+    val w = Window.partitionBy(col("host")).orderBy(col("ln"))
+    val lines = df
+      .select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")))
+      .withColumnRenamed("pos", "ln")
+      .withColumnRenamed("col", "__raw")
+      .withColumn("__clean", trim(regexp_replace(col("__raw"), "#.*", "")))
+      .filter(col("__clean") =!= "")
+      .withColumn("__field",
+        lower(trim(regexp_extract(col("__clean"), "^([^:]+):", 1))))
+      .withColumn("__value",
+        trim(regexp_extract(col("__clean"), "^[^:]+:(.*)$", 1)))
+      .withColumn("__isua", (col("__field") === "user-agent").cast("int"))
+      .withColumn("__blockstart",
+        (col("__isua") === 1 &&
+          coalesce(lag(col("__isua"), 1).over(w), lit(0)) === 0).cast("int"))
+      .withColumn("__grp", sum(col("__blockstart")).over(w))
+    val uas = lines.filter(col("__isua") === 1)
+      .select(col("host"), col("__grp"), lower(col("__value")).as("__ua"))
+    val groups = uas.groupBy(col("host"), col("__grp")).agg(
+      max((col("__ua") === lower(lit(agent))).cast("int")).as("__exact"),
+      max((col("__ua") === "*").cast("int")).as("__star"))
+    val hostHasExact = groups.groupBy(col("host"))
+      .agg(max(col("__exact")).as("__has_exact"))
+    val selected = groups.join(hostHasExact, "host")
+      .filter(when(col("__has_exact") === 1, col("__exact") === 1)
+        .otherwise(col("__star") === 1))
+      .select(col("host"), col("__grp"))
+    lines
+      .filter(col("__field").isin("allow", "disallow") &&
+        col("__value") =!= "")
+      .join(selected, Seq("host", "__grp"))
+      .select(col("host"), col("__value").as("prefix"),
+        (col("__field") === "allow").as("allow"))
+      .distinct()
+  }
+
   /** The rules table folded to one row per host — `(host,
     * rules: array<struct<prefix,allow>>)` — the broadcast shape
     * [[robotsVerdict]] consumes. Bounded by construction (robots

@@ -281,6 +281,45 @@ class CrawlSpec extends AnyFunSuite {
       "e" -> "e", "f" -> "f", "g" -> "e"))
   }
 
+  test("parseRobots: groups, agent selection, comments, empty Disallow") {
+    val s = spark
+    import s.implicits._
+    val bodies = Seq(
+      // Exact-agent group beats *, comment line ignored.
+      ("a.com", "# hi\nUser-agent: graftbot\nDisallow: /p/\nAllow: /p/pub\n\nUser-agent: *\nDisallow: /"),
+      // Star group only; trailing comment strips; lowercase field names.
+      ("b.com", "User-Agent: *\nDisallow: /tmp/ # no fetch\nallow: /tmp/ok"),
+      // Empty Disallow in the exact group: allow-all, and the exact
+      // group still SHADOWS the star group.
+      ("c.com", "User-agent: graftbot\nDisallow:\nUser-agent: *\nDisallow: /"),
+      // Multi-UA group (comment interleaved) owns the rules; unknown
+      // fields ignored.
+      ("d.com", "User-agent: helper\n# x\nUser-agent: graftbot\nDisallow: /cgi/\nCrawl-delay: 10"),
+      // Only an unrelated agent: no rules at all.
+      ("e.com", "User-agent: other\nDisallow: /")
+    ).toDF("host", "body")
+    val out = Crawl.parseRobots(bodies, "host", "body", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    assert(out == Set(
+      ("a.com", "/p/", false), ("a.com", "/p/pub", true),
+      ("b.com", "/tmp/", false), ("b.com", "/tmp/ok", true),
+      ("d.com", "/cgi/", false)), out.toString)
+    // The parsed table slots straight into the verdict fold: graftbot
+    // may fetch a.com/p/pub but not a.com/p/x.
+    val rules = Crawl.robotsRulesPerHost(
+      Crawl.parseRobots(bodies, "host", "body", "graftbot"))
+    val urls = Seq(
+      (1L, "http://a.com/p/pub"), (2L, "http://a.com/p/x"),
+      (3L, "http://c.com/anything")).toDF("doc_id", "url")
+    val gated = Crawl.robotsFilter(urls, "url", "doc_id",
+        Crawl.parseRobots(bodies, "host", "body", "graftbot"))
+      .select(col("doc_id"), col("allowed"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(gated == Map(1L -> true, 2L -> false, 3L -> true), gated.toString)
+    assert(rules.count() == 3) // a, b, d carry rules
+  }
+
   test("stateless robots fold == relational robotsFilter, rule for rule") {
     val s = spark
     import s.implicits._
