@@ -76,11 +76,13 @@ object QueriesR13 {
       "Allow: /private/public/",
       "",
       "User-agent: *",
-      "Disallow: /"),
+      "Disallow: /",
+      "Crawl-delay: 99"),
     "site1.example.com" -> Seq(
       "User-Agent: *",
       "Disallow: /tmp/   # trailing comment",
-      "allow: /tmp/pub"),
+      "allow: /tmp/pub",
+      "Crawl-delay: 2.5"),
     "site2.example.com" -> Seq(
       "User-agent: graftbot",
       "Disallow:",
@@ -191,6 +193,18 @@ object QueriesR13 {
         .map { case (h, ls) => (h, ls.mkString("\n")) }
         .toDF("host", "body")
       operators.Crawl.parseRobots(bodies, "host", "body", "graftbot")
+    },
+    // --- Crawl-delay from the same bodies: the (host, delay_s) policy
+    //     table the politeness scheduler consumes. site0's delay sits
+    //     in the star group an exact graftbot group SHADOWS (must not
+    //     appear); site1's star delay applies; site3's group delay
+    //     applies. ---
+    "q_crawl_delay" -> { (s, d) =>
+      import s.implicits._
+      val bodies = RobotsBodies
+        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .toDF("host", "body")
+      operators.Crawl.parseCrawlDelay(bodies, "host", "body", "graftbot")
     })
 
   /** The q_pagerank_delta oracle: the q_pagerank unroll arithmetic,
@@ -265,16 +279,30 @@ object QueriesR13 {
       """SELECT count(DISTINCT vec_id) AS n_q,
         |  5 * count(DISTINCT vec_id) AS n_exact, TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
-    "q_robots_parse" -> robotsParseOracle)
+    "q_robots_parse" ->
+      (robotsCtes +
+        """
+          |SELECT DISTINCT l5.host AS host, value AS prefix,
+          |  (field = 'allow') AS allow
+          |FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
+          |WHERE field IN ('allow', 'disallow') AND value <> ''""".stripMargin),
+    "q_crawl_delay" ->
+      (robotsCtes +
+        """
+          |SELECT l5.host AS host, min(TRY_CAST(value AS DOUBLE)) AS delay_s
+          |FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
+          |WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) >= 0
+          |GROUP BY l5.host""".stripMargin))
 
-  /** The q_robots_parse oracle: [[RobotsBodies]] rendered as VALUES
-    * rows (lines joined with `chr(10)` so the text is byte-identical
-    * to the Spark fixture), then the full REP group/selection grammar
-    * replayed with the same window logic: comment strip, field/value
-    * split, consecutive-User-agent group starts via `lag`, running-sum
-    * group ids, exact-agent-beats-star selection, empty-Disallow drop.
-    */
-  private def robotsParseOracle: String = {
+  /** The shared robots-oracle CTE chain: [[RobotsBodies]] rendered as
+    * VALUES rows (lines joined with `chr(10)` so the text is
+    * byte-identical to the Spark fixture), then the REP
+    * group/selection grammar replayed with the same window logic:
+    * comment strip, field/value split, consecutive-User-agent group
+    * starts via `lag`, running-sum group ids, exact-agent-beats-star
+    * selection. q_robots_parse and q_crawl_delay append their final
+    * selects. */
+  private def robotsCtes: String = {
     val valuesRows = RobotsBodies.map { case (h, ls) =>
       val bodyExpr = ls.map {
         case "" => "''"
@@ -310,10 +338,6 @@ object QueriesR13 {
        |      FROM uas GROUP BY host, grp),
        |he AS (SELECT host, max(ex) AS hx FROM gs GROUP BY host),
        |sel AS (SELECT gs.host, gs.grp FROM gs JOIN he USING (host)
-       |        WHERE (hx = 1 AND ex = 1) OR (hx = 0 AND st = 1))
-       |SELECT DISTINCT l5.host AS host, value AS prefix,
-       |  (field = 'allow') AS allow
-       |FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
-       |WHERE field IN ('allow', 'disallow') AND value <> ''""".stripMargin
+       |        WHERE (hx = 1 AND ex = 1) OR (hx = 0 AND st = 1))""".stripMargin
   }
 }

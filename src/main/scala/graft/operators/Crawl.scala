@@ -272,6 +272,55 @@ object Crawl {
       hostCol: String,
       bodyCol: String,
       agent: String): DataFrame = {
+    val (lines, selected) = robotsSelectedGroups(df, hostCol, bodyCol, agent)
+    lines
+      .filter(col("__field").isin("allow", "disallow") &&
+        col("__value") =!= "")
+      .join(selected, Seq("host", "__grp"))
+      .select(col("host"), col("__value").as("prefix"),
+        (col("__field") === "allow").as("allow"))
+      .distinct()
+  }
+
+  /** The politeness side of [[parseRobots]]: the selected groups'
+    * `Crawl-delay` directives as the `(host, delay_s)` policy table
+    * [[frontierPlan]]/[[frontierPlanGated]] consume — with this, every
+    * policy input of the frontier composition derives from the raw
+    * fetch log. Same group/selection grammar as the rules (the two
+    * parsers can never diverge — shared machinery); several delay
+    * lines in the selected groups take the MINIMUM (the conservative
+    * read); non-numeric or negative values drop (Spark's cast-to-null
+    * semantics, mirrored with TRY_CAST in the oracle). Hosts with no
+    * selected delay are absent — the scheduler's `defaultDelayS`
+    * applies, exactly as with a hand-written policy table. */
+  def parseCrawlDelay(
+      df: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      agent: String): DataFrame = {
+    val (lines, selected) = robotsSelectedGroups(df, hostCol, bodyCol, agent)
+    lines
+      .filter(col("__field") === "crawl-delay")
+      .join(selected, Seq("host", "__grp"))
+      // try_cast, not cast: ANSI mode THROWS on a malformed delay
+      // ("Crawl-delay: soon"), and a junk line in one robots body must
+      // never abort the whole parse — null-and-drop is the contract.
+      .select(col("host"),
+        expr("try_cast(__value AS double)").as("delay_s"))
+      .filter(col("delay_s").isNotNull && col("delay_s") >= 0)
+      .groupBy(col("host"))
+      .agg(min(col("delay_s")).as("delay_s"))
+  }
+
+  /** Shared REP line/group machinery: cleaned field/value lines with
+    * group ids, plus the `(host, __grp)` set selected for `agent`
+    * (exact-agent groups if any exist for the host, else the `*`
+    * groups). */
+  private def robotsSelectedGroups(
+      df: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      agent: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy(col("host")).orderBy(col("ln"))
     val lines = df
       .select(col(hostCol).as("host"),
@@ -300,13 +349,7 @@ object Crawl {
       .filter(when(col("__has_exact") === 1, col("__exact") === 1)
         .otherwise(col("__star") === 1))
       .select(col("host"), col("__grp"))
-    lines
-      .filter(col("__field").isin("allow", "disallow") &&
-        col("__value") =!= "")
-      .join(selected, Seq("host", "__grp"))
-      .select(col("host"), col("__value").as("prefix"),
-        (col("__field") === "allow").as("allow"))
-      .distinct()
+    (lines, selected)
   }
 
   /** The rules table folded to one row per host — `(host,

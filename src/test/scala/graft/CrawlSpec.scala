@@ -318,6 +318,16 @@ class CrawlSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
     assert(gated == Map(1L -> true, 2L -> false, 3L -> true), gated.toString)
     assert(rules.count() == 3) // a, b, d carry rules
+    // Crawl-delay follows the SAME group selection: a star-group delay
+    // shadowed by an exact group must not apply; invalid values drop.
+    val delayBodies = Seq(
+      ("a.com", "User-agent: graftbot\nDisallow: /p/\nCrawl-delay: 3\n\nUser-agent: *\nCrawl-delay: 99"),
+      ("b.com", "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: 7"),
+      ("c.com", "User-agent: *\nCrawl-delay: soon")
+    ).toDF("host", "body")
+    val delays = Crawl.parseCrawlDelay(delayBodies, "host", "body", "graftbot")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(delays == Map("a.com" -> 3.0, "b.com" -> 2.5), delays.toString)
   }
 
   test("stateless robots fold == relational robotsFilter, rule for rule") {
