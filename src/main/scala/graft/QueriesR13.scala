@@ -205,6 +205,42 @@ object QueriesR13 {
         .map { case (h, ls) => (h, ls.mkString("\n")) }
         .toDF("host", "body")
       operators.Crawl.parseCrawlDelay(bodies, "host", "body", "graftbot")
+    },
+    // --- the RAW-POLICY frontier: q_frontier_gated with BOTH policy
+    //     inputs derived from the raw robots bodies — rules from
+    //     parseRobots, politeness delays from parseCrawlDelay (the
+    //     hand-written VALUES tables of the r12 query replaced by the
+    //     parse chain). Candidates and the trap-mining fetch log keep
+    //     the r12 synthesis; the oracle composes the shared robots
+    //     CTEs into the gated-frontier replay. ---
+    "q_frontier_raw" -> { (s, d) =>
+      import s.implicits._
+      val bodies = RobotsBodies
+        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .toDF("host", "body")
+      val rules = operators.Crawl.parseRobots(bodies, "host", "body", "graftbot")
+      val policy = operators.Crawl.parseCrawlDelay(
+        bodies, "host", "body", "graftbot")
+      val h = (col("doc_id") % 5).cast("string")
+      val b = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 4 === 0, concat(lit("/private/p"), b))
+        .when(col("doc_id") % 4 === 1, concat(lit("/d/"), b))
+        .when(col("doc_id") % 4 === 2, concat(lit("/public/p"), b))
+        .otherwise(concat(lit("/p"), b))
+      val cand = docs(s, d).select(
+        concat(lit("http://site"), h, lit(".example.com"), path).as("url"),
+        col("n_chars").as("priority"))
+      val fh = (col("doc_id") % 5).cast("string")
+      val logUrl = when(col("doc_id") % 2 === 0, concat(
+          lit("http://site"), fh, lit(".example.com/d/"),
+          col("doc_id").cast("string")))
+        .otherwise(concat(
+          lit("http://site"), fh, lit(".example.com/p/"),
+          (col("doc_id") % 7).cast("string")))
+      val fetchLog = docs(s, d).select(logUrl.as("url"))
+      operators.Crawl.frontierPlanGated(
+        cand, "url", "priority", rules, fetchLog, "url", policy,
+        defaultDelayS = 5.0, maxPerHost = 40, maxUrlsPerTemplate = 20)
     })
 
   /** The q_pagerank_delta oracle: the q_pagerank unroll arithmetic,
@@ -292,7 +328,76 @@ object QueriesR13 {
           |SELECT l5.host AS host, min(TRY_CAST(value AS DOUBLE)) AS delay_s
           |FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
           |WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) >= 0
-          |GROUP BY l5.host""".stripMargin))
+          |GROUP BY l5.host""".stripMargin),
+    // The r12 gated-frontier replay with BOTH policy tables swapped
+    // for the parse chain: `rules` and `delays` come out of the shared
+    // robots CTEs instead of hand-written VALUES.
+    "q_frontier_raw" ->
+      (robotsCtes +
+        """,
+          |rules AS (SELECT DISTINCT l5.host AS rhost, value AS prefix,
+          |    (field = 'allow') AS allow
+          |  FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
+          |  WHERE field IN ('allow', 'disallow') AND value <> ''),
+          |delays AS (SELECT l5.host AS dhost,
+          |    min(TRY_CAST(value AS DOUBLE)) AS delay_s
+          |  FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
+          |  WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) >= 0
+          |  GROUP BY l5.host),
+          |cand AS (SELECT
+          |    'http://site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' ||
+          |      CASE doc_id % 4
+          |        WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+          |        WHEN 1 THEN '/d/' || CAST(doc_id AS VARCHAR)
+          |        WHEN 2 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+          |        ELSE '/p' || CAST(doc_id AS VARCHAR)
+          |      END AS canon_url,
+          |    'site' || CAST(doc_id % 5 AS VARCHAR) || '.example.com' AS chost,
+          |    CASE doc_id % 4
+          |      WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+          |      WHEN 1 THEN '/d/' || CAST(doc_id AS VARCHAR)
+          |      WHEN 2 THEN '/public/p' || CAST(doc_id AS VARCHAR)
+          |      ELSE '/p' || CAST(doc_id AS VARCHAR)
+          |    END AS path,
+          |    CAST(n_chars AS DOUBLE) AS priority
+          |  FROM documents),
+          |m AS (SELECT cand.canon_url, cand.chost, cand.path, cand.priority,
+          |    max(CASE WHEN rules.prefix IS NOT NULL
+          |        THEN len(rules.prefix) * 2 + CAST(rules.allow AS INT) END)
+          |      AS best
+          |  FROM cand LEFT JOIN rules
+          |    ON cand.chost = rules.rhost
+          |      AND starts_with(cand.path, rules.prefix)
+          |  GROUP BY 1, 2, 3, 4),
+          |fl AS (SELECT CASE WHEN doc_id % 2 = 0
+          |      THEN 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+          |        || '.example.com/d/' || CAST(doc_id AS VARCHAR)
+          |      ELSE 'http://site' || CAST(doc_id % 5 AS VARCHAR)
+          |        || '.example.com/p/' || CAST(doc_id % 7 AS VARCHAR)
+          |    END AS url FROM documents),
+          |fc AS (SELECT
+          |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1)
+          |      AS fhost,
+          |    regexp_replace(
+          |      regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)', 1),
+          |      '[0-9]+', 'N', 'g') AS template, url FROM fl),
+          |g AS (SELECT fhost, template, url FROM fc GROUP BY 1, 2, 3),
+          |traps AS (SELECT fhost, template FROM g
+          |          GROUP BY fhost, template HAVING count(*) > 20),
+          |gated AS (SELECT m.canon_url, m.priority, m.chost FROM m
+          |  WHERE (m.best IS NULL OR m.best % 2 = 1)
+          |    AND NOT EXISTS (SELECT 1 FROM traps t
+          |      WHERE t.fhost = m.chost
+          |        AND t.template = regexp_replace(m.path, '[0-9]+', 'N', 'g'))),
+          |rk AS (SELECT canon_url, priority, chost,
+          |    row_number() OVER (PARTITION BY chost
+          |      ORDER BY priority DESC, canon_url) AS rank
+          |  FROM gated),
+          |cp AS (SELECT * FROM rk WHERE rank <= 40)
+          |SELECT cp.canon_url, cp.priority, cp.chost AS host, cp.rank,
+          |       coalesce(delays.delay_s, 5.0) AS delay_s,
+          |       (cp.rank - 1) * coalesce(delays.delay_s, 5.0) AS fetch_at_s
+          |FROM cp LEFT JOIN delays ON cp.chost = delays.dhost""".stripMargin))
 
   /** The shared robots-oracle CTE chain: [[RobotsBodies]] rendered as
     * VALUES rows (lines joined with `chr(10)` so the text is
