@@ -71,13 +71,15 @@ object QueriesR13 {
   private val RobotsBodies: Seq[(String, Seq[String])] = Seq(
     "site0.example.com" -> Seq(
       "# robots for site0",
+      "Sitemap: http://site0.example.com/sitemap.xml",
       "User-agent: graftbot",
       "Disallow: /private/",
       "Allow: /private/public/",
       "",
       "User-agent: *",
       "Disallow: /",
-      "Crawl-delay: 99"),
+      "Crawl-delay: 99",
+      "Sitemap: http://site0.example.com/sitemap-news.xml"),
     "site1.example.com" -> Seq(
       "User-Agent: *",
       "Disallow: /tmp/   # trailing comment",
@@ -97,7 +99,8 @@ object QueriesR13 {
       "Crawl-delay: 10"),
     "site4.example.com" -> Seq(
       "User-agent: other",
-      "Disallow: /"))
+      "Disallow: /",
+      "sitemap: http://site4.example.com/sm.xml # fields case-fold"))
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- INCREMENTAL PageRank: prior release's ranks (2 iterations on
@@ -241,6 +244,18 @@ object QueriesR13 {
       operators.Crawl.frontierPlanGated(
         cand, "url", "priority", rules, fetchLog, "url", policy,
         defaultDelayS = 5.0, maxPerHost = 40, maxUrlsPerTemplate = 20)
+    },
+    // --- Sitemap directives: GLOBAL per the REP (no user-agent group
+    //     scoping — site0's two sitemaps surface even though one sits
+    //     inside a group graftbot shadows; site4's surfaces though its
+    //     only group names a different agent). Map-only projection, no
+    //     window, no exchange. ---
+    "q_sitemaps" -> { (s, d) =>
+      import s.implicits._
+      val bodies = RobotsBodies
+        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .toDF("host", "body")
+      operators.Crawl.parseSitemaps(bodies, "host", "body")
     })
 
   /** The q_pagerank_delta oracle: the q_pagerank unroll arithmetic,
@@ -397,7 +412,14 @@ object QueriesR13 {
           |SELECT cp.canon_url, cp.priority, cp.chost AS host, cp.rank,
           |       coalesce(delays.delay_s, 5.0) AS delay_s,
           |       (cp.rank - 1) * coalesce(delays.delay_s, 5.0) AS fetch_at_s
-          |FROM cp LEFT JOIN delays ON cp.chost = delays.dhost""".stripMargin))
+          |FROM cp LEFT JOIN delays ON cp.chost = delays.dhost""".stripMargin),
+    // Sitemaps bind to the host, never to a group: the final select
+    // reads the cleaned lines with NO `sel` join.
+    "q_sitemaps" ->
+      (robotsCtes +
+        """
+          |SELECT DISTINCT host, value AS sitemap_url FROM l5
+          |WHERE field = 'sitemap' AND value <> ''""".stripMargin))
 
   /** The shared robots-oracle CTE chain: [[RobotsBodies]] rendered as
     * VALUES rows (lines joined with `chr(10)` so the text is

@@ -312,6 +312,28 @@ object Crawl {
       .agg(min(col("delay_s")).as("delay_s"))
   }
 
+  /** `Sitemap:` directives from raw robots bodies — `(host,
+    * sitemap_url)`, DISTINCT. Per the REP, sitemap lines are GLOBAL:
+    * they bind to the host, not to any user-agent group, so no group
+    * selection applies (the one robots field that ignores the group
+    * machinery — deliberately NOT routed through
+    * [[robotsSelectedGroups]]' selection). The crawl's seed-discovery
+    * input: canonicalize and feed [[frontierPlan]]. */
+  def parseSitemaps(
+      df: DataFrame,
+      hostCol: String,
+      bodyCol: String): DataFrame =
+    df.select(col(hostCol).as("host"),
+        posexplode(split(col(bodyCol), "\n")))
+      .withColumn("__clean", trim(regexp_replace(col("col"), "#.*", "")))
+      .filter(lower(trim(regexp_extract(col("__clean"), "^([^:]+):", 1)))
+        === "sitemap")
+      .select(col("host"),
+        trim(regexp_extract(col("__clean"), "^[^:]+:(.*)$", 1))
+          .as("sitemap_url"))
+      .filter(col("sitemap_url") =!= "")
+      .distinct()
+
   /** Shared REP line/group machinery: cleaned field/value lines with
     * group ids, plus the `(host, __grp)` set selected for `agent`
     * (exact-agent groups if any exist for the host, else the `*`
