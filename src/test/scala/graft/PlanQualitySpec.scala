@@ -19,6 +19,53 @@ class PlanQualitySpec extends AnyFunSuite {
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, TestSpark.sf0001)
 
+  test("extendIvfIndex: broadcast centroid fan-out, aggregated argmin, no window") {
+    import org.apache.spark.sql.functions.col
+    val embs = spark.read.parquet(s"${TestSpark.sf0001}/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val (_, cents) = operators.Similarity.buildIvfIndex(
+      embs, "vec_id", "embedding", nLists = 4)
+    val p = plan(operators.Similarity.extendIvfIndex(
+      embs, cents, "vec_id", "embedding"))
+    // The nLists-row centroid table must fan out as a BROADCAST (the
+    // delta never shuffles for the assignment)...
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // ...and the per-vector argmin is a partial+final aggregate, never
+    // a window over the 16-way fan-out.
+    assert(!p.contains("Window"), s"argmin must not window:\n$p")
+    assert(p.linesIterator.count(_.contains("Aggregate")) >= 2,
+      s"expected partial+final aggregate pair:\n$p")
+  }
+
+  test("applyEdgeDelta: one pair-keyed exchange, no nested-loop blowup") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val add = Seq((3L, 1L)).toDF("src", "dst")
+    val rem = Seq((2L, 3L)).toDF("src", "dst")
+    val p = plan(operators.LinkGraph.applyEdgeDelta(
+      prev, add, rem, "src", "dst"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // exceptAll rewrites to a count-based aggregate over the full
+    // (src,dst) pair — exactly one exchange keyed on the pair.
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 1 ||
+      p.linesIterator.count(_.contains("Exchange")) <= 2,
+      s"the multiset difference is ONE pair-keyed exchange:\n$p")
+  }
+
+  test("parseSitemaps is map-only before its final distinct") {
+    val s = spark
+    import s.implicits._
+    val bodies = Seq(("a.com", "Sitemap: http://a.com/sm.xml"))
+      .toDF("host", "body")
+    val p = plan(operators.Crawl.parseSitemaps(bodies, "host", "body"))
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"sitemap extraction must not window or join:\n$p")
+  }
+
   test("filter is pushed down to the parquet scan") {
     val p = plan(q("q_filter"))
     assert(p.contains("PushedFilters:") &&
