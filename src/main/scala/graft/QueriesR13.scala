@@ -318,9 +318,56 @@ object QueriesR13 {
 
   val oracles: Map[String, String] = Map(
     "q_pagerank_delta" -> prDeltaOracle(2, 2),
-    // Incrementality must be invisible: the full-rebuild oracles gate
-    // the contracted-closure paths verbatim.
-    "q_mirror_incremental" -> QueriesR11.oracles("q_mirror_clusters"),
+    // Incrementality must be invisible — but the operator's contract
+    // is closure(priorPairs ∪ newPairs), and mirrorHosts evidence is
+    // NOT strictly append-only under the maxDf cap (a digest whose
+    // host-df crosses maxDf when the w-corpus lands DROPS from the
+    // 3-way pair set while the prior cluster table keeps its merge).
+    // The oracle therefore replays exactly the contract: mine the
+    // 2-way pairs AND the 3-way pairs, close their UNION — structural
+    // equality with the operator at ANY corpus, instead of relying on
+    // the fixture never crossing the cap.
+    "q_mirror_incremental" ->
+      """WITH RECURSIVE f2 AS (
+        |  SELECT 'h' || CAST(doc_id % 10 AS VARCHAR) || '.example.com'
+        |    AS host, text FROM documents
+        |  UNION ALL
+        |  SELECT 'm' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+        |    text FROM documents WHERE doc_id % 3 = 0),
+        |f3 AS (
+        |  SELECT host, text FROM f2
+        |  UNION ALL
+        |  SELECT 'w' || CAST(doc_id % 10 AS VARCHAR) || '.example.com',
+        |    text FROM documents WHERE doc_id % 6 = 0),
+        |hd2 AS (SELECT DISTINCT host, text FROM f2),
+        |fr2 AS (SELECT text FROM
+        |    (SELECT text, count(*) AS c FROM hd2 GROUP BY text)
+        |  WHERE c BETWEEN 2 AND 5),
+        |p2 AS (SELECT hd2.host, hd2.text FROM hd2 JOIN fr2 USING (text)),
+        |mp2 AS (SELECT a.host AS host_a, b.host AS host_b
+        |  FROM p2 a JOIN p2 b ON a.text = b.text AND a.host < b.host
+        |  GROUP BY a.host, b.host HAVING count(*) >= 3),
+        |hd3 AS (SELECT DISTINCT host, text FROM f3),
+        |fr3 AS (SELECT text FROM
+        |    (SELECT text, count(*) AS c FROM hd3 GROUP BY text)
+        |  WHERE c BETWEEN 2 AND 5),
+        |p3 AS (SELECT hd3.host, hd3.text FROM hd3 JOIN fr3 USING (text)),
+        |mp3 AS (SELECT a.host AS host_a, b.host AS host_b
+        |  FROM p3 a JOIN p3 b ON a.text = b.text AND a.host < b.host
+        |  GROUP BY a.host, b.host HAVING count(*) >= 3),
+        |mp AS (SELECT host_a, host_b FROM mp2
+        |       UNION SELECT host_a, host_b FROM mp3),
+        |edges AS (SELECT host_a AS src, host_b AS dst FROM mp
+        |          UNION ALL SELECT host_b, host_a FROM mp),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |rep AS (SELECT src AS host, least(src, min(dst)) AS canonical_host
+        |        FROM reach GROUP BY src),
+        |hosts AS (SELECT DISTINCT host FROM f3)
+        |SELECT h.host, coalesce(r.canonical_host, h.host) AS canonical_host
+        |FROM hosts h LEFT JOIN rep r ON h.host = r.host""".stripMargin,
     "q_dedup_components_inc" ->
       operators.PipelineQueries.oracles("q_dedup_components"),
     // Same exact-side counts + thresholded-boolean contract as

@@ -614,12 +614,20 @@ object Crawl {
   }
 
   /** INCREMENTAL mirror-cluster maintenance for the recrawl loop:
-    * [[mirrorClusters]] recomputes the full closure every recrawl,
-    * but mirror-pair evidence is append-only — a recrawl only ever
-    * ADDS `(host_a, host_b)` observations. Given the PRIOR cluster
-    * table (a valid depth-1 union-find forest: `closure(priorPairs)`
-    * with the min host elected per cluster) and the NEW pair
-    * evidence, the merged closure factors through the QUOTIENT graph:
+    * [[mirrorClusters]] recomputes the full closure every recrawl;
+    * this maintains it through new pair evidence instead. The
+    * CONTRACT is `closure(priorPairs ∪ newPairs)` — prior merges are
+    * never retracted. Note the caveat that implies: [[mirrorHosts]]
+    * evidence is append-only only while a shared digest's host-df
+    * stays within `maxDf` (a digest crossing the cap as the corpus
+    * grows drops from the new pair mining, but its PRIOR merge
+    * persists in the cluster table — which is usually what a crawl
+    * wants, and is exactly what the q_mirror_incremental oracle
+    * replays: the union of both rounds' evidence). Given the PRIOR
+    * cluster table (a valid depth-1 union-find forest:
+    * `closure(priorPairs)` with the min host elected per cluster) and
+    * the NEW pair evidence, the merged closure factors through the
+    * QUOTIENT graph:
     * rewrite each new pair endpoint to its prior canonical, drop the
     * now-internal self-pairs, and close ONLY that contracted pair set
     * — its size is bounded by the clusters the new evidence touches,

@@ -402,7 +402,14 @@ object Similarity {
     * recall matches build recall while the corpus distribution holds
     * (q_ivf_extend gates the recall of an extended index end-to-end;
     * re-fit when drift is suspected). Assignment parity with
-    * `KMeansModel.transform` is spec-pinned (SimilaritySpec).
+    * `KMeansModel.transform` is spec-pinned cell-for-cell at the
+    * fixture (AnnSpec) — exact up to floating-point NEAR-TIES: the
+    * relational `Σ(a−b)²` and MLlib's norm-based distance differ in
+    * ulps, so a vector sitting numerically equidistant between two
+    * centroids could in principle assign to either; both are then
+    * equally valid quantizations and the probe/rerank result is
+    * unaffected (the probed cell set is what matters, and near-tied
+    * cells score near-identically).
     *
     * Zero-norm vectors have no direction and are dropped — the same
     * rule as every cosine path here.

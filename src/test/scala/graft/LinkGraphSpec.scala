@@ -305,11 +305,11 @@ class LinkGraphSpec extends AnyFunSuite {
     sc.addSparkListener(listener)
     try {
       // The bus posts asynchronously; drain it DETERMINISTICALLY
-      // (waitUntilEmpty via the test bridge) so a late-posted
+      // (waitUntilEmpty via the main-scope bridge) so a late-posted
       // job-start event can never land between the two deltas — a
       // fixed sleep flaked under CI load.
       def settled(): Int = {
-        org.apache.spark.GraftTestBus.drain(sc)
+        org.apache.spark.sql.graftbridge.Bridge.drainListenerBus(sc)
         started.get()
       }
       val b1 = settled()

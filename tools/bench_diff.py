@@ -162,8 +162,10 @@ def main():
         ambient = med(list(control_ratios.values()))
         ambient_source = "controls"
     else:
-        ratios = sorted(cq[q] / bq[q] for q in common if bq[q] >= 0.05)
-        ambient = ratios[len(ratios) // 2] if ratios else 1.0
+        ratios = [cq[q] / bq[q] for q in common if bq[q] >= 0.05]
+        # Same lower-median convention as med() so the ambient verdict
+        # cannot flip between estimator paths on even-sized samples.
+        ambient = med(ratios) if ratios else 1.0
         ambient_source = "query_median"
     ambient_hot = ambient > args.ambient_threshold
 
@@ -194,7 +196,13 @@ def main():
             if spread > args.tolerance - 1.0:
                 noisy.append(entry)
             elif (cpu_ratio is not None and cpu_ratio <= args.tolerance
-                  and bcpu.get(q, 0) >= 0.05):
+                  and bcpu.get(q, 0) >= 0.05
+                  and not entry.get("isolated")):
+                # Same isolated guard as ambient deflation: an isolated
+                # re-measure is the CONFIRMATION step — once it agrees
+                # with the sweep, a flat sweep-CPU must not override it
+                # (the isolated artifact's own cpu is not what was
+                # compared here).
                 # The wall moved but the actual compute did not: load,
                 # not regression — a real regression does more WORK.
                 # (Still a SUSPECT, not a silent pass: a pure I/O-wait
