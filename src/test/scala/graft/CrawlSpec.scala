@@ -385,16 +385,8 @@ class CrawlSpec extends AnyFunSuite {
     // The CANDIDATE side must cross exactly one exchange (the
     // schedule's bounded top-k) — both gates are broadcast joins, and
     // only the candidate lineage carries `priority`.
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    // AdaptiveSparkPlanExec is a LEAF to TreeNode.collect — descend
-    // into it explicitly or the whole plan is invisible to the pin.
-    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
-      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
-      case _ => p +: p.children.flatMap(nodes)
-    }
-    val candExchanges = nodes(out.queryExecution.executedPlan).collect {
+    val candExchanges = PlanCheck.nodes(out).collect {
       case e: ShuffleExchangeLike
         if e.child.output.exists(_.name == "priority") => e
     }

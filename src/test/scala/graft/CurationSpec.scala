@@ -308,13 +308,10 @@ class CurationSpec extends AnyFunSuite {
   }
 
   test("upsample is shuffle-free; funnel scans the corpus exactly once") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     val up = Curation.upsampleByWeight(
       docs.select("doc_id", "lang"), "doc_id",
       when(col("lang") === "en", 2.5).otherwise(1.0))
-    val shuffles = up.queryExecution.executedPlan.collect {
-      case e: ShuffleExchangeLike => e
-    }
+    val shuffles = PlanCheck.shuffles(up)
     assert(shuffles.isEmpty, "upsample fan-out must be map-only")
     val funnel = Curation.filterFunnel(docs, stages)
     val scans = funnel.queryExecution.executedPlan.toString

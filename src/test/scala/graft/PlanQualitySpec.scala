@@ -319,6 +319,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(gen == 3, s"expected exactly shingle + two pair generators, got $gen")
   }
 
+  test("PlanCheck canary: a deliberate text shuffle IS visible through AQE " +
+      "(and the naive collect is blind to it)") {
+    import org.apache.spark.sql.functions.col
+    // A frame that indisputably shuffles the text column — if
+    // PlanCheck cannot see this, every "text never crosses an
+    // exchange" pin in this suite is vacuous again. (repartition, not
+    // groupBy: an aggregate's exchange carries the agg BUFFER attrs,
+    // whose names are `first(text)`-style, not `text`.)
+    val df = spark.read.parquet(s"${TestSpark.sf0001}/documents.parquet")
+      .select("doc_id", "text")
+      .repartition(col("doc_id"))
+      .filter(col("doc_id") >= 0)
+    df.collect() // final adaptive plan: exchanges live inside query stages
+    assert(PlanCheck.exchangesCarrying(df, "text").nonEmpty,
+      "PlanCheck lost sight of a real text shuffle — the AQE descender broke")
+    // Document the trap this suite used to fall into: the naive typed
+    // collect on the adaptive plan finds NOTHING. If Spark ever makes
+    // TreeNode.collect descend AdaptiveSparkPlanExec, this fires and
+    // PlanCheck can be simplified.
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val naive = df.queryExecution.executedPlan.collect {
+      case e: Exchange if e.child.output.exists(_.name == "text") => e
+    }
+    assert(naive.isEmpty,
+      "TreeNode.collect now descends AQE wrappers — simplify PlanCheck.nodes")
+  }
+
   test("incremental dedup anti-joins digests; reference text never crosses the wire") {
     val df = q("q_dedup_incremental")
     val p = plan(df)
@@ -329,24 +356,18 @@ class PlanQualitySpec extends AnyFunSuite {
     // The reference side must reduce to its 32-byte digest BEFORE any
     // exchange: at 100 TB the historical corpus's text staying in place
     // is the point of incremental dedup.
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val exchangesCarryingText = df.queryExecution.executedPlan.collect {
-      case e: Exchange if e.child.output.exists(_.name == "text") => e
-    }
+    val exchangesCarryingText = PlanCheck.exchangesCarrying(df, "text")
     assert(exchangesCarryingText.isEmpty,
       "an exchange input still carries the text column")
   }
 
   test("line dedup: one digest-only shuffle, removal map-only behind a broadcast") {
     val df = q("q_line_dedup")
-    import org.apache.spark.sql.execution.exchange.Exchange
     // The df-count pass reduces lines to md5 digests BEFORE its
     // exchange, and the removal is a row-local array filter against
     // the broadcast one-row hot set — so the whole operator has ONE
     // hash exchange and corpus text never crosses the wire.
-    val exchangesCarryingText = df.queryExecution.executedPlan.collect {
-      case e: Exchange if e.child.output.exists(_.name == "text") => e
-    }
+    val exchangesCarryingText = PlanCheck.exchangesCarrying(df, "text")
     assert(exchangesCarryingText.isEmpty,
       "an exchange input still carries the text column")
     val p = plan(df)
@@ -390,10 +411,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("paragraph dedup: text never shuffles, one digest exchange (same pins as line dedup)") {
     val df = q("q_para_dedup")
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val exchangesCarryingText = df.queryExecution.executedPlan.collect {
-      case e: Exchange if e.child.output.exists(_.name == "text") => e
-    }
+    val exchangesCarryingText = PlanCheck.exchangesCarrying(df, "text")
     assert(exchangesCarryingText.isEmpty,
       "an exchange input still carries the text column")
     val p = df.queryExecution.executedPlan.toString
@@ -472,10 +490,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // aggregation on, only (id, md5 digest, count) rows move. At 100 TB
     // the corpus text never crossing the wire is the operator's scale
     // contract.
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val exchangesCarryingText = df.queryExecution.executedPlan.collect {
-      case e: Exchange if e.child.output.exists(_.name == "text") => e
-    }
+    val exchangesCarryingText = PlanCheck.exchangesCarrying(df, "text")
     assert(exchangesCarryingText.isEmpty,
       "an exchange input still carries the text column")
     val p = plan(df)

@@ -164,11 +164,8 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(out(1L)._2 > 0, "pasted run must match reference spans")
     assert(out(2L)._2 == 0L && out(3L) == ((0L, 0L)))
     // scale pin: no exchange input carries a text column on either side
-    import org.apache.spark.sql.execution.exchange.Exchange
     val df = SubstringDedup.spanOverlapAgainstReference(batch, reference, "doc_id", "text")
-    val bad = df.queryExecution.executedPlan.collect {
-      case e: Exchange if e.child.output.exists(_.name == "text") => e
-    }
+    val bad = PlanCheck.exchangesCarrying(df, "text")
     assert(bad.isEmpty, "an exchange input still carries the text column")
   }
 
@@ -343,10 +340,7 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"one-row hot aggregate must broadcast:\n$p")
     val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(shuffles <= 1, s"expected <=1 hash exchange (digest df), got $shuffles:\n$p")
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val textInExchange = df.queryExecution.executedPlan.collect {
-      case e: Exchange if e.child.output.exists(_.name == "text") => e
-    }
+    val textInExchange = PlanCheck.exchangesCarrying(df, "text")
     assert(textInExchange.isEmpty, "an exchange input still carries text")
   }
 

@@ -38,10 +38,7 @@ class VersioningSpec extends AnyFunSuite {
     val df = Versioning.snapshotDiff(
       docs.filter(col("doc_id") % 7 =!= 0).select("doc_id", "text"),
       docs.select("doc_id", "text"), "doc_id", "text")
-    import org.apache.spark.sql.execution.exchange.Exchange
-    val bad = df.queryExecution.executedPlan.collect {
-      case e: Exchange if e.child.output.exists(_.name == "text") => e
-    }
+    val bad = PlanCheck.exchangesCarrying(df, "text")
     assert(bad.isEmpty, "an exchange input still carries the text column")
     // And the fixture exercises every status on real data.
     val statuses = Versioning.snapshotDiff(
