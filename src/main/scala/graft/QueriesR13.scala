@@ -68,7 +68,7 @@ object QueriesR13 {
     * group), multi-`User-agent` groups with interleaved comments,
     * ignored unknown fields, and a host whose only group names a
     * different agent (no rules at all). */
-  private val RobotsBodies: Seq[(String, Seq[String])] = Seq(
+  private[graft] val RobotsBodies: Seq[(String, Seq[String])] = Seq(
     "site0.example.com" -> Seq(
       "# robots for site0",
       "Sitemap: http://site0.example.com/sitemap.xml",
@@ -96,11 +96,28 @@ object QueriesR13 {
       "# interleaved comment",
       "User-agent: graftbot",
       "Disallow: /cgi/",
-      "Crawl-delay: 10"),
+      "Crawl-delay: 10",
+      "Crawl-delay: 4"),
     "site4.example.com" -> Seq(
       "User-agent: other",
       "Disallow: /",
-      "sitemap: http://site4.example.com/sm.xml # fields case-fold"))
+      "sitemap: http://site4.example.com/sm.xml # fields case-fold"),
+    "site5.example.com" -> Seq(
+      "User-agent: graftbot",
+      "Disallow: /*?session=",
+      "Allow: /*?session=pub",
+      "Disallow: /*.pdf$",
+      "Crawl-delay: 1"))
+
+  /** Hosts whose body is joined with CRLF instead of LF — the common
+    * wire format; a parser that splits on bare `\n` would leave a
+    * trailing `\r` in every value and its rules would silently never
+    * match. Rendered byte-identically on the DuckDB side
+    * (`chr(13)||chr(10)`). */
+  private[graft] val CrlfHosts: Set[String] = Set("site5.example.com")
+
+  private[graft] def robotsBodySep(host: String): String =
+    if (CrlfHosts(host)) "\r\n" else "\n"
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- INCREMENTAL PageRank: prior release's ranks (2 iterations on
@@ -193,19 +210,20 @@ object QueriesR13 {
     "q_robots_parse" -> { (s, d) =>
       import s.implicits._
       val bodies = RobotsBodies
-        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .map { case (h, ls) => (h, ls.mkString(robotsBodySep(h))) }
         .toDF("host", "body")
       operators.Crawl.parseRobots(bodies, "host", "body", "graftbot")
     },
     // --- Crawl-delay from the same bodies: the (host, delay_s) policy
     //     table the politeness scheduler consumes. site0's delay sits
     //     in the star group an exact graftbot group SHADOWS (must not
-    //     appear); site1's star delay applies; site3's group delay
-    //     applies. ---
+    //     appear); site1's star delay applies; site3 has TWO selected
+    //     delays (10, 4) and the politeness-preserving MAX (10) wins;
+    //     site5's CRLF body parses cleanly. ---
     "q_crawl_delay" -> { (s, d) =>
       import s.implicits._
       val bodies = RobotsBodies
-        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .map { case (h, ls) => (h, ls.mkString(robotsBodySep(h))) }
         .toDF("host", "body")
       operators.Crawl.parseCrawlDelay(bodies, "host", "body", "graftbot")
     },
@@ -219,7 +237,7 @@ object QueriesR13 {
     "q_frontier_raw" -> { (s, d) =>
       import s.implicits._
       val bodies = RobotsBodies
-        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .map { case (h, ls) => (h, ls.mkString(robotsBodySep(h))) }
         .toDF("host", "body")
       val rules = operators.Crawl.parseRobots(bodies, "host", "body", "graftbot")
       val policy = operators.Crawl.parseCrawlDelay(
@@ -253,7 +271,7 @@ object QueriesR13 {
     "q_sitemaps" -> { (s, d) =>
       import s.implicits._
       val bodies = RobotsBodies
-        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .map { case (h, ls) => (h, ls.mkString(robotsBodySep(h))) }
         .toDF("host", "body")
       operators.Crawl.parseSitemaps(bodies, "host", "body")
     })
@@ -387,7 +405,7 @@ object QueriesR13 {
     "q_crawl_delay" ->
       (robotsCtes +
         """
-          |SELECT l5.host AS host, min(TRY_CAST(value AS DOUBLE)) AS delay_s
+          |SELECT l5.host AS host, max(TRY_CAST(value AS DOUBLE)) AS delay_s
           |FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
           |WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) >= 0
           |GROUP BY l5.host""".stripMargin),
@@ -402,7 +420,7 @@ object QueriesR13 {
           |  FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
           |  WHERE field IN ('allow', 'disallow') AND value <> ''),
           |delays AS (SELECT l5.host AS dhost,
-          |    min(TRY_CAST(value AS DOUBLE)) AS delay_s
+          |    max(TRY_CAST(value AS DOUBLE)) AS delay_s
           |  FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
           |  WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) >= 0
           |  GROUP BY l5.host),
@@ -476,17 +494,19 @@ object QueriesR13 {
     * starts via `lag`, running-sum group ids, exact-agent-beats-star
     * selection. q_robots_parse and q_crawl_delay append their final
     * selects. */
-  private def robotsCtes: String = {
+  private[graft] def robotsCtes: String = {
     val valuesRows = RobotsBodies.map { case (h, ls) =>
+      val sep = if (CrlfHosts(h)) " || chr(13) || chr(10) || "
+        else " || chr(10) || "
       val bodyExpr = ls.map {
         case "" => "''"
         case l => s"'${l.replace("'", "''")}'"
-      }.mkString(" || chr(10) || ")
+      }.mkString(sep)
       s"  ('$h', $bodyExpr)"
     }.mkString(",\n")
     s"""WITH bodies(host, body) AS (VALUES
        |$valuesRows),
-       |ls AS (SELECT host, string_split(body, chr(10)) AS arr FROM bodies),
+       |ls AS (SELECT host, string_split_regex(body, '\r?\n') AS arr FROM bodies),
        |l0 AS (SELECT host, i AS ln, arr[i] AS line
        |       FROM ls, unnest(generate_series(1, len(arr))) t(i)),
        |l1 AS (SELECT host, ln,

@@ -1,0 +1,249 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-14 queries: RFC 9309 wildcard gating, the sitemap-seeded
+  * frontier, and the IVF quantizer-drift freshness gate.
+  *
+  *  - q_robots_wild: [[operators.Crawl.robotsFilter]] over `*`/`$`
+  *    rule values and query-string URLs — the REP shapes real robots
+  *    policies use heavily (session-id Disallow rules) that a plain
+  *    prefix matcher treats as dead literals. The oracle replays the
+  *    match with HAND-DERIVED anchored regexes per rule
+  *    (`regexp_matches`), independently of the engine's translation.
+  *  - q_frontier_seeded: [[operators.Crawl.frontierPlanSeeded]] — the
+  *    sitemap directives of the shared robots fixture union into the
+  *    candidate pool as seed discoveries, politeness delays from the
+  *    same bodies; the full raw-fetch-to-schedule composition.
+  *  - q_ivf_drift: [[operators.Similarity.quantizerDrift]] over a
+  *    DETERMINISTIC 8-cell quantizer (the first 8 embeddings, unit-
+  *    normalized — no KMeans, so DuckDB replays the assignment
+  *    exactly) with a deliberately SHIFTED delta (first component
+  *    +0.5): the fill-rate and within-cell-distance shifts that tell
+  *    an operator the frozen quantizer needs a re-fit.
+  */
+object QueriesR14 {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  private def robotsBodiesDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    QueriesR13.RobotsBodies
+      .map { case (h, ls) => (h, ls.mkString(QueriesR13.robotsBodySep(h))) }
+      .toDF("host", "body")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- RFC 9309 wildcard gate: `*` spans chars, trailing `$`
+    //     anchors, specificity counts LITERAL octets (so the 13-lit
+    //     session=pub allow outranks the 10-lit session deny), and
+    //     wild1 shows the same URL shapes under a different policy.
+    //     Query strings are part of the match target. ---
+    "q_robots_wild" -> { (s, d) =>
+      import s.implicits._
+      val h = (col("doc_id") % 2).cast("string")
+      val b = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 5 === 0,
+          concat(lit("/d/"), b, lit("?session="), b))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("/d/"), b, lit("?session=pub")))
+        .when(col("doc_id") % 5 === 2, concat(lit("/files/r"), b, lit(".pdf")))
+        .when(col("doc_id") % 5 === 3, concat(lit("/files/r"), b, lit(".pdfx")))
+        .otherwise(concat(lit("/page/"), b))
+      val urls = docs(s, d).select(col("doc_id"),
+        concat(lit("http://wild"), h, lit(".example.com"), path).as("url"))
+      val rules = Seq(
+        ("wild0.example.com", "/*?session=", false),
+        ("wild0.example.com", "/*?session=pub", true),
+        ("wild0.example.com", "/*.pdf$", false),
+        ("wild0.example.com", "/page/", false),
+        ("wild1.example.com", "/files/*.pdf$", false),
+        ("wild1.example.com", "/d/", true),
+        ("wild1.example.com", "/d/*?session=", false)
+      ).toDF("host", "prefix", "allow")
+      operators.Crawl.robotsFilter(urls, "url", "doc_id", rules)
+    },
+    // --- sitemap-seeded frontier: seeds from the robots bodies (site0
+    //     two, site4 one — GLOBAL directives, group selection does not
+    //     apply), politeness delays from the same bodies via
+    //     parseCrawlDelay, organic candidates on six hosts. Seed
+    //     priority 1e6 outranks every organic candidate, so sitemaps
+    //     schedule at rank 1 on their hosts. ---
+    "q_frontier_seeded" -> { (s, d) =>
+      val bodies = robotsBodiesDf(s)
+      val h = (col("doc_id") % 6).cast("string")
+      val cand = docs(s, d).select(
+        concat(lit("http://site"), h, lit(".example.com/p/"),
+          col("doc_id").cast("string")).as("url"),
+        col("n_chars").as("priority"))
+      val policy = operators.Crawl.parseCrawlDelay(
+        bodies, "host", "body", "graftbot")
+      operators.Crawl.frontierPlanSeeded(
+        cand, "url", "priority", bodies, "host", "body", policy,
+        defaultDelayS = 7.0, maxPerHost = 40, seedPriority = 1e6)
+    },
+    // --- quantizer drift: deterministic 8-cell quantizer, base = the
+    //     6/7 slice assigned to it, delta = the 1/7 slice with its
+    //     first embedding component shifted +0.5 before assignment —
+    //     the report must show the delta's mass piling into the
+    //     shifted-direction cells and its mean within-cell distance
+    //     rising. Fixed-point micro sums keep the means bit-stable
+    //     and hash-comparable. ---
+    "q_ivf_drift" -> { (s, d) =>
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val vd = col("embedding").cast("array<double>")
+      val nrm = sqrt(aggregate(transform(vd, x => x * x),
+        lit(0.0), (a, x) => a + x))
+      val centroids = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          transform(vd, x => x / nrm).as("centroid"))
+      val base = operators.Similarity.extendIvfIndex(
+        e.filter(col("vec_id") % 7 =!= 0), centroids, "vec_id", "embedding")
+      val shifted = e.filter(col("vec_id") % 7 === 0)
+        .select(col("vec_id"),
+          transform(vd, (x, i) => when(i === 0, x + lit(0.5)).otherwise(x))
+            .as("embedding"))
+      val delta = operators.Similarity.extendIvfIndex(
+        shifted, centroids, "vec_id", "embedding")
+      operators.Similarity.quantizerDrift(
+        base, delta, centroids, "vec_id", "embedding")
+    })
+
+  val oracles: Map[String, String] = Map(
+    // Hand-derived regex + literal-length per rule — an independent
+    // derivation of the engine's RFC 9309 translation, not a replay of
+    // it.
+    "q_robots_wild" ->
+      """WITH c AS (SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
+        |        || '?session=' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '/d/' || CAST(doc_id AS VARCHAR) || '?session=pub'
+        |      WHEN 2 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
+        |      WHEN 3 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdfx'
+        |      ELSE '/page/' || CAST(doc_id AS VARCHAR)
+        |    END AS path,
+        |    'wild' || CAST(doc_id % 2 AS VARCHAR) || '.example.com' AS host
+        |  FROM documents),
+        |cc AS (SELECT doc_id, 'http://' || host || path AS canon_url,
+        |    host, path FROM c),
+        |r(rhost, rex, litlen, allow) AS (VALUES
+        |  ('wild0.example.com', '^/.*\?session=', 10, false),
+        |  ('wild0.example.com', '^/.*\?session=pub', 13, true),
+        |  ('wild0.example.com', '^/.*\.pdf$', 5, false),
+        |  ('wild0.example.com', '^/page/', 6, false),
+        |  ('wild1.example.com', '^/files/.*\.pdf$', 11, false),
+        |  ('wild1.example.com', '^/d/', 3, true),
+        |  ('wild1.example.com', '^/d/.*\?session=', 12, false)),
+        |m AS (SELECT cc.doc_id, cc.canon_url, cc.host, cc.path,
+        |    max(CASE WHEN r.rex IS NOT NULL
+        |        THEN r.litlen * 2 + CAST(r.allow AS INT) END) AS best
+        |  FROM cc LEFT JOIN r
+        |    ON cc.host = r.rhost AND regexp_matches(cc.path, r.rex)
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, canon_url, host, path,
+        |       (best IS NULL OR best % 2 = 1) AS allowed,
+        |       CAST(best // 2 AS INT) AS matched_len
+        |FROM m""".stripMargin,
+    "q_frontier_seeded" ->
+      (QueriesR13.robotsCtes +
+        """,
+          |sm AS (SELECT DISTINCT host, value AS url FROM l5
+          |       WHERE field = 'sitemap' AND value <> ''),
+          |delays AS (SELECT l5.host AS dhost,
+          |    max(TRY_CAST(value AS DOUBLE)) AS delay_s
+          |  FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
+          |  WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) >= 0
+          |  GROUP BY l5.host),
+          |u AS (SELECT
+          |    'http://site' || CAST(doc_id % 6 AS VARCHAR)
+          |      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS canon_url,
+          |    CAST(n_chars AS DOUBLE) AS priority,
+          |    'site' || CAST(doc_id % 6 AS VARCHAR) || '.example.com' AS host
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT url AS canon_url, 1000000.0 AS priority,
+          |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS host
+          |  FROM sm),
+          |rk AS (SELECT canon_url, priority, host,
+          |    row_number() OVER (PARTITION BY host
+          |      ORDER BY priority DESC, canon_url) AS rank
+          |  FROM u),
+          |cp AS (SELECT * FROM rk WHERE rank <= 40)
+          |SELECT cp.canon_url, cp.priority, cp.host, cp.rank,
+          |       coalesce(delays.delay_s, 7.0) AS delay_s,
+          |       (cp.rank - 1) * coalesce(delays.delay_s, 7.0) AS fetch_at_s
+          |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin),
+    // The assignment argmin and both drift signals replayed from the
+    // raw embeddings — same unit-normalization, same squared-euclid
+    // fold, same fixed-point micro rounding before the sums.
+    "q_ivf_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v
+        |           FROM embeddings),
+        |cents AS (SELECT CAST(vec_id AS INT) AS cell,
+        |    list_transform(v, x -> x / n) AS c
+        |  FROM (SELECT vec_id, v,
+        |          sqrt(list_sum(list_transform(v, y -> y * y))) AS n
+        |        FROM e)
+        |  WHERE vec_id < 8),
+        |bsrc AS (SELECT vec_id, v FROM e WHERE vec_id % 7 <> 0),
+        |dsrc AS (SELECT vec_id,
+        |    list_transform(generate_series(1, len(v)),
+        |      i -> CASE WHEN i = 1 THEN v[i] + 0.5 ELSE v[i] END) AS v
+        |  FROM e WHERE vec_id % 7 = 0),
+        |bu AS (SELECT vec_id, list_transform(v, x -> x / n) AS u
+        |  FROM (SELECT vec_id, v,
+        |          sqrt(list_sum(list_transform(v, y -> y * y))) AS n
+        |        FROM bsrc) WHERE n > 0),
+        |du AS (SELECT vec_id, list_transform(v, x -> x / n) AS u
+        |  FROM (SELECT vec_id, v,
+        |          sqrt(list_sum(list_transform(v, y -> y * y))) AS n
+        |        FROM dsrc) WHERE n > 0),
+        |bd AS (SELECT vec_id, cell,
+        |    list_sum(list_transform(generate_series(1, len(u)),
+        |      i -> (u[i] - c[i]) * (u[i] - c[i]))) AS d2
+        |  FROM bu CROSS JOIN cents),
+        |dd AS (SELECT vec_id, cell,
+        |    list_sum(list_transform(generate_series(1, len(u)),
+        |      i -> (u[i] - c[i]) * (u[i] - c[i]))) AS d2
+        |  FROM du CROSS JOIN cents),
+        |bass AS (SELECT cell, d2 FROM (SELECT cell, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM bd) WHERE rn = 1),
+        |dass AS (SELECT cell, d2 FROM (SELECT cell, d2,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        |  FROM dd) WHERE rn = 1),
+        |bstat AS (SELECT cell, count(*) AS n_base,
+        |    sum(CAST(round(d2 * 1e6) AS BIGINT)) AS d2b
+        |  FROM bass GROUP BY cell),
+        |dstat AS (SELECT cell, count(*) AS n_delta,
+        |    sum(CAST(round(d2 * 1e6) AS BIGINT)) AS d2d
+        |  FROM dass GROUP BY cell),
+        |j AS (SELECT cents.cell, coalesce(n_base, 0) AS n_base,
+        |    coalesce(n_delta, 0) AS n_delta, d2b, d2d
+        |  FROM cents LEFT JOIN bstat USING (cell)
+        |    LEFT JOIN dstat USING (cell)),
+        |t AS (SELECT *, sum(n_base) OVER () AS tb,
+        |    sum(n_delta) OVER () AS td FROM j),
+        |f AS (SELECT cell, n_base, n_delta,
+        |    round(CAST(n_base AS DOUBLE) / greatest(tb, 1), 6) AS fill_base,
+        |    round(CAST(n_delta AS DOUBLE) / greatest(td, 1), 6) AS fill_delta,
+        |    CASE WHEN n_base > 0
+        |      THEN round(CAST(d2b AS DOUBLE) / 1e6 / n_base, 6) END
+        |      AS mean_d2_base,
+        |    CASE WHEN n_delta > 0
+        |      THEN round(CAST(d2d AS DOUBLE) / 1e6 / n_delta, 6) END
+        |      AS mean_d2_delta
+        |  FROM t)
+        |SELECT cell, CAST(n_base AS BIGINT) AS n_base,
+        |       CAST(n_delta AS BIGINT) AS n_delta,
+        |       fill_base, fill_delta,
+        |       round(fill_delta - fill_base, 6) AS fill_shift,
+        |       mean_d2_base, mean_d2_delta,
+        |       CASE WHEN n_base > 0 AND n_delta > 0
+        |         THEN round(mean_d2_delta - mean_d2_base, 6) END AS d2_shift
+        |FROM f""".stripMargin)
+}

@@ -190,28 +190,78 @@ object Crawl {
   def urlPath(canonUrl: Column): Column =
     regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://[^/?]*([^?]*)", 1)
 
-  /** Robots-style URL gate: per-host longest-prefix allow/deny rules,
+  /** Path INCLUDING the query string — the REP match target. RFC 9309
+    * §2.2.2 matches rules against "the path, and optionally the query"
+    * (real policies gate on queries with star-wildcard session-id
+    * Disallow rules), so the robots gate must not strip `?…` the way
+    * [[urlPath]] does. */
+  def urlPathQuery(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1)
+
+  /** RFC 9309 §2.2.3 rule-value translation: `*` matches any char
+    * sequence, a TRAILING `$` anchors the end, everything else is
+    * literal (a mid-pattern `$` included). Produces a `^`-anchored
+    * regex — find-semantics `regexp_like`/`regexp_matches` then
+    * equal full REP matching on both engines. */
+  def repPatternRegex(pat: Column): Column = {
+    val hasEnd = pat.endsWith("$")
+    val core = when(hasEnd, pat.substr(lit(1), length(pat) - 1)).otherwise(pat)
+    // Escape every regex metachar (star included), then turn the
+    // now-escaped stars back into `.*` — two fixed passes, no
+    // per-char loop.
+    val escaped = regexp_replace(core, "[\\\\^$.|?*+()\\[\\]{}]", "\\\\$0")
+    val wild = regexp_replace(escaped, "\\\\\\*", ".*")
+    concat(lit("^"), wild, when(hasEnd, lit("$")).otherwise(lit("")))
+  }
+
+  /** Specificity of a rule value for the RFC's longest-match fold: the
+    * count of LITERAL octets — `*` matches anything and the trailing
+    * `$` matches nothing, so neither adds specificity (`/p*` must not
+    * outrank `/page` on raw length). Equals `length(prefix)` for
+    * wildcard-free rules, so plain-prefix tables rank exactly as
+    * before. */
+  def repLiteralLen(pat: Column): Column = {
+    val hasEnd = pat.endsWith("$")
+    val core = when(hasEnd, pat.substr(lit(1), length(pat) - 1)).otherwise(pat)
+    length(translate(core, "*", ""))
+  }
+
+  /** One REP rule match: the wildcard-free fast path stays a codegen'd
+    * `startsWith` (the overwhelmingly common rule shape); `*`/`$`
+    * rules go through the translated anchored regex. */
+  def repMatches(target: Column, pat: Column): Column =
+    when(!pat.contains("*") && !pat.endsWith("$"), target.startsWith(pat))
+      .otherwise(regexp_like(target, repPatternRegex(pat)))
+
+  /** Robots-style URL gate: per-host longest-match allow/deny rules,
     * the politeness filter a crawler applies AFTER canonicalization
     * and BEFORE scheduling. `rules` is the parsed policy table —
-    * `(host, prefix, allow)` — small by construction (robots files are
-    * per-host and bounded), so it broadcasts. Semantics follow the
-    * REP as deployed: the longest matching prefix wins, an allow beats
-    * a disallow of equal length, and a URL matching no rule is
-    * allowed.
+    * `(host, prefix, allow)` where the prefix value may carry RFC 9309
+    * §2.2.3 wildcards (`*` any chars, trailing `$` end anchor) — small
+    * by construction (robots files are per-host and bounded), so it
+    * broadcasts. Semantics follow RFC 9309: rules match the PATH PLUS
+    * QUERY ([[urlPathQuery]]), the most specific match wins (most
+    * LITERAL octets, [[repLiteralLen]] — `*`/`$` add no specificity),
+    * an allow beats a disallow of equal specificity, and a URL
+    * matching no rule is allowed.
     *
     * The verdict fold encodes each matching rule as the integer
-    * `2*len(prefix) + (allow ? 1 : 0)` and takes the MAX — longest
-    * prefix dominates via the `2*len` term, allow wins equal-length
-    * ties via the parity bit — which keeps the aggregation a plain
+    * `2*litlen + (allow ? 1 : 0)` and takes the MAX — most-literal
+    * match dominates via the `2*litlen` term, allow wins equal ties
+    * via the parity bit — which keeps the aggregation a plain
     * partial-aggregating `max` (map-side combine, no ordered
-    * collection per URL) and is replayable verbatim in SQL.
+    * collection per URL) and is replayable verbatim in SQL
+    * (`regexp_matches` on the same translated patterns). Wildcard-free
+    * rules (the common case) match through the codegen'd `startsWith`
+    * fast path and rank exactly as before.
     *
     * Scale shape: rules broadcast (one hash join, host equi-key +
-    * prefix-match residual), then ONE exchange on the high-cardinality
+    * rule-match residual), then ONE exchange on the high-cardinality
     * (id, url) group key. Never a shuffle of the rule fan-out beyond
     * that, never a per-URL sort. Output keeps every input URL with its
-    * `allowed` verdict and `matched_len` (null = no rule matched) —
-    * callers filter on `allowed` to gate the frontier. */
+    * `allowed` verdict and `matched_len` (the winning rule's literal
+    * length; null = no rule matched) — callers filter on `allowed` to
+    * gate the frontier. */
   def robotsFilter(
       df: DataFrame,
       urlCol: String,
@@ -221,7 +271,7 @@ object Crawl {
     val base = df
       .select(col(idCol), canon.as("canon_url"))
       .withColumn("host", urlHost(col("canon_url")))
-      .withColumn("path", urlPath(col("canon_url")))
+      .withColumn("path", urlPathQuery(col("canon_url")))
     val r = broadcast(rules.select(
       col("host").as("__rhost"),
       col("prefix").as("__prefix"),
@@ -229,11 +279,11 @@ object Crawl {
     base
       .join(r,
         base("host") === col("__rhost") &&
-          base("path").startsWith(col("__prefix")),
+          repMatches(base("path"), col("__prefix")),
         "left")
       .groupBy(col(idCol), col("canon_url"), col("host"), col("path"))
       .agg(max(when(col("__prefix").isNotNull,
-        length(col("__prefix")) * 2 + col("__allow").cast("int")))
+        repLiteralLen(col("__prefix")) * 2 + col("__allow").cast("int")))
         .as("__best"))
       .withColumn("allowed",
         col("__best").isNull || col("__best") % 2 === 1)
@@ -288,8 +338,9 @@ object Crawl {
     * policy input of the frontier composition derives from the raw
     * fetch log. Same group/selection grammar as the rules (the two
     * parsers can never diverge — shared machinery); several delay
-    * lines in the selected groups take the MINIMUM (the conservative
-    * read); non-numeric or negative values drop (Spark's cast-to-null
+    * lines in the selected groups take the MAXIMUM — the politeness-
+    * preserving read (the minimum would be the most AGGRESSIVE crawl
+    * rate); non-numeric or negative values drop (Spark's cast-to-null
     * semantics, mirrored with TRY_CAST in the oracle). Hosts with no
     * selected delay are absent — the scheduler's `defaultDelayS`
     * applies, exactly as with a hand-written policy table. */
@@ -309,7 +360,7 @@ object Crawl {
         expr("try_cast(__value AS double)").as("delay_s"))
       .filter(col("delay_s").isNotNull && col("delay_s") >= 0)
       .groupBy(col("host"))
-      .agg(min(col("delay_s")).as("delay_s"))
+      .agg(max(col("delay_s")).as("delay_s"))
   }
 
   /** `Sitemap:` directives from raw robots bodies — `(host,
@@ -324,7 +375,10 @@ object Crawl {
       hostCol: String,
       bodyCol: String): DataFrame =
     df.select(col(hostCol).as("host"),
-        posexplode(split(col(bodyCol), "\n")))
+        // \r?\n, not \n: CRLF is the common wire format for
+        // robots.txt and trim strips spaces only — a trailing \r
+        // would ride into every value and kill prefix matching.
+        posexplode(split(col(bodyCol), "\r?\n")))
       .withColumn("__clean", trim(regexp_replace(col("col"), "#.*", "")))
       .filter(lower(trim(regexp_extract(col("__clean"), "^([^:]+):", 1)))
         === "sitemap")
@@ -346,7 +400,7 @@ object Crawl {
     val w = Window.partitionBy(col("host")).orderBy(col("ln"))
     val lines = df
       .select(col(hostCol).as("host"),
-        posexplode(split(col(bodyCol), "\n")))
+        posexplode(split(col(bodyCol), "\r?\n")))
       .withColumnRenamed("pos", "ln")
       .withColumnRenamed("col", "__raw")
       .withColumn("__clean", trim(regexp_replace(col("__raw"), "#.*", "")))
@@ -375,27 +429,37 @@ object Crawl {
   }
 
   /** The rules table folded to one row per host — `(host,
-    * rules: array<struct<prefix,allow>>)` — the broadcast shape
-    * [[robotsVerdict]] consumes. Bounded by construction (robots
+    * rules: array<struct<prefix,allow,plain,regex,litlen>>)` — the
+    * broadcast shape [[robotsVerdict]] consumes. The wildcard
+    * translation ([[repPatternRegex]]/[[repLiteralLen]]) is
+    * precomputed HERE, once per rule, so the per-row stream fold never
+    * rebuilds pattern strings. Bounded by construction (robots
     * policies are per-host and small), so the collect_list is safe. */
   def robotsRulesPerHost(rules: DataFrame): DataFrame =
     rules.groupBy(col("host"))
-      .agg(collect_list(struct(col("prefix"), col("allow"))).as("rules"))
+      .agg(collect_list(struct(
+        col("prefix"), col("allow"),
+        (!col("prefix").contains("*") && !col("prefix").endsWith("$"))
+          .as("plain"),
+        repPatternRegex(col("prefix")).as("regex"),
+        repLiteralLen(col("prefix")).as("litlen"))).as("rules"))
 
-  /** Stateless single-row REP verdict: the same `max(2·len + allow)`
-    * fold as [[robotsFilter]], computed by a higher-order `aggregate`
-    * over the host's rule array instead of a relational group-by —
-    * -1 encodes "no rule matched" (allowed). Because it is a pure
-    * per-row projection it runs unchanged on a STREAM (no aggregation
-    * state, no watermark) — [[graft.streaming.Streaming
-    * .robotsGateStream]] is exactly this fold behind a broadcast
-    * stream-static join; parity with the relational form is
-    * spec-pinned. */
+  /** Stateless single-row REP verdict: the same `max(2·litlen +
+    * allow)` fold as [[robotsFilter]] — wildcard-free rules through
+    * `startsWith`, `*`/`$` rules through the precomputed anchored
+    * regex — computed by a higher-order `aggregate` over the host's
+    * rule array instead of a relational group-by; -1 encodes "no rule
+    * matched" (allowed). Because it is a pure per-row projection it
+    * runs unchanged on a STREAM (no aggregation state, no watermark)
+    * — [[graft.streaming.Streaming.robotsGateStream]] is exactly this
+    * fold behind a broadcast stream-static join; parity with the
+    * relational form is spec-pinned. */
   def robotsVerdict(path: Column, rulesArr: Column): Column =
     when(rulesArr.isNull, lit(-1L)).otherwise(
       aggregate(rulesArr, lit(-1L), (acc, r) =>
-        when(path.startsWith(r.getField("prefix")),
-          greatest(acc, length(r.getField("prefix")).cast("long") * 2 +
+        when(when(r.getField("plain"), path.startsWith(r.getField("prefix")))
+            .otherwise(regexp_like(path, r.getField("regex"))),
+          greatest(acc, r.getField("litlen").cast("long") * 2 +
             r.getField("allow").cast("long")))
           .otherwise(acc)))
 
@@ -440,6 +504,42 @@ object Crawl {
       .withColumn("delay_s", coalesce(col("__delay"), lit(defaultDelayS)))
       .withColumn("fetch_at_s", (col("rank") - 1) * col("delay_s"))
       .drop("__phost", "__delay")
+  }
+
+  /** [[frontierPlan]] SEEDED from robots sitemaps: the `Sitemap:`
+    * directives ([[parseSitemaps]]) are the REP's seed-discovery
+    * channel, so their URLs union into the candidate side as
+    * discoveries with a caller-chosen `seedPriority` (set it above the
+    * organic priorities to fetch sitemaps first — they amortize into
+    * many page discoveries). [[frontierPlan]] canonicalizes the merged
+    * pool, so seed spellings dedup against explicit candidates the
+    * same way any candidate does; rows surviving as duplicates
+    * schedule twice, exactly like duplicated explicit candidates —
+    * run [[urlDedup]] upstream when the feed may overlap.
+    *
+    * Scale shape: the union is map-side (no exchange of its own); the
+    * sitemap DISTINCT exchanges only `(host, sitemap_url)` rows on the
+    * small parse side; the candidate lineage still crosses exactly
+    * frontierPlan's ONE bounded top-k exchange — spec-pinned. */
+  def frontierPlanSeeded(
+      df: DataFrame,
+      urlCol: String,
+      priorityCol: String,
+      robots: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      policy: DataFrame,
+      defaultDelayS: Double,
+      maxPerHost: Int,
+      seedPriority: Double): DataFrame = {
+    val seeds = parseSitemaps(robots, hostCol, bodyCol)
+      .select(col("sitemap_url").as("__url"),
+        lit(seedPriority).cast("double").as("__pri"))
+    val cand = df
+      .select(col(urlCol).as("__url"),
+        col(priorityCol).cast("double").as("__pri"))
+      .unionByName(seeds)
+    frontierPlan(cand, "__url", "__pri", policy, defaultDelayS, maxPerHost)
   }
 
   /** Path template for trap mining: digit runs collapse to `N`, so a
@@ -491,7 +591,12 @@ object Crawl {
       .select(canonicalizeUrl(col(urlCol)).as("canon_url"),
         col(priorityCol).cast("double").as("priority"))
       .withColumn("host", urlHost(col("canon_url")))
+      // Two match targets: REP rules see path PLUS query (RFC 9309),
+      // trap templates stay on the query-free path — the cells are
+      // mined from urlPath in urlTemplateReport and the two sides
+      // must template identically.
       .withColumn("path", urlPath(col("canon_url")))
+      .withColumn("__pq", urlPathQuery(col("canon_url")))
     val perHost = broadcast(robotsRulesPerHost(rules)
       .select(col("host").as("__rhost"), col("rules").as("__rules")))
     val traps = broadcast(
@@ -500,7 +605,7 @@ object Crawl {
         .select(col("host").as("__thost"), col("template").as("__ttpl")))
     val gated = base
       .join(perHost, col("host") === col("__rhost"), "left")
-      .filter(robotsVerdict(col("path"), col("__rules")) % 2 =!= 0)
+      .filter(robotsVerdict(col("__pq"), col("__rules")) % 2 =!= 0)
       .join(traps,
         col("host") === col("__thost") &&
           urlTemplate(col("path")) === col("__ttpl"),

@@ -444,6 +444,88 @@ object Similarity {
         col("__best.cell").as("cell"))
   }
 
+  /** Freshness gate for the FROZEN IVF quantizer: per-cell drift of a
+    * newly-assigned DELTA ([[extendIvfIndex]] output) against the
+    * BUILD-TIME assignments — the measured answer to
+    * [[extendIvfIndex]]'s "re-fit when drift is suspected". Two
+    * signals per cell:
+    *
+    *  - fill-rate shift: the delta's share of cell c minus the base's
+    *    share (a distribution shift pushes mass into different cells
+    *    than the quantizer was fit on);
+    *  - mean within-cell distance shift: mean squared euclidean (unit
+    *    vectors) to the OWN centroid, delta minus base (new vectors
+    *    landing far from their nearest frozen centroid mean the
+    *    centroids no longer summarize the data).
+    *
+    * Pure arithmetic over the two assignment frames — no model, no
+    * fit job — so it replays exactly in SQL. Cross-row float
+    * aggregation is FIXED-POINT: per-row d² rounds to micro units
+    * (`round(d²·1e6)` as long) before the sum, so the means are
+    * bit-stable under any partitioning and hash-comparable across
+    * engines (the PageRank discipline). Per-cell means divide the
+    * exact long sum at the end.
+    *
+    * Scale shape: one scan per side (delta is small by construction;
+    * the base scan reads (vec, cell) only), nLists broadcast centroid
+    * rows, partial-aggregating count/sum per cell — the result is
+    * nLists rows, so the fill-share window over it is bounded. No
+    * driver collect. Callers alert on `abs(fill_shift)` /
+    * `d2_shift` thresholds of their choosing. */
+  def quantizerDrift(
+      base: DataFrame,
+      delta: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    def cellStats(assigned: DataFrame): DataFrame = {
+      val vd = col(vecCol).cast("array<double>")
+      val withUnit = assigned
+        .select(col("cell"), col(vecCol))
+        .withColumn("__nrm",
+          sqrt(aggregate(transform(vd, x => x * x), lit(0.0), (a, x) => a + x)))
+        .filter(col("__nrm") > 0)
+        .withColumn("__u", transform(vd, x => x / col("__nrm")))
+      withUnit
+        .join(broadcast(centroids.select(col("cell"), col("centroid"))),
+          Seq("cell"))
+        .withColumn("__d2micro",
+          round(aggregate(
+            zip_with(col("__u"), col("centroid"), (a, b) => (a - b) * (a - b)),
+            lit(0.0), (a, x) => a + x) * 1e6).cast("long"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("__d2micro")).as("d2sum"))
+    }
+    val b = cellStats(base)
+      .select(col("cell"), col("n").as("n_base"), col("d2sum").as("d2_base"))
+    val d = cellStats(delta)
+      .select(col("cell"), col("n").as("n_delta"), col("d2sum").as("d2_delta"))
+    val joined = centroids.select(col("cell"))
+      .join(b, Seq("cell"), "left")
+      .join(d, Seq("cell"), "left")
+      .na.fill(0L, Seq("n_base", "n_delta"))
+    val w = Window.partitionBy() // nLists rows by construction — bounded
+    joined
+      .withColumn("__tb", sum(col("n_base")).over(w))
+      .withColumn("__td", sum(col("n_delta")).over(w))
+      .withColumn("fill_base",
+        round(col("n_base").cast("double") / greatest(col("__tb"), lit(1L)), 6))
+      .withColumn("fill_delta",
+        round(col("n_delta").cast("double") / greatest(col("__td"), lit(1L)), 6))
+      .withColumn("fill_shift", round(col("fill_delta") - col("fill_base"), 6))
+      .withColumn("mean_d2_base",
+        when(col("n_base") > 0,
+          round(col("d2_base").cast("double") / 1e6 / col("n_base"), 6)))
+      .withColumn("mean_d2_delta",
+        when(col("n_delta") > 0,
+          round(col("d2_delta").cast("double") / 1e6 / col("n_delta"), 6)))
+      .withColumn("d2_shift",
+        when(col("n_base") > 0 && col("n_delta") > 0,
+          round(col("mean_d2_delta") - col("mean_d2_base"), 6)))
+      .select("cell", "n_base", "n_delta", "fill_base", "fill_delta",
+        "fill_shift", "mean_d2_base", "mean_d2_delta", "d2_shift")
+  }
+
   /** Top-k cosine search over an ALREADY-MATERIALIZED IVF index (the
     * frames of [[buildIvfIndex]], typically read back from cache
     * tables): identical probe + exact-rerank shape to

@@ -250,7 +250,9 @@ object Streaming {
     fetches
       .withColumn("canon_url", canon)
       .withColumn("host", graft.operators.Crawl.urlHost(col("canon_url")))
-      .withColumn("path", graft.operators.Crawl.urlPath(col("canon_url")))
+      // urlPathQuery, not urlPath: REP rules match path PLUS query —
+      // same target as the batch robotsFilter, or the parity pin lies.
+      .withColumn("path", graft.operators.Crawl.urlPathQuery(col("canon_url")))
       .join(broadcast(rulesPerHost), Seq("host"), "left")
       .withColumn("__best",
         graft.operators.Crawl.robotsVerdict(col("path"), col("rules")))
@@ -283,7 +285,11 @@ object Streaming {
       .join(broadcast(traps.select(
           col("host").as("__thost"), col("template").as("__ttpl"))),
         col("host") === col("__thost") &&
-          graft.operators.Crawl.urlTemplate(col("path")) === col("__ttpl"),
+          // Template on the QUERY-FREE path: robotsGateStream's `path`
+          // is the REP match target (path+query), but trap cells are
+          // mined from urlPath — the two sides must template alike.
+          graft.operators.Crawl.urlTemplate(
+            graft.operators.Crawl.urlPath(col("canon_url"))) === col("__ttpl"),
         "left_anti")
 
   /** Stream-stream interval join: each purchase attributes to the SAME

@@ -154,6 +154,46 @@ class AnnSpec extends AnyFunSuite {
     assert(re.nonEmpty)
   }
 
+  test("quantizerDrift: identical delta reads zero drift; a shifted delta does not") {
+    val (assigned, centroids) = Similarity.buildIvfIndex(
+      embs, "vec_id", "embedding", nLists = 4)
+    // Null hypothesis: the delta IS the base — every shift must be
+    // exactly 0 (the fixed-point sums make this bit-exact, not
+    // approximately-zero).
+    val zero = Similarity.quantizerDrift(
+        assigned, assigned, centroids, "vec_id", "embedding")
+      .collect()
+    assert(zero.length == 4)
+    zero.foreach { r =>
+      assert(r.getDouble(r.fieldIndex("fill_shift")) == 0.0, r.toString)
+      assert(r.getDouble(r.fieldIndex("d2_shift")) == 0.0, r.toString)
+      assert(r.getLong(r.fieldIndex("n_base")) ==
+        r.getLong(r.fieldIndex("n_delta")), r.toString)
+    }
+    // A deliberately shifted delta must register: fill shares move
+    // (some |fill_shift| > 0) and distances to the frozen centroids
+    // grow somewhere.
+    val shifted = Similarity.extendIvfIndex(
+      embs.select(col("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          (x, i) => when(i === 0, x + lit(1.0)).otherwise(x))
+          .as("embedding")),
+      centroids, "vec_id", "embedding")
+    val drift = Similarity.quantizerDrift(
+        assigned, shifted, centroids, "vec_id", "embedding")
+      .collect()
+    assert(drift.exists(r =>
+      math.abs(r.getDouble(r.fieldIndex("fill_shift"))) > 0.01),
+      drift.mkString("; "))
+    assert(drift.exists(r => !r.isNullAt(r.fieldIndex("d2_shift")) &&
+      r.getDouble(r.fieldIndex("d2_shift")) > 0.0),
+      drift.mkString("; "))
+    // fill columns are SHARES: each side sums to 1 (fixture has no
+    // zero-norm drops).
+    val fb = drift.map(r => r.getDouble(r.fieldIndex("fill_base"))).sum
+    assert(math.abs(fb - 1.0) < 1e-4, s"fill_base sums to $fb")
+  }
+
   test("embeddingCard counts nulls, zero vectors, ragged dims, and exact norms") {
     val s = spark
     import s.implicits._

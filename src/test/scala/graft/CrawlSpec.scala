@@ -325,9 +325,12 @@ class CrawlSpec extends AnyFunSuite {
       ("b.com", "User-agent: *\nCrawl-delay: 2.5\nCrawl-delay: 7"),
       ("c.com", "User-agent: *\nCrawl-delay: soon")
     ).toDF("host", "body")
+    // Several selected delay lines take the MAX (politeness-preserving
+    // — the min would be the most aggressive crawl rate): b.com 2.5/7
+    // folds to 7.
     val delays = Crawl.parseCrawlDelay(delayBodies, "host", "body", "graftbot")
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    assert(delays == Map("a.com" -> 3.0, "b.com" -> 2.5), delays.toString)
+    assert(delays == Map("a.com" -> 3.0, "b.com" -> 7.0), delays.toString)
   }
 
   test("stateless robots fold == relational robotsFilter, rule for rule") {
@@ -361,6 +364,123 @@ class CrawlSpec extends AnyFunSuite {
       urls, Crawl.robotsRulesPerHost(rules)))
     assert(folded == batch,
       "the stream gate's stateless fold must match the relational verdict")
+  }
+
+  test("RFC 9309 wildcards: * spans chars, trailing $ anchors, literal-length ranks") {
+    val s = spark
+    import s.implicits._
+    val rules = Seq(
+      ("w.com", "/*?session=", false),    // litlen 10
+      ("w.com", "/*?session=pub", true),  // litlen 13 — outranks the deny
+      ("w.com", "/*.pdf$", false),        // litlen 5, end-anchored
+      ("w.com", "/p*te", false),          // litlen 4 — star mid-pattern
+      ("w.com", "/a$b/", false),          // mid-pattern $ is LITERAL
+      ("w.com", "/q(1)", false)           // regex metachars escape
+    ).toDF("host", "prefix", "allow")
+    val urls = Seq(
+      (1L, "http://w.com/d/5?session=5"),    // *?session= deny
+      (2L, "http://w.com/d/5?session=pub"),  // longer-literal allow wins
+      (3L, "http://w.com/doc.pdf"),          // end-anchored deny
+      (4L, "http://w.com/doc.pdfx"),         // $ honored -> no match -> allow
+      (5L, "http://w.com/private/site"),     // /p*te spans chars
+      (6L, "http://w.com/pte-not"),          // ...and matches adjacent too
+      (7L, "http://w.com/a$b/x"),            // literal mid-$ matches
+      (8L, "http://w.com/q(1)x"),            // escaped metachars match
+      (9L, "http://w.com/free")              // no rule -> default allow
+    ).toDF("doc_id", "url")
+    val out = Crawl.robotsFilter(urls, "url", "doc_id", rules)
+      .collect().map(r => r.getLong(r.fieldIndex("doc_id")) ->
+        r.getBoolean(r.fieldIndex("allowed"))).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true,
+      5L -> false, 6L -> false, 7L -> false, 8L -> false, 9L -> true),
+      out.toString)
+    // `/p*` must NOT outrank `/page` on raw length: specificity counts
+    // literal octets only.
+    val rank = Seq(("r.com", "/pa*", false), ("r.com", "/page", true))
+      .toDF("host", "prefix", "allow")
+    val got = Crawl.robotsFilter(
+        Seq((1L, "http://r.com/page/x")).toDF("doc_id", "url"),
+        "url", "doc_id", rank)
+      .collect().map(r => (r.getBoolean(r.fieldIndex("allowed")),
+        r.getInt(r.fieldIndex("matched_len")))).head
+    assert(got == ((true, 5)), got.toString)
+    // And the stateless fold agrees on every wildcard shape.
+    def verdicts(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "allowed").collect()
+        .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    val folded = verdicts(graft.streaming.Streaming.robotsGateStream(
+      urls, Crawl.robotsRulesPerHost(rules)))
+    assert(folded == out,
+      "stateless wildcard fold must match the relational verdict")
+  }
+
+  test("CRLF robots bodies parse clean: no trailing \\r in any value") {
+    val s = spark
+    import s.implicits._
+    val bodies = Seq(("crlf.com",
+      "User-agent: graftbot\r\nDisallow: /private/\r\nAllow: /private/pub\r\nCrawl-delay: 3\r\nSitemap: http://crlf.com/sm.xml"
+    )).toDF("host", "body")
+    val rules = Crawl.parseRobots(bodies, "host", "body", "graftbot")
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSet
+    assert(rules == Set(("/private/", false), ("/private/pub", true)),
+      rules.toString)
+    val delay = Crawl.parseCrawlDelay(bodies, "host", "body", "graftbot")
+      .collect().map(_.getDouble(1)).toSeq
+    assert(delay == Seq(3.0), delay.toString)
+    val sm = Crawl.parseSitemaps(bodies, "host", "body")
+      .collect().map(_.getString(1)).toSeq
+    assert(sm == Seq("http://crlf.com/sm.xml"), sm.toString)
+    // The parsed rules must actually GATE (a stray \r would turn the
+    // prefix into a dead literal).
+    val gated = Crawl.robotsFilter(
+        Seq((1L, "http://crlf.com/private/x")).toDF("doc_id", "url"),
+        "url", "doc_id",
+        Crawl.parseRobots(bodies, "host", "body", "graftbot"))
+      .collect().map(r => r.getBoolean(r.fieldIndex("allowed"))).head
+    assert(!gated, "CRLF-parsed Disallow must deny")
+  }
+
+  test("frontierPlanSeeded: sitemap seeds join the schedule first, no new exchange") {
+    val s = spark
+    import s.implicits._
+    val bodies = Seq(
+      ("a.com", "User-agent: *\nDisallow: /x/\nSitemap: http://a.com/sm.xml\nSitemap: http://a.com/sm2.xml"),
+      ("b.com", "User-agent: *\nCrawl-delay: 2")
+    ).toDF("host", "body")
+    val cand = Seq(
+      ("http://a.com/p/1", 30.0), ("http://a.com/p/2", 20.0),
+      ("http://b.com/p/1", 10.0)).toDF("url", "pri")
+    val policy = Crawl.parseCrawlDelay(bodies, "host", "body", "graftbot")
+    val out = Crawl.frontierPlanSeeded(cand, "url", "pri",
+      bodies, "host", "body", policy,
+      defaultDelayS = 9.0, maxPerHost = 10, seedPriority = 1e6)
+    val rows = out.collect().map { r =>
+      r.getString(r.fieldIndex("canon_url")) ->
+        ((r.getLong(r.fieldIndex("rank")), r.getDouble(r.fieldIndex("delay_s"))))
+    }.toMap
+    // Seeds outrank every organic candidate on their host; b.com's
+    // parsed crawl-delay spaces its queue; a.com takes the default.
+    assert(rows == Map(
+      "http://a.com/sm.xml" -> ((1L, 9.0)),
+      "http://a.com/sm2.xml" -> ((2L, 9.0)),
+      "http://a.com/p/1" -> ((3L, 9.0)),
+      "http://a.com/p/2" -> ((4L, 9.0)),
+      "http://b.com/p/1" -> ((1L, 2.0))), rows.toString)
+    // Scale pin: seeding adds NO exchange to the candidate lineage —
+    // the priority-carrying shuffle count equals plain frontierPlan's
+    // on the same candidates (the sitemap distinct shuffles only the
+    // small parse side, which never carries priority).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def priShuffles(df: org.apache.spark.sql.DataFrame) =
+      PlanCheck.nodes(df).collect {
+        case e: ShuffleExchangeLike
+          if e.child.output.exists(_.name == "priority") => e
+      }.size
+    val plain = Crawl.frontierPlan(
+      cand.select(col("url"), col("pri").as("priority")),
+      "url", "priority", policy, 9.0, 10)
+    assert(priShuffles(out) == priShuffles(plain),
+      "seeding must not add a candidate-side exchange")
   }
 
   test("frontierPlanGated: robots-denied and trap URLs never reach the schedule") {
