@@ -311,12 +311,28 @@ object SubstringDedup {
     *     row, so order is preserved for free). */
   def lineDedup(
       df: DataFrame, idCol: String, textCol: String,
-      maxDf: Int, sep: String = "\n"): DataFrame = {
-    // SORTED hot set: the removal probe is a native binary search
-    // (log |hot| per line). A 10× scaling probe caught the
-    // `array_contains` walk going super-linear (23× wall at 10× input)
-    // on a boilerplate-heavy corpus whose hot set grows with it.
-    val hot = hotLineDigests(df, textCol, maxDf, sep)
+      maxDf: Int, sep: String = "\n"): DataFrame =
+    stripHotLinesJoin(df, idCol, textCol,
+      hotLineDigests(df, textCol, maxDf, sep), sep)
+
+  /** The removal half of [[lineDedup]] against a hot-digest FRAME
+    * ([[hotLineDigests]] output or any `__h` digest column): the set
+    * collapses to a ONE-ROW sorted `collect_set` aggregate that
+    * BROADCASTS into a cross join — the hot set never materializes on
+    * the driver, so there is no driver-memory bound to trust; Spark's
+    * broadcast size guard is the (executor-side, configurable) cap.
+    * The removal itself is a row-local binary-search filter (SORTED
+    * hot set: a 10× scaling probe caught the `array_contains` walk
+    * going super-linear — 23× wall at 10× input — on a
+    * boilerplate-heavy corpus whose hot set grows with it), zero
+    * additional shuffle, no per-document rebuild aggregation (the
+    * line array never leaves the row, so order is preserved for
+    * free). Works unchanged as the STATIC side of a stream-static
+    * join ([[graft.streaming.Streaming.lineDedupStream]]). */
+  def stripHotLinesJoin(
+      df: DataFrame, idCol: String, textCol: String,
+      hotDigests: DataFrame, sep: String = "\n"): DataFrame = {
+    val hot = hotDigests
       .agg(sort_array(collect_set(col("__h"))).as("__hot"))
     df.select(col(idCol), lineSplit(col(textCol), sep).as("__lines"))
       .crossJoin(broadcast(hot))

@@ -641,13 +641,17 @@ object Streaming {
     * [[graft.operators.SubstringDedup.lineDedup]] (every batch screen
     * in this library has a streaming form and vice versa). The hot-line
     * digest set is learned from a BATCH census — a stream cannot count
-    * its own line document-frequency — and folds into the stream as a
-    * LITERAL digest array (the Zipf-head-bounded set the batch form
-    * broadcasts), so each arriving document drops every hot line in a
-    * pure map-only projection: fully STATELESS, no join, no watermark,
-    * no state store. Identical removal expressions to the batch path
-    * ([[graft.operators.SubstringDedup.stripHotLines]]), so replaying
-    * the stream as a batch yields the identical output. */
+    * its own line document-frequency — CHECKPOINTED once (the static
+    * side of a stream-static join re-executes per micro-batch, and the
+    * census aggregation must not), and broadcast into each micro-batch
+    * as the same one-row sorted-set cross join the batch form uses:
+    * stream-static inner join, no watermark, no state store, and — the
+    * scale point — the hot set NEVER materializes on the driver, so a
+    * boilerplate-heavy 100 TB census whose Zipf head outgrows
+    * expectations hits Spark's executor-side broadcast guard, not
+    * driver OOM. Identical removal expressions to the batch path
+    * ([[graft.operators.SubstringDedup.stripHotLinesJoin]]), so
+    * replaying the stream as a batch yields the identical output. */
   def lineDedupStream(
       docs: DataFrame,
       census: DataFrame,
@@ -655,14 +659,11 @@ object Streaming {
       textCol: String = "text",
       maxDf: Int = 2,
       sep: String = "\n"): DataFrame = {
-    import graft.operators.SubstringDedup
-    // Bounded driver collect: a line needs > maxDf distinct census
-    // docs, so the set is at most census-line-occurrences / maxDf and
-    // in practice the boilerplate Zipf head.
-    val hot = SubstringDedup
-      .hotLineDigests(census, textCol, maxDf, sep)
-      .collect().map(_.getString(0)).toSeq
-    SubstringDedup.stripHotLines(docs, idCol, textCol, hot, sep)
+    import graft.operators.{Materialize, SubstringDedup}
+    SubstringDedup.stripHotLinesJoin(docs, idCol, textCol,
+      Materialize.checkpoint(
+        SubstringDedup.hotLineDigests(census, textCol, maxDf, sep)),
+      sep)
   }
 
   /** Run a streaming DataFrame to completion against an in-memory sink
