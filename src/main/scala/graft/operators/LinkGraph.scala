@@ -533,10 +533,13 @@ object LinkGraph {
     val g0 = graphFrames(edgesIn, srcCol, dstCol)
     // Statics pinning (edges + verts; hits never needs out-degrees):
     // any pinned half-step is a job that would re-derive them, so pin
-    // whenever the cadence pins at all — fully-lazy runs keep the
-    // zero-setup-jobs construction.
+    // only when some iteration will actually pin (cadence > 0 AND the
+    // run is long enough to reach a pin point — materializeEvery=4
+    // with 3 iterations never pins, and paying two checkpoint writes
+    // no renorm ever reads would contradict the rule). Fully-lazy and
+    // never-pinning runs keep the zero-setup-jobs construction.
     val (edges, verts) =
-      if (cadence > 0) {
+      if (cadence > 0 && iterations >= cadence) {
         val e = Materialize.checkpoint(g0.edges)
         val v = Materialize.checkpoint(
           e.select(col("src").as("id"))

@@ -185,9 +185,14 @@ class LinkGraphSpec extends AnyFunSuite {
     val a = LinkGraph.hits(triangle, "src", "dst", 4, materializeEvery = 0)
     val b = LinkGraph.hits(triangle, "src", "dst", 4, materializeEvery = 1)
     val c = LinkGraph.hits(triangle, "src", "dst", 4, materializeEvery = 2)
+    // cadence > iterations: NO iteration ever pins (1..3 % 4 != 0), so
+    // the statics must stay lazy too — and values still agree.
+    val d = LinkGraph.hits(triangle, "src", "dst", 3, materializeEvery = 4)
+    val dRef = LinkGraph.hits(triangle, "src", "dst", 3, materializeEvery = 0)
     def m(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m(a) == m(b) && m(b) == m(c))
+    assert(m(d) == m(dRef))
   }
 
   test("pageRankConverged: bit-identical across inner cadences") {

@@ -38,13 +38,17 @@ the MACHINE and cannot be moved by genuine operator regressions the
 way the all-queries median could (ambient_source: "controls" vs
 "query_median"). Per-control ratios are reported for audit.
 
-CPU second opinion (round 13): BENCH_DETAIL also carries `cpu_sec` —
-the median executor-CPU seconds per execution, bracketed by a
-deterministic listener drain. Co-tenant load inflates wall-clock but
-barely touches task CPU, so a would-be wall violation whose CPU ratio
-is inside tolerance is mechanically reclassified `ambient_suspect`
-(`cpu_flat: true`) — a genuine regression does more work and moves
-BOTH numbers.
+CPU second opinion (round 13, tightened round 14): BENCH_DETAIL also
+carries `cpu_sec` — the median executor-CPU seconds per execution,
+bracketed by a deterministic listener drain. Co-tenant load inflates
+wall-clock but barely touches task CPU, so a flat CPU ratio FLAGS a
+would-be wall violation (`cpu_flat: true`). Flat CPU alone does NOT
+downgrade it: a pure I/O-wait regression (extra checkpoint write,
+shuffle spill, added sleep) burns little CPU too. The entry moves to
+`ambient_suspect` only with a second corroborating signal — the
+session measured hot AND the ambient-deflated wall passing — and
+otherwise stays a fatal violation until an isolated re-measure of the
+same build clears it.
 
 Isolated re-measures: --isolated FILE(s) take BENCH_DETAIL(_PARTIAL)
 files from `SPARK_GRAFT_ONLY=...` runs of the SAME build; their
@@ -195,27 +199,26 @@ def main():
             spread = max(bs.get(q, 0.0) or 0.0, (entry["spread_cur"] or 0.0))
             if spread > args.tolerance - 1.0:
                 noisy.append(entry)
-            elif (cpu_ratio is not None and cpu_ratio <= args.tolerance
-                  and bcpu.get(q, 0) >= 0.05
-                  and not entry.get("isolated")):
-                # Same isolated guard as ambient deflation: an isolated
-                # re-measure is the CONFIRMATION step — once it agrees
-                # with the sweep, a flat sweep-CPU must not override it
-                # (the isolated artifact's own cpu is not what was
-                # compared here).
-                # The wall moved but the actual compute did not: load,
-                # not regression — a real regression does more WORK.
-                # (Still a SUSPECT, not a silent pass: a pure I/O-wait
-                # regression — an extra checkpoint write, say — could
-                # also leave CPU flat, so the entry stays visible.)
-                entry["cpu_flat"] = True
-                suspects.append(entry)
-            elif (ambient_hot and not entry.get("isolated")
-                  and (c / ambient) / b <= args.tolerance):
-                entry["deflated_ratio"] = round((c / ambient) / b, 3)
-                suspects.append(entry)
             else:
-                violations.append(entry)
+                if (cpu_ratio is not None and cpu_ratio <= args.tolerance
+                        and bcpu.get(q, 0) >= 0.05
+                        and not entry.get("isolated")):
+                    # The wall moved but the compute did not — flagged,
+                    # but flat CPU ALONE is not exculpatory: a pure
+                    # I/O-wait regression (an extra checkpoint write, a
+                    # shuffle spill, an added sleep) also leaves CPU
+                    # flat. It downgrades only with a SECOND
+                    # corroborating signal below (hot session + the
+                    # deflated wall passing); otherwise it stays a
+                    # violation until an isolated re-measure clears it
+                    # (the `isolated` branch above is that clearance).
+                    entry["cpu_flat"] = True
+                if (ambient_hot and not entry.get("isolated")
+                        and (c / ambient) / b <= args.tolerance):
+                    entry["deflated_ratio"] = round((c / ambient) / b, 3)
+                    suspects.append(entry)
+                else:
+                    violations.append(entry)
         elif c > 0 and b / c > args.tolerance and b - c > args.floor:
             improved.append(entry)
 
