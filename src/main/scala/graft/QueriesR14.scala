@@ -22,6 +22,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    exactly) with a deliberately SHIFTED delta (first component
   *    +0.5): the fill-rate and within-cell-distance shifts that tell
   *    an operator the frozen quantizer needs a re-fit.
+  *  - q_recrawl: [[operators.Crawl.recrawlSchedule]] — Cho &
+  *    Garcia-Molina change-rate estimation over a synthesized
+  *    per-URL fetch history (period-p digests give change counts
+  *    3/1/1/0 across the four doc classes), next fetch one expected
+  *    change period out, clamped.
+  *  - q_robots_stale: [[operators.Crawl.robotsFreshness]] — RFC 9309
+  *    §2.4 cache-TTL verdicts per frontier host, including
+  *    never-fetched hosts (stale by definition).
+  *  - q_calibration / q_calibration_ece:
+  *    [[operators.QualityModel.calibrationReport]] — reliability bins
+  *    + expected calibration error for a DETERMINISTIC score
+  *    (stopword-ratio, the replayable stand-in for an LR
+  *    probability) against the corpus `lang = 'en'` label.
   */
 object QueriesR14 {
 
@@ -110,7 +123,70 @@ object QueriesR14 {
         shifted, centroids, "vec_id", "embedding")
       operators.Similarity.quantizerDrift(
         base, delta, centroids, "vec_id", "embedding")
-    })
+    },
+    // --- recrawl scheduling: 4 fetches per URL at a per-URL cadence
+    //     (600..3300 s), digests changing every `period` fetches with
+    //     period = doc_id % 4 + 1 — change counts 3/1/1/0, so the
+    //     schedule spans the estimator's whole range: fast changers
+    //     recrawl at ~gap/1.946, slow at ~2.97*gap, never-changed at
+    //     the max clamp. ---
+    "q_recrawl" -> { (s, d) =>
+      val gap = lit(600.0) +
+        (col("doc_id") % 10).cast("double") * lit(300.0)
+      val period = col("doc_id") % 4 + 1
+      val hist = docs(s, d)
+        .select(col("doc_id"), gap.as("__gap"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+        .select(
+          concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/d/"), col("doc_id").cast("string")).as("url"),
+          (col("j").cast("double") * col("__gap")).as("fetched_at_s"),
+          floor(col("j") / period).cast("string").as("digest"))
+      operators.Crawl.recrawlSchedule(hist, "url", "fetched_at_s", "digest",
+        minIntervalS = 300.0, maxIntervalS = 2592000.0)
+    },
+    // --- robots cache freshness: ten hosts fetched at descending
+    //     times (ages 50k..140k s at now), two frontier hosts never
+    //     fetched; TTL 86400 splits the fetched set at age 90k. ---
+    "q_robots_stale" -> { (s, d) =>
+      import s.implicits._
+      val log = (0 until 10)
+        .map(i => (s"h$i.example.com", 1000000.0 - i * 10000.0))
+        .toDF("host", "fetched_at_s")
+      val frontier = docs(s, d).select(
+        concat(lit("http://h"), (col("doc_id") % 12).cast("string"),
+          lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+      operators.Crawl.robotsFreshness(frontier, "url",
+        log, "host", "fetched_at_s", nowS = 1050000.0, ttlS = 86400.0)
+    },
+    // --- calibration report: stopword-ratio score (deterministic, so
+    //     the bins replay exactly — an LR probability would be
+    //     engine-specific) against the lang='en' label; ten
+    //     reliability bins with fixed-point mean scores. ---
+    "q_calibration" -> ((s, d) =>
+      operators.QualityModel.calibrationReport(
+        calibrationScored(s, d), "score", "label")),
+    // --- its scalar: expected calibration error off the ROUNDED bin
+    //     table — integer gap-mass fold, bit-exact at any merge
+    //     order. ---
+    "q_calibration_ece" -> ((s, d) =>
+      operators.QualityModel.expectedCalibrationError(
+        operators.QualityModel.calibrationReport(
+          calibrationScored(s, d), "score", "label"))))
+
+  /** Shared q_calibration scoring: stopword-ratio scaled into [0, 1]
+    * (ratio/0.12 clipped — 0.12 is ~2x the corpus-median ratio, so
+    * scores spread across all ten bins) against the `lang = 'en'`
+    * label the score imperfectly predicts. */
+  private def calibrationScored(s: SparkSession, d: String): DataFrame = {
+    val toks = operators.TextAnalysis.tokens(col("text"))
+    val stops = size(filter(toks,
+      tk => tk.isInCollection(operators.TextAnalysis.StopwordsEn)))
+    val ratio = stops.cast("double") / size(toks)
+    docs(s, d).select(
+      least(ratio / lit(0.12), lit(1.0)).as("score"),
+      (col("lang") === "en").as("label"))
+  }
 
   val oracles: Map[String, String] = Map(
     // Hand-derived regex + literal-length per rule — an independent
@@ -245,5 +321,94 @@ object QueriesR14 {
         |       mean_d2_base, mean_d2_delta,
         |       CASE WHEN n_base > 0 AND n_delta > 0
         |         THEN round(mean_d2_delta - mean_d2_base, 6) END AS d2_shift
-        |FROM f""".stripMargin)
+        |FROM f""".stripMargin,
+    // Full estimator replay: same synthesis, same lag-based change
+    // flags, same bias-corrected ln fold — every intermediate cast to
+    // DOUBLE so DuckDB never routes the arithmetic through DECIMAL.
+    "q_recrawl" ->
+      """WITH h AS (SELECT
+        |    'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/d/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(j AS DOUBLE) *
+        |      (CAST(600 AS DOUBLE) + CAST(doc_id % 10 AS DOUBLE) * 300)
+        |      AS ts,
+        |    CAST(j // (doc_id % 4 + 1) AS VARCHAR) AS digest
+        |  FROM documents, unnest(generate_series(0, 3)) t(j)),
+        |f AS (SELECT url, ts,
+        |    CASE
+        |      WHEN lag(digest) OVER (PARTITION BY url ORDER BY ts) IS NULL
+        |        THEN NULL
+        |      WHEN digest <> lag(digest) OVER (PARTITION BY url ORDER BY ts)
+        |        THEN 1 ELSE 0 END AS chg
+        |  FROM h),
+        |a AS (SELECT url, count(*) - 1 AS n_revisits,
+        |    CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+        |    min(ts) AS fts, max(ts) AS lts
+        |  FROM f GROUP BY url),
+        |i AS (SELECT url, n_revisits, n_changes, lts,
+        |    CASE WHEN n_revisits = 0 OR n_changes = 0
+        |      THEN CAST(2592000 AS DOUBLE)
+        |      ELSE least(greatest(
+        |        1.0 / (-ln((CAST(n_revisits - n_changes AS DOUBLE) + 0.5)
+        |                 / (CAST(n_revisits AS DOUBLE) + 0.5))
+        |               / ((lts - fts) / CAST(n_revisits AS DOUBLE))),
+        |        CAST(300 AS DOUBLE)), CAST(2592000 AS DOUBLE)) END AS iv
+        |  FROM a)
+        |SELECT url, n_revisits, n_changes, round(iv, 6) AS interval_s,
+        |       round(lts + iv, 6) AS next_fetch_at_s
+        |FROM i""".stripMargin,
+    "q_robots_stale" -> {
+      val valuesRows = (0 until 10)
+        .map(i => s"  ('h$i.example.com', ${1000000.0 - i * 10000.0})")
+        .mkString(",\n")
+      s"""WITH rl AS (SELECT host, CAST(fts AS DOUBLE) AS fts
+         |  FROM (VALUES
+         |$valuesRows) v(host, fts)),
+         |fr AS (SELECT 'h' || CAST(doc_id % 12 AS VARCHAR)
+         |    || '.example.com' AS host, count(*) AS n_queued
+         |  FROM documents GROUP BY 1)
+         |SELECT fr.host, fr.n_queued, rl.fts AS last_fetch_s,
+         |  round(CAST(1050000 AS DOUBLE) - rl.fts, 6) AS age_s,
+         |  (rl.fts IS NULL
+         |    OR CAST(1050000 AS DOUBLE) - rl.fts > CAST(86400 AS DOUBLE))
+         |    AS stale
+         |FROM fr LEFT JOIN rl ON fr.host = rl.host""".stripMargin
+    },
+    "q_calibration" ->
+      (calibrationBinsCte +
+        """
+          |SELECT CAST(bin AS INTEGER) AS bin, n, mean_score, label_rate,
+          |  gap FROM rep""".stripMargin),
+    "q_calibration_ece" ->
+      (calibrationBinsCte +
+        """
+          |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+          |  CAST(sum(n) AS BIGINT) AS n_rows,
+          |  round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT) * n)
+          |      AS DOUBLE) / 1e6 / CAST(sum(n) AS BIGINT), 6) AS ece
+          |FROM rep""".stripMargin))
+
+  /** The q_calibration bin-table replay both calibration oracles
+    * share: tokenize, stopword-ratio score clipped into [0, 1], decile
+    * bins, fixed-point mean scores — ending in a `rep` CTE with the
+    * operator's exact output columns. */
+  private def calibrationBinsCte: String =
+    """WITH t AS (SELECT lang, regexp_extract_all(text, '\S+') toks
+      |           FROM documents),
+      |s AS (SELECT least(
+      |    CAST(len(list_filter(toks,
+      |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+      |      AS score,
+      |    (lang = 'en') AS label FROM t),
+      |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+      |    CAST(round(score * 1e6) AS BIGINT) AS micros,
+      |    CAST(label AS INT) AS pos FROM s),
+      |rep AS (SELECT bin, count(*) AS n,
+      |    round(CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6)
+      |      AS mean_score,
+      |    round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS label_rate,
+      |    round(CAST(sum(pos) AS DOUBLE) / count(*)
+      |      - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap
+      |  FROM b GROUP BY bin)""".stripMargin
 }

@@ -794,4 +794,104 @@ object Crawl {
       .withColumn("dup_rate",
         round(lit(1.0) - col("n_pages").cast("double") / col("n_fetches"), 6))
   }
+
+  /** Change-rate-driven recrawl scheduling — the freshness side of the
+    * crawl loop (when to come BACK, where [[frontierPlan]] decides what
+    * to fetch next). Per URL, the revisit history's observed changes
+    * feed the Cho & Garcia-Molina frequency estimator
+    * `lambda = -ln((n - c + 0.5) / (n + 0.5)) / meanGap` — the
+    * bias-corrected MLE of a Poisson change process from n revisits
+    * with c detected changes ("Estimating Frequency of Change", ACM
+    * TOIT 3(3), 2003) — and the next fetch lands one expected change
+    * period `1/lambda` after the last observation, clamped to
+    * `[minIntervalS, maxIntervalS]`. URLs with no revisit signal
+    * (seen once) and URLs never observed changing schedule at
+    * `maxIntervalS`: a page earns frequent recrawls only by being SEEN
+    * to change — the estimator's lambda -> 0 limit, made explicit so
+    * the `1/0` does not ride IEEE signed-zero semantics.
+    *
+    * Scale shape: ONE exchange on the url key — the change flags need
+    * a per-url `lag` over the fetch history (window), and the per-url
+    * rollup groups on the SAME key, so the window's hashpartitioning
+    * satisfies the aggregation's distribution and the plan reuses the
+    * exchange (spec-pinned). url is the high-cardinality key and a
+    * url's history depth is bounded by the crawl cadence — no skew.
+    * All arithmetic is double + round(6); DuckDB replays it exactly
+    * (the estimator's ln hits only a handful of distinct (n, c)
+    * rationals, nowhere near rounding boundaries). */
+  def recrawlSchedule(
+      history: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      digestCol: String,
+      minIntervalS: Double,
+      maxIntervalS: Double): DataFrame = {
+    require(minIntervalS > 0 && maxIntervalS >= minIntervalS,
+      "need 0 < minIntervalS <= maxIntervalS")
+    val w = Window.partitionBy(col("url")).orderBy(col("__ts"))
+    val prev = lag(col("__dg"), 1).over(w)
+    val flagged = history
+      .select(col(urlCol).as("url"), col(tsCol).cast("double").as("__ts"),
+        col(digestCol).as("__dg"))
+      // First fetch of a url is an observation, not a revisit: its
+      // flag stays NULL so count/sum skip it.
+      .withColumn("__chg",
+        when(prev.isNull, lit(null).cast("int"))
+          .otherwise((col("__dg") =!= prev).cast("int")))
+    val agg = flagged.groupBy(col("url")).agg(
+      (count(lit(1)) - 1).as("n_revisits"),
+      coalesce(sum(col("__chg")), lit(0L)).as("n_changes"),
+      min(col("__ts")).as("__first"), max(col("__ts")).as("__last"))
+    val n = col("n_revisits").cast("double")
+    val c = col("n_changes").cast("double")
+    val meanGap = (col("__last") - col("__first")) / n
+    val lambda = -log((n - c + lit(0.5)) / (n + lit(0.5))) / meanGap
+    val interval =
+      when(col("n_revisits") === 0 || col("n_changes") === 0,
+        lit(maxIntervalS))
+        .otherwise(least(greatest(lit(1.0) / lambda, lit(minIntervalS)),
+          lit(maxIntervalS)))
+    agg.select(col("url"), col("n_revisits"), col("n_changes"),
+      round(interval, 6).as("interval_s"),
+      round(col("__last") + interval, 6).as("next_fetch_at_s"))
+  }
+
+  /** RFC 9309 §2.4 robots-cache freshness: crawlers MAY cache a fetched
+    * robots.txt but SHOULD NOT use it for longer than 24 hours
+    * (`ttlS` default 86400). Per frontier host: the queued-URL count,
+    * the policy's last fetch time and age at `nowS`, and the staleness
+    * verdict — a host never fetched is stale by definition (its rules
+    * are unknown, so its URLs need a robots fetch before any crawl).
+    * The pre-flight report a scheduler runs before committing a crawl
+    * wave: stale hosts' queues refetch robots.txt first, the same
+    * freshness-gate discipline as the cache layer's mtime checks and
+    * the IVF quantizer drift report.
+    *
+    * Scale shape: the frontier side collapses per host with a
+    * partial-aggregating count (the [[hostReport]] discipline —
+    * count-only, no distinct-aggregate funnel on the low-cardinality
+    * key), then joins the robots log folded to one row per host and
+    * BROADCAST (robots fetches are per-host by construction — the
+    * small side at any corpus size). One candidate-side exchange. */
+  def robotsFreshness(
+      frontier: DataFrame,
+      urlCol: String,
+      robotsLog: DataFrame,
+      hostCol: String,
+      tsCol: String,
+      nowS: Double,
+      ttlS: Double = 86400.0): DataFrame = {
+    require(ttlS > 0, "ttlS must be positive")
+    val canon = canonicalizeUrl(col(urlCol))
+    val queued = frontier.select(urlHost(canon).as("host"))
+      .groupBy(col("host")).agg(count(lit(1)).as("n_queued"))
+    val lastFetch = broadcast(robotsLog
+      .select(col(hostCol).as("__lhost"), col(tsCol).cast("double").as("__lts"))
+      .groupBy(col("__lhost")).agg(max(col("__lts")).as("last_fetch_s")))
+    queued.join(lastFetch, col("host") === col("__lhost"), "left")
+      .select(col("host"), col("n_queued"), col("last_fetch_s"),
+        round(lit(nowS) - col("last_fetch_s"), 6).as("age_s"),
+        (col("last_fetch_s").isNull ||
+          lit(nowS) - col("last_fetch_s") > lit(ttlS)).as("stale"))
+  }
 }

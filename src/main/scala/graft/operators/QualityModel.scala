@@ -138,4 +138,61 @@ object QualityModel {
           .as("prob"),
         (col("prediction") > 0.5).as("predicted"))
   }
+
+  /** Reliability (calibration) table for a probabilistic score in
+    * [0, 1] against a boolean label: scores bucket into `bins`
+    * equal-width bins (1.0 folds into the top bin), and each bin
+    * reports count, mean score, empirical label rate, and their gap —
+    * the reliability-diagram table (DeGroot & Fienberg 1983; Guo et
+    * al., "On Calibration of Modern Neural Networks", ICML 2017). The
+    * report any learned quality scorer should ship with: a filter
+    * thresholding an uncalibrated score keeps a different corpus than
+    * its probability claims.
+    *
+    * Mean scores sum per-row FIXED-POINT micros (`round(score*1e6)`
+    * as long) before dividing — integer addition commutes, so the
+    * mean is bit-stable under Spark's partial-aggregation merge order
+    * and hash-comparable against a SQL replay (the IVF drift report's
+    * discipline).
+    *
+    * Scale shape: ONE partial-aggregating exchange on the bin key —
+    * count/sum only, so every partition pre-folds to <= `bins` rows
+    * before the wire regardless of corpus size (never a
+    * distinct-aggregate funnel on the low-cardinality key). */
+  def calibrationReport(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 calibration bins")
+    val s = col(scoreCol).cast("double")
+    df.filter(s.isNotNull)
+      .select(least(floor(s * bins).cast("int"), lit(bins - 1)).as("bin"),
+        round(s * 1e6).cast("long").as("__micros"),
+        col(labelCol).cast("boolean").cast("int").as("__pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__micros")).as("__sm"), sum(col("__pos")).as("__np"))
+      .select(col("bin"), col("n"),
+        round(col("__sm").cast("double") / 1e6 / col("n"), 6)
+          .as("mean_score"),
+        round(col("__np").cast("double") / col("n"), 6).as("label_rate"),
+        round(col("__np").cast("double") / col("n") -
+          col("__sm").cast("double") / 1e6 / col("n"), 6).as("gap"))
+  }
+
+  /** Expected calibration error off [[calibrationReport]]'s table:
+    * `sum(n_b * |gap_b|) / N` over the filled bins (Guo et al. 2017,
+    * eq. 3). Folds the ROUNDED per-bin gaps back to micros and sums
+    * as integers, so the scalar is bit-exact under any merge order —
+    * the single-number freshness gate for a deployed quality model
+    * (recalibrate when it drifts, the quantizer-drift contract). */
+  def expectedCalibrationError(report: DataFrame): DataFrame =
+    report
+      .select(col("n"),
+        (round(abs(col("gap")) * 1e6).cast("long") * col("n"))
+          .as("__gapmass"))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n_rows"),
+        round(sum(col("__gapmass")).cast("double") / 1e6 /
+          sum(col("n")), 6).as("ece"))
 }

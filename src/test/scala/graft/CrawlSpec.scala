@@ -547,6 +547,62 @@ class CrawlSpec extends AnyFunSuite {
       s"survivors: ${out.mkString(",")}")
   }
 
+  test("recrawlSchedule: estimator, clamps, no-signal defaults, one exchange") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq(
+      // 3 revisits / 1 change at gap 100: interval = 100/ln(3.5/2.5)
+      ("u1", 0.0, "a"), ("u1", 100.0, "a"),
+      ("u1", 200.0, "b"), ("u1", 300.0, "b"),
+      // revisited, never changed: lambda -> 0, max clamp (NOT the
+      // 1/-0.0 = -Infinity IEEE trap)
+      ("u2", 0.0, "x"), ("u2", 500.0, "x"),
+      // changes every fetch at gap 1: raw interval 0.62 -> min clamp
+      ("u3", 0.0, "a"), ("u3", 1.0, "b"), ("u3", 2.0, "c"),
+      // single observation: no revisit signal, max clamp
+      ("u4", 42.0, "z"))
+      .toDF("url", "ts", "dg")
+    val out = Crawl.recrawlSchedule(hist, "url", "ts", "dg",
+      minIntervalS = 50.0, maxIntervalS = 10000.0)
+    // the lag window and the per-url rollup share the url key: the
+    // window's hashpartitioning satisfies the aggregation, ONE shuffle
+    assert(PlanCheck.shuffles(out).size == 1,
+      "recrawlSchedule must reuse the window exchange for the rollup")
+    val rows = out.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val u1 = rows("u1")
+    assert(u1._1 == 3L && u1._2 == 1L)
+    val expected = 100.0 / math.log(3.5 / 2.5)
+    assert(math.abs(u1._3 - expected) < 1e-5, s"u1 interval ${u1._3}")
+    assert(math.abs(u1._4 - (300.0 + expected)) < 1e-5)
+    assert(rows("u2") == ((1L, 0L, 10000.0, 10500.0)), s"u2: ${rows("u2")}")
+    assert(rows("u3") == ((2L, 2L, 50.0, 52.0)), s"u3: ${rows("u3")}")
+    assert(rows("u4") == ((0L, 0L, 10000.0, 10042.0)), s"u4: ${rows("u4")}")
+  }
+
+  test("robotsFreshness: RFC 9309 24h TTL, never-fetched hosts stale") {
+    val s = spark
+    import s.implicits._
+    val frontier = Seq(
+      "http://fresh.com/a", "http://fresh.com/b",
+      "http://old.com/x", "http://never.com/y").toDF("url")
+    val log = Seq(
+      ("fresh.com", 1000.0), ("fresh.com", 2000.0), // latest fetch wins
+      ("old.com", 100.0)).toDF("host", "ts")
+    // now - fresh.last = 86400 EXACTLY: the TTL is an upper bound on
+    // cache use (SHOULD NOT use for MORE than 24h), so equal-age is
+    // still fresh — strict >.
+    val out = Crawl.robotsFreshness(frontier, "url", log, "host", "ts",
+        nowS = 88400.0, ttlS = 86400.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.get(2)), Option(r.get(3)),
+          r.getBoolean(4)))).toMap
+    assert(out("fresh.com") ==
+      ((2L, Some(2000.0), Some(86400.0), false)), s"fresh: $out")
+    assert(out("old.com") == ((1L, Some(100.0), Some(88300.0), true)))
+    assert(out("never.com") == ((1L, None, None, true)))
+  }
+
   test("paraDedup is lineDedup at paragraph granularity") {
     val s = spark
     import s.implicits._

@@ -89,4 +89,41 @@ class QualityModelSpec extends AnyFunSuite {
       regParam = 0.5).count()
     assert(ModelCache.size == 2)
   }
+
+  test("calibrationReport: bins, top-bin fold, null scores dropped") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (Some(0.05), true), (Some(0.05), false), // bin 0
+      (Some(1.0), true), (Some(0.95), false),  // bin 9 (1.0 folds in)
+      (None, true),                            // null score: dropped
+      (Some(0.55), true))                      // bin 5
+      .toDF("score", "label")
+    val rep = QualityModel.calibrationReport(rows, "score", "label")
+    // one partial-aggregating exchange on the bin key
+    assert(PlanCheck.shuffles(rep).size == 1,
+      "calibration must be a single-exchange aggregation")
+    val out = rep.collect().map(r => r.getInt(0) ->
+      ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(out == Map(
+      0 -> ((2L, 0.05, 0.5, 0.45)),
+      5 -> ((1L, 0.55, 1.0, 0.45)),
+      9 -> ((2L, 0.975, 0.5, -0.475))),
+      s"calibration bins: $out")
+  }
+
+  test("expectedCalibrationError: n-weighted gap-mass over the bins") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0.05, true), (0.05, false), (1.0, true), (0.95, false),
+      (0.55, true)).toDF("score", "label")
+    val ece = QualityModel.expectedCalibrationError(
+        QualityModel.calibrationReport(rows, "score", "label"))
+      .collect()(0)
+    assert(ece.getLong(0) == 3L && ece.getLong(1) == 5L)
+    // (2*0.45 + 1*0.45 + 2*0.475) / 5 = 2.3 / 5
+    assert(ece.getDouble(2) == 0.46, s"ece: ${ece.getDouble(2)}")
+  }
 }
