@@ -172,7 +172,14 @@ object QueriesR14 {
     "q_calibration_ece" -> ((s, d) =>
       operators.QualityModel.expectedCalibrationError(
         operators.QualityModel.calibrationReport(
-          calibrationScored(s, d), "score", "label"))))
+          calibrationScored(s, d), "score", "label"))),
+    // --- the ranking companion: Mann-Whitney ROC-AUC of the same
+    //     score/label pair — distinct-score collapse first, so the
+    //     only ordered window runs over score cardinality, never
+    //     rows. ---
+    "q_auc" -> ((s, d) =>
+      operators.QualityModel.rocAuc(
+        calibrationScored(s, d), "score", "label")))
 
   /** Shared q_calibration scoring: stopword-ratio scaled into [0, 1]
     * (ratio/0.12 clipped — 0.12 is ~2x the corpus-median ratio, so
@@ -386,7 +393,34 @@ object QueriesR14 {
           |  CAST(sum(n) AS BIGINT) AS n_rows,
           |  round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT) * n)
           |      AS DOUBLE) / 1e6 / CAST(sum(n) AS BIGINT), 6) AS ece
-          |FROM rep""".stripMargin))
+          |FROM rep""".stripMargin),
+    // Mann-Whitney replay: distinct-score groups, inclusive running
+    // count, tie-block average ranks, rank-sum fold — the same
+    // halves-exact double arithmetic as the operator.
+    "q_auc" ->
+      """WITH t AS (SELECT lang, regexp_extract_all(text, '\S+') toks
+        |           FROM documents),
+        |s AS (SELECT least(
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+        |      AS score,
+        |    CAST((lang = 'en') AS INT) AS pos FROM t),
+        |g AS (SELECT score, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+        |      FROM s GROUP BY score),
+        |r AS (SELECT np, n,
+        |    CAST(sum(n) OVER (ORDER BY score
+        |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |      - (CAST(n AS DOUBLE) - 1) / 2 AS avg_rank
+        |  FROM g),
+        |a AS (SELECT CAST(sum(np) AS BIGINT) AS npos,
+        |    CAST(sum(n - np) AS BIGINT) AS nneg,
+        |    sum(CAST(np AS DOUBLE) * avg_rank) AS rpos
+        |  FROM r)
+        |SELECT npos AS n_pos, nneg AS n_neg,
+        |  round((rpos - CAST(npos AS DOUBLE) * (npos + 1) / 2)
+        |    / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
+        |FROM a""".stripMargin)
 
   /** The q_calibration bin-table replay both calibration oracles
     * share: tokenize, stopword-ratio score clipped into [0, 1], decile

@@ -4,6 +4,7 @@ import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressio
 import org.apache.spark.ml.feature.HashingTF
 import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Model-based quality filtering — the LEARNED stage of a training-data
@@ -179,6 +180,52 @@ object QualityModel {
         round(col("__np").cast("double") / col("n"), 6).as("label_rate"),
         round(col("__np").cast("double") / col("n") -
           col("__sm").cast("double") / 1e6 / col("n"), 6).as("gap"))
+  }
+
+  /** ROC-AUC for a score against a boolean label, by the Mann-Whitney
+    * rank identity: `AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)`
+    * with `R_pos` the positives' rank sum, tied scores carrying their
+    * tie-block's AVERAGE rank (so AUC = P(s_pos > s_neg) + ½P(=), the
+    * standard estimator). The ranking companion to
+    * [[calibrationReport]]: calibration says whether the probabilities
+    * are honest, AUC says whether the ORDER is useful — a threshold
+    * filter only consumes the order.
+    *
+    * Scale shape: never a row-level global sort. Rows collapse to
+    * DISTINCT score values first (one partial-aggregating exchange on
+    * the score key — the hostReport discipline), the running-count
+    * window then orders only the distinct-score table (bounded by
+    * score cardinality: quantized/rounded scores in practice — round
+    * upstream if the score is raw-continuous), and one final aggregate
+    * folds the rank sums. Every average rank is a multiple of ½ and
+    * rank-mass products are exact in doubles, so the sums are
+    * order-independent — bit-stable without fixed-point. */
+  def rocAuc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val grouped = df.filter(s.isNotNull)
+      .select(s.as("__score"),
+        col(labelCol).cast("boolean").cast("int").as("__pos"))
+      .groupBy(col("__score"))
+      .agg(count(lit(1)).as("__n"), sum(col("__pos")).as("__np"))
+    val w = Window.orderBy(col("__score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grouped
+      // inclusive running count = rank of the tie block's LAST member;
+      // the block's average rank is that minus (n−1)/2.
+      .withColumn("__avg_rank",
+        sum(col("__n")).over(w).cast("double") -
+          (col("__n").cast("double") - 1) / 2)
+    ranked.agg(
+        sum(col("__np")).as("__npos"),
+        sum(col("__n") - col("__np")).as("__nneg"),
+        sum(col("__np").cast("double") * col("__avg_rank")).as("__rpos"))
+      .select(col("__npos").as("n_pos"), col("__nneg").as("n_neg"),
+        round((col("__rpos") -
+            col("__npos").cast("double") * (col("__npos") + 1) / 2) /
+          (col("__npos").cast("double") * col("__nneg")), 6).as("auc"))
   }
 
   /** Expected calibration error off [[calibrationReport]]'s table:

@@ -113,6 +113,26 @@ class QualityModelSpec extends AnyFunSuite {
       s"calibration bins: $out")
   }
 
+  test("rocAuc: Mann-Whitney with tie-block average ranks") {
+    val s = spark
+    import s.implicits._
+    // ascending ranks: 0.3 -> 1; 0.5,0.5 -> avg 2.5; 0.8,0.8 -> avg
+    // 4.5; 0.9 -> 6. R_pos = 1 + 4.5 + 6 = 11.5, n_pos = n_neg = 3:
+    // AUC = (11.5 - 6) / 9 = 0.611111 -- pair-checked: 0.9 beats all
+    // three negatives, 0.8 ties one (1/2) and beats two, 0.3 none.
+    val rows = Seq(
+      (0.9, true), (0.8, false), (0.8, true),
+      (0.5, false), (0.5, false), (0.3, true)).toDF("score", "label")
+    val out = QualityModel.rocAuc(rows, "score", "label").collect()(0)
+    assert(out.getLong(0) == 3L && out.getLong(1) == 3L)
+    assert(out.getDouble(2) == 0.611111, s"auc: ${out.getDouble(2)}")
+    // degenerate sanity: a perfectly separating score
+    val sep = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("score", "label")
+    assert(QualityModel.rocAuc(sep, "score", "label")
+      .collect()(0).getDouble(2) == 1.0)
+  }
+
   test("expectedCalibrationError: n-weighted gap-mass over the bins") {
     val s = spark
     import s.implicits._
