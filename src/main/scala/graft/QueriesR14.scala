@@ -179,7 +179,17 @@ object QueriesR14 {
     //     rows. ---
     "q_auc" -> ((s, d) =>
       operators.QualityModel.rocAuc(
-        calibrationScored(s, d), "score", "label")))
+        calibrationScored(s, d), "score", "label")),
+    // --- Hamilton apportionment: a 1e9-token budget split across the
+    //     corpus sources ∝ their character mass — integer allocations
+    //     summing to EXACTLY the budget, leftover seats by largest
+    //     remainder (remainders ARE the W-scaled fractional parts, so
+    //     no double decides a seat). ---
+    "q_apportion" -> ((s, d) =>
+      operators.Curation.apportionBudget(
+        docs(s, d).groupBy(col("source"))
+          .agg(sum(col("n_chars")).as("w")),
+        "source", "w", budget = 1000000000L)))
 
   /** Shared q_calibration scoring: stopword-ratio scaled into [0, 1]
     * (ratio/0.12 clipped — 0.12 is ~2x the corpus-median ratio, so
@@ -420,7 +430,26 @@ object QueriesR14 {
         |SELECT npos AS n_pos, nneg AS n_neg,
         |  round((rpos - CAST(npos AS DOUBLE) * (npos + 1) / 2)
         |    / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
-        |FROM a""".stripMargin)
+        |FROM a""".stripMargin,
+    // Pure integer replay: base seats by div, leftover seats to the
+    // largest (budget*w) mod W remainders, ties by key.
+    "q_apportion" ->
+      """WITH k AS (SELECT source AS key,
+        |    CAST(sum(n_chars) AS BIGINT) AS weight
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM k),
+        |q AS (SELECT key, weight,
+        |    (1000000000 * weight) // w AS base,
+        |    (1000000000 * weight) % w AS rem
+        |  FROM k, t),
+        |b AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM q),
+        |p AS (SELECT key, weight, base,
+        |    row_number() OVER (ORDER BY rem DESC, key) AS pos
+        |  FROM q)
+        |SELECT p.key AS key, p.weight,
+        |  CAST(p.base + CASE WHEN p.pos <= 1000000000 - b.bsum
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM p, b""".stripMargin)
 
   /** The q_calibration bin-table replay both calibration oracles
     * share: tokenize, stopword-ratio score clipped into [0, 1], decile

@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -365,6 +366,48 @@ object Curation {
       df, Seq(scoreCol.desc, col(idCol)), col(tokenCol), numPartitions)
       .filter(col("__cum") <= budget)
       .withColumnRenamed("__cum", "cum_tokens")
+  }
+
+  /** Hamilton (largest-remainder) apportionment of an integer budget
+    * across keyed weights — the training-mix allocator: "split 10B
+    * tokens across sources ∝ quality-weighted size" needs INTEGER
+    * per-source budgets that sum to EXACTLY the total (floor-only
+    * under-spends, rounding over/under-spends — both wrong as a
+    * downstream contract; [[budgetSelect]] then fills each source's
+    * allocation). Quota `budget·w/W` splits into `div` base seats and
+    * an integer remainder `(budget·w) mod W`; the `budget − Σbase`
+    * leftover seats go to the largest remainders (ties by key, so the
+    * result is a pure function of the input). Integer arithmetic
+    * throughout — the remainder IS the fractional part scaled by W,
+    * so no double ever decides a seat; requires `budget·max(w)` to
+    * fit a long (ANSI overflow errors loudly otherwise).
+    *
+    * Scale shape: one one-row total broadcast + one ordered window
+    * over the KEY table — apportionment is across sources/domains,
+    * low-cardinality by construction (the row-level work of consuming
+    * the allocation lives in budgetSelect/GroupedTopK, not here). */
+  def apportionBudget(
+      df: DataFrame,
+      keyCol: String,
+      weightCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val w = col(weightCol).cast("long")
+    val keyed = df.filter(w.isNotNull && w > 0)
+      .select(col(keyCol).as("key"), w.as("weight"))
+    val total = broadcast(keyed.agg(sum(col("weight")).as("__w")))
+    val quotas = keyed.crossJoin(total)
+      .select(col("key"), col("weight"),
+        expr(s"(${budget}L * weight) div __w").as("__base"),
+        expr(s"(${budget}L * weight) % __w").as("__rem"))
+    val leftOrder = Window.orderBy(col("__rem").desc, col("key").asc)
+    val baseSum = broadcast(quotas.agg(sum(col("__base")).as("__bsum")))
+    quotas.crossJoin(baseSum)
+      .withColumn("__pos", row_number().over(leftOrder).cast("long"))
+      .select(col("key"), col("weight"),
+        (col("__base") +
+          when(col("__pos") <= lit(budget) - col("__bsum"), 1L)
+            .otherwise(0L)).as("alloc"))
   }
 
   /** Temperature-based source mixing (the multilingual-sampling rule of

@@ -479,4 +479,28 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("apportionBudget: Hamilton seats, integer ties, exact budget sum") {
+    val s = spark
+    import s.implicits._
+    // W=10, budget 7: quotas 3.5/2.1/1.4 -> bases 3/2/1, remainders
+    // 5/1/4 -> the one leftover seat goes to the largest remainder.
+    val out = Curation.apportionBudget(
+        Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "w"), "k", "w", 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a" -> 4L, "b" -> 2L, "c" -> 1L), s"seats: $out")
+    // equal weights, equal remainders: the tie is broken by KEY, so
+    // the result is a pure function of the input (no partition order)
+    val tied = Curation.apportionBudget(
+        Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "w"), "k", "w", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tied == Map("x" -> 4L, "y" -> 3L, "z" -> 3L), s"tied: $tied")
+    // zero/null weights drop; the allocation still sums EXACTLY
+    val mixed = Curation.apportionBudget(
+        Seq(("p", 7L), ("q", 0L), ("r", 13L), ("s", 1L))
+          .toDF("k", "w"), "k", "w", 999L)
+    assert(mixed.count() == 3)
+    assert(mixed.agg(sum("alloc")).collect()(0).getLong(0) == 999L,
+      "allocations must sum to the budget exactly")
+  }
 }
