@@ -464,7 +464,8 @@ object QueriesR14 {
       |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
       |      AS score,
       |    (lang = 'en') AS label FROM t),
-      |b AS (SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+      |b AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
+      |      AS bin,
       |    CAST(round(score * 1e6) AS BIGINT) AS micros,
       |    CAST(label AS INT) AS pos FROM s),
       |rep AS (SELECT bin, count(*) AS n,

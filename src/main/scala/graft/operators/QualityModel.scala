@@ -168,7 +168,11 @@ object QualityModel {
     require(bins >= 2, "need at least 2 calibration bins")
     val s = col(scoreCol).cast("double")
     df.filter(s.isNotNull)
-      .select(least(floor(s * bins).cast("int"), lit(bins - 1)).as("bin"),
+      // out-of-range scores clip into the edge bins (1.0 folds into
+      // the top bin; a negative score would otherwise mint bin −k)
+      .select(greatest(
+          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
+          .as("bin"),
         round(s * 1e6).cast("long").as("__micros"),
         col(labelCol).cast("boolean").cast("int").as("__pos"))
       .groupBy(col("bin"))

@@ -94,10 +94,10 @@ class QualityModelSpec extends AnyFunSuite {
     val s = spark
     import s.implicits._
     val rows = Seq(
-      (Some(0.05), true), (Some(0.05), false), // bin 0
-      (Some(1.0), true), (Some(0.95), false),  // bin 9 (1.0 folds in)
-      (None, true),                            // null score: dropped
-      (Some(0.55), true))                      // bin 5
+      (Some(0.05), true), (Some(-0.05), false), // bin 0 (negative clips)
+      (Some(1.0), true), (Some(0.95), false),   // bin 9 (1.0 folds in)
+      (None, true),                             // null score: dropped
+      (Some(0.55), true))                       // bin 5
       .toDF("score", "label")
     val rep = QualityModel.calibrationReport(rows, "score", "label")
     // one partial-aggregating exchange on the bin key
@@ -107,7 +107,7 @@ class QualityModelSpec extends AnyFunSuite {
       ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
       .toMap
     assert(out == Map(
-      0 -> ((2L, 0.05, 0.5, 0.45)),
+      0 -> ((2L, 0.0, 0.5, 0.5)), // mean (0.05 + -0.05)/2
       5 -> ((1L, 0.55, 1.0, 0.45)),
       9 -> ((2L, 0.975, 0.5, -0.475))),
       s"calibration bins: $out")
