@@ -56,15 +56,21 @@ object QueriesR14 {
     //     Query strings are part of the match target. ---
     "q_robots_wild" -> { (s, d) =>
       import s.implicits._
-      val h = (col("doc_id") % 2).cast("string")
+      // host decoupled from the path class ((doc_id div 6) % 2), so
+      // every URL shape meets BOTH policies — including class 5, the
+      // bare-host query URL whose RFC match target is "/?session=…"
+      // (empty path defaults to "/", urlPathQuery): the shape a
+      // leading-slash-less matcher silently allows.
+      val h = expr("(doc_id div 6) % 2").cast("string")
       val b = col("doc_id").cast("string")
-      val path = when(col("doc_id") % 5 === 0,
+      val path = when(col("doc_id") % 6 === 0,
           concat(lit("/d/"), b, lit("?session="), b))
-        .when(col("doc_id") % 5 === 1,
+        .when(col("doc_id") % 6 === 1,
           concat(lit("/d/"), b, lit("?session=pub")))
-        .when(col("doc_id") % 5 === 2, concat(lit("/files/r"), b, lit(".pdf")))
-        .when(col("doc_id") % 5 === 3, concat(lit("/files/r"), b, lit(".pdfx")))
-        .otherwise(concat(lit("/page/"), b))
+        .when(col("doc_id") % 6 === 2, concat(lit("/files/r"), b, lit(".pdf")))
+        .when(col("doc_id") % 6 === 3, concat(lit("/files/r"), b, lit(".pdfx")))
+        .when(col("doc_id") % 6 === 4, concat(lit("/page/"), b))
+        .otherwise(concat(lit("?session="), b))
       val urls = docs(s, d).select(col("doc_id"),
         concat(lit("http://wild"), h, lit(".example.com"), path).as("url"))
       val rules = Seq(
@@ -74,7 +80,8 @@ object QueriesR14 {
         ("wild0.example.com", "/page/", false),
         ("wild1.example.com", "/files/*.pdf$", false),
         ("wild1.example.com", "/d/", true),
-        ("wild1.example.com", "/d/*?session=", false)
+        ("wild1.example.com", "/d/*?session=", false),
+        ("wild1.example.com", "/*?session=", false)
       ).toDF("host", "prefix", "allow")
       operators.Crawl.robotsFilter(urls, "url", "doc_id", rules)
     },
@@ -122,7 +129,7 @@ object QueriesR14 {
       val delta = operators.Similarity.extendIvfIndex(
         shifted, centroids, "vec_id", "embedding")
       operators.Similarity.quantizerDrift(
-        base, delta, centroids, "vec_id", "embedding")
+        base, delta, centroids, "embedding")
     },
     // --- recrawl scheduling: 4 fetches per URL at a per-URL cadence
     //     (600..3300 s), digests changing every `period` fetches with
@@ -211,18 +218,23 @@ object QueriesR14 {
     // it.
     "q_robots_wild" ->
       """WITH c AS (SELECT doc_id,
-        |    CASE doc_id % 5
+        |    CASE doc_id % 6
         |      WHEN 0 THEN '/d/' || CAST(doc_id AS VARCHAR)
         |        || '?session=' || CAST(doc_id AS VARCHAR)
         |      WHEN 1 THEN '/d/' || CAST(doc_id AS VARCHAR) || '?session=pub'
         |      WHEN 2 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdf'
         |      WHEN 3 THEN '/files/r' || CAST(doc_id AS VARCHAR) || '.pdfx'
-        |      ELSE '/page/' || CAST(doc_id AS VARCHAR)
-        |    END AS path,
-        |    'wild' || CAST(doc_id % 2 AS VARCHAR) || '.example.com' AS host
+        |      WHEN 4 THEN '/page/' || CAST(doc_id AS VARCHAR)
+        |      ELSE '?session=' || CAST(doc_id AS VARCHAR)
+        |    END AS rawpath,
+        |    'wild' || CAST((doc_id // 6) % 2 AS VARCHAR)
+        |      || '.example.com' AS host
         |  FROM documents),
-        |cc AS (SELECT doc_id, 'http://' || host || path AS canon_url,
-        |    host, path FROM c),
+        |cc AS (SELECT doc_id, 'http://' || host || rawpath AS canon_url,
+        |    host,
+        |    CASE WHEN rawpath LIKE '/%' THEN rawpath
+        |      ELSE '/' || rawpath END AS path
+        |  FROM c),
         |r(rhost, rex, litlen, allow) AS (VALUES
         |  ('wild0.example.com', '^/.*\?session=', 10, false),
         |  ('wild0.example.com', '^/.*\?session=pub', 13, true),
@@ -230,7 +242,8 @@ object QueriesR14 {
         |  ('wild0.example.com', '^/page/', 6, false),
         |  ('wild1.example.com', '^/files/.*\.pdf$', 11, false),
         |  ('wild1.example.com', '^/d/', 3, true),
-        |  ('wild1.example.com', '^/d/.*\?session=', 12, false)),
+        |  ('wild1.example.com', '^/d/.*\?session=', 12, false),
+        |  ('wild1.example.com', '^/.*\?session=', 10, false)),
         |m AS (SELECT cc.doc_id, cc.canon_url, cc.host, cc.path,
         |    max(CASE WHEN r.rex IS NOT NULL
         |        THEN r.litlen * 2 + CAST(r.allow AS INT) END) AS best

@@ -194,9 +194,16 @@ object Crawl {
     * §2.2.2 matches rules against "the path, and optionally the query"
     * (real policies gate on queries with star-wildcard session-id
     * Disallow rules), so the robots gate must not strip `?…` the way
-    * [[urlPath]] does. */
-  def urlPathQuery(canonUrl: Column): Column =
-    regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1)
+    * [[urlPath]] does. Per the same section an EMPTY path defaults to
+    * `/`: a bare-host query URL (`http://h?session=x` — the
+    * canonicalizer drops the lone trailing slash, so this shape is
+    * normal post-canon) must present `/?session=x` to the rules, or
+    * every root-level star-wildcard session Disallow is silently
+    * bypassed for exactly the URLs it exists to gate. */
+  def urlPathQuery(canonUrl: Column): Column = {
+    val pq = regexp_extract(canonUrl, "^[a-z][a-z0-9+.-]*://[^/?]*(.*)$", 1)
+    when(pq.startsWith("/"), pq).otherwise(concat(lit("/"), pq))
+  }
 
   /** RFC 9309 §2.2.3 rule-value translation: `*` matches any char
     * sequence, a TRAILING `$` anchors the end, everything else is
@@ -272,18 +279,27 @@ object Crawl {
       .select(col(idCol), canon.as("canon_url"))
       .withColumn("host", urlHost(col("canon_url")))
       .withColumn("path", urlPathQuery(col("canon_url")))
+    // The wildcard translation and literal length precompute ONCE per
+    // rule inside the broadcast projection (the robotsRulesPerHost
+    // discipline) — left in the join residual they would re-derive
+    // the pattern string per (URL × rule) pair.
     val r = broadcast(rules.select(
       col("host").as("__rhost"),
       col("prefix").as("__prefix"),
-      col("allow").as("__allow")))
+      col("allow").as("__allow"),
+      (!col("prefix").contains("*") && !col("prefix").endsWith("$"))
+        .as("__plain"),
+      repPatternRegex(col("prefix")).as("__regex"),
+      repLiteralLen(col("prefix")).as("__litlen")))
     base
       .join(r,
         base("host") === col("__rhost") &&
-          repMatches(base("path"), col("__prefix")),
+          when(col("__plain"), base("path").startsWith(col("__prefix")))
+            .otherwise(regexp_like(base("path"), col("__regex"))),
         "left")
       .groupBy(col(idCol), col("canon_url"), col("host"), col("path"))
       .agg(max(when(col("__prefix").isNotNull,
-        repLiteralLen(col("__prefix")) * 2 + col("__allow").cast("int")))
+        col("__litlen") * 2 + col("__allow").cast("int")))
         .as("__best"))
       .withColumn("allowed",
         col("__best").isNull || col("__best") % 2 === 1)

@@ -476,7 +476,6 @@ object Similarity {
       base: DataFrame,
       delta: DataFrame,
       centroids: DataFrame,
-      idCol: String,
       vecCol: String): DataFrame = {
     def cellStats(assigned: DataFrame): DataFrame = {
       val vd = col(vecCol).cast("array<double>")

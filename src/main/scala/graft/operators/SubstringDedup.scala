@@ -373,11 +373,15 @@ object SubstringDedup {
   }
 
   /** The MAP-ONLY removal half of [[lineDedup]] against an
-    * already-known hot set folded in as a LITERAL (the streaming-twin
-    * form — [[graft.streaming.Streaming.lineDedupStream]]): no join at
-    * all, a pure projection any micro-batch can run statelessly.
-    * Shares [[keptLines]]/[[lineDedupOutput]] with the batch form, so
-    * batch replay equals streaming output row for row. */
+    * already-known hot set folded in as a LITERAL: no join at all, a
+    * pure projection. The caller-supplied-set form for when the hot
+    * digests are already small driver-side data (a config list, a
+    * prior release's exported head); the STREAMING twin
+    * ([[graft.streaming.Streaming.lineDedupStream]]) instead goes
+    * through [[stripHotLinesJoin]] — the checkpointed broadcast form
+    * that never materializes the set on the driver. Shares
+    * [[keptLines]]/[[lineDedupOutput]] with both, so all three forms
+    * agree row for row (spec-pinned). */
   def stripHotLines(
       df: DataFrame, idCol: String, textCol: String,
       hotDigests: Seq[String], sep: String = "\n"): DataFrame =

@@ -161,7 +161,7 @@ class AnnSpec extends AnyFunSuite {
     // exactly 0 (the fixed-point sums make this bit-exact, not
     // approximately-zero).
     val zero = Similarity.quantizerDrift(
-        assigned, assigned, centroids, "vec_id", "embedding")
+        assigned, assigned, centroids, "embedding")
       .collect()
     assert(zero.length == 4)
     zero.foreach { r =>
@@ -180,7 +180,7 @@ class AnnSpec extends AnyFunSuite {
           .as("embedding")),
       centroids, "vec_id", "embedding")
     val drift = Similarity.quantizerDrift(
-        assigned, shifted, centroids, "vec_id", "embedding")
+        assigned, shifted, centroids, "embedding")
       .collect()
     assert(drift.exists(r =>
       math.abs(r.getDouble(r.fieldIndex("fill_shift"))) > 0.01),

@@ -547,6 +547,29 @@ class CrawlSpec extends AnyFunSuite {
       s"survivors: ${out.mkString(",")}")
   }
 
+  test("repMatches + urlPathQuery: RFC 9309 corners, root-query default") {
+    val s = spark
+    import s.implicits._
+    def m(target: String, pat: String): Boolean =
+      Seq((target, pat)).toDF("t", "p")
+        .select(Crawl.repMatches(col("t"), col("p")).as("m"))
+        .collect()(0).getBoolean(0)
+    assert(m("/a/b?x=1", "/a/*?x="))      // * spans chars
+    assert(!m("/doc.pdfx", "/*.pdf$"))    // trailing $ anchors
+    assert(m("/doc.pdf", "/*.pdf$"))
+    assert(m("/p$q/r", "/p$q/"))          // mid-pattern $ is literal
+    assert(!m("/page", "/page/"))         // plain prefix stays a prefix
+    assert(m("/a.b", "/a.b") && !m("/axb", "/a.b")) // . is literal
+    // RFC 9309 §2.2.2: the EMPTY path defaults to "/" — a bare-host
+    // query URL must present "/?session=…" so root-level wildcard
+    // Disallows gate it (the regression: no leading "/", no match).
+    val pq = Seq("http://h.example.com?session=9").toDF("u")
+      .select(Crawl.urlPathQuery(Crawl.canonicalizeUrl(col("u"))).as("p"))
+      .collect()(0).getString(0)
+    assert(pq == "/?session=9", s"root-query target: $pq")
+    assert(m(pq, "/*?session="), "root-level session rule must gate")
+  }
+
   test("recrawlSchedule: estimator, clamps, no-signal defaults, one exchange") {
     val s = spark
     import s.implicits._
