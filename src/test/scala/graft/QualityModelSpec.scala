@@ -123,7 +123,17 @@ class QualityModelSpec extends AnyFunSuite {
     val rows = Seq(
       (0.9, true), (0.8, false), (0.8, true),
       (0.5, false), (0.5, false), (0.3, true)).toDF("score", "label")
-    val out = QualityModel.rocAuc(rows, "score", "label").collect()(0)
+    val frame = QualityModel.rocAuc(rows, "score", "label")
+    // scale pin: the ordered (single-partition) window consumes the
+    // DISTINCT-SCORE aggregate, never raw rows — its input carries the
+    // grouped counts, so the global sort is score-cardinality-bounded
+    val windows = PlanCheck.nodes(frame).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty &&
+      windows.forall(_.child.output.exists(_.name == "__n")),
+      "rocAuc's window must run over the distinct-score aggregate")
+    val out = frame.collect()(0)
     assert(out.getLong(0) == 3L && out.getLong(1) == 3L)
     assert(out.getDouble(2) == 0.611111, s"auc: ${out.getDouble(2)}")
     // degenerate sanity: a perfectly separating score
