@@ -196,7 +196,23 @@ object QueriesR14 {
       operators.Curation.apportionBudget(
         docs(s, d).groupBy(col("source"))
           .agg(sum(col("n_chars")).as("w")),
-        "source", "w", budget = 1000000000L)))
+        "source", "w", budget = 1000000000L)),
+    // --- the filter the score becomes: confusion counts + rates at
+    //     threshold 0.5 over the same score/label pair — null rates
+    //     where undefined, never a silent zero. ---
+    "q_confusion" -> ((s, d) =>
+      operators.QualityModel.thresholdReport(
+        calibrationScored(s, d), "score", "label", threshold = 0.5)),
+    // --- score-distribution drift: PSI between the even-id half
+    //     scored at the baseline scaling (/0.12) and the odd-id half
+    //     scored HOTTER (/0.10) — genuine distribution shift, per-bin
+    //     terms say where it lives; Jeffreys +0.5 smoothing keeps
+    //     empty bins defined. ---
+    "q_psi" -> { (s, d) =>
+      val base = scaledScore(s, d, 0.12).filter(col("__even"))
+      val cur = scaledScore(s, d, 0.10).filter(!col("__even"))
+      operators.QualityModel.populationStability(base, cur, "score")
+    })
 
   /** Shared q_calibration scoring: stopword-ratio scaled into [0, 1]
     * (ratio/0.12 clipped — 0.12 is ~2x the corpus-median ratio, so
@@ -210,6 +226,19 @@ object QueriesR14 {
     docs(s, d).select(
       least(ratio / lit(0.12), lit(1.0)).as("score"),
       (col("lang") === "en").as("label"))
+  }
+
+  /** The q_psi scoring: same stopword ratio at a caller-chosen scale
+    * divisor, with the even/odd split flag for the two releases. */
+  private def scaledScore(
+      s: SparkSession, d: String, div: Double): DataFrame = {
+    val toks = operators.TextAnalysis.tokens(col("text"))
+    val stops = size(filter(toks,
+      tk => tk.isInCollection(operators.TextAnalysis.StopwordsEn)))
+    val ratio = stops.cast("double") / size(toks)
+    docs(s, d).select(
+      least(ratio / lit(div), lit(1.0)).as("score"),
+      (col("doc_id") % 2 === 0).as("__even"))
   }
 
   val oracles: Map[String, String] = Map(
@@ -462,7 +491,66 @@ object QueriesR14 {
         |SELECT p.key AS key, p.weight,
         |  CAST(p.base + CASE WHEN p.pos <= 1000000000 - b.bsum
         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM p, b""".stripMargin)
+        |FROM p, b""".stripMargin,
+    "q_confusion" ->
+      """WITH t AS (SELECT lang, regexp_extract_all(text, '\S+') toks
+        |           FROM documents),
+        |s AS (SELECT least(
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+        |      AS score,
+        |    (lang = 'en') AS label FROM t),
+        |a AS (SELECT
+        |    count(*) FILTER (WHERE score >= 0.5 AND label) AS tp,
+        |    count(*) FILTER (WHERE score >= 0.5 AND NOT label) AS fp,
+        |    count(*) FILTER (WHERE score < 0.5 AND label) AS fn,
+        |    count(*) FILTER (WHERE score < 0.5 AND NOT label) AS tn
+        |  FROM s)
+        |SELECT tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |    THEN round(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+        |    END AS f1
+        |FROM a""".stripMargin,
+    // Same tokenize/score replay at the two scale divisors, then the
+    // smoothed PSI fold — every quotient computed in DOUBLE.
+    "q_psi" ->
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+        |           FROM documents),
+        |r AS (SELECT doc_id,
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / len(toks) AS ratio FROM t),
+        |sb AS (SELECT least(ratio / CAST(0.12 AS DOUBLE),
+        |         CAST(1 AS DOUBLE)) AS score
+        |       FROM r WHERE doc_id % 2 = 0),
+        |sc AS (SELECT least(ratio / CAST(0.10 AS DOUBLE),
+        |         CAST(1 AS DOUBLE)) AS score
+        |       FROM r WHERE doc_id % 2 <> 0),
+        |bb AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
+        |         AS bin, count(*) AS n_base FROM sb GROUP BY 1),
+        |bc AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
+        |         AS bin, count(*) AS n_cur FROM sc GROUP BY 1),
+        |ab AS (SELECT CAST(i AS INT) AS bin
+        |       FROM unnest(generate_series(0, 9)) u(i)),
+        |j AS (SELECT ab.bin,
+        |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM ab LEFT JOIN bb USING (bin) LEFT JOIN bc USING (bin)),
+        |tt AS (SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+        |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM j)
+        |SELECT bin, n_base, n_cur,
+        |  round((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0), 6) AS p_base,
+        |  round((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0), 6) AS p_cur,
+        |  round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
+        |      - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
+        |      / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6) AS psi
+        |FROM j, tt""".stripMargin)
 
   /** The q_calibration bin-table replay both calibration oracles
     * share: tokenize, stopword-ratio score clipped into [0, 1], decile

@@ -232,6 +232,96 @@ object QualityModel {
           (col("__npos").cast("double") * col("__nneg")), 6).as("auc"))
   }
 
+  /** Confusion counts and the derived rates at a decision threshold —
+    * what actually ships when a quality score becomes a FILTER: one
+    * row `(tp, fp, fn, tn, precision, recall, f1)` for
+    * `score >= threshold` against the boolean label. Rates are plain
+    * count ratios rounded 6 (null when undefined: no predicted
+    * positives → null precision, no actual positives → null recall —
+    * never a silent 0 that reads as "terrible", never a division
+    * error). One partial-aggregating global fold; the threshold
+    * compare is row-local. */
+  def thresholdReport(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      threshold: Double): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val pos = col(labelCol).cast("boolean")
+    val pred = s >= threshold
+    val agg = df.filter(s.isNotNull)
+      .agg(
+        count(when(pred && pos, 1)).as("tp"),
+        count(when(pred && !pos, 1)).as("fp"),
+        count(when(!pred && pos, 1)).as("fn"),
+        count(when(!pred && !pos, 1)).as("tn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+    val rec = when(col("tp") + col("fn") > 0,
+      round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      prec.as("precision"), rec.as("recall"),
+      when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+        round(lit(2.0) * col("tp") /
+          (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+  }
+
+  /** Population Stability Index between a BASELINE score distribution
+    * and the CURRENT one — the standard deployed-model drift monitor
+    * (credit-scoring practice; > 0.25 conventionally triggers a
+    * re-fit): scores bucket into the same equal-width bins as
+    * [[calibrationReport]], each side's bin masses smooth with the
+    * Jeffreys +0.5 (so an empty bin is defined, not a log of zero),
+    * and each bin contributes `(p_cur − p_base) · ln(p_cur/p_base)`.
+    * Every term is non-negative; the TOTAL is the callers' gate — sum
+    * the `psi` column (ten rounded doubles — exact enough for any
+    * threshold, and the per-bin terms say WHERE the drift lives,
+    * which the scalar alone cannot).
+    *
+    * The drift-gate discipline of the cache layer and
+    * [[graft.operators.Similarity.quantizerDrift]], applied to the
+    * quality scorer itself. Scale shape: one partial-aggregating
+    * exchange per side on the bin key; the ≤ `bins`-row join is
+    * trivial. */
+  def populationStability(
+      base: DataFrame,
+      current: DataFrame,
+      scoreCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 PSI bins")
+    def binned(df: DataFrame, cnt: String): DataFrame = {
+      val s = col(scoreCol).cast("double")
+      df.filter(s.isNotNull)
+        .select(greatest(
+          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
+          .as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
+    }
+    val b = binned(base, "n_base")
+    val c = binned(current, "n_cur")
+    val allBins = b.sparkSession.range(bins)
+      .select(col("id").cast("int").as("bin"))
+    val joined = allBins
+      .join(b, Seq("bin"), "left").join(c, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = broadcast(joined.agg(
+      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc")))
+    joined.crossJoin(tot)
+      .select(col("bin"), col("n_base"), col("n_cur"),
+        round((col("n_base") + 0.5) / (col("__tb") + 0.5 * bins), 6)
+          .as("p_base"),
+        round((col("n_cur") + 0.5) / (col("__tc") + 0.5 * bins), 6)
+          .as("p_cur"),
+        round(
+          ((col("n_cur") + 0.5) / (col("__tc") + 0.5 * bins) -
+            (col("n_base") + 0.5) / (col("__tb") + 0.5 * bins)) *
+            log(((col("n_cur") + 0.5) / (col("__tc") + 0.5 * bins)) /
+              ((col("n_base") + 0.5) / (col("__tb") + 0.5 * bins))), 6)
+          .as("psi"))
+  }
+
   /** Expected calibration error off [[calibrationReport]]'s table:
     * `sum(n_b * |gap_b|) / N` over the filled bins (Guo et al. 2017,
     * eq. 3). Folds the ROUNDED per-bin gaps back to micros and sums

@@ -292,6 +292,40 @@ object Streaming {
             graft.operators.Crawl.urlPath(col("canon_url"))) === col("__ttpl"),
         "left_anti")
 
+  /** Streaming ROBOTS-FRESHNESS screen: each arriving candidate URL
+    * flagged with its host's robots-cache age and RFC 9309 §2.4
+    * staleness verdict — the per-row admission form of
+    * [[graft.operators.Crawl.robotsFreshness]] (whose per-host
+    * `n_queued` rollup is a batch aggregation a stream cannot emit
+    * incrementally; the VERDICT side is a pure stream-static broadcast
+    * lookup, zero streaming state, no watermark). A stale or
+    * never-fetched host's URLs route to a robots refetch before any
+    * crawl; parity with the batch verdict columns is spec-pinned. */
+  def robotsFreshnessStream(
+      fetches: DataFrame,
+      robotsLog: DataFrame,
+      hostCol: String,
+      tsCol: String,
+      nowS: Double,
+      ttlS: Double = 86400.0,
+      urlCol: String = "url"): DataFrame = {
+    require(ttlS > 0, "ttlS must be positive")
+    val canon = graft.operators.Crawl.canonicalizeUrl(col(urlCol))
+    val lastFetch = broadcast(robotsLog
+      .select(col(hostCol).as("__lhost"),
+        col(tsCol).cast("double").as("__lts"))
+      .groupBy(col("__lhost")).agg(max(col("__lts")).as("last_fetch_s")))
+    fetches
+      .withColumn("canon_url", canon)
+      .withColumn("host", graft.operators.Crawl.urlHost(col("canon_url")))
+      .join(lastFetch, col("host") === col("__lhost"), "left")
+      .withColumn("age_s", round(lit(nowS) - col("last_fetch_s"), 6))
+      .withColumn("stale",
+        col("last_fetch_s").isNull ||
+          lit(nowS) - col("last_fetch_s") > lit(ttlS))
+      .drop("__lhost")
+  }
+
   /** Stream-stream interval join: each purchase attributes to the SAME
     * user's views within the preceding `window`. Both sides carry
     * watermarks and the join condition bounds event time on both sides,

@@ -143,6 +143,46 @@ class QualityModelSpec extends AnyFunSuite {
       .collect()(0).getDouble(2) == 1.0)
   }
 
+  test("thresholdReport: confusion counts, null rates where undefined") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      (0.9, true), (0.8, false), (0.4, true), (0.1, false), (0.6, true))
+      .toDF("score", "label")
+    val r = QualityModel.thresholdReport(rows, "score", "label", 0.5)
+      .collect()(0)
+    // tp=2 (0.9T, 0.6T), fp=1 (0.8F), fn=1 (0.4T), tn=1 (0.1F)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 1L, 1L, 1L)), r.toString)
+    assert(r.getDouble(4) == 0.666667 && r.getDouble(5) == 0.666667 &&
+      r.getDouble(6) == 0.666667, r.toString)
+    // no predicted positives: precision NULL, recall 0, f1 0 (fn > 0)
+    val none = QualityModel.thresholdReport(
+        Seq((0.1, true), (0.2, false)).toDF("score", "label"),
+        "score", "label", 0.5)
+      .collect()(0)
+    assert(none.isNullAt(4) && none.getDouble(5) == 0.0 &&
+      none.getDouble(6) == 0.0, none.toString)
+  }
+
+  test("populationStability: identical releases read zero; drift registers") {
+    val s = spark
+    import s.implicits._
+    val rel = Seq(0.05, 0.15, 0.15, 0.55, 0.95).toDF("score")
+    val zero = QualityModel.populationStability(rel, rel, "score")
+      .collect()
+    assert(zero.length == 10, "one row per bin, empty bins included")
+    assert(zero.forall(_.getDouble(5) == 0.0),
+      s"identical distributions must read PSI 0: ${zero.mkString(";")}")
+    // mass moved from bin 0/1 to bin 9: positive terms, defined
+    // everywhere (the +0.5 smoothing covers the emptied bins)
+    val moved = Seq(0.95, 0.96, 0.97, 0.55, 0.98).toDF("score")
+    val drift = QualityModel.populationStability(rel, moved, "score")
+      .collect().map(r => r.getInt(0) -> r.getDouble(5)).toMap
+    assert(drift.values.forall(v => v >= 0.0), s"PSI terms non-negative")
+    assert(drift(9) > 0.1 && drift(0) > 0.0, s"drift: $drift")
+  }
+
   test("expectedCalibrationError: n-weighted gap-mass over the bins") {
     val s = spark
     import s.implicits._

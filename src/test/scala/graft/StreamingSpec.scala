@@ -266,6 +266,36 @@ class StreamingSpec extends AnyFunSuite {
       s"deny under /private/, allow the longer /private/open/, default allow: $out")
   }
 
+  test("streaming robots-freshness screen matches the batch verdicts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val log = Seq(("fresh.com", 2000.0), ("old.com", 100.0))
+      .toDF("host", "ts")
+    val stream = MemoryStream[(Long, String)]
+    val flagged = Streaming.robotsFreshnessStream(
+      stream.toDF().toDF("fetch_id", "url"), log, "host", "ts",
+      nowS = 88400.0, ttlS = 86400.0)
+    val q = flagged.writeStream.format("memory").queryName("rfresh_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, "http://fresh.com/a"), (2L, "http://old.com/x"))
+      q.processAllAvailable()
+      stream.addData((3L, "http://never.com/y"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("rfresh_stream")
+      .select("fetch_id", "stale", "age_s").collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    // same boundary contract as the batch robotsFreshness: age ==
+    // TTL exactly is still fresh (strict >), never-fetched is stale
+    assert(out == Map(
+      1L -> ((false, Some(86400.0))),
+      2L -> ((true, Some(88300.0))),
+      3L -> ((true, None))), s"stream verdicts: $out")
+  }
+
   test("streaming mirror-aware url dedup drops the mirror's copy") {
     val spark = TestSpark.spark
     import spark.implicits._
