@@ -183,10 +183,15 @@ object QueriesR14 {
     // --- the ranking companion: Mann-Whitney ROC-AUC of the same
     //     score/label pair — distinct-score collapse first, so the
     //     only ordered window runs over score cardinality, never
-    //     rows. ---
+    //     rows. The score ROUNDS to 6 first (rocAuc's documented
+    //     precondition for raw-continuous scores: distinct exact
+    //     rationals would approach row cardinality at scale and
+    //     unbound the ordered window). ---
     "q_auc" -> ((s, d) =>
       operators.QualityModel.rocAuc(
-        calibrationScored(s, d), "score", "label")),
+        calibrationScored(s, d)
+          .select(round(col("score"), 6).as("score"), col("label")),
+        "score", "label")),
     // --- Hamilton apportionment: a 1e9-token budget split across the
     //     corpus sources ∝ their character mass — integer allocations
     //     summing to EXACTLY the budget, leftover seats by largest
@@ -214,32 +219,33 @@ object QueriesR14 {
       operators.QualityModel.populationStability(base, cur, "score")
     })
 
+  /** The ONE stopword-ratio derivation every calibration-family query
+    * scores from — tokens/stops/ratio defined once so
+    * q_calibration/q_auc/q_confusion (ratio/0.12 vs the lang label)
+    * and q_psi (two scale divisors) can never silently diverge. */
+  private def stopRatio: org.apache.spark.sql.Column = {
+    val toks = operators.TextAnalysis.tokens(col("text"))
+    val stops = size(filter(toks,
+      tk => tk.isInCollection(operators.TextAnalysis.StopwordsEn)))
+    stops.cast("double") / size(toks)
+  }
+
   /** Shared q_calibration scoring: stopword-ratio scaled into [0, 1]
     * (ratio/0.12 clipped — 0.12 is ~2x the corpus-median ratio, so
     * scores spread across all ten bins) against the `lang = 'en'`
     * label the score imperfectly predicts. */
-  private def calibrationScored(s: SparkSession, d: String): DataFrame = {
-    val toks = operators.TextAnalysis.tokens(col("text"))
-    val stops = size(filter(toks,
-      tk => tk.isInCollection(operators.TextAnalysis.StopwordsEn)))
-    val ratio = stops.cast("double") / size(toks)
+  private def calibrationScored(s: SparkSession, d: String): DataFrame =
     docs(s, d).select(
-      least(ratio / lit(0.12), lit(1.0)).as("score"),
+      least(stopRatio / lit(0.12), lit(1.0)).as("score"),
       (col("lang") === "en").as("label"))
-  }
 
-  /** The q_psi scoring: same stopword ratio at a caller-chosen scale
+  /** The q_psi scoring: [[stopRatio]] at a caller-chosen scale
     * divisor, with the even/odd split flag for the two releases. */
   private def scaledScore(
-      s: SparkSession, d: String, div: Double): DataFrame = {
-    val toks = operators.TextAnalysis.tokens(col("text"))
-    val stops = size(filter(toks,
-      tk => tk.isInCollection(operators.TextAnalysis.StopwordsEn)))
-    val ratio = stops.cast("double") / size(toks)
+      s: SparkSession, d: String, div: Double): DataFrame =
     docs(s, d).select(
-      least(ratio / lit(div), lit(1.0)).as("score"),
+      least(stopRatio / lit(div), lit(1.0)).as("score"),
       (col("doc_id") % 2 === 0).as("__even"))
-  }
 
   val oracles: Map[String, String] = Map(
     // Hand-derived regex + literal-length per rule — an independent
@@ -452,10 +458,10 @@ object QueriesR14 {
     "q_auc" ->
       """WITH t AS (SELECT lang, regexp_extract_all(text, '\S+') toks
         |           FROM documents),
-        |s AS (SELECT least(
+        |s AS (SELECT round(least(
         |    CAST(len(list_filter(toks,
         |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
-        |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+        |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE)), 6)
         |      AS score,
         |    CAST((lang = 'en') AS INT) AS pos FROM t),
         |g AS (SELECT score, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np

@@ -233,12 +233,28 @@ object Crawl {
     length(translate(core, "*", ""))
   }
 
+  /** A rule value is PLAIN (prefix-matchable) when it carries neither
+    * a `*` nor a trailing `$` — the dispatch predicate every REP
+    * matcher shares ([[repMatches]], [[robotsFilter]]'s broadcast
+    * projection, [[robotsRulesPerHost]]), defined once so the plain/
+    * wildcard split can never diverge between them. */
+  def repIsPlain(pat: Column): Column =
+    !pat.contains("*") && !pat.endsWith("$")
+
+  /** The match against PRECOMPUTED dispatch columns — the form the
+    * broadcast-side tables use ([[robotsFilter]], [[robotsVerdict]]'s
+    * rule structs), where `plain`/`regex` were derived once per rule
+    * by [[repIsPlain]]/[[repPatternRegex]]. */
+  def repMatchesPrecomputed(
+      target: Column, prefix: Column, plain: Column, regex: Column): Column =
+    when(plain, target.startsWith(prefix))
+      .otherwise(regexp_like(target, regex))
+
   /** One REP rule match: the wildcard-free fast path stays a codegen'd
     * `startsWith` (the overwhelmingly common rule shape); `*`/`$`
     * rules go through the translated anchored regex. */
   def repMatches(target: Column, pat: Column): Column =
-    when(!pat.contains("*") && !pat.endsWith("$"), target.startsWith(pat))
-      .otherwise(regexp_like(target, repPatternRegex(pat)))
+    repMatchesPrecomputed(target, pat, repIsPlain(pat), repPatternRegex(pat))
 
   /** Robots-style URL gate: per-host longest-match allow/deny rules,
     * the politeness filter a crawler applies AFTER canonicalization
@@ -287,15 +303,14 @@ object Crawl {
       col("host").as("__rhost"),
       col("prefix").as("__prefix"),
       col("allow").as("__allow"),
-      (!col("prefix").contains("*") && !col("prefix").endsWith("$"))
-        .as("__plain"),
+      repIsPlain(col("prefix")).as("__plain"),
       repPatternRegex(col("prefix")).as("__regex"),
       repLiteralLen(col("prefix")).as("__litlen")))
     base
       .join(r,
         base("host") === col("__rhost") &&
-          when(col("__plain"), base("path").startsWith(col("__prefix")))
-            .otherwise(regexp_like(base("path"), col("__regex"))),
+          repMatchesPrecomputed(base("path"), col("__prefix"),
+            col("__plain"), col("__regex")),
         "left")
       .groupBy(col(idCol), col("canon_url"), col("host"), col("path"))
       .agg(max(when(col("__prefix").isNotNull,
@@ -455,8 +470,7 @@ object Crawl {
     rules.groupBy(col("host"))
       .agg(collect_list(struct(
         col("prefix"), col("allow"),
-        (!col("prefix").contains("*") && !col("prefix").endsWith("$"))
-          .as("plain"),
+        repIsPlain(col("prefix")).as("plain"),
         repPatternRegex(col("prefix")).as("regex"),
         repLiteralLen(col("prefix")).as("litlen"))).as("rules"))
 
@@ -473,8 +487,8 @@ object Crawl {
   def robotsVerdict(path: Column, rulesArr: Column): Column =
     when(rulesArr.isNull, lit(-1L)).otherwise(
       aggregate(rulesArr, lit(-1L), (acc, r) =>
-        when(when(r.getField("plain"), path.startsWith(r.getField("prefix")))
-            .otherwise(regexp_like(path, r.getField("regex"))),
+        when(repMatchesPrecomputed(path, r.getField("prefix"),
+            r.getField("plain"), r.getField("regex")),
           greatest(acc, r.getField("litlen").cast("long") * 2 +
             r.getField("allow").cast("long")))
           .otherwise(acc)))

@@ -209,7 +209,10 @@ object QualityModel {
       scoreCol: String,
       labelCol: String): DataFrame = {
     val s = col(scoreCol).cast("double")
-    val grouped = df.filter(s.isNotNull)
+    // null LABELS drop too (same contract as thresholdReport): left
+    // in, they would occupy rank positions while vanishing from
+    // n_pos/n_neg, silently pushing AUC outside [0, 1].
+    val grouped = df.filter(s.isNotNull && col(labelCol).isNotNull)
       .select(s.as("__score"),
         col(labelCol).cast("boolean").cast("int").as("__pos"))
       .groupBy(col("__score"))
@@ -227,9 +230,12 @@ object QualityModel {
         sum(col("__n") - col("__np")).as("__nneg"),
         sum(col("__np").cast("double") * col("__avg_rank")).as("__rpos"))
       .select(col("__npos").as("n_pos"), col("__nneg").as("n_neg"),
-        round((col("__rpos") -
-            col("__npos").cast("double") * (col("__npos") + 1) / 2) /
-          (col("__npos").cast("double") * col("__nneg")), 6).as("auc"))
+        // single-class input: AUC undefined -> null, never an ANSI
+        // divide-by-zero (thresholdReport's guard discipline)
+        when(col("__npos") > 0 && col("__nneg") > 0,
+          round((col("__rpos") -
+              col("__npos").cast("double") * (col("__npos") + 1) / 2) /
+            (col("__npos").cast("double") * col("__nneg")), 6)).as("auc"))
   }
 
   /** Confusion counts and the derived rates at a decision threshold —

@@ -300,16 +300,24 @@ object Streaming {
     * incrementally; the VERDICT side is a pure stream-static broadcast
     * lookup, zero streaming state, no watermark). A stale or
     * never-fetched host's URLs route to a robots refetch before any
-    * crawl; parity with the batch verdict columns is spec-pinned. */
+    * crawl; parity with the batch verdict columns is spec-pinned.
+    *
+    * The clock: by default each MICRO-BATCH evaluates against its own
+    * `current_timestamp` — a long-running stream keeps issuing true
+    * verdicts as hosts age past the TTL (a constant frozen at plan
+    * time would call a host fetched just before start "fresh"
+    * forever). Pass `nowS` only for deterministic replay/tests. */
   def robotsFreshnessStream(
       fetches: DataFrame,
       robotsLog: DataFrame,
       hostCol: String,
       tsCol: String,
-      nowS: Double,
+      nowS: Option[Double] = None,
       ttlS: Double = 86400.0,
       urlCol: String = "url"): DataFrame = {
     require(ttlS > 0, "ttlS must be positive")
+    val now = nowS.map(lit(_))
+      .getOrElse(unix_micros(current_timestamp()).cast("double") / 1e6)
     val canon = graft.operators.Crawl.canonicalizeUrl(col(urlCol))
     val lastFetch = broadcast(robotsLog
       .select(col(hostCol).as("__lhost"),
@@ -319,10 +327,10 @@ object Streaming {
       .withColumn("canon_url", canon)
       .withColumn("host", graft.operators.Crawl.urlHost(col("canon_url")))
       .join(lastFetch, col("host") === col("__lhost"), "left")
-      .withColumn("age_s", round(lit(nowS) - col("last_fetch_s"), 6))
+      .withColumn("age_s", round(now - col("last_fetch_s"), 6))
       .withColumn("stale",
         col("last_fetch_s").isNull ||
-          lit(nowS) - col("last_fetch_s") > lit(ttlS))
+          now - col("last_fetch_s") > lit(ttlS))
       .drop("__lhost")
   }
 

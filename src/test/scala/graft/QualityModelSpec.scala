@@ -141,6 +141,20 @@ class QualityModelSpec extends AnyFunSuite {
       .toDF("score", "label")
     assert(QualityModel.rocAuc(sep, "score", "label")
       .collect()(0).getDouble(2) == 1.0)
+    // null labels drop entirely (they must not occupy rank positions:
+    // left in, AUC can silently leave [0,1])
+    val withNulls = Seq(
+      (0.9, Some(true)), (0.5, Some(false)),
+      (0.1, None), (0.2, None), (0.3, None))
+      .toDF("score", "label")
+    val nn = QualityModel.rocAuc(withNulls, "score", "label").collect()(0)
+    assert(nn.getLong(0) == 1L && nn.getLong(1) == 1L &&
+      nn.getDouble(2) == 1.0, nn.toString)
+    // single-class input: AUC undefined -> null, not an ANSI
+    // divide-by-zero
+    val oneClass = Seq((0.9, true), (0.1, true)).toDF("score", "label")
+    assert(QualityModel.rocAuc(oneClass, "score", "label")
+      .collect()(0).isNullAt(2))
   }
 
   test("thresholdReport: confusion counts, null rates where undefined") {

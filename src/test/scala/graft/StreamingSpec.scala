@@ -275,7 +275,7 @@ class StreamingSpec extends AnyFunSuite {
     val stream = MemoryStream[(Long, String)]
     val flagged = Streaming.robotsFreshnessStream(
       stream.toDF().toDF("fetch_id", "url"), log, "host", "ts",
-      nowS = 88400.0, ttlS = 86400.0)
+      nowS = Some(88400.0), ttlS = 86400.0)
     val q = flagged.writeStream.format("memory").queryName("rfresh_stream")
       .outputMode(OutputMode.Append()).start()
     try {
