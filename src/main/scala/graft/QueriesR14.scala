@@ -217,7 +217,52 @@ object QueriesR14 {
       val base = scaledScore(s, d, 0.12).filter(col("__even"))
       val cur = scaledScore(s, d, 0.10).filter(!col("__even"))
       operators.QualityModel.populationStability(base, cur, "score")
+    },
+    // --- sitemap BODY parsing: urlset entries with W3C lastmod
+    //     prefixes (time suffixes tolerated, junk -> null), a sitemap
+    //     INDEX child table, duplicate locs collapsing, multiline
+    //     whitespace — the per-URL freshness feed for recrawl. ---
+    "q_sitemap_xml" -> { (s, d) =>
+      import s.implicits._
+      val bodies = SitemapBodies
+        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .toDF("host", "body")
+      operators.Crawl.parseSitemapBodies(bodies, "host", "body")
     })
+
+  /** The q_sitemap_xml fixture: one Scala constant rendered into both
+    * engines (toDF here, VALUES + chr(10) in the oracle), exercising
+    * the regex-subset corners: lastmod with and without a time
+    * suffix, absent lastmod, junk lastmod, a sitemap INDEX body, a
+    * duplicated loc, and tags split across lines. */
+  private[graft] val SitemapBodies: Seq[(String, Seq[String])] = Seq(
+    "maps0.example.com" -> Seq(
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+      "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">",
+      "  <url>",
+      "    <loc>http://maps0.example.com/a</loc>",
+      "    <lastmod>2026-07-01</lastmod>",
+      "  </url>",
+      "  <url><loc>http://maps0.example.com/b</loc>",
+      "    <lastmod>2026-07-15T08:30:00Z</lastmod></url>",
+      "  <url><loc> http://maps0.example.com/c </loc></url>",
+      "  <url><loc>http://maps0.example.com/a</loc>",
+      "    <lastmod>2026-07-01</lastmod></url>",
+      "</urlset>"),
+    "maps1.example.com" -> Seq(
+      "<sitemapindex>",
+      "  <sitemap><loc>http://maps1.example.com/sm-a.xml</loc>",
+      "    <lastmod>2026-06-30</lastmod></sitemap>",
+      "  <sitemap>",
+      "    <loc>http://maps1.example.com/sm-b.xml</loc>",
+      "  </sitemap>",
+      "</sitemapindex>"),
+    "maps2.example.com" -> Seq(
+      "<urlset>",
+      "  <url><loc>http://maps2.example.com/x</loc>",
+      "    <lastmod>soon</lastmod></url>",
+      "  <url><lastmod>2026-01-01</lastmod></url>",
+      "</urlset>"))
 
   /** The ONE stopword-ratio derivation every calibration-family query
     * scores from — tokens/stops/ratio defined once so
@@ -556,7 +601,37 @@ object QueriesR14 {
         |      - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
         |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
         |      / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6) AS psi
-        |FROM j, tt""".stripMargin)
+        |FROM j, tt""".stripMargin,
+    // Byte-identical bodies via VALUES + chr(10); the same RE2
+    // block/field extraction and W3C date-prefix cast.
+    "q_sitemap_xml" -> {
+      val valuesRows = SitemapBodies.map { case (h, ls) =>
+        val bodyExpr = ls.map {
+          case "" => "''"
+          case l => s"'${l.replace("'", "''")}'"
+        }.mkString(" || chr(10) || ")
+        s"  ('$h', $bodyExpr)"
+      }.mkString(",\n")
+      s"""WITH bodies(host, body) AS (VALUES
+         |$valuesRows),
+         |u AS (SELECT host, unnest(regexp_extract_all(body,
+         |        '(?s)<url>(.*?)</url>', 1)) AS block, 'url' AS kind
+         |      FROM bodies),
+         |sm AS (SELECT host, unnest(regexp_extract_all(body,
+         |        '(?s)<sitemap>(.*?)</sitemap>', 1)) AS block,
+         |        'sitemap' AS kind
+         |      FROM bodies),
+         |e AS (SELECT * FROM u UNION ALL SELECT * FROM sm),
+         |p AS (SELECT host,
+         |    trim(regexp_extract(block, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1))
+         |      AS loc,
+         |    TRY_CAST(regexp_extract(block,
+         |      '<lastmod>\\s*([0-9]{4}-[0-9]{2}-[0-9]{2})', 1) AS DATE)
+         |      AS lastmod,
+         |    kind FROM e)
+         |SELECT DISTINCT host, loc, lastmod, kind
+         |FROM p WHERE loc <> ''""".stripMargin
+    })
 
   /** The q_calibration bin-table replay both calibration oracles
     * share: tokenize, stopword-ratio score clipped into [0, 1], decile

@@ -886,6 +886,43 @@ object Crawl {
       round(col("__last") + interval, 6).as("next_fetch_at_s"))
   }
 
+  /** Parse fetched SITEMAP XML bodies (sitemaps.org protocol) into the
+    * per-URL table the frontier and the recrawl scheduler consume:
+    * `(host, loc, lastmod, kind)` with `kind` `'url'` for `<url>`
+    * entries and `'sitemap'` for sitemap-INDEX children (`<sitemap>`
+    * entries — feed those back through the fetch loop). `lastmod`
+    * parses W3C date prefixes (`YYYY-MM-DD`, with or without a time
+    * suffix) to a DATE, null when absent/junk — the per-URL freshness
+    * signal [[recrawlSchedule]] refines with observed change history.
+    *
+    * Deliberately a REGEX SUBSET of XML, not a parser: `<url>`/
+    * `<sitemap>` blocks via non-greedy `(?s)` extraction, `<loc>`/
+    * `<lastmod>` fields within a block, entities and CDATA left as-is
+    * (the protocol requires entity-escaped URLs; callers needing
+    * unescaping do it downstream). RE2-portable, so the DuckDB oracle
+    * replays the extraction byte-for-byte — the same trade as
+    * [[registeredDomain]]'s PSL heuristic, documented rather than
+    * hidden. Map-only until one DISTINCT exchange on the (host, loc)
+    * output — scales like every parse in this family. */
+  def parseSitemapBodies(
+      df: DataFrame,
+      hostCol: String,
+      bodyCol: String): DataFrame = {
+    def entries(kind: String): DataFrame = df
+      .select(col(hostCol).as("host"),
+        explode(regexp_extract_all(col(bodyCol),
+          lit(s"(?s)<$kind>(.*?)</$kind>"), lit(1))).as("__block"))
+      .select(col("host"),
+        trim(regexp_extract(col("__block"),
+          "(?s)<loc>\\s*(.*?)\\s*</loc>", 1)).as("loc"),
+        expr("try_cast(regexp_extract(__block, " +
+          "'<lastmod>\\\\s*([0-9]{4}-[0-9]{2}-[0-9]{2})', 1) AS DATE)")
+          .as("lastmod"),
+        lit(kind).as("kind"))
+      .filter(col("loc") =!= "")
+    entries("url").unionByName(entries("sitemap")).distinct()
+  }
+
   /** RFC 9309 §2.4 robots-cache freshness: crawlers MAY cache a fetched
     * robots.txt but SHOULD NOT use it for longer than 24 hours
     * (`ttlS` default 86400). Per frontier host: the queued-URL count,

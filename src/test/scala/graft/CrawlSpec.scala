@@ -603,6 +603,35 @@ class CrawlSpec extends AnyFunSuite {
     assert(rows("u4") == ((0L, 0L, 10000.0, 10042.0)), s"u4: ${rows("u4")}")
   }
 
+  test("parseSitemapBodies: blocks, lastmod prefixes, index entries, dedup") {
+    val s = spark
+    import s.implicits._
+    val bodies = graft.QueriesR14.SitemapBodies
+      .map { case (h, ls) => (h, ls.mkString("\n")) }
+      .toDF("host", "body")
+    val out = Crawl.parseSitemapBodies(bodies, "host", "body")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        Option(r.getDate(2)).map(_.toString), r.getString(3)))
+      .toSet
+    assert(out == Set(
+      // duplicate /a collapses; whitespace-trimmed /c has no lastmod;
+      // time-suffixed lastmod keeps its date prefix
+      ("maps0.example.com", "http://maps0.example.com/a",
+        Some("2026-07-01"), "url"),
+      ("maps0.example.com", "http://maps0.example.com/b",
+        Some("2026-07-15"), "url"),
+      ("maps0.example.com", "http://maps0.example.com/c", None, "url"),
+      // index children carry kind='sitemap'
+      ("maps1.example.com", "http://maps1.example.com/sm-a.xml",
+        Some("2026-06-30"), "sitemap"),
+      ("maps1.example.com", "http://maps1.example.com/sm-b.xml",
+        None, "sitemap"),
+      // junk lastmod -> null; the loc-less block drops entirely
+      ("maps2.example.com", "http://maps2.example.com/x", None, "url")),
+      s"sitemap entries: $out")
+  }
+
   test("robotsFreshness: RFC 9309 24h TTL, never-fetched hosts stale") {
     val s = spark
     import s.implicits._
