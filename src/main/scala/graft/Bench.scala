@@ -147,7 +147,31 @@ object Bench {
             length(col("text")).as("len"),
             size(split(col("text"), " ")).as("nw"))
           .agg(count(lit(1)), sum(col("len")), sum(col("nw")),
-            max(col("h")))))
+            max(col("h")))),
+        // ctl_multijob (round 15): ten back-to-back tiny ACTIONS, not
+        // one plan — the only control whose cost is dominated by
+        // per-job FIXED latency (job submit, stage scheduling, result
+        // fetch). That is the one ambient axis the four single-action
+        // controls above cannot see: round 14 measured a machine whose
+        // job-launch cost had drifted reading multi-job queries
+        // (PageRank loops, mirror closure, release composition) at
+        // 1.5-2x while the single-action controls said 1.007, costing
+        // seven isolated re-measures and a worktree A/B to settle.
+        // Synthetic range input (no parquet) so nothing but the
+        // scheduler and a 4-partition micro-shuffle is priced. The
+        // nine internal collects run eagerly inside mk(); the tenth
+        // job is the returned frame, executed by runFully like every
+        // other control, so warmup and timed reps both pay exactly
+        // ten jobs.
+        "ctl_multijob" -> (() => {
+          def tiny(): DataFrame = spark.range(0, 20000, 1, 4)
+            .select((col("id") % 97).as("k"))
+            .groupBy(col("k")).agg(count(lit(1)).as("n"))
+            .agg(sum(col("n")).as("total"))
+          var i = 0
+          while (i < 9) { tiny().collect(); i += 1 }
+          tiny()
+        }))
     }
     val controlsOn = !sys.env.get("SPARK_GRAFT_CONTROLS").contains("0")
     val controlSamples =
