@@ -160,11 +160,27 @@ object QueriesR10 {
     //     session — already persisted the manifest; a first-ever call
     //     computes it once and persists it for everything downstream).
     //     Oracle wraps q_release's: the card's numbers are over the
-    //     exact same manifest either way. ---
+    //     exact same manifest either way.
+    //     Round 15 adds the SCORER-HEALTH columns: scorer_ece (the
+    //     quality scorer's expected calibration error over the
+    //     RELEASED docs) and scorer_psi (score-distribution PSI vs the
+    //     previous release, stood in by the even-doc_id half) — so a
+    //     release shipping a drifted scorer no longer looks healthy
+    //     on its own card. Both one-row sides broadcast onto the
+    //     card row; the manifest is never re-executed for them (the
+    //     released doc set is a doc_id semi-join against it). ---
     "q_release_card" -> { (s, d) =>
       val dd = docs(s, d)
       val manifest = operators.Pipeline.releaseResumable(
         dd, "doc_id", "text", windowLen = 2048L, bpeRounds = 5)
+      val released = dd.join(manifest.select(col("doc_id")), Seq("doc_id"))
+      val scored = QueriesR14.scoreLabel(released)
+      val ece = operators.QualityModel.expectedCalibrationError(
+        operators.QualityModel.calibrationReport(scored, "score", "label"))
+        .select(col("ece").as("scorer_ece"))
+      val prev = QueriesR14.scoreLabel(dd.filter(col("doc_id") % 2 === 0))
+      val psi = operators.QualityModel.psiTotal(prev, scored, "score")
+        .select(col("psi_total").as("scorer_psi"))
       manifest
         .agg(
           count(lit(1)).as("n_docs_out"),
@@ -176,6 +192,8 @@ object QueriesR10 {
           round(col("n_docs_out").cast("double") / col("n_docs_in"), 6)
             .as("retention"),
           col("n_shards"), col("n_tokens"))
+        .crossJoin(broadcast(ece))
+        .crossJoin(broadcast(psi))
     },
     // --- packing CONTINUATION: pack corpus half A from zero, then
     //     half B starting at A's next shard boundary — the
@@ -331,17 +349,68 @@ object QueriesR10 {
         |       CAST((b.cum - b.n + st.s0) // 512 AS BIGINT) AS shard,
         |       CAST((b.cum - b.n + st.s0) % 512 AS BIGINT) AS tok_offset
         |FROM b, st""".stripMargin,
+    // Scorer-health replay (round 15): the released docs re-score
+    // through the shared stopword-ratio chain; ECE via the integer
+    // gap-mass fold over the reliability bins; PSI between the
+    // even-doc_id half (previous release stand-in) and the released
+    // scores, per-bin terms rounded then micro-folded — the same
+    // arithmetic as q_calibration_ece / q_psi.
     "q_release_card" ->
       s"""WITH m AS (
          |${QueriesR9.oracles("q_release")}
          |), tot AS (SELECT CAST(count(*) AS BIGINT) n_docs_in FROM documents),
          |agg AS (SELECT CAST(count(*) AS BIGINT) n_docs_out,
          |    CAST(count(DISTINCT shard) AS BIGINT) n_shards,
-         |    CAST(sum(n_tokens) AS BIGINT) n_tokens FROM m)
+         |    CAST(sum(n_tokens) AS BIGINT) n_tokens FROM m),
+         |rel AS (SELECT d.lang, d.text FROM documents d
+         |        JOIN m ON d.doc_id = m.doc_id),
+         |rt AS (SELECT lang, regexp_extract_all(text, '\\S+') toks FROM rel),
+         |rs AS (SELECT least(
+         |    CAST(len(list_filter(toks,
+         |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+         |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+         |      AS score,
+         |    (lang = 'en') AS label FROM rt),
+         |rb AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
+         |      AS bin,
+         |    CAST(round(score * 1e6) AS BIGINT) AS micros,
+         |    CAST(label AS INT) AS pos FROM rs),
+         |rrep AS (SELECT bin, count(*) AS n,
+         |    round(CAST(sum(pos) AS DOUBLE) / count(*)
+         |      - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap
+         |  FROM rb GROUP BY bin),
+         |ec AS (SELECT round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
+         |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS scorer_ece FROM rrep),
+         |pt AS (SELECT lang, regexp_extract_all(text, '\\S+') toks
+         |       FROM documents WHERE doc_id % 2 = 0),
+         |ps AS (SELECT least(
+         |    CAST(len(list_filter(toks,
+         |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+         |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+         |      AS score FROM pt),
+         |bb AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
+         |         AS bin, count(*) AS n_base FROM ps GROUP BY 1),
+         |bc AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
+         |         AS bin, count(*) AS n_cur FROM rs GROUP BY 1),
+         |ab AS (SELECT CAST(i AS INT) AS bin
+         |       FROM unnest(generate_series(0, 9)) u(i)),
+         |pj AS (SELECT ab.bin,
+         |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+         |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+         |  FROM ab LEFT JOIN bb USING (bin) LEFT JOIN bc USING (bin)),
+         |ptt AS (SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+         |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM pj),
+         |pp AS (SELECT round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
+         |      - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
+         |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
+         |      / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6) AS psi
+         |  FROM pj, ptt),
+         |px AS (SELECT round(CAST(sum(CAST(round(psi * 1e6) AS BIGINT))
+         |      AS DOUBLE) / 1e6, 6) AS scorer_psi FROM pp)
          |SELECT tot.n_docs_in, agg.n_docs_out,
          |       round(agg.n_docs_out * 1.0 / tot.n_docs_in, 6) AS retention,
-         |       agg.n_shards, agg.n_tokens
-         |FROM tot, agg""".stripMargin,
+         |       agg.n_shards, agg.n_tokens, ec.scorer_ece, px.scorer_psi
+         |FROM tot, agg, ec, px""".stripMargin,
     "q_chunk_retrieval" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') w FROM documents),
         |c AS (SELECT doc_id, unnest(list_transform(

@@ -41,7 +41,7 @@ object QueriesR14 {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
-  private def robotsBodiesDf(s: SparkSession): DataFrame = {
+  private[graft] def robotsBodiesDf(s: SparkSession): DataFrame = {
     import s.implicits._
     QueriesR13.RobotsBodies
       .map { case (h, ls) => (h, ls.mkString(QueriesR13.robotsBodySep(h))) }
@@ -182,16 +182,14 @@ object QueriesR14 {
           calibrationScored(s, d), "score", "label"))),
     // --- the ranking companion: Mann-Whitney ROC-AUC of the same
     //     score/label pair — distinct-score collapse first, so the
-    //     only ordered window runs over score cardinality, never
-    //     rows. The score ROUNDS to 6 first (rocAuc's documented
-    //     precondition for raw-continuous scores: distinct exact
-    //     rationals would approach row cardinality at scale and
-    //     unbound the ordered window). ---
+    //     only ordered window runs over score cardinality. Since
+    //     round 15 the operator quantizes INSIDE (scale = 6 default,
+    //     hard-bounding the window at 10^6 + 1 rows), so the raw
+    //     continuous score goes straight in — the round-14 "round
+    //     upstream" precondition no longer exists. ---
     "q_auc" -> ((s, d) =>
       operators.QualityModel.rocAuc(
-        calibrationScored(s, d)
-          .select(round(col("score"), 6).as("score"), col("label")),
-        "score", "label")),
+        calibrationScored(s, d), "score", "label")),
     // --- Hamilton apportionment: a 1e9-token budget split across the
     //     corpus sources ∝ their character mass — integer allocations
     //     summing to EXACTLY the budget, leftover seats by largest
@@ -278,11 +276,18 @@ object QueriesR14 {
   /** Shared q_calibration scoring: stopword-ratio scaled into [0, 1]
     * (ratio/0.12 clipped — 0.12 is ~2x the corpus-median ratio, so
     * scores spread across all ten bins) against the `lang = 'en'`
-    * label the score imperfectly predicts. */
-  private def calibrationScored(s: SparkSession, d: String): DataFrame =
-    docs(s, d).select(
+    * label the score imperfectly predicts. [[scoreLabel]] is the
+    * frame-generic form the round-15 recalibration and release-card
+    * queries reuse, so every calibration-family query scores through
+    * ONE derivation. */
+  private[graft] def scoreLabel(df: DataFrame): DataFrame =
+    df.select(
       least(stopRatio / lit(0.12), lit(1.0)).as("score"),
       (col("lang") === "en").as("label"))
+
+  private[graft] def calibrationScored(
+      s: SparkSession, d: String): DataFrame =
+    scoreLabel(docs(s, d))
 
   /** The q_psi scoring: [[stopRatio]] at a caller-chosen scale
     * divisor, with the even/odd split flag for the two releases. */
@@ -527,9 +532,14 @@ object QueriesR14 {
     // Pure integer replay: base seats by div, leftover seats to the
     // largest (budget*w) mod W remainders, ties by key.
     "q_apportion" ->
+      // The engine (Curation.apportionBudget) drops null/zero-weight
+      // keys before seating; mirror that filter here so a source whose
+      // summed mass is ever 0 or null cannot open an engine-vs-oracle
+      // row-count divergence (round-15 ADVICE).
       """WITH k AS (SELECT source AS key,
         |    CAST(sum(n_chars) AS BIGINT) AS weight
-        |  FROM documents GROUP BY source),
+        |  FROM documents GROUP BY source
+        |  HAVING sum(n_chars) IS NOT NULL AND sum(n_chars) > 0),
         |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM k),
         |q AS (SELECT key, weight,
         |    (1000000000 * weight) // w AS base,
@@ -637,7 +647,7 @@ object QueriesR14 {
     * share: tokenize, stopword-ratio score clipped into [0, 1], decile
     * bins, fixed-point mean scores — ending in a `rep` CTE with the
     * operator's exact output columns. */
-  private def calibrationBinsCte: String =
+  private[graft] def calibrationBinsCte: String =
     """WITH t AS (SELECT lang, regexp_extract_all(text, '\S+') toks
       |           FROM documents),
       |s AS (SELECT least(

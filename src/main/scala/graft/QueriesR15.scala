@@ -1,0 +1,338 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Round-15 queries: the recalibration loop (the fix a drifted
+  * calibration report asks for) and the sitemap freshness/fetch-loop
+  * compositions the round-14 verdict flagged as set-up-but-unfinished.
+  *
+  *  - q_recalibrate: [[operators.QualityModel.recalibrate]] — isotonic
+  *    (pool-adjacent-violators) recalibration of the stopword-ratio
+  *    scorer's reliability table, computed declaratively via the
+  *    min-max identity over the cumulative sum diagram; the oracle
+  *    replays the identity with the same integer sums and IEEE
+  *    divisions.
+  *  - q_recalibrate_ece: the closed loop — ECE before vs after
+  *    [[operators.QualityModel.applyCalibration]] remaps the scores
+  *    through the broadcast isotonic mapping; the after side re-runs
+  *    the full reliability report on the calibrated scores.
+  *  - q_recrawl_seeded: [[operators.Crawl.recrawlScheduleSeeded]] —
+  *    sitemap `lastmod` priors fill the no-revisit-history gap in the
+  *    Cho & Garcia-Molina schedule (observed history supersedes), with
+  *    entity-escaped sitemap locs unescaped at the boundary so an
+  *    `&amp;` URL joins its fetch history and schedules under its REAL
+  *    spelling.
+  *  - q_frontier_xml: [[operators.Crawl.frontierPlanSeededXml]] — the
+  *    sitemap-INDEX children of fetched sitemap bodies union into the
+  *    candidate pool alongside the robots `Sitemap:` directives,
+  *    unescaped at the same boundary; `kind='url'` entries do NOT
+  *    seed (they are page discoveries, not sitemap fetches).
+  */
+object QueriesR15 {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** q_recrawl_seeded's clock: lastmod ages at this `nowS` span all
+    * three clamp regimes of the prior (max-clamped, interior,
+    * min-clamped) across the fixture's 0..119-day lastmod spread. */
+  private val SeededNowS = 9000000.0
+
+  /** The sitemap-INDEX fixture for q_frontier_xml: two index children
+    * on frontier hosts — one with an entity-escaped `&amp;` query that
+    * must arrive in the schedule unescaped — plus a urlset body whose
+    * `kind='url'` entry must NOT seed. */
+  private[graft] val SitemapIndexBodies: Seq[(String, Seq[String])] = Seq(
+    "site1.example.com" -> Seq(
+      "<sitemapindex>",
+      "  <sitemap><loc>http://site1.example.com/maps/sm-a.xml</loc>",
+      "    <lastmod>2026-05-01</lastmod></sitemap>",
+      "  <sitemap>",
+      "    <loc>http://site2.example.com/sm.xml?a=1&amp;b=2</loc>",
+      "  </sitemap>",
+      "</sitemapindex>"),
+    "site3.example.com" -> Seq(
+      "<urlset>",
+      "  <url><loc>http://site3.example.com/page-only</loc></url>",
+      "</urlset>"))
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- isotonic recalibration mapping: PAV over the stopword-ratio
+    //     scorer's reliability bins via the min-max identity —
+    //     monotone calibrated probabilities from integer bin masses,
+    //     no driver-side pooling loop. ---
+    "q_recalibrate" -> ((s, d) =>
+      operators.QualityModel.recalibrate(
+        QueriesR14.calibrationScored(s, d), "score", "label")),
+    // --- the closed recalibration loop: ECE of the raw scorer vs ECE
+    //     after the broadcast isotonic remap — the number that proves
+    //     the fix fixes (spec-pinned ece_after <= ece_before; here
+    //     both sides are exact-gated). ---
+    "q_recalibrate_ece" -> { (s, d) =>
+      val scored = QueriesR14.calibrationScored(s, d)
+      val before = operators.QualityModel.expectedCalibrationError(
+        operators.QualityModel.calibrationReport(scored, "score", "label"))
+        .select(col("ece").as("ece_before"))
+      val mapping = operators.QualityModel.recalibrate(
+        scored, "score", "label")
+      val applied = operators.QualityModel.applyCalibration(
+        scored, "score", mapping)
+      val after = operators.QualityModel.expectedCalibrationError(
+        operators.QualityModel.calibrationReport(
+          applied, "calibrated_score", "label"))
+        .select(col("ece").as("ece_after"))
+      before.crossJoin(broadcast(after))
+    },
+    // --- sitemap-seeded recrawl schedule: q_recrawl's history thinned
+    //     (every 3rd URL never fetched, every 5th seen once) plus a
+    //     sitemap declaring lastmod for even doc_ids — so the output
+    //     spans all three bases: observed (revisit history wins even
+    //     when a lastmod exists), sitemap (the prior fills the
+    //     no-history gap, ages spanning all three clamp regimes), and
+    //     default (no signal at all -> max clamp). URLs with neither
+    //     history nor a dated sitemap row are absent by construction.
+    //     doc_id % 10 == 4 URLs carry a ?a=1&b=2 query whose sitemap
+    //     spelling is entity-escaped — the schedule must show the REAL
+    //     ampersand spelling, joined to its history. ---
+    "q_recrawl_seeded" -> { (s, d) =>
+      val b = col("doc_id").cast("string")
+      val urlBase = concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/d/"), b)
+      val urlTrue = when(col("doc_id") % 10 === 4,
+        concat(urlBase, lit("?a=1&b=2"))).otherwise(urlBase)
+      val urlEsc = when(col("doc_id") % 10 === 4,
+        concat(urlBase, lit("?a=1&amp;b=2"))).otherwise(urlBase)
+      val gap = lit(600.0) +
+        (col("doc_id") % 10).cast("double") * lit(300.0)
+      val period = col("doc_id") % 4 + 1
+      val hist = docs(s, d)
+        .filter(col("doc_id") % 3 =!= 2)
+        .select(col("doc_id"), urlTrue.as("url"), gap.as("__gap"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+        .filter(col("doc_id") % 5 =!= 0 || col("j") === 0)
+        .select(col("url"),
+          (col("j").cast("double") * col("__gap")).as("fetched_at_s"),
+          floor(col("j") / period).cast("string").as("digest"))
+      val sitemap = docs(s, d)
+        .filter(col("doc_id") % 2 === 0)
+        .select(urlEsc.as("loc"),
+          date_add(to_date(lit("1970-01-01")),
+            (col("doc_id") % 120).cast("int")).as("lastmod"))
+      operators.Crawl.recrawlScheduleSeeded(hist, "url", "fetched_at_s",
+        "digest", sitemap, "loc", "lastmod",
+        nowS = SeededNowS, minIntervalS = 300.0, maxIntervalS = 2592000.0)
+    },
+    // --- sitemap-index-seeded frontier: q_frontier_seeded's robots
+    //     fixture plus fetched sitemap-INDEX bodies — index children
+    //     (one entity-escaped) enter the pool at seed priority; the
+    //     urlset body's kind='url' entry must not. ---
+    "q_frontier_xml" -> { (s, d) =>
+      import s.implicits._
+      val bodies = QueriesR14.robotsBodiesDf(s)
+      val smBodies = SitemapIndexBodies
+        .map { case (h, ls) => (h, ls.mkString("\n")) }
+        .toDF("host", "body")
+      val h = (col("doc_id") % 6).cast("string")
+      val cand = docs(s, d).select(
+        concat(lit("http://site"), h, lit(".example.com/p/"),
+          col("doc_id").cast("string")).as("url"),
+        col("n_chars").as("priority"))
+      val policy = operators.Crawl.parseCrawlDelay(
+        bodies, "host", "body", "graftbot")
+      operators.Crawl.frontierPlanSeededXml(
+        cand, "url", "priority", bodies, smBodies, "host", "body",
+        policy, defaultDelayS = 7.0, maxPerHost = 40, seedPriority = 1e6)
+    })
+
+  /** The isotonic-fit CTE chain both recalibration oracles share,
+    * appended after [[QueriesR14.calibrationBinsCte]]'s `b` (bin,
+    * micros, pos per row): integer bin masses, cumulative sums, the
+    * min-max identity over every contiguous bin range — ending in an
+    * `fit` CTE of (bin, n, np, cal). */
+  private def isotonicCtes: String =
+    """,
+      |g AS (SELECT bin, count(*) AS n, CAST(sum(pos) AS BIGINT) AS np
+      |      FROM b GROUP BY bin),
+      |cum AS (SELECT bin, n, np,
+      |    CAST(sum(n) OVER (ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+      |    CAST(sum(np) OVER (ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnp
+      |  FROM g),
+      |segs AS (SELECT j.bin AS jb, k.bin AS kb,
+      |    CAST(k.cnp - (j.cnp - j.np) AS DOUBLE)
+      |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS r
+      |  FROM cum j JOIN cum k ON j.bin <= k.bin),
+      |mn AS (SELECT i.bin, segs.jb, min(r) AS mr
+      |  FROM g i JOIN segs ON segs.jb <= i.bin AND segs.kb >= i.bin
+      |  GROUP BY i.bin, segs.jb),
+      |fit AS (SELECT mn.bin, g.n, g.np, max(mn.mr) AS cal
+      |  FROM mn JOIN g ON g.bin = mn.bin
+      |  GROUP BY mn.bin, g.n, g.np)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    // Independent replay of the min-max isotonic identity: the same
+    // integer bin masses and IEEE segment-mean divisions, min over
+    // ranges ending at the bin, max over ranges starting at it.
+    "q_recalibrate" ->
+      (QueriesR14.calibrationBinsCte + isotonicCtes +
+        """
+          |SELECT CAST(bin AS INTEGER) AS bin, n,
+          |  round(CAST(np AS DOUBLE) / n, 6) AS label_rate,
+          |  round(cal, 6) AS calibrated
+          |FROM fit""".stripMargin),
+    // Before: the q_calibration_ece fold. After: scores remapped
+    // through the ROUNDED isotonic values (unseen bins keep the raw
+    // score — none here, replayed anyway), then the full reliability
+    // report re-runs on the calibrated scores.
+    "q_recalibrate_ece" ->
+      (QueriesR14.calibrationBinsCte + isotonicCtes +
+        """,
+          |eb AS (SELECT round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
+          |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece_before
+          |  FROM rep),
+          |ap AS (SELECT coalesce(round(fit.cal, 6), s.score) AS cs,
+          |    s.label AS label
+          |  FROM s LEFT JOIN fit
+          |    ON fit.bin = greatest(least(CAST(floor(s.score * 10) AS INT),
+          |      9), 0)),
+          |b2 AS (SELECT greatest(least(CAST(floor(cs * 10) AS INT), 9), 0)
+          |      AS bin,
+          |    CAST(round(cs * 1e6) AS BIGINT) AS micros,
+          |    CAST(label AS INT) AS pos FROM ap),
+          |rep2 AS (SELECT bin, count(*) AS n,
+          |    round(CAST(sum(pos) AS DOUBLE) / count(*)
+          |      - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap
+          |  FROM b2 GROUP BY bin),
+          |ea AS (SELECT round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
+          |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece_after
+          |  FROM rep2)
+          |SELECT eb.ece_before, ea.ece_after FROM eb, ea""".stripMargin),
+    // Full seeded-schedule replay: the thinned history through the
+    // same lag/agg/estimator chain as q_recrawl, the sitemap side
+    // through the SAME five-replace unescape chain as the engine,
+    // date arithmetic as whole days x 86400 (timezone-free in both
+    // engines), a FULL OUTER join, and the three-way basis CASE.
+    "q_recrawl_seeded" ->
+      """WITH raw AS (SELECT doc_id,
+        |    'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/d/'
+        |      || CAST(doc_id AS VARCHAR) AS base
+        |  FROM documents),
+        |h AS (SELECT
+        |    CASE WHEN r.doc_id % 10 = 4 THEN r.base || '?a=1&b=2'
+        |      ELSE r.base END AS url,
+        |    CAST(j AS DOUBLE) *
+        |      (CAST(600 AS DOUBLE) + CAST(r.doc_id % 10 AS DOUBLE) * 300)
+        |      AS ts,
+        |    CAST(j // (r.doc_id % 4 + 1) AS VARCHAR) AS digest
+        |  FROM raw r, unnest(generate_series(0, 3)) t(j)
+        |  WHERE r.doc_id % 3 <> 2 AND (r.doc_id % 5 <> 0 OR j = 0)),
+        |f AS (SELECT url, ts,
+        |    CASE
+        |      WHEN lag(digest) OVER (PARTITION BY url ORDER BY ts) IS NULL
+        |        THEN NULL
+        |      WHEN digest <> lag(digest) OVER (PARTITION BY url ORDER BY ts)
+        |        THEN 1 ELSE 0 END AS chg
+        |  FROM h),
+        |a AS (SELECT url, count(*) - 1 AS n_revisits,
+        |    CAST(coalesce(sum(chg), 0) AS BIGINT) AS n_changes,
+        |    min(ts) AS fts, max(ts) AS lts
+        |  FROM f GROUP BY url),
+        |sm AS (SELECT
+        |    replace(replace(replace(replace(replace(
+        |      CASE WHEN doc_id % 10 = 4 THEN base || '?a=1&amp;b=2'
+        |        ELSE base END,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&apos;', ''''), '&amp;', '&') AS url,
+        |    max(DATE '1970-01-01' + CAST(doc_id % 120 AS INT)) AS lm
+        |  FROM raw WHERE doc_id % 2 = 0 GROUP BY 1),
+        |jj AS (SELECT coalesce(a.url, sm.url) AS url,
+        |    CAST(coalesce(a.n_revisits, 0) AS BIGINT) AS n_revisits,
+        |    CAST(coalesce(a.n_changes, 0) AS BIGINT) AS n_changes,
+        |    a.fts, a.lts, sm.lm
+        |  FROM a FULL OUTER JOIN sm ON a.url = sm.url),
+        |i AS (SELECT url, n_revisits, n_changes, lts, lm,
+        |    CASE
+        |      WHEN n_revisits > 0 THEN
+        |        CASE WHEN n_changes = 0 THEN CAST(2592000 AS DOUBLE)
+        |          ELSE least(greatest(
+        |            1.0 / (-ln((CAST(n_revisits - n_changes AS DOUBLE) + 0.5)
+        |                     / (CAST(n_revisits AS DOUBLE) + 0.5))
+        |                   / ((lts - fts) / CAST(n_revisits AS DOUBLE))),
+        |            CAST(300 AS DOUBLE)), CAST(2592000 AS DOUBLE)) END
+        |      WHEN lm IS NOT NULL THEN least(greatest(
+        |          CAST(9000000 AS DOUBLE)
+        |            - CAST(lm - DATE '1970-01-01' AS DOUBLE) * 86400,
+        |          CAST(300 AS DOUBLE)), CAST(2592000 AS DOUBLE))
+        |      ELSE CAST(2592000 AS DOUBLE) END AS iv,
+        |    CASE WHEN n_revisits > 0 THEN 'observed'
+        |      WHEN lm IS NOT NULL THEN 'sitemap'
+        |      ELSE 'default' END AS basis
+        |  FROM jj)
+        |SELECT url, n_revisits, n_changes, round(iv, 6) AS interval_s,
+        |  round(coalesce(lts, CAST(9000000 AS DOUBLE)) + iv, 6)
+        |    AS next_fetch_at_s,
+        |  basis
+        |FROM i""".stripMargin,
+    // q_frontier_seeded's replay plus the index arm: the VALUES-
+    // rendered index bodies through the same block/field extraction
+    // as q_sitemap_xml, kind='sitemap' blocks only, locs through the
+    // same five-replace unescape chain.
+    "q_frontier_xml" -> {
+      val valuesRows = SitemapIndexBodies.map { case (h, ls) =>
+        val bodyExpr = ls.map {
+          case "" => "''"
+          case l => s"'${l.replace("'", "''")}'"
+        }.mkString(" || chr(10) || ")
+        s"  ('$h', $bodyExpr)"
+      }.mkString(",\n")
+      QueriesR13.robotsCtes +
+        s""",
+           |sm AS (SELECT DISTINCT host, value AS url FROM l5
+           |       WHERE field = 'sitemap' AND value <> ''),
+           |delays AS (SELECT l5.host AS dhost,
+           |    max(TRY_CAST(value AS DOUBLE)) AS delay_s
+           |  FROM l5 JOIN sel ON l5.host = sel.host AND l5.grp = sel.grp
+           |  WHERE field = 'crawl-delay' AND TRY_CAST(value AS DOUBLE) >= 0
+           |  GROUP BY l5.host),
+           |smx(host, body) AS (VALUES
+           |$valuesRows),
+           |xb AS (SELECT host, unnest(regexp_extract_all(body,
+           |        '(?s)<sitemap>(.*?)</sitemap>', 1)) AS block FROM smx),
+           |xp AS (SELECT DISTINCT host,
+           |    trim(regexp_extract(block, '(?s)<loc>\\s*(.*?)\\s*</loc>', 1))
+           |      AS loc,
+           |    TRY_CAST(regexp_extract(block,
+           |      '<lastmod>\\s*([0-9]{4}-[0-9]{2}-[0-9]{2})', 1) AS DATE)
+           |      AS lastmod
+           |  FROM xb),
+           |xs AS (SELECT replace(replace(replace(replace(replace(loc,
+           |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |    '&apos;', ''''), '&amp;', '&') AS url
+           |  FROM xp WHERE loc <> ''),
+           |u AS (SELECT
+           |    'http://site' || CAST(doc_id % 6 AS VARCHAR)
+           |      || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS canon_url,
+           |    CAST(n_chars AS DOUBLE) AS priority,
+           |    'site' || CAST(doc_id % 6 AS VARCHAR) || '.example.com' AS host
+           |  FROM documents
+           |  UNION ALL
+           |  SELECT url AS canon_url, 1000000.0 AS priority,
+           |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS host
+           |  FROM sm
+           |  UNION ALL
+           |  SELECT url AS canon_url, 1000000.0 AS priority,
+           |    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1) AS host
+           |  FROM xs),
+           |rk AS (SELECT canon_url, priority, host,
+           |    row_number() OVER (PARTITION BY host
+           |      ORDER BY priority DESC, canon_url) AS rank
+           |  FROM u),
+           |cp AS (SELECT * FROM rk WHERE rank <= 40)
+           |SELECT cp.canon_url, cp.priority, cp.host, cp.rank,
+           |       coalesce(delays.delay_s, 7.0) AS delay_s,
+           |       (cp.rank - 1) * coalesce(delays.delay_s, 7.0) AS fetch_at_s
+           |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin
+    })
+}

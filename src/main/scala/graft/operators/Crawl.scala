@@ -858,6 +858,23 @@ object Crawl {
       maxIntervalS: Double): DataFrame = {
     require(minIntervalS > 0 && maxIntervalS >= minIntervalS,
       "need 0 < minIntervalS <= maxIntervalS")
+    val agg = recrawlAggregate(history, urlCol, tsCol, digestCol)
+    val interval = observedInterval(minIntervalS, maxIntervalS)
+    agg.select(col("url"), col("n_revisits"), col("n_changes"),
+      round(interval, 6).as("interval_s"),
+      round(col("__last") + interval, 6).as("next_fetch_at_s"))
+  }
+
+  /** The per-url revisit rollup [[recrawlSchedule]] and
+    * [[recrawlScheduleSeeded]] share: change flags from a per-url lag
+    * window, then the (n_revisits, n_changes, first, last) fold — the
+    * window and the rollup group on the SAME url key, so the plan
+    * shuffles ONCE (the spec-pinned shape). */
+  private def recrawlAggregate(
+      history: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      digestCol: String): DataFrame = {
     val w = Window.partitionBy(col("url")).orderBy(col("__ts"))
     val prev = lag(col("__dg"), 1).over(w)
     val flagged = history
@@ -868,22 +885,26 @@ object Crawl {
       .withColumn("__chg",
         when(prev.isNull, lit(null).cast("int"))
           .otherwise((col("__dg") =!= prev).cast("int")))
-    val agg = flagged.groupBy(col("url")).agg(
+    flagged.groupBy(col("url")).agg(
       (count(lit(1)) - 1).as("n_revisits"),
       coalesce(sum(col("__chg")), lit(0L)).as("n_changes"),
       min(col("__ts")).as("__first"), max(col("__ts")).as("__last"))
+  }
+
+  /** Cho & Garcia-Molina interval off [[recrawlAggregate]]'s columns:
+    * clamped `1/lambda` when changes were observed, `maxIntervalS`
+    * when the url was seen once or never seen changing (the lambda→0
+    * limit made explicit). */
+  private def observedInterval(
+      minIntervalS: Double, maxIntervalS: Double): Column = {
     val n = col("n_revisits").cast("double")
     val c = col("n_changes").cast("double")
     val meanGap = (col("__last") - col("__first")) / n
     val lambda = -log((n - c + lit(0.5)) / (n + lit(0.5))) / meanGap
-    val interval =
-      when(col("n_revisits") === 0 || col("n_changes") === 0,
-        lit(maxIntervalS))
-        .otherwise(least(greatest(lit(1.0) / lambda, lit(minIntervalS)),
-          lit(maxIntervalS)))
-    agg.select(col("url"), col("n_revisits"), col("n_changes"),
-      round(interval, 6).as("interval_s"),
-      round(col("__last") + interval, 6).as("next_fetch_at_s"))
+    when(col("n_revisits") === 0 || col("n_changes") === 0,
+      lit(maxIntervalS))
+      .otherwise(least(greatest(lit(1.0) / lambda, lit(minIntervalS)),
+        lit(maxIntervalS)))
   }
 
   /** Parse fetched SITEMAP XML bodies (sitemaps.org protocol) into the
@@ -921,6 +942,137 @@ object Crawl {
         lit(kind).as("kind"))
       .filter(col("loc") =!= "")
     entries("url").unionByName(entries("sitemap")).distinct()
+  }
+
+  /** Unescape the five predefined XML entities — the boundary step
+    * between [[parseSitemapBodies]] (which keeps entities as-is, the
+    * documented regex-subset trade) and any consumer that treats `loc`
+    * as a real URL: the sitemaps protocol REQUIRES `&` in URLs to be
+    * written `&amp;`, so a frontier or scheduler fed the escaped form
+    * would fetch the wrong URL. `&amp;` substitutes LAST so literal
+    * text like `&amp;lt;` correctly yields `&lt;` instead of `<`.
+    * Numeric character references (`&#NN;`) are NOT handled — same
+    * documented-subset trade as the parse itself; plain `replace`
+    * chains, so the DuckDB oracle replays it byte-for-byte. Map-only. */
+  def xmlUnescape(c: Column): Column =
+    replace(
+      replace(
+        replace(
+          replace(
+            replace(c, lit("&lt;"), lit("<")),
+            lit("&gt;"), lit(">")),
+          lit("&quot;"), lit("\"")),
+        lit("&apos;"), lit("'")),
+      lit("&amp;"), lit("&"))
+
+  /** [[recrawlSchedule]] SEEDED with sitemap `lastmod` priors — the
+    * composition that closes the freshness loop: [[parseSitemapBodies]]
+    * yields per-URL publisher-declared modification dates, and a URL
+    * the crawler has no revisit signal for (never fetched, or seen
+    * once) schedules off that PRIOR instead of falling to the max
+    * clamp: `interval = clamp(nowS − lastmod)` — a page modified
+    * recently likely changes often (the age-proportional heuristic Cho
+    * & Garcia-Molina start from before history accumulates), a page
+    * untouched for a year earns its slow lane. Observed history
+    * SUPERSEDES the prior: any revisit evidence — even "revisited,
+    * never changed", which is genuine stability evidence a publisher
+    * claim cannot override — routes through the observed estimator.
+    * `basis` says which lane each URL took (`observed` / `sitemap` /
+    * `default`).
+    *
+    * Sitemap `loc`s pass through [[xmlUnescape]] at this boundary (the
+    * protocol mandates entity-escaped URLs; the history side carries
+    * real fetched URLs) — spell both feeds canonically upstream if
+    * they can differ (e.g. [[canonicalizeUrl]]).
+    *
+    * Next fetch anchors at the last observation when one exists, else
+    * at `nowS` (a never-fetched URL's clock starts now).
+    *
+    * Scale shape: the history side is [[recrawlAggregate]]'s ONE
+    * url-key exchange; the sitemap side collapses duplicate
+    * declarations per URL (newest lastmod wins) in one exchange on the
+    * SAME key, and the full-outer join joins two url-partitioned
+    * sides. lastmod→seconds is `unix_date`-based (whole days × 86400),
+    * timezone-free in both engines. */
+  def recrawlScheduleSeeded(
+      history: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      digestCol: String,
+      sitemap: DataFrame,
+      locCol: String,
+      lastmodCol: String,
+      nowS: Double,
+      minIntervalS: Double,
+      maxIntervalS: Double): DataFrame = {
+    require(minIntervalS > 0 && maxIntervalS >= minIntervalS,
+      "need 0 < minIntervalS <= maxIntervalS")
+    val agg = recrawlAggregate(history, urlCol, tsCol, digestCol)
+    val prior = sitemap
+      .filter(col(lastmodCol).isNotNull)
+      .select(xmlUnescape(col(locCol)).as("url"),
+        col(lastmodCol).cast("date").as("__lm"))
+      .groupBy(col("url")).agg(max(col("__lm")).as("__lm"))
+    val joined = agg.join(prior, Seq("url"), "full_outer")
+    val priorAge =
+      lit(nowS) - unix_date(col("__lm")).cast("double") * 86400
+    val interval =
+      when(col("n_revisits") > 0,
+        observedInterval(minIntervalS, maxIntervalS))
+        .when(col("__lm").isNotNull,
+          least(greatest(priorAge, lit(minIntervalS)), lit(maxIntervalS)))
+        .otherwise(lit(maxIntervalS))
+    joined.select(col("url"),
+      coalesce(col("n_revisits"), lit(0L)).as("n_revisits"),
+      coalesce(col("n_changes"), lit(0L)).as("n_changes"),
+      round(interval, 6).as("interval_s"),
+      round(coalesce(col("__last"), lit(nowS)) + interval, 6)
+        .as("next_fetch_at_s"),
+      when(col("n_revisits") > 0, lit("observed"))
+        .when(col("__lm").isNotNull, lit("sitemap"))
+        .otherwise(lit("default")).as("basis"))
+  }
+
+  /** [[frontierPlanSeeded]] extended with the sitemap-INDEX arm — the
+    * composition that closes the sitemap fetch loop: robots `Sitemap:`
+    * directives seed the first sitemap fetches, and the fetched
+    * bodies' `kind='sitemap'` children ([[parseSitemapBodies]] on a
+    * sitemap INDEX) seed the next layer, so a site publishing an index
+    * of 50 000 child sitemaps actually gets them all fetched instead
+    * of stopping one level deep. Child `loc`s pass through
+    * [[xmlUnescape]] at this boundary (entity-escaped by protocol —
+    * an `&amp;` child would otherwise enter the frontier misspelled).
+    *
+    * Scale shape: both seed arms are map-side unions into the
+    * candidate pool (the index arm's DISTINCT exchanges only parsed
+    * `(host, loc)` rows on the small parse side); the merged pool
+    * still crosses exactly [[frontierPlan]]'s ONE bounded top-k
+    * exchange — the frontierPlanSeeded pin, unchanged. */
+  def frontierPlanSeededXml(
+      df: DataFrame,
+      urlCol: String,
+      priorityCol: String,
+      robots: DataFrame,
+      sitemapBodies: DataFrame,
+      hostCol: String,
+      bodyCol: String,
+      policy: DataFrame,
+      defaultDelayS: Double,
+      maxPerHost: Int,
+      seedPriority: Double): DataFrame = {
+    val dirSeeds = parseSitemaps(robots, hostCol, bodyCol)
+      .select(col("sitemap_url").as("__url"),
+        lit(seedPriority).cast("double").as("__pri"))
+    val idxSeeds = parseSitemapBodies(sitemapBodies, hostCol, bodyCol)
+      .filter(col("kind") === "sitemap")
+      .select(xmlUnescape(col("loc")).as("__url"),
+        lit(seedPriority).cast("double").as("__pri"))
+    val cand = df
+      .select(col(urlCol).as("__url"),
+        col(priorityCol).cast("double").as("__pri"))
+      .unionByName(dirSeeds)
+      .unionByName(idxSeeds)
+    frontierPlan(cand, "__url", "__pri", policy, defaultDelayS, maxPerHost)
   }
 
   /** RFC 9309 §2.4 robots-cache freshness: crawlers MAY cache a fetched

@@ -167,7 +167,11 @@ object QualityModel {
       bins: Int = 10): DataFrame = {
     require(bins >= 2, "need at least 2 calibration bins")
     val s = col(scoreCol).cast("double")
-    df.filter(s.isNotNull)
+    // Null-label rows drop along with null scores — the shared contract
+    // of all three report operators (rocAuc, thresholdReport): left in,
+    // a null label counts toward each bin's n and mean_score while
+    // sum(__pos) skips it, silently deflating label_rate and gap.
+    df.filter(s.isNotNull && col(labelCol).isNotNull)
       // out-of-range scores clip into the edge bins (1.0 folds into
       // the top bin; a negative score would otherwise mint bin −k)
       .select(greatest(
@@ -195,20 +199,31 @@ object QualityModel {
     * are honest, AUC says whether the ORDER is useful — a threshold
     * filter only consumes the order.
     *
-    * Scale shape: never a row-level global sort. Rows collapse to
-    * DISTINCT score values first (one partial-aggregating exchange on
-    * the score key — the hostReport discipline), the running-count
-    * window then orders only the distinct-score table (bounded by
-    * score cardinality: quantized/rounded scores in practice — round
-    * upstream if the score is raw-continuous), and one final aggregate
-    * folds the rank sums. Every average rank is a multiple of ½ and
-    * rank-mass products are exact in doubles, so the sums are
-    * order-independent — bit-stable without fixed-point. */
+    * Scale shape: never a row-level global sort. Scores quantize to
+    * `scale` decimals INSIDE the operator (half-up, the engine's
+    * `round`), rows collapse to DISTINCT quantized values (one
+    * partial-aggregating exchange on the score key — the hostReport
+    * discipline), the running-count window then orders only the
+    * distinct-score table — hard-bounded at 10^scale + 1 rows for
+    * scores in [0, 1], so a caller feeding raw LR probabilities can no
+    * longer trip a row-cardinality single-task sort (the round-14
+    * unenforced-precondition finding) — and one final aggregate folds
+    * the rank sums. Quantizing at 6 decimals moves AUC by at most
+    * ~n_pos·n_neg·5e-7 worth of newly-tied pairs (each counted ½
+    * instead of 0/1) — noise at any realistic score resolution; pass a
+    * larger `scale` if the score genuinely carries more precision
+    * (each extra decimal is a 10× wider window, still one exchange).
+    * Every average rank is a multiple of ½ and rank-mass products are
+    * exact in doubles, so the sums are order-independent — bit-stable
+    * without fixed-point. */
   def rocAuc(
       df: DataFrame,
       scoreCol: String,
-      labelCol: String): DataFrame = {
-    val s = col(scoreCol).cast("double")
+      labelCol: String,
+      scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9,
+      s"scale must be in [0, 9] (10^scale bounds the ordered window); got $scale")
+    val s = round(col(scoreCol).cast("double"), scale)
     // null LABELS drop too (same contract as thresholdReport): left
     // in, they would occupy rank positions while vanishing from
     // n_pos/n_neg, silently pushing AUC outside [0, 1].
@@ -326,6 +341,122 @@ object QualityModel {
             log(((col("n_cur") + 0.5) / (col("__tc") + 0.5 * bins)) /
               ((col("n_base") + 0.5) / (col("__tb") + 0.5 * bins))), 6)
           .as("psi"))
+  }
+
+  /** [[populationStability]]'s gate SCALAR: the summed per-bin PSI —
+    * the single number a release report carries and a deployment gate
+    * thresholds (> 0.25 conventionally triggers a re-fit). Folds the
+    * ROUNDED per-bin terms back to integer micros before summing (the
+    * [[expectedCalibrationError]] discipline), so the scalar is
+    * bit-exact under any merge order. */
+  def psiTotal(
+      base: DataFrame,
+      current: DataFrame,
+      scoreCol: String,
+      bins: Int = 10): DataFrame =
+    populationStability(base, current, scoreCol, bins)
+      .agg(round(
+        sum(round(col("psi") * 1e6).cast("long")).cast("double") / 1e6, 6)
+        .as("psi_total"))
+
+  /** Isotonic recalibration mapping — what a drifted
+    * [[calibrationReport]] gets FIXED with (the report and
+    * [[expectedCalibrationError]] say when the scorer's probabilities
+    * drifted; this produces the correction). Scores bin exactly as in
+    * calibrationReport, and the calibrated probability per bin is the
+    * ISOTONIC REGRESSION of the empirical label rate on the bin order,
+    * weighted by bin mass — pool-adjacent-violators semantics computed
+    * via the equivalent min-max identity over the cumulative sum
+    * diagram (Ayer et al. 1955; Robertson, Wright & Dykstra 1988,
+    * §1.2):
+    *
+    *   fitted(i) = max_{j ≤ i} min_{k ≥ i}
+    *     (pos(j..k)) / (count(j..k))
+    *
+    * — the slope of the greatest convex minorant, identical to PAV's
+    * pooled block means but expressible as plain joins, so it runs
+    * DECLARATIVELY (no driver-side pooling loop) and replays exactly in
+    * SQL: every ratio is one IEEE division of two integer sums, and
+    * min/max over identical doubles are engine-independent.
+    *
+    * Output: `(bin, n, label_rate, calibrated)` — monotone
+    * nondecreasing `calibrated` in [0, 1], only for bins with mass.
+    * Apply with [[applyCalibration]]. Null scores AND null labels drop
+    * (the three-report contract).
+    *
+    * Scale shape: the corpus collapses to ≤ `bins` integer rows in ONE
+    * partial-aggregating exchange (calibrationReport's shape); the
+    * min-max triple join touches ≤ bins³ rows of post-aggregate data —
+    * trivial at any corpus size, and no `.collect()`: the mapping
+    * stays a DataFrame for [[applyCalibration]] to broadcast. */
+  def recalibrate(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 calibration bins")
+    val s = col(scoreCol).cast("double")
+    val binned = df.filter(s.isNotNull && col(labelCol).isNotNull)
+      .select(greatest(
+          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
+          .as("bin"),
+        col(labelCol).cast("boolean").cast("int").as("__pos"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__pos")).as("__np"))
+    // Cumulative sums over the ≤ bins-row table: the one ordered
+    // window in this operator runs on post-aggregate rows hard-bounded
+    // by `bins` — never on corpus rows.
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = binned
+      .withColumn("__cn", sum(col("n")).over(w))
+      .withColumn("__cnp", sum(col("__np")).over(w))
+    // Segment means over every contiguous bin range [j..k]: prefix
+    // BEFORE j is (__cn − n, __cnp − __np) at j.
+    val jSide = cum.select(col("bin").as("__jb"),
+      (col("__cn") - col("n")).as("__cn0"),
+      (col("__cnp") - col("__np")).as("__cnp0"))
+    val kSide = cum.select(col("bin").as("__kb"),
+      col("__cn").as("__cnk"), col("__cnp").as("__cnpk"))
+    val segs = jSide.join(kSide, col("__jb") <= col("__kb"))
+      .select(col("__jb"), col("__kb"),
+        ((col("__cnpk") - col("__cnp0")).cast("double") /
+          (col("__cnk") - col("__cn0")).cast("double")).as("__r"))
+    val fitted = binned.select(col("bin"))
+      .join(segs, col("__jb") <= col("bin") && col("__kb") >= col("bin"))
+      .groupBy(col("bin"), col("__jb")).agg(min(col("__r")).as("__mn"))
+      .groupBy(col("bin")).agg(max(col("__mn")).as("__cal"))
+    binned.join(fitted, Seq("bin"))
+      .select(col("bin"), col("n"),
+        round(col("__np").cast("double") / col("n"), 6).as("label_rate"),
+        round(col("__cal"), 6).as("calibrated"))
+  }
+
+  /** Apply a [[recalibrate]] mapping to a score column: each row's
+    * score bins exactly as the mapping was built and takes the bin's
+    * isotonic `calibrated` probability; rows landing in a bin the
+    * mapping never saw (no training mass there) keep their raw score —
+    * the mapping cannot invent evidence it does not have.
+    *
+    * Scale shape: the mapping is ≤ `bins` rows and joins BROADCAST —
+    * the corpus side is map-only (bin arithmetic + one hash probe), no
+    * score-side shuffle at any size (spec-pinned). */
+  def applyCalibration(
+      df: DataFrame,
+      scoreCol: String,
+      mapping: DataFrame,
+      bins: Int = 10,
+      outCol: String = "calibrated_score"): DataFrame = {
+    require(bins >= 2, "need at least 2 calibration bins")
+    val s = col(scoreCol).cast("double")
+    val m = broadcast(mapping
+      .select(col("bin").as("__mbin"), col("calibrated").as("__mcal")))
+    df.withColumn("__bin",
+        when(s.isNotNull, greatest(
+          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))))
+      .join(m, col("__bin") === col("__mbin"), "left")
+      .withColumn(outCol, coalesce(col("__mcal"), s))
+      .drop("__bin", "__mbin", "__mcal")
   }
 
   /** Expected calibration error off [[calibrationReport]]'s table:

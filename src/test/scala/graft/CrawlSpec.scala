@@ -603,6 +603,140 @@ class CrawlSpec extends AnyFunSuite {
     assert(rows("u4") == ((0L, 0L, 10000.0, 10042.0)), s"u4: ${rows("u4")}")
   }
 
+  test("xmlUnescape: five entities, amp substitutes last") {
+    val s = spark
+    import s.implicits._
+    val out = Seq(
+      "a&amp;b", "&lt;tag&gt;", "&quot;q&quot;&apos;", "&amp;lt;", "plain")
+      .toDF("v")
+      .select(Crawl.xmlUnescape(col("v")))
+      .collect().map(_.getString(0)).toSeq
+    // &amp;lt; is the literal TEXT "&lt;" — a chain unescaping &amp;
+    // first would double-decode it to "<"
+    assert(out == Seq("a&b", "<tag>", "\"q\"'", "&lt;", "plain"), out)
+  }
+
+  test("recrawlScheduleSeeded: observed supersedes, lastmod prior fills, two exchanges") {
+    val s = spark
+    import s.implicits._
+    // nowS sits 5000 s past two whole days, so day-2 lastmods land the
+    // prior INTERIOR of the clamps, day-0 at the max, day-3 at the min.
+    val nowS = 2 * 86400.0 + 5000.0
+    val hist = Seq(
+      // u1: real change history — the observed estimator wins even
+      // though a sitemap lastmod exists
+      ("http://h.com/u1", 0.0, "a"), ("http://h.com/u1", 100.0, "a"),
+      ("http://h.com/u1", 200.0, "b"), ("http://h.com/u1", 300.0, "b"),
+      // u2: revisited, never changed — stability EVIDENCE; the prior
+      // must not override the max-clamp verdict
+      ("http://h.com/u2", 0.0, "x"), ("http://h.com/u2", 500.0, "x"),
+      // u4: seen once (no revisit signal) — the lastmod prior applies
+      ("http://h.com/u4", 42.0, "z"),
+      // u6: seen once, no sitemap row — default max clamp
+      ("http://h.com/u6", 7.0, "w"))
+      .toDF("url", "ts", "dg")
+    val sitemap = Seq(
+      ("http://h.com/u1", Some("1970-01-03")),
+      ("http://h.com/u2", Some("1970-01-03")),
+      ("http://h.com/u4", Some("1970-01-03")),
+      // u5: never fetched, entity-escaped loc — must schedule under
+      // its REAL ampersand spelling, clock starting at nowS
+      ("http://h.com/u5?a=1&amp;b=2", Some("1970-01-01")),
+      // u8: never fetched, lastmod in the future of nowS - maxI: the
+      // prior min-clamps
+      ("http://h.com/u8", Some("1970-01-04")),
+      // u7: undated sitemap row — no signal, url absent from output
+      ("http://h.com/u7", None))
+      .toDF("loc", "lastmod")
+      .select(col("loc"), col("lastmod").cast("date").as("lastmod"))
+    val out = Crawl.recrawlScheduleSeeded(hist, "url", "ts", "dg",
+      sitemap, "loc", "lastmod",
+      nowS = nowS, minIntervalS = 50.0, maxIntervalS = 10000.0)
+    // history side reuses its window exchange for the rollup; the
+    // sitemap side folds duplicate declarations on the SAME url key;
+    // the full-outer join reuses both partitionings — exactly two
+    assert(PlanCheck.shuffles(out).size == 2,
+      "seeded schedule must add only the sitemap-side exchange")
+    val rows = out.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getString(5)))).toMap
+    val u1 = rows("http://h.com/u1")
+    val expected = 100.0 / math.log(3.5 / 2.5)
+    assert(u1._1 == 3L && u1._2 == 1L && u1._5 == "observed", u1.toString)
+    assert(math.abs(u1._3 - expected) < 1e-5 &&
+      math.abs(u1._4 - (300.0 + expected)) < 1e-5, u1.toString)
+    assert(rows("http://h.com/u2") == ((1L, 0L, 10000.0, 10500.0,
+      "observed")), s"u2: ${rows("http://h.com/u2")}")
+    // u4: prior age = nowS - 2 days = 5000 s, anchored at its last
+    // (only) observation
+    assert(rows("http://h.com/u4") == ((0L, 0L, 5000.0, 5042.0,
+      "sitemap")), s"u4: ${rows("http://h.com/u4")}")
+    // u5: never fetched — unescaped spelling, clock starts at nowS,
+    // day-0 lastmod maxes the clamp
+    assert(rows("http://h.com/u5?a=1&b=2") == ((0L, 0L, 10000.0,
+      nowS + 10000.0, "sitemap")), s"u5: $rows")
+    assert(!rows.contains("http://h.com/u5?a=1&amp;b=2"),
+      "escaped spelling must not appear")
+    assert(rows("http://h.com/u6") == ((0L, 0L, 10000.0, 10007.0,
+      "default")), s"u6: ${rows("http://h.com/u6")}")
+    assert(rows("http://h.com/u8") == ((0L, 0L, 50.0, nowS + 50.0,
+      "sitemap")), s"u8: ${rows("http://h.com/u8")}")
+    assert(!rows.contains("http://h.com/u7"),
+      "an undated sitemap row carries no signal")
+  }
+
+  test("frontierPlanSeededXml: index children seed unescaped, urlset entries do not") {
+    val s = spark
+    import s.implicits._
+    val bodies = Seq(
+      ("a.com", "User-agent: *\nSitemap: http://a.com/sm.xml"),
+      ("b.com", "User-agent: *\nCrawl-delay: 2")
+    ).toDF("host", "body")
+    val smBodies = Seq(
+      ("a.com", "<sitemapindex>\n" +
+        "<sitemap><loc>http://a.com/child1.xml</loc></sitemap>\n" +
+        "<sitemap><loc> http://b.com/c.xml?x=1&amp;y=2 </loc></sitemap>\n" +
+        "</sitemapindex>"),
+      // a urlset body: kind='url' entries are page discoveries, NOT
+      // sitemap fetches — they must not seed
+      ("b.com", "<urlset><url><loc>http://b.com/page</loc></url></urlset>"))
+      .toDF("host", "body")
+    val cand = Seq(
+      ("http://a.com/p/1", 30.0), ("http://b.com/p/1", 10.0))
+      .toDF("url", "pri")
+    val policy = Crawl.parseCrawlDelay(bodies, "host", "body", "graftbot")
+    val out = Crawl.frontierPlanSeededXml(cand, "url", "pri",
+      bodies, smBodies, "host", "body", policy,
+      defaultDelayS = 9.0, maxPerHost = 10, seedPriority = 1e6)
+    val rows = out.collect().map { r =>
+      r.getString(r.fieldIndex("canon_url")) ->
+        r.getLong(r.fieldIndex("rank"))
+    }.toMap
+    assert(rows == Map(
+      // priority ties break by canon_url: child1 < sm.xml on a.com
+      "http://a.com/child1.xml" -> 1L,
+      "http://a.com/sm.xml" -> 2L,
+      "http://a.com/p/1" -> 3L,
+      // the escaped child arrives UNESCAPED and canonical
+      "http://b.com/c.xml?x=1&y=2" -> 1L,
+      "http://b.com/p/1" -> 2L), rows.toString)
+    assert(!rows.keys.exists(_.contains("page")),
+      "urlset entries must not seed the frontier")
+    // the index arm adds NO candidate-side exchange (the
+    // frontierPlanSeeded pin, extended)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def priShuffles(df: org.apache.spark.sql.DataFrame) =
+      PlanCheck.nodes(df).collect {
+        case e: ShuffleExchangeLike
+          if e.child.output.exists(_.name == "priority") => e
+      }.size
+    val plain = Crawl.frontierPlan(
+      cand.select(col("url"), col("pri").as("priority")),
+      "url", "priority", policy, 9.0, 10)
+    assert(priShuffles(out) == priShuffles(plain),
+      "index seeding must not add a candidate-side exchange")
+  }
+
   test("parseSitemapBodies: blocks, lastmod prefixes, index entries, dedup") {
     val s = spark
     import s.implicits._

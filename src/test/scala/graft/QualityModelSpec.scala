@@ -210,4 +210,157 @@ class QualityModelSpec extends AnyFunSuite {
     // (2*0.45 + 1*0.45 + 2*0.475) / 5 = 2.3 / 5
     assert(ece.getDouble(2) == 0.46, s"ece: ${ece.getDouble(2)}")
   }
+
+  test("calibrationReport: null labels drop like null scores (shared contract)") {
+    val s = spark
+    import s.implicits._
+    // Two labeled rows in bin 5 plus one null-label row: left in, the
+    // null row would count in n and mean_score while sum(__pos) skips
+    // it — label_rate would read 1/3 instead of 1/2 (the round-15
+    // ADVICE finding). All three report operators drop it.
+    val rows = Seq(
+      (Some(0.55), Some(true)), (Some(0.51), Some(false)),
+      (Some(0.59), None), (None, Some(true)))
+      .toDF("score", "label")
+    val out = QualityModel.calibrationReport(rows, "score", "label")
+      .collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out(0)
+    assert(r.getInt(0) == 5 && r.getLong(1) == 2L, r.toString)
+    assert(r.getDouble(2) == 0.53 && r.getDouble(3) == 0.5, r.toString)
+  }
+
+  test("rocAuc quantizes inside: raw-continuous scores, bounded window") {
+    val s = spark
+    import s.implicits._
+    // 4000 DISTINCT raw scores — the shape whose distinct-score table
+    // used to approach row cardinality and unbound the single-task
+    // ordered window (round-14 What's-wrong #1). With scale = 2 the
+    // operator itself quantizes, so the window input is hard-bounded
+    // at 101 rows.
+    val raw = s.range(4000)
+      .select((col("id").cast("double") / 4000.0 +
+        col("id").cast("double") * 1e-9).as("score"),
+        (col("id") % 3 === 0).as("label"))
+    assert(raw.select(col("score")).distinct().count() == 4000L,
+      "fixture must be raw-continuous (all scores distinct)")
+    val frame = QualityModel.rocAuc(raw, "score", "label", scale = 2)
+    val out = frame.collect()(0)
+    // the same AUC as quantizing upstream and running at full scale —
+    // rounding inside is semantics-preserving, not approximate-extra
+    val pre = QualityModel.rocAuc(
+      raw.select(round(col("score"), 2).as("score"), col("label")),
+      "score", "label")
+    assert(out == pre.collect()(0), "internal rounding must equal upstream")
+    // bounded-work pin, falsifiable: the grouped aggregate FEEDING the
+    // ordered window emitted <= 10^scale + 1 rows (4000 without the
+    // internal quantization — the metric, not the plan shape, carries
+    // the proof)
+    val windows = PlanCheck.nodes(frame).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "rocAuc must plan its ranking window")
+    val feeding = windows.flatMap(w => PlanCheck.nodes(w.child)).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.nonEmpty => a
+    }
+    assert(feeding.nonEmpty, "the window must consume the score aggregate")
+    val outRows = feeding.head.metrics("numOutputRows").value
+    assert(outRows <= 101L,
+      s"distinct-score table must be bounded by 10^scale + 1, got $outRows")
+  }
+
+  test("recalibrate: PAV pooling via the min-max identity, hand-checked") {
+    val s = spark
+    import s.implicits._
+    // bins (n, positives): bin0 (4, 2)=0.5, bin1 (4, 1)=0.25 violate
+    // monotonicity -> pool to 3/8 = 0.375; bin9 (2, 2)=1.0 stands.
+    val rows =
+      Seq.fill(2)((0.05, true)) ++ Seq.fill(2)((0.05, false)) ++
+        Seq.fill(1)((0.15, true)) ++ Seq.fill(3)((0.15, false)) ++
+        Seq.fill(2)((0.95, true))
+    val m = QualityModel.recalibrate(
+        rows.toDF("score", "label"), "score", "label")
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(m == Map(
+      0 -> ((4L, 0.5, 0.375)),
+      1 -> ((4L, 0.25, 0.375)),
+      9 -> ((2L, 1.0, 1.0))), m.toString)
+  }
+
+  test("recalibrate: calibrated values are monotone nondecreasing in bin") {
+    val docsScored = QueriesR14.calibrationScored(spark, TestSpark.sf001)
+    val fit = QualityModel.recalibrate(docsScored, "score", "label")
+      .orderBy(col("bin")).collect()
+    assert(fit.length >= 2)
+    val cals = fit.map(_.getDouble(3)).toSeq
+    assert(cals.zip(cals.tail).forall { case (a, b) => a <= b },
+      s"isotonic fit must be monotone: ${cals.mkString(",")}")
+    assert(cals.forall(c => c >= 0.0 && c <= 1.0), cals.mkString(","))
+  }
+
+  test("applyCalibration: broadcast mapping, score side never shuffles") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (0.05, true), (0.05, false), (0.15, true), (0.15, false),
+      (0.95, true)).toDF("score", "label")
+    val mapping = QualityModel.recalibrate(train, "score", "label")
+    val corpus = s.range(2000)
+      .select((col("id").cast("double") / 2000.0).as("score"))
+    val applied = QualityModel.applyCalibration(corpus, "score", mapping)
+    applied.collect()
+    // the mapping BROADCASTS; the corpus (score-carrying) side crosses
+    // no exchange at any size
+    val bhj = PlanCheck.nodes(applied).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "the bin mapping must broadcast-join")
+    assert(PlanCheck.exchangesCarrying(applied, "score").isEmpty,
+      "scores must never cross an exchange in applyCalibration")
+    // a bin the mapping never saw keeps the raw score
+    val unseen = QualityModel.applyCalibration(
+        Seq(0.55).toDF("score"), "score", mapping)
+      .collect()(0)
+    assert(unseen.getDouble(unseen.fieldIndex("calibrated_score")) == 0.55)
+  }
+
+  test("recalibration loop: ece_after <= ece_before on a shifted scorer") {
+    val s = spark
+    import s.implicits._
+    // Systematically over-confident scorer: linear scores, labels only
+    // in the top fifth — the reliability table is far off the
+    // diagonal, so the isotonic remap must shrink the re-binned ECE.
+    val shifted = s.range(500)
+      .select(((col("id") % 10).cast("double") / 10.0 + 0.05).as("score"),
+        (col("id") % 10 >= 8).as("label"))
+    val before = QualityModel.expectedCalibrationError(
+        QualityModel.calibrationReport(shifted, "score", "label"))
+      .collect()(0).getDouble(2)
+    val mapping = QualityModel.recalibrate(shifted, "score", "label")
+    val applied = QualityModel.applyCalibration(shifted, "score", mapping)
+    val after = QualityModel.expectedCalibrationError(
+        QualityModel.calibrationReport(applied, "calibrated_score", "label"))
+      .collect()(0).getDouble(2)
+    assert(before > 0.1, s"fixture must start miscalibrated: $before")
+    assert(after <= before, s"recalibration must not worsen ECE: " +
+      s"before=$before after=$after")
+    assert(after < 0.01, s"piecewise-exact remap should land near 0: $after")
+  }
+
+  test("psiTotal: the summed gate scalar matches the per-bin fold") {
+    val s = spark
+    import s.implicits._
+    val rel = Seq(0.05, 0.15, 0.15, 0.55, 0.95).toDF("score")
+    val moved = Seq(0.95, 0.96, 0.97, 0.55, 0.98).toDF("score")
+    val perBin = QualityModel.populationStability(rel, moved, "score")
+      .collect().map(r => math.round(r.getDouble(5) * 1e6)).sum
+    val total = QualityModel.psiTotal(rel, moved, "score")
+      .collect()(0).getDouble(0)
+    assert(total == (BigDecimal(perBin) / 1000000).toDouble, s"psi: $total")
+    assert(QualityModel.psiTotal(rel, rel, "score")
+      .collect()(0).getDouble(0) == 0.0)
+  }
 }
