@@ -1,5 +1,5 @@
 // Round-15 probe: 1x/10x rows for the new recalibration and seeded
-// scheduling operators — recalibrate collapses to <= bins rows in one
+// scheduling operators -- recalibrate collapses to <= bins rows in one
 // exchange (wall ~ rows on fixed cores), applyCalibration is map-only
 // plus a broadcast probe, recrawlScheduleSeeded adds one sitemap-side
 // url-key exchange and a co-partitioned full-outer join to the
@@ -59,8 +59,15 @@ def seeded(n: Long): Double = best(run(
     sitemap(n), "loc", "lastmod",
     nowS = 9000000.0, minIntervalS = 300.0, maxIntervalS = 2592000.0)))
 
+// Settle between groups (the Bench.settle lesson): a 20M-row group
+// leaves GC debt that pollutes the next group's timed window.
+def settle(): Unit = {
+  spark.catalog.clearCache(); System.gc(); Thread.sleep(2000); System.gc()
+}
+
 val n1 = 2000000L
 val n10 = 20000000L
-println(f"PROBE recalibrate+apply 1x=${recal(n1)}%.2f 10x=${recal(n10)}%.2f")
 println(f"PROBE recrawlSeeded 1x=${seeded(n1)}%.2f 10x=${seeded(n10)}%.2f")
+settle()
+println(f"PROBE recalibrate+apply 1x=${recal(n1)}%.2f 10x=${recal(n10)}%.2f")
 sys.exit(0)
