@@ -173,7 +173,12 @@ object QueriesR10 {
       val dd = docs(s, d)
       val manifest = operators.Pipeline.releaseResumable(
         dd, "doc_id", "text", windowLen = 2048L, bpeRounds = 5)
-      val released = dd.join(manifest.select(col("doc_id")), Seq("doc_id"))
+      // left_semi, not inner: at-most-once row multiplicity by
+      // construction, so a future manifest shape with multiple rows
+      // per doc_id (e.g. per-chunk) cannot silently double-weight
+      // docs in the health columns.
+      val released = dd.join(
+        manifest.select(col("doc_id")), Seq("doc_id"), "left_semi")
       val scored = QueriesR14.scoreLabel(released)
       val ece = operators.QualityModel.expectedCalibrationError(
         operators.QualityModel.calibrationReport(scored, "score", "label"))
@@ -363,7 +368,7 @@ object QueriesR10 {
          |    CAST(count(DISTINCT shard) AS BIGINT) n_shards,
          |    CAST(sum(n_tokens) AS BIGINT) n_tokens FROM m),
          |rel AS (SELECT d.lang, d.text FROM documents d
-         |        JOIN m ON d.doc_id = m.doc_id),
+         |        WHERE d.doc_id IN (SELECT doc_id FROM m)),
          |rt AS (SELECT lang, regexp_extract_all(text, '\\S+') toks FROM rel),
          |rs AS (SELECT least(
          |    CAST(len(list_filter(toks,
@@ -374,7 +379,8 @@ object QueriesR10 {
          |rb AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
          |      AS bin,
          |    CAST(round(score * 1e6) AS BIGINT) AS micros,
-         |    CAST(label AS INT) AS pos FROM rs),
+         |    CAST(label AS INT) AS pos FROM rs
+         |  WHERE label IS NOT NULL),
          |rrep AS (SELECT bin, count(*) AS n,
          |    round(CAST(sum(pos) AS DOUBLE) / count(*)
          |      - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap

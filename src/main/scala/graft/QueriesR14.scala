@@ -506,8 +506,11 @@ object QueriesR14 {
     // count, tie-block average ranks, rank-sum fold — the same
     // halves-exact double arithmetic as the operator.
     "q_auc" ->
+      // lang IS NOT NULL: rocAuc drops null labels (they must not
+      // occupy rank positions) — mirror it so the gate stays exact on
+      // a corpus with null-lang rows.
       """WITH t AS (SELECT lang, regexp_extract_all(text, '\S+') toks
-        |           FROM documents),
+        |           FROM documents WHERE lang IS NOT NULL),
         |s AS (SELECT round(least(
         |    CAST(len(list_filter(toks,
         |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
@@ -648,8 +651,11 @@ object QueriesR14 {
     * bins, fixed-point mean scores — ending in a `rep` CTE with the
     * operator's exact output columns. */
   private[graft] def calibrationBinsCte: String =
+    // lang IS NOT NULL mirrors the engine's null-LABEL drop (the
+    // three-report contract): a null-lang row must not count in any
+    // bin's n/mean_score on either side of the gate.
     """WITH t AS (SELECT lang, regexp_extract_all(text, '\S+') toks
-      |           FROM documents),
+      |           FROM documents WHERE lang IS NOT NULL),
       |s AS (SELECT least(
       |    CAST(len(list_filter(toks,
       |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)

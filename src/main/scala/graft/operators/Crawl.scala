@@ -1014,12 +1014,17 @@ object Crawl {
         col(lastmodCol).cast("date").as("__lm"))
       .groupBy(col("url")).agg(max(col("__lm")).as("__lm"))
     // SHUFFLE_HASH: both sides arrive hash-partitioned on url from
-    // their aggregations, so the full-outer join needs no
-    // re-exchange either way — but sort-merge would SORT both sides
-    // on the long url strings (measured 1.5x slower at 2M urls; at
-    // corpus scale, sorting the key dominates the stage). The hint
-    // is advisory: AQE falls back to SMJ if a partition cannot build
-    // its hash map.
+    // their aggregations, so the full-outer join needs no re-exchange
+    // either way — but sort-merge would SORT both sides on the long
+    // url strings (measured 1.5x slower at 2M urls; at corpus scale,
+    // sorting the key dominates the stage). The trade is real, not
+    // free: ShuffledHashJoinExec builds the SMALLER side's partition
+    // as an in-memory map with NO runtime spill-to-sort-merge path, so
+    // shuffle-partition sizing must keep the per-partition build side
+    // (the deduped sitemap table here — one row per declared URL)
+    // within executor memory; where that cannot be guaranteed, drop
+    // the hint and take the sort. The hint is planning-advisory only:
+    // results are strategy-independent (oracle-gated either way).
     val joined = agg.hint("SHUFFLE_HASH").join(prior, Seq("url"), "full_outer")
     val priorAge =
       lit(nowS) - unix_date(col("__lm")).cast("double") * 86400
@@ -1067,9 +1072,6 @@ object Crawl {
       defaultDelayS: Double,
       maxPerHost: Int,
       seedPriority: Double): DataFrame = {
-    val dirSeeds = parseSitemaps(robots, hostCol, bodyCol)
-      .select(col("sitemap_url").as("__url"),
-        lit(seedPriority).cast("double").as("__pri"))
     val idxSeeds = parseSitemapBodies(sitemapBodies, hostCol, bodyCol)
       .filter(col("kind") === "sitemap")
       .select(xmlUnescape(col("loc")).as("__url"),
@@ -1077,9 +1079,13 @@ object Crawl {
     val cand = df
       .select(col(urlCol).as("__url"),
         col(priorityCol).cast("double").as("__pri"))
-      .unionByName(dirSeeds)
       .unionByName(idxSeeds)
-    frontierPlan(cand, "__url", "__pri", policy, defaultDelayS, maxPerHost)
+    // Delegate the robots Sitemap-directive arm to frontierPlanSeeded
+    // — ONE implementation of directive seeding, so the two seeded
+    // frontiers cannot drift; the index arm stays a map-side union
+    // into the same single bounded candidate exchange.
+    frontierPlanSeeded(cand, "__url", "__pri", robots, hostCol, bodyCol,
+      policy, defaultDelayS, maxPerHost, seedPriority)
   }
 
   /** RFC 9309 §2.4 robots-cache freshness: crawlers MAY cache a fetched

@@ -182,6 +182,13 @@ def main():
     # ratio; entries that pass move to ambient_suspect tagged
     # deflated_by=ctl_multijob — reported, not fatal, and settled by
     # the same isolated re-measure protocol as ambient deflation.
+    # The lane additionally REQUIRES the CPU second opinion flat
+    # (cpu_ratio <= tolerance on a non-trivial base): job-launch drift
+    # inflates wall-clock while barely touching executor CPU, so a
+    # genuine compute regression on a single-job query (CPU moved with
+    # the wall) can never ride this lane — without that guard a hot
+    # launch control alone could excuse any violation while the four
+    # compute controls read cold.
     launch = (control_ratios or {}).get("ctl_multijob")
     launch_hot = launch is not None and launch > args.ambient_threshold
 
@@ -230,6 +237,9 @@ def main():
                     entry["deflated_ratio"] = round((c / ambient) / b, 3)
                     suspects.append(entry)
                 elif (launch_hot and not entry.get("isolated")
+                        and cpu_ratio is not None
+                        and cpu_ratio <= args.tolerance
+                        and bcpu.get(q, 0) >= 0.05
                         and (c / launch) / b <= args.tolerance):
                     entry["deflated_ratio"] = round((c / launch) / b, 3)
                     entry["deflated_by"] = "ctl_multijob"
@@ -258,7 +268,13 @@ def main():
             "sweep ran hot; entries in ambient_suspect pass at the "
             "deflated ratio and need an isolated re-measure "
             "(SPARK_GRAFT_ONLY=<q> runMain graft.Bench), passed back "
-            "via --isolated, to be settled" if ambient_hot else None),
+            "via --isolated, to be settled" if ambient_hot else (
+            "ctl_multijob > threshold while overall ambient is not: "
+            "per-job launch latency drifted; flat-CPU entries in "
+            "ambient_suspect (deflated_by=ctl_multijob) pass at the "
+            "launch-deflated ratio and need the same isolated "
+            "re-measure protocol to be settled" if launch_hot
+            else None)),
         "added": sorted(set(cq) - set(bq)),
         "removed": sorted(set(bq) - set(cq)),
         "sum_base": round(sum(bq[q] for q in common), 3),
