@@ -95,33 +95,22 @@ object QueriesR15 {
     //     doc_id % 10 == 4 URLs carry a ?a=1&b=2 query whose sitemap
     //     spelling is entity-escaped — the schedule must show the REAL
     //     ampersand spelling, joined to its history. ---
-    "q_recrawl_seeded" -> { (s, d) =>
-      val b = col("doc_id").cast("string")
-      val urlBase = concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
-        lit(".example.com/d/"), b)
-      val urlTrue = when(col("doc_id") % 10 === 4,
-        concat(urlBase, lit("?a=1&b=2"))).otherwise(urlBase)
-      val urlEsc = when(col("doc_id") % 10 === 4,
-        concat(urlBase, lit("?a=1&amp;b=2"))).otherwise(urlBase)
-      val gap = lit(600.0) +
-        (col("doc_id") % 10).cast("double") * lit(300.0)
-      val period = col("doc_id") % 4 + 1
-      val hist = docs(s, d)
-        .filter(col("doc_id") % 3 =!= 2)
-        .select(col("doc_id"), urlTrue.as("url"), gap.as("__gap"),
-          explode(sequence(lit(0L), lit(3L))).as("j"))
-        .filter(col("doc_id") % 5 =!= 0 || col("j") === 0)
-        .select(col("url"),
-          (col("j").cast("double") * col("__gap")).as("fetched_at_s"),
-          floor(col("j") / period).cast("string").as("digest"))
-      val sitemap = docs(s, d)
-        .filter(col("doc_id") % 2 === 0)
-        .select(urlEsc.as("loc"),
-          date_add(to_date(lit("1970-01-01")),
-            (col("doc_id") % 120).cast("int")).as("lastmod"))
-      operators.Crawl.recrawlScheduleSeeded(hist, "url", "fetched_at_s",
-        "digest", sitemap, "loc", "lastmod",
-        nowS = SeededNowS, minIntervalS = 300.0, maxIntervalS = 2592000.0)
+    "q_recrawl_seeded" -> ((s, d) => seededScheduleFixture(s, d)),
+    // --- the loop closure: the seeded schedule's due-at-now URLs
+    //     (observed rows are all long overdue; sitemap-based rows due
+    //     only where the prior interval fits inside the 100k-s
+    //     horizon) enter the politeness frontier with OVERDUENESS as
+    //     priority — longest-overdue first per host, two hosts on
+    //     explicit delays, maxPerHost capping the big hosts. ---
+    "q_frontier_due" -> { (s, d) =>
+      import s.implicits._
+      val policy = Seq(
+        ("h0.example.com", 2.0), ("h3.example.com", 5.0))
+        .toDF("host", "delay_s")
+      operators.Crawl.frontierFromSchedule(
+        seededScheduleFixture(s, d), "url", "next_fetch_at_s",
+        nowS = SeededNowS + 100000.0, policy,
+        defaultDelayS = 7.0, maxPerHost = 50)
     },
     // --- sitemap-index-seeded frontier: q_frontier_seeded's robots
     //     fixture plus fetched sitemap-INDEX bodies — index children
@@ -144,6 +133,41 @@ object QueriesR15 {
         cand, "url", "priority", bodies, smBodies, "host", "body",
         policy, defaultDelayS = 7.0, maxPerHost = 40, seedPriority = 1e6)
     })
+
+  /** The q_recrawl_seeded fixture, shared with q_frontier_due (the
+    * due-wave frontier consumes this exact schedule): q_recrawl's
+    * history thinned (every 3rd URL never fetched, every 5th seen
+    * once), a sitemap declaring lastmod for even doc_ids, and
+    * entity-escaped `&amp;` locs on the doc_id % 10 == 4 URLs. */
+  private[graft] def seededScheduleFixture(
+      s: SparkSession, d: String): DataFrame = {
+    val b = col("doc_id").cast("string")
+    val urlBase = concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+      lit(".example.com/d/"), b)
+    val urlTrue = when(col("doc_id") % 10 === 4,
+      concat(urlBase, lit("?a=1&b=2"))).otherwise(urlBase)
+    val urlEsc = when(col("doc_id") % 10 === 4,
+      concat(urlBase, lit("?a=1&amp;b=2"))).otherwise(urlBase)
+    val gap = lit(600.0) +
+      (col("doc_id") % 10).cast("double") * lit(300.0)
+    val period = col("doc_id") % 4 + 1
+    val hist = docs(s, d)
+      .filter(col("doc_id") % 3 =!= 2)
+      .select(col("doc_id"), urlTrue.as("url"), gap.as("__gap"),
+        explode(sequence(lit(0L), lit(3L))).as("j"))
+      .filter(col("doc_id") % 5 =!= 0 || col("j") === 0)
+      .select(col("url"),
+        (col("j").cast("double") * col("__gap")).as("fetched_at_s"),
+        floor(col("j") / period).cast("string").as("digest"))
+    val sitemap = docs(s, d)
+      .filter(col("doc_id") % 2 === 0)
+      .select(urlEsc.as("loc"),
+        date_add(to_date(lit("1970-01-01")),
+          (col("doc_id") % 120).cast("int")).as("lastmod"))
+    operators.Crawl.recrawlScheduleSeeded(hist, "url", "fetched_at_s",
+      "digest", sitemap, "loc", "lastmod",
+      nowS = SeededNowS, minIntervalS = 300.0, maxIntervalS = 2592000.0)
+  }
 
   /** The isotonic-fit CTE chain both recalibration oracles share,
     * appended after [[QueriesR14.calibrationBinsCte]]'s `b` (bin,
@@ -215,6 +239,41 @@ object QueriesR15 {
     // date arithmetic as whole days x 86400 (timezone-free in both
     // engines), a FULL OUTER join, and the three-way basis CASE.
     "q_recrawl_seeded" ->
+      (seededScheduleCtes + """
+        |SELECT url, n_revisits, n_changes, interval_s, next_fetch_at_s,
+        |  basis
+        |FROM sched""".stripMargin),
+    // The loop closure replayed: due filter + overdueness priority off
+    // the shared schedule CTEs, then the frontier's per-host rank/cap
+    // and the VALUES-rendered politeness policy (all fixture URLs are
+    // canonicalization fixpoints).
+    "q_frontier_due" ->
+      (seededScheduleCtes + """,
+        |due AS (SELECT url AS canon_url,
+        |    CAST(9100000 AS DOUBLE) - next_fetch_at_s AS priority
+        |  FROM sched WHERE next_fetch_at_s <= CAST(9100000 AS DOUBLE)),
+        |du AS (SELECT canon_url, priority,
+        |    regexp_extract(canon_url, '^[a-z][a-z0-9+.-]*://([^/:?]*)', 1)
+        |      AS host
+        |  FROM due),
+        |rk AS (SELECT canon_url, priority, host,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY priority DESC, canon_url) AS rank
+        |  FROM du),
+        |cp AS (SELECT * FROM rk WHERE rank <= 50),
+        |delays AS (SELECT dhost, CAST(d AS DOUBLE) AS delay_s
+        |  FROM (VALUES ('h0.example.com', 2.0), ('h3.example.com', 5.0))
+        |    v(dhost, d))
+        |SELECT cp.canon_url, cp.priority, cp.host, cp.rank,
+        |       coalesce(delays.delay_s, CAST(7 AS DOUBLE)) AS delay_s,
+        |       (cp.rank - 1) * coalesce(delays.delay_s, CAST(7 AS DOUBLE))
+        |         AS fetch_at_s
+        |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin),
+    "q_frontier_xml" -> frontierXmlOracle)
+
+  /** The q_recrawl_seeded schedule replay, shared with q_frontier_due —
+    * ends in a `sched` CTE with the engine's exact output columns. */
+  private def seededScheduleCtes: String =
       """WITH raw AS (SELECT doc_id,
         |    'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/d/'
         |      || CAST(doc_id AS VARCHAR) AS base
@@ -269,17 +328,19 @@ object QueriesR15 {
         |    CASE WHEN n_revisits > 0 THEN 'observed'
         |      WHEN lm IS NOT NULL THEN 'sitemap'
         |      ELSE 'default' END AS basis
-        |  FROM jj)
-        |SELECT url, n_revisits, n_changes, round(iv, 6) AS interval_s,
-        |  round(coalesce(lts, CAST(9000000 AS DOUBLE)) + iv, 6)
-        |    AS next_fetch_at_s,
-        |  basis
-        |FROM i""".stripMargin,
-    // q_frontier_seeded's replay plus the index arm: the VALUES-
-    // rendered index bodies through the same block/field extraction
-    // as q_sitemap_xml, kind='sitemap' blocks only, locs through the
-    // same five-replace unescape chain.
-    "q_frontier_xml" -> {
+        |  FROM jj),
+        |sched AS (SELECT url, n_revisits, n_changes,
+        |    round(iv, 6) AS interval_s,
+        |    round(coalesce(lts, CAST(9000000 AS DOUBLE)) + iv, 6)
+        |      AS next_fetch_at_s,
+        |    basis
+        |  FROM i)""".stripMargin
+
+  // q_frontier_seeded's replay plus the index arm: the VALUES-
+  // rendered index bodies through the same block/field extraction
+  // as q_sitemap_xml, kind='sitemap' blocks only, locs through the
+  // same five-replace unescape chain.
+  private def frontierXmlOracle: String = {
       val valuesRows = SitemapIndexBodies.map { case (h, ls) =>
         val bodyExpr = ls.map {
           case "" => "''"
@@ -334,5 +395,5 @@ object QueriesR15 {
            |       coalesce(delays.delay_s, 7.0) AS delay_s,
            |       (cp.rank - 1) * coalesce(delays.delay_s, 7.0) AS fetch_at_s
            |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin
-    })
+  }
 }

@@ -1088,6 +1088,37 @@ object Crawl {
       policy, defaultDelayS, maxPerHost, seedPriority)
   }
 
+  /** The crawl loop's CLOSING arc: a recrawl schedule
+    * ([[recrawlSchedule]] / [[recrawlScheduleSeeded]]) becomes the next
+    * wave's politeness frontier. URLs due at `nowS`
+    * (`next_fetch_at_s <= nowS`) enter [[frontierPlan]] with their
+    * OVERDUENESS (`nowS − next_fetch_at_s`, seconds) as priority — the
+    * longest-overdue page fetches first within each host's politeness
+    * budget, which is the Cho & Garcia-Molina objective (minimize
+    * expected staleness) expressed as a schedule: a page overdue by a
+    * week has accumulated more expected change than one overdue by a
+    * minute. Composes fetch → schedule → due → frontier into a cycle;
+    * not-yet-due URLs simply stay out of this wave.
+    *
+    * Scale shape: the due filter and overdueness projection are
+    * map-only on the schedule (which arrives url-partitioned from its
+    * own aggregation); the only exchange is frontierPlan's bounded
+    * per-host top-k — the one every frontier variant shares. */
+  def frontierFromSchedule(
+      schedule: DataFrame,
+      urlCol: String,
+      nextFetchCol: String,
+      nowS: Double,
+      policy: DataFrame,
+      defaultDelayS: Double,
+      maxPerHost: Int): DataFrame =
+    frontierPlan(
+      schedule
+        .filter(col(nextFetchCol) <= nowS)
+        .select(col(urlCol).as("__url"),
+          (lit(nowS) - col(nextFetchCol)).as("__pri")),
+      "__url", "__pri", policy, defaultDelayS, maxPerHost)
+
   /** RFC 9309 §2.4 robots-cache freshness: crawlers MAY cache a fetched
     * robots.txt but SHOULD NOT use it for longer than 24 hours
     * (`ttlS` default 86400). Per frontier host: the queued-URL count,

@@ -644,6 +644,27 @@ object Streaming {
       docs, idCol, srcCol,
       graft.operators.Curation.temperatureRates(census, srcCol, alpha, total))
 
+  /** Online scoring-path twin of
+    * [[graft.operators.QualityModel.applyCalibration]]: the isotonic
+    * mapping fitted OFFLINE ([[graft.operators.QualityModel
+    * .recalibrate]] over a batch reliability table — a stream cannot
+    * fit its own isotonic regression, the [[temperatureMixStream]]
+    * census argument) broadcasts its ≤ bins rows onto every arriving
+    * score. Fully STATELESS and map-only per micro-batch: bin
+    * arithmetic + one broadcast hash probe, no watermark, no state
+    * store; the SAME expression tree as the batch operator, so a
+    * scorer recalibrated offline deploys to the online path without a
+    * second implementation that could drift (batch parity
+    * spec-pinned). */
+  def applyCalibrationStream(
+      scores: DataFrame,
+      scoreCol: String,
+      mapping: DataFrame,
+      bins: Int = 10,
+      outCol: String = "calibrated_score"): DataFrame =
+    graft.operators.QualityModel.applyCalibration(
+      scores, scoreCol, mapping, bins, outCol)
+
   /** Ingest-time DECONTAMINATION screen: one detection row per
     * (arriving document, eval set, shared k-gram) — don't let
     * benchmark text enter the training lake at all, instead of

@@ -685,6 +685,40 @@ class CrawlSpec extends AnyFunSuite {
       "an undated sitemap row carries no signal")
   }
 
+  test("frontierFromSchedule: due URLs enter by overdueness, future URLs wait") {
+    val s = spark
+    import s.implicits._
+    val sched = Seq(
+      // overdue by 900 s and 100 s on the same host: longest-overdue
+      // ranks first
+      ("http://h.com/a", 100.0), ("http://h.com/b", 900.0),
+      // due exactly at now: included (<=), overdueness 0
+      ("http://h.com/c", 1000.0),
+      // not yet due: stays out of this wave
+      ("http://h.com/d", 1500.0),
+      ("http://other.com/x", 400.0))
+      .toDF("url", "next_fetch_at_s")
+    val policy = Seq(("h.com", 3.0)).toDF("host", "delay_s")
+    val out = Crawl.frontierFromSchedule(sched, "url", "next_fetch_at_s",
+      nowS = 1000.0, policy, defaultDelayS = 9.0, maxPerHost = 10)
+    val rows = out.collect().map { r =>
+      r.getString(r.fieldIndex("canon_url")) ->
+        ((r.getLong(r.fieldIndex("rank")),
+          r.getDouble(r.fieldIndex("priority")),
+          r.getDouble(r.fieldIndex("fetch_at_s"))))
+    }.toMap
+    assert(rows == Map(
+      "http://h.com/a" -> ((1L, 900.0, 0.0)),
+      "http://h.com/b" -> ((2L, 100.0, 3.0)),
+      "http://h.com/c" -> ((3L, 0.0, 6.0)),
+      "http://other.com/x" -> ((1L, 600.0, 0.0))), rows.toString)
+    assert(!rows.contains("http://h.com/d"), "future URLs wait their wave")
+    // the due filter + overdueness projection add NO exchange beyond
+    // frontierPlan's bounded per-host top-k
+    assert(PlanCheck.shuffles(out).size == 1,
+      "one bounded exchange, same as plain frontierPlan")
+  }
+
   test("frontierPlanSeededXml: index children seed unescaped, urlset entries do not") {
     val s = spark
     import s.implicits._

@@ -737,4 +737,44 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out("view") == 3L && out("click") == 1L && out("purchase") == 1L)
   }
+
+  test("streaming calibration remap: offline isotonic mapping, stateless, batch-parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    // the mapping is fitted OFFLINE on a batch reliability table...
+    val train = Seq(
+      (0.05, true), (0.05, false), (0.15, true), (0.15, false),
+      (0.15, false), (0.15, false), (0.95, true), (0.95, true))
+      .toDF("score", "label")
+    val mapping = graft.operators.QualityModel
+      .recalibrate(train, "score", "label")
+    // ...and applied to ARRIVING scores across micro-batches
+    val stream = MemoryStream[(Long, Double)]
+    val screened = Streaming.applyCalibrationStream(
+      stream.toDF().toDF("id", "score"), "score", mapping)
+    val q = screened.writeStream.format("memory").queryName("calstream")
+      .outputMode(OutputMode.Append()).start()
+    val rows1 = Seq((1L, 0.07), (2L, 0.12))
+    val rows2 = Seq((3L, 0.99), (4L, 0.55)) // 0.55: unseen bin -> raw
+    try {
+      stream.addData(rows1: _*); q.processAllAvailable()
+      stream.addData(rows2: _*); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "calibration remap must not register streaming state")
+    } finally q.stop()
+    val got = spark.table("calstream").collect()
+      .map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("calibrated_score"))).toMap
+    // bins 0 and 1 violate (1/2 then 1/4) -> pooled 2/6; bin 9 = 1.0
+    assert(got == Map(1L -> 0.333333, 2L -> 0.333333, 3L -> 1.0,
+      4L -> 0.55), got.toString)
+    // batch parity: the SAME operator on the same rows, same values
+    val batch = graft.operators.QualityModel.applyCalibration(
+        (rows1 ++ rows2).toDF("id", "score"), "score", mapping)
+      .collect().map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("calibrated_score"))).toMap
+    assert(batch == got)
+  }
 }
