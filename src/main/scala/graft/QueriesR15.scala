@@ -96,6 +96,34 @@ object QueriesR15 {
     //     spelling is entity-escaped — the schedule must show the REAL
     //     ampersand spelling, joined to its history. ---
     "q_recrawl_seeded" -> ((s, d) => seededScheduleFixture(s, d)),
+    // --- incremental recrawl scheduling: q_recrawl's history split
+    //     into two time-ordered waves (j 0-1, then j 2-3), each
+    //     reduced to per-url sufficient statistics, merged in
+    //     O(urls), and the schedule derived from the MERGED stats.
+    //     The oracle is q_recrawl's FULL-history replay verbatim —
+    //     the exact gate itself proves incremental == full, the
+    //     pageRankDelta discipline on the crawl clock. ---
+    "q_recrawl_inc" -> { (s, d) =>
+      val gap = lit(600.0) +
+        (col("doc_id") % 10).cast("double") * lit(300.0)
+      val period = col("doc_id") % 4 + 1
+      val hist = docs(s, d)
+        .select(col("doc_id"), gap.as("__gap"),
+          explode(sequence(lit(0L), lit(3L))).as("j"))
+        .select(
+          concat(lit("http://h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.com/d/"), col("doc_id").cast("string")).as("url"),
+          (col("j").cast("double") * col("__gap")).as("fetched_at_s"),
+          floor(col("j") / period).cast("string").as("digest"),
+          col("j"))
+      val early = hist.filter(col("j") < 2).drop("j")
+      val late = hist.filter(col("j") >= 2).drop("j")
+      val merged = operators.Crawl.recrawlStatsMerge(
+        operators.Crawl.recrawlStats(early, "url", "fetched_at_s", "digest"),
+        operators.Crawl.recrawlStats(late, "url", "fetched_at_s", "digest"))
+      operators.Crawl.scheduleFromStats(
+        merged, minIntervalS = 300.0, maxIntervalS = 2592000.0)
+    },
     // --- the loop closure: the seeded schedule's due-at-now URLs
     //     (observed rows are all long overdue; sitemap-based rows due
     //     only where the prior interval fits inside the 100k-s
@@ -269,7 +297,11 @@ object QueriesR15 {
         |       (cp.rank - 1) * coalesce(delays.delay_s, CAST(7 AS DOUBLE))
         |         AS fetch_at_s
         |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin),
-    "q_frontier_xml" -> frontierXmlOracle)
+    "q_frontier_xml" -> frontierXmlOracle,
+    // The FULL-history replay, verbatim: the engine computed the same
+    // schedule from merged per-wave sufficient statistics, so a hash
+    // match here IS the incremental == full proof.
+    "q_recrawl_inc" -> QueriesR14.oracles("q_recrawl"))
 
   /** The q_recrawl_seeded schedule replay, shared with q_frontier_due —
     * ends in a `sched` CTE with the engine's exact output columns. */

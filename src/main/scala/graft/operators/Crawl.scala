@@ -865,19 +865,18 @@ object Crawl {
       round(col("__last") + interval, 6).as("next_fetch_at_s"))
   }
 
-  /** The per-url revisit rollup [[recrawlSchedule]] and
-    * [[recrawlScheduleSeeded]] share: change flags from a per-url lag
-    * window, then the (n_revisits, n_changes, first, last) fold — the
-    * window and the rollup group on the SAME url key, so the plan
-    * shuffles ONCE (the spec-pinned shape). */
-  private def recrawlAggregate(
+  /** The per-url change-flag projection every recrawl derivation
+    * starts from: a lag window on the SAME url key the downstream
+    * rollup groups on, so each derivation's plan shuffles ONCE (the
+    * spec-pinned shape). */
+  private def recrawlFlagged(
       history: DataFrame,
       urlCol: String,
       tsCol: String,
       digestCol: String): DataFrame = {
     val w = Window.partitionBy(col("url")).orderBy(col("__ts"))
     val prev = lag(col("__dg"), 1).over(w)
-    val flagged = history
+    history
       .select(col(urlCol).as("url"), col(tsCol).cast("double").as("__ts"),
         col(digestCol).as("__dg"))
       // First fetch of a url is an observation, not a revisit: its
@@ -885,10 +884,103 @@ object Crawl {
       .withColumn("__chg",
         when(prev.isNull, lit(null).cast("int"))
           .otherwise((col("__dg") =!= prev).cast("int")))
-    flagged.groupBy(col("url")).agg(
-      (count(lit(1)) - 1).as("n_revisits"),
-      coalesce(sum(col("__chg")), lit(0L)).as("n_changes"),
-      min(col("__ts")).as("__first"), max(col("__ts")).as("__last"))
+  }
+
+  /** The per-url revisit rollup [[recrawlSchedule]] and
+    * [[recrawlScheduleSeeded]] share. */
+  private def recrawlAggregate(
+      history: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      digestCol: String): DataFrame =
+    recrawlFlagged(history, urlCol, tsCol, digestCol)
+      .groupBy(col("url")).agg(
+        (count(lit(1)) - 1).as("n_revisits"),
+        coalesce(sum(col("__chg")), lit(0L)).as("n_changes"),
+        min(col("__ts")).as("__first"), max(col("__ts")).as("__last"))
+
+  /** SUFFICIENT STATISTICS for the Cho & Garcia-Molina estimator —
+    * what a production scheduler PERSISTS so no wave ever re-scans the
+    * full fetch history: per url, the observation count, detected
+    * changes, first/last timestamps and first/last digests (the
+    * digests carry exactly the information a segment boundary needs).
+    * [[recrawlStatsMerge]] folds a new batch's stats into the prior
+    * table in O(urls); [[scheduleFromStats]] derives the identical
+    * schedule [[recrawlSchedule]] computes from raw history —
+    * q_recrawl_inc exact-gates the incremental path against the
+    * FULL-history oracle, so "incremental ≡ full" is itself a DuckDB
+    * row-hash fact, the [[graft.operators.Dedup]]-incremental /
+    * pageRankDelta discipline applied to the crawl clock.
+    *
+    * Scale shape: one url-key exchange (window + rollup share it);
+    * output is O(distinct urls) regardless of history depth. */
+  def recrawlStats(
+      history: DataFrame,
+      urlCol: String,
+      tsCol: String,
+      digestCol: String): DataFrame =
+    recrawlFlagged(history, urlCol, tsCol, digestCol)
+      .groupBy(col("url")).agg(
+        count(lit(1)).as("n_obs"),
+        coalesce(sum(col("__chg")), lit(0L)).as("n_changes"),
+        min(col("__ts")).as("first_ts"), max(col("__ts")).as("last_ts"),
+        min_by(col("__dg"), col("__ts")).as("first_digest"),
+        max_by(col("__dg"), col("__ts")).as("last_digest"))
+
+  /** Fold a LATER batch's [[recrawlStats]] into the PRIOR table.
+    * Contract: every fetch in `later` happened after `prior`'s
+    * `last_ts` for that url (a crawler's natural batch invariant —
+    * waves are time-ordered). Counts and extremes add; the one change
+    * the two segments cannot see internally — the boundary — is
+    * exactly `later.first_digest != prior.last_digest`. URLs on one
+    * side only pass through unchanged, so the fold is closed over the
+    * stats schema and chains across any number of waves.
+    *
+    * Scale shape: one full-outer join of two url-partitioned stats
+    * tables; the batch side builds the hash map (SHUFFLE_HASH — the
+    * [[recrawlScheduleSeeded]] trade: no sort of the url strings, and
+    * the BATCH side is the small one by construction; per-partition
+    * build must fit executor memory). */
+  def recrawlStatsMerge(prior: DataFrame, later: DataFrame): DataFrame = {
+    val p = prior.select(col("url"), col("n_obs").as("__pn"),
+      col("n_changes").as("__pc"), col("first_ts").as("__pf"),
+      col("last_ts").as("__pl"), col("first_digest").as("__pfd"),
+      col("last_digest").as("__pld"))
+    val l = later.select(col("url"), col("n_obs").as("__ln"),
+      col("n_changes").as("__lc"), col("first_ts").as("__lf"),
+      col("last_ts").as("__ll"), col("first_digest").as("__lfd"),
+      col("last_digest").as("__lld"))
+    val boundary = when(
+      col("__pld").isNotNull && col("__lfd").isNotNull,
+      (col("__lfd") =!= col("__pld")).cast("long")).otherwise(lit(0L))
+    p.join(l.hint("SHUFFLE_HASH"), Seq("url"), "full_outer")
+      .select(col("url"),
+        (coalesce(col("__pn"), lit(0L)) + coalesce(col("__ln"), lit(0L)))
+          .as("n_obs"),
+        (coalesce(col("__pc"), lit(0L)) + coalesce(col("__lc"), lit(0L)) +
+          boundary).as("n_changes"),
+        coalesce(col("__pf"), col("__lf")).as("first_ts"),
+        coalesce(col("__ll"), col("__pl")).as("last_ts"),
+        coalesce(col("__pfd"), col("__lfd")).as("first_digest"),
+        coalesce(col("__lld"), col("__pld")).as("last_digest"))
+  }
+
+  /** The schedule off a [[recrawlStats]] table — the same estimator,
+    * clamps and output columns as [[recrawlSchedule]], derived from
+    * the persisted statistics instead of raw history. */
+  def scheduleFromStats(
+      stats: DataFrame,
+      minIntervalS: Double,
+      maxIntervalS: Double): DataFrame = {
+    require(minIntervalS > 0 && maxIntervalS >= minIntervalS,
+      "need 0 < minIntervalS <= maxIntervalS")
+    val agg = stats.select(col("url"),
+      (col("n_obs") - 1).as("n_revisits"), col("n_changes"),
+      col("first_ts").as("__first"), col("last_ts").as("__last"))
+    val interval = observedInterval(minIntervalS, maxIntervalS)
+    agg.select(col("url"), col("n_revisits"), col("n_changes"),
+      round(interval, 6).as("interval_s"),
+      round(col("__last") + interval, 6).as("next_fetch_at_s"))
   }
 
   /** Cho & Garcia-Molina interval off [[recrawlAggregate]]'s columns:

@@ -685,6 +685,56 @@ class CrawlSpec extends AnyFunSuite {
       "an undated sitemap row carries no signal")
   }
 
+  test("recrawlStats merge: chained waves == full recompute, boundary change counted") {
+    val s = spark
+    import s.implicits._
+    val full = Seq(
+      // u1 changes exactly AT the wave boundary (a->a | b->b): only
+      // the merge's boundary compare can see it
+      ("u1", 0.0, "a"), ("u1", 100.0, "a"),
+      ("u1", 200.0, "b"), ("u1", 300.0, "b"),
+      // u2 never changes across waves
+      ("u2", 0.0, "x"), ("u2", 500.0, "x"), ("u2", 900.0, "x"),
+      // u3 exists only in wave A; u4 only in wave B (pass-through)
+      ("u3", 10.0, "q"),
+      ("u4", 800.0, "z"), ("u4", 950.0, "w"))
+      .toDF("url", "ts", "dg")
+    val waveA = full.filter(col("ts") < 400.0)
+    val waveB = full.filter(col("ts") >= 400.0)
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Crawl.recrawlStats(df, "url", "ts", "dg")
+    val merged = Crawl.recrawlStatsMerge(stats(waveA), stats(waveB))
+    val direct = stats(full)
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+        r.getString(5), r.getString(6)))
+    assert(merged.collect().map(key).toMap ==
+      direct.collect().map(key).toMap,
+      "merged per-wave stats must equal a full-history recompute")
+    // the boundary change is real: u1 has 1 change (a->b at the split)
+    val u1 = merged.filter(col("url") === "u1").collect()(0)
+    assert(u1.getLong(2) == 1L, s"boundary change: $u1")
+    // three-way chaining (the fold is closed over the schema)
+    val w1 = full.filter(col("ts") < 150.0)
+    val w2 = full.filter(col("ts") >= 150.0 && col("ts") < 600.0)
+    val w3 = full.filter(col("ts") >= 600.0)
+    val chained = Crawl.recrawlStatsMerge(
+      Crawl.recrawlStatsMerge(stats(w1), stats(w2)), stats(w3))
+    assert(chained.collect().map(key).toMap ==
+      direct.collect().map(key).toMap, "three-wave chain == full")
+    // and the derived schedule equals the raw-history schedule
+    val viaStats = Crawl.scheduleFromStats(merged, 50.0, 10000.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    val viaHistory = Crawl.recrawlSchedule(full, "url", "ts", "dg",
+        50.0, 10000.0)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(viaStats == viaHistory, "scheduleFromStats == recrawlSchedule")
+  }
+
   test("frontierFromSchedule: due URLs enter by overdueness, future URLs wait") {
     val s = spark
     import s.implicits._
