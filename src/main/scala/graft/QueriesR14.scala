@@ -280,10 +280,11 @@ object QueriesR14 {
     * frame-generic form the round-15 recalibration and release-card
     * queries reuse, so every calibration-family query scores through
     * ONE derivation. */
-  private[graft] def scoreLabel(df: DataFrame): DataFrame =
-    df.select(
+  private[graft] def scoreLabel(
+      df: DataFrame, keep: Seq[String] = Nil): DataFrame =
+    df.select(keep.map(col) ++ Seq(
       least(stopRatio / lit(0.12), lit(1.0)).as("score"),
-      (col("lang") === "en").as("label"))
+      (col("lang") === "en").as("label")): _*)
 
   private[graft] def calibrationScored(
       s: SparkSession, d: String): DataFrame =

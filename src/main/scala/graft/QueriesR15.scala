@@ -96,6 +96,15 @@ object QueriesR15 {
     //     spelling is entity-escaped — the schedule must show the REAL
     //     ampersand spelling, joined to its history. ---
     "q_recrawl_seeded" -> ((s, d) => seededScheduleFixture(s, d)),
+    // --- PER-SOURCE isotonic recalibration: one independent fit per
+    //     corpus source (a scorer is rarely uniformly miscalibrated —
+    //     a global remap can over-correct one source while leaving
+    //     another over-confident); every stage of the min-max identity
+    //     carries the key, so the fit distributes ON source. ---
+    "q_recalibrate_by" -> ((s, d) =>
+      operators.QualityModel.recalibrateBy(
+        QueriesR14.scoreLabel(docs(s, d), keep = Seq("source")),
+        "source", "score", "label")),
     // --- incremental recrawl scheduling: q_recrawl's history split
     //     into two time-ordered waves (j 0-1, then j 2-3), each
     //     reduced to per-url sufficient statistics, merged in
@@ -301,7 +310,47 @@ object QueriesR15 {
     // The FULL-history replay, verbatim: the engine computed the same
     // schedule from merged per-wave sufficient statistics, so a hash
     // match here IS the incremental == full proof.
-    "q_recrawl_inc" -> QueriesR14.oracles("q_recrawl"))
+    "q_recrawl_inc" -> QueriesR14.oracles("q_recrawl"),
+    // The keyed min-max identity replayed with source carried through
+    // every CTE — per-key cumulative sums, per-key segment means,
+    // per-key min/max folds.
+    "q_recalibrate_by" ->
+      """WITH t AS (SELECT source, lang, regexp_extract_all(text, '\S+') toks
+        |           FROM documents WHERE lang IS NOT NULL),
+        |s AS (SELECT source, least(
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+        |      AS score,
+        |    (lang = 'en') AS label FROM t),
+        |b AS (SELECT source,
+        |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+        |    CAST(label AS INT) AS pos FROM s),
+        |g AS (SELECT source, bin, count(*) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS np
+        |  FROM b GROUP BY source, bin),
+        |cum AS (SELECT source, bin, n, np,
+        |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+        |    CAST(sum(np) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnp
+        |  FROM g),
+        |segs AS (SELECT j.source, j.bin AS jb, k.bin AS kb,
+        |    CAST(k.cnp - (j.cnp - j.np) AS DOUBLE)
+        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS r
+        |  FROM cum j JOIN cum k
+        |    ON j.source = k.source AND j.bin <= k.bin),
+        |mn AS (SELECT i.source, i.bin, segs.jb, min(r) AS mr
+        |  FROM g i JOIN segs ON segs.source = i.source
+        |    AND segs.jb <= i.bin AND segs.kb >= i.bin
+        |  GROUP BY i.source, i.bin, segs.jb),
+        |fit AS (SELECT mn.source, mn.bin, g.n, g.np, max(mn.mr) AS cal
+        |  FROM mn JOIN g ON g.source = mn.source AND g.bin = mn.bin
+        |  GROUP BY mn.source, mn.bin, g.n, g.np)
+        |SELECT source, CAST(bin AS INTEGER) AS bin, n,
+        |  round(CAST(np AS DOUBLE) / n, 6) AS label_rate,
+        |  round(cal, 6) AS calibrated
+        |FROM fit""".stripMargin)
 
   /** The q_recrawl_seeded schedule replay, shared with q_frontier_due —
     * ends in a `sched` CTE with the engine's exact output columns. */

@@ -393,43 +393,112 @@ object QualityModel {
       df: DataFrame,
       scoreCol: String,
       labelCol: String,
-      bins: Int = 10): DataFrame = {
+      bins: Int = 10): DataFrame =
+    isotonicFit(df, Nil, scoreCol, labelCol, bins)
+
+  /** [[recalibrate]] PER KEY — one independent isotonic fit per group
+    * (per crawl source, per language, per domain bucket): a scorer is
+    * rarely uniformly miscalibrated, and a global remap can leave one
+    * source over-confident while over-correcting another. Same
+    * min-max identity, with every window, join and rollup carrying the
+    * key, so the fit distributes ON the key — each group's work is the
+    * same ≤ bins³ post-aggregate rows the global fit does, and groups
+    * never synchronize. Output adds `keyCol` in front; apply with
+    * [[applyCalibrationBy]]. */
+  def recalibrateBy(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame =
+    isotonicFit(df, Seq(keyCol), scoreCol, labelCol, bins)
+
+  /** The shared keyed isotonic core: with `keys` empty this IS the
+    * global [[recalibrate]] plan (empty partition spec, key-free
+    * joins); with keys every stage carries them. */
+  private def isotonicFit(
+      df: DataFrame,
+      keys: Seq[String],
+      scoreCol: String,
+      labelCol: String,
+      bins: Int): DataFrame = {
     require(bins >= 2, "need at least 2 calibration bins")
     val s = col(scoreCol).cast("double")
+    val keyCols = keys.map(col)
     val binned = df.filter(s.isNotNull && col(labelCol).isNotNull)
-      .select(greatest(
+      .select(keyCols ++ Seq(
+        greatest(
           least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
           .as("bin"),
-        col(labelCol).cast("boolean").cast("int").as("__pos"))
-      .groupBy(col("bin"))
+        col(labelCol).cast("boolean").cast("int").as("__pos")): _*)
+      .groupBy(keyCols :+ col("bin"): _*)
       .agg(count(lit(1)).as("n"), sum(col("__pos")).as("__np"))
-    // Cumulative sums over the ≤ bins-row table: the one ordered
-    // window in this operator runs on post-aggregate rows hard-bounded
-    // by `bins` — never on corpus rows.
-    val w = Window.orderBy(col("bin"))
+    // Cumulative sums over the ≤ bins rows PER KEY: the ordered window
+    // partitions on the key (global fit: empty spec — one partition of
+    // ≤ bins post-aggregate rows), never on corpus rows.
+    val w = Window.partitionBy(keyCols: _*).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = binned
       .withColumn("__cn", sum(col("n")).over(w))
       .withColumn("__cnp", sum(col("__np")).over(w))
-    // Segment means over every contiguous bin range [j..k]: prefix
-    // BEFORE j is (__cn − n, __cnp − __np) at j.
-    val jSide = cum.select(col("bin").as("__jb"),
+    // Segment means over every contiguous bin range [j..k] within a
+    // key: prefix BEFORE j is (__cn − n, __cnp − __np) at j.
+    def k2(name: String) = keys.map(k => col(k).as(s"__$name$k"))
+    def kEq(a: String, b: String) = keys
+      .map(k => col(s"__$a$k") === col(s"__$b$k"))
+      .foldLeft(lit(true))(_ && _)
+    val jSide = cum.select(k2("j") ++ Seq(col("bin").as("__jb"),
       (col("__cn") - col("n")).as("__cn0"),
-      (col("__cnp") - col("__np")).as("__cnp0"))
-    val kSide = cum.select(col("bin").as("__kb"),
-      col("__cn").as("__cnk"), col("__cnp").as("__cnpk"))
-    val segs = jSide.join(kSide, col("__jb") <= col("__kb"))
-      .select(col("__jb"), col("__kb"),
+      (col("__cnp") - col("__np")).as("__cnp0")): _*)
+    val kSide = cum.select(k2("k") ++ Seq(col("bin").as("__kb"),
+      col("__cn").as("__cnk"), col("__cnp").as("__cnpk")): _*)
+    val segs = jSide
+      .join(kSide, kEq("j", "k") && col("__jb") <= col("__kb"))
+      .select(keys.map(k => col(s"__j$k")) ++ Seq(col("__jb"), col("__kb"),
         ((col("__cnpk") - col("__cnp0")).cast("double") /
-          (col("__cnk") - col("__cn0")).cast("double")).as("__r"))
-    val fitted = binned.select(col("bin"))
-      .join(segs, col("__jb") <= col("bin") && col("__kb") >= col("bin"))
-      .groupBy(col("bin"), col("__jb")).agg(min(col("__r")).as("__mn"))
-      .groupBy(col("bin")).agg(max(col("__mn")).as("__cal"))
-    binned.join(fitted, Seq("bin"))
-      .select(col("bin"), col("n"),
+          (col("__cnk") - col("__cn0")).cast("double")).as("__r")): _*)
+    val iKeyed = binned.select(
+      keys.map(k => col(k).as(s"__i$k")) :+ col("bin"): _*)
+    val fitted = iKeyed
+      .join(segs, kEq("i", "j") &&
+        col("__jb") <= col("bin") && col("__kb") >= col("bin"))
+      .groupBy(keys.map(k => col(s"__i$k")) ++
+        Seq(col("bin"), col("__jb")): _*)
+      .agg(min(col("__r")).as("__mn"))
+      .groupBy(keys.map(k => col(s"__i$k")) :+ col("bin"): _*)
+      .agg(max(col("__mn")).as("__cal"))
+      .select(keys.map(k => col(s"__i$k").as(k)) ++
+        Seq(col("bin"), col("__cal")): _*)
+    binned.join(fitted, keys :+ "bin")
+      .select(keyCols ++ Seq(col("bin"), col("n"),
         round(col("__np").cast("double") / col("n"), 6).as("label_rate"),
-        round(col("__cal"), 6).as("calibrated"))
+        round(col("__cal"), 6).as("calibrated")): _*)
+  }
+
+  /** [[applyCalibration]] for a [[recalibrateBy]] mapping: the remap
+    * joins on (key, bin) — still broadcast (keys × bins rows), still
+    * map-only on the corpus side; a (key, bin) cell the mapping never
+    * saw keeps the raw score. */
+  def applyCalibrationBy(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      mapping: DataFrame,
+      bins: Int = 10,
+      outCol: String = "calibrated_score"): DataFrame = {
+    require(bins >= 2, "need at least 2 calibration bins")
+    val s = col(scoreCol).cast("double")
+    val m = broadcast(mapping
+      .select(col(keyCol).as("__mkey"), col("bin").as("__mbin"),
+        col("calibrated").as("__mcal")))
+    df.withColumn("__bin",
+        when(s.isNotNull, greatest(
+          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))))
+      .join(m,
+        col(keyCol) === col("__mkey") && col("__bin") === col("__mbin"),
+        "left")
+      .withColumn(outCol, coalesce(col("__mcal"), s))
+      .drop("__bin", "__mkey", "__mbin", "__mcal")
   }
 
   /** Apply a [[recalibrate]] mapping to a score column: each row's

@@ -350,6 +350,53 @@ class QualityModelSpec extends AnyFunSuite {
     assert(after < 0.01, s"piecewise-exact remap should land near 0: $after")
   }
 
+  test("recalibrateBy: independent isotonic fit per key == per-slice global fits") {
+    val s = spark
+    import s.implicits._
+    // srcA monotone-violating (pools 0/1), srcB already monotone:
+    // per-key fits must differ — a global fit would average them.
+    val rows =
+      Seq.fill(2)(("srcA", 0.05, true)) ++ Seq.fill(2)(("srcA", 0.05, false)) ++
+        Seq.fill(1)(("srcA", 0.15, true)) ++ Seq.fill(3)(("srcA", 0.15, false)) ++
+        Seq.fill(1)(("srcB", 0.05, false)) ++ Seq.fill(1)(("srcB", 0.05, true)) ++
+        Seq.fill(2)(("srcB", 0.95, true))
+    val df = rows.toDF("source", "score", "label")
+    val by = QualityModel.recalibrateBy(df, "source", "score", "label")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    // srcA: bins (4, 2)=0.5 and (4, 1)=0.25 violate -> pooled 3/8
+    // srcB: 0.5 then 1.0 monotone -> stands
+    assert(by == Map(
+      ("srcA", 0) -> ((4L, 0.5, 0.375)),
+      ("srcA", 1) -> ((4L, 0.25, 0.375)),
+      ("srcB", 0) -> ((2L, 0.5, 0.5)),
+      ("srcB", 9) -> ((2L, 1.0, 1.0))), by.toString)
+    // per-key fit == the global fit run on that key's slice alone
+    for (k <- Seq("srcA", "srcB")) {
+      val slice = QualityModel.recalibrate(
+          df.filter(col("source") === k), "score", "label")
+        .collect().map(r => (k, r.getInt(0)) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+      assert(slice == by.filter(_._1._1 == k), s"slice parity for $k")
+    }
+    // keyed apply: (key, bin) lookup, unseen cells keep raw, the
+    // corpus side never shuffles
+    val mapping = QualityModel.recalibrateBy(df, "source", "score", "label")
+    val applied = QualityModel.applyCalibrationBy(
+      Seq(("srcA", 0.07), ("srcB", 0.07), ("srcB", 0.55), ("srcC", 0.07))
+        .toDF("source", "score"),
+      "source", "score", mapping)
+    applied.collect()
+    assert(PlanCheck.exchangesCarrying(applied, "score").isEmpty,
+      "scores must never cross an exchange in applyCalibrationBy")
+    val got = applied.collect().map(r => (r.getString(0), r.getDouble(1)) ->
+      r.getDouble(r.fieldIndex("calibrated_score"))).toMap
+    assert(got == Map(
+      ("srcA", 0.07) -> 0.375, ("srcB", 0.07) -> 0.5,
+      ("srcB", 0.55) -> 0.55, ("srcC", 0.07) -> 0.07), got.toString)
+  }
+
   test("psiTotal: the summed gate scalar matches the per-bin fold") {
     val s = spark
     import s.implicits._
