@@ -874,7 +874,13 @@ object Crawl {
       urlCol: String,
       tsCol: String,
       digestCol: String): DataFrame = {
-    val w = Window.partitionBy(col("url")).orderBy(col("__ts"))
+    // The digest tiebreak makes the visit order DETERMINISTIC on tied
+    // timestamps (coarse clocks, log-dedup artifacts) — and it is the
+    // SAME (ts, digest) order recrawlStats' struct-min/max extremes
+    // use, so the incremental path cannot diverge from this one on
+    // tie-carrying data.
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("__ts"), col("__dg"))
     val prev = lag(col("__dg"), 1).over(w)
     history
       .select(col(urlCol).as("url"), col(tsCol).cast("double").as("__ts"),
@@ -924,13 +930,24 @@ object Crawl {
         count(lit(1)).as("n_obs"),
         coalesce(sum(col("__chg")), lit(0L)).as("n_changes"),
         min(col("__ts")).as("first_ts"), max(col("__ts")).as("last_ts"),
-        min_by(col("__dg"), col("__ts")).as("first_digest"),
-        max_by(col("__dg"), col("__ts")).as("last_digest"))
+        // struct extremes, NOT min_by/max_by: the (ts, digest) struct
+        // order matches recrawlFlagged's window order exactly, so the
+        // boundary digests are deterministic on tied timestamps and
+        // a null digest is carried as a VALUE (the true last
+        // observation), never skipped for an earlier non-null one.
+        min(struct(col("__ts"), col("__dg"))).getField("__dg")
+          .as("first_digest"),
+        max(struct(col("__ts"), col("__dg"))).getField("__dg")
+          .as("last_digest"))
 
   /** Fold a LATER batch's [[recrawlStats]] into the PRIOR table.
     * Contract: every fetch in `later` happened after `prior`'s
     * `last_ts` for that url (a crawler's natural batch invariant —
-    * waves are time-ordered). Counts and extremes add; the one change
+    * waves are time-ordered) — ENFORCED: a url whose later-side
+    * `first_ts` is at or before the prior's `last_ts` raises at
+    * execution (detected for free inside the join this fold already
+    * performs) rather than persisting corrupt statistics every future
+    * wave would inherit. Counts and extremes add; the one change
     * the two segments cannot see internally — the boundary — is
     * exactly `later.first_digest != prior.last_digest`. URLs on one
     * side only pass through unchanged, so the fold is closed over the
@@ -950,19 +967,43 @@ object Crawl {
       col("n_changes").as("__lc"), col("first_ts").as("__lf"),
       col("last_ts").as("__ll"), col("first_digest").as("__lfd"),
       col("last_digest").as("__lld"))
+    // Side PRESENCE is n_obs being non-null (count never nulls for a
+    // present url) — digests and timestamps select by presence, NOT by
+    // value coalesce: a null digest is a legal VALUE (failed fetch)
+    // and value-coalescing it to an older wave's digest would mint a
+    // phantom boundary change in the NEXT merge, breaking the
+    // incremental == full invariant.
+    val pPresent = col("__pn").isNotNull
+    val lPresent = col("__ln").isNotNull
+    // The boundary change the segments cannot see internally — null
+    // boundary digests compare to no-change, exactly as the raw
+    // lag-window flag skips null comparisons.
     val boundary = when(
       col("__pld").isNotNull && col("__lfd").isNotNull,
       (col("__lfd") =!= col("__pld")).cast("long")).otherwise(lit(0L))
+    // The time-order contract, ENFORCED where it is free to detect:
+    // both sides in hand, a later wave starting at or before the
+    // prior's last observation is a replayed/out-of-order batch whose
+    // merged stats would be confidently wrong — fail the job instead
+    // of persisting corruption every future wave folds into.
+    val guardedLastTs = when(
+      pPresent && lPresent && col("__lf") <= col("__pl"),
+      raise_error(concat(
+        lit("recrawlStatsMerge: out-of-order wave for url "), col("url"),
+        lit(" (later first_ts <= prior last_ts)"))).cast("double"))
+      .otherwise(when(lPresent, col("__ll")).otherwise(col("__pl")))
     p.join(l.hint("SHUFFLE_HASH"), Seq("url"), "full_outer")
       .select(col("url"),
         (coalesce(col("__pn"), lit(0L)) + coalesce(col("__ln"), lit(0L)))
           .as("n_obs"),
         (coalesce(col("__pc"), lit(0L)) + coalesce(col("__lc"), lit(0L)) +
           boundary).as("n_changes"),
-        coalesce(col("__pf"), col("__lf")).as("first_ts"),
-        coalesce(col("__ll"), col("__pl")).as("last_ts"),
-        coalesce(col("__pfd"), col("__lfd")).as("first_digest"),
-        coalesce(col("__lld"), col("__pld")).as("last_digest"))
+        when(pPresent, col("__pf")).otherwise(col("__lf")).as("first_ts"),
+        guardedLastTs.as("last_ts"),
+        when(pPresent, col("__pfd")).otherwise(col("__lfd"))
+          .as("first_digest"),
+        when(lPresent, col("__lld")).otherwise(col("__pld"))
+          .as("last_digest"))
   }
 
   /** The schedule off a [[recrawlStats]] table — the same estimator,

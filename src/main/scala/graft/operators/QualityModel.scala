@@ -404,7 +404,10 @@ object QualityModel {
     * key, so the fit distributes ON the key — each group's work is the
     * same ≤ bins³ post-aggregate rows the global fit does, and groups
     * never synchronize. Output adds `keyCol` in front; apply with
-    * [[applyCalibrationBy]]. */
+    * [[applyCalibrationBy]]. NULL-key rows drop like null scores and
+    * labels (the same explicit contract — there is no group to fit
+    * them into; route a null-key slice through the global
+    * [[recalibrate]] if it needs a mapping). */
   def recalibrateBy(
       df: DataFrame,
       keyCol: String,
@@ -423,9 +426,20 @@ object QualityModel {
       labelCol: String,
       bins: Int): DataFrame = {
     require(bins >= 2, "need at least 2 calibration bins")
+    // output columns and the `__<side>_<key>` aliases below would
+    // silently shadow a key with one of these names
+    keys.foreach(k => require(
+      !Set("bin", "n", "label_rate", "calibrated").contains(k),
+      s"key column '$k' collides with a mapping output column"))
     val s = col(scoreCol).cast("double")
     val keyCols = keys.map(col)
-    val binned = df.filter(s.isNotNull && col(labelCol).isNotNull)
+    // null keys drop explicitly (see recalibrateBy's contract): left
+    // in, they would pay the aggregation and then vanish at the
+    // non-null-safe fit joins — cost without a mapping row.
+    val keyFilter = keys
+      .map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
+    val binned = df
+      .filter(s.isNotNull && col(labelCol).isNotNull && keyFilter)
       .select(keyCols ++ Seq(
         greatest(
           least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
@@ -443,9 +457,9 @@ object QualityModel {
       .withColumn("__cnp", sum(col("__np")).over(w))
     // Segment means over every contiguous bin range [j..k] within a
     // key: prefix BEFORE j is (__cn − n, __cnp − __np) at j.
-    def k2(name: String) = keys.map(k => col(k).as(s"__$name$k"))
+    def k2(name: String) = keys.map(k => col(k).as(s"__${name}_$k"))
     def kEq(a: String, b: String) = keys
-      .map(k => col(s"__$a$k") === col(s"__$b$k"))
+      .map(k => col(s"__${a}_$k") === col(s"__${b}_$k"))
       .foldLeft(lit(true))(_ && _)
     val jSide = cum.select(k2("j") ++ Seq(col("bin").as("__jb"),
       (col("__cn") - col("n")).as("__cn0"),
@@ -454,20 +468,20 @@ object QualityModel {
       col("__cn").as("__cnk"), col("__cnp").as("__cnpk")): _*)
     val segs = jSide
       .join(kSide, kEq("j", "k") && col("__jb") <= col("__kb"))
-      .select(keys.map(k => col(s"__j$k")) ++ Seq(col("__jb"), col("__kb"),
+      .select(keys.map(k => col(s"__j_$k")) ++ Seq(col("__jb"), col("__kb"),
         ((col("__cnpk") - col("__cnp0")).cast("double") /
           (col("__cnk") - col("__cn0")).cast("double")).as("__r")): _*)
     val iKeyed = binned.select(
-      keys.map(k => col(k).as(s"__i$k")) :+ col("bin"): _*)
+      keys.map(k => col(k).as(s"__i_$k")) :+ col("bin"): _*)
     val fitted = iKeyed
       .join(segs, kEq("i", "j") &&
         col("__jb") <= col("bin") && col("__kb") >= col("bin"))
-      .groupBy(keys.map(k => col(s"__i$k")) ++
+      .groupBy(keys.map(k => col(s"__i_$k")) ++
         Seq(col("bin"), col("__jb")): _*)
       .agg(min(col("__r")).as("__mn"))
-      .groupBy(keys.map(k => col(s"__i$k")) :+ col("bin"): _*)
+      .groupBy(keys.map(k => col(s"__i_$k")) :+ col("bin"): _*)
       .agg(max(col("__mn")).as("__cal"))
-      .select(keys.map(k => col(s"__i$k").as(k)) ++
+      .select(keys.map(k => col(s"__i_$k").as(k)) ++
         Seq(col("bin"), col("__cal")): _*)
     binned.join(fitted, keys :+ "bin")
       .select(keyCols ++ Seq(col("bin"), col("n"),

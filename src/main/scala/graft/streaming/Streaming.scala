@@ -655,7 +655,12 @@ object Streaming {
     * store; the SAME expression tree as the batch operator, so a
     * scorer recalibrated offline deploys to the online path without a
     * second implementation that could drift (batch parity
-    * spec-pinned). */
+    * spec-pinned). The mapping CHECKPOINTS once here (the
+    * [[lineDedupStream]] discipline): the static side of a
+    * stream-static join re-executes per micro-batch, and an
+    * unmaterialized `recalibrate(...)` lineage would re-scan its
+    * training corpus and re-run the isotonic joins on every trigger —
+    * the hot scoring path must pay only the ≤ bins-row broadcast. */
   def applyCalibrationStream(
       scores: DataFrame,
       scoreCol: String,
@@ -663,7 +668,8 @@ object Streaming {
       bins: Int = 10,
       outCol: String = "calibrated_score"): DataFrame =
     graft.operators.QualityModel.applyCalibration(
-      scores, scoreCol, mapping, bins, outCol)
+      scores, scoreCol, graft.operators.Materialize.checkpoint(mapping),
+      bins, outCol)
 
   /** Ingest-time DECONTAMINATION screen: one detection row per
     * (arriving document, eval set, shared k-gram) — don't let

@@ -735,6 +735,39 @@ class CrawlSpec extends AnyFunSuite {
     assert(viaStats == viaHistory, "scheduleFromStats == recrawlSchedule")
   }
 
+  test("recrawlStats merge: null digests carry as values, out-of-order waves raise") {
+    val s = spark
+    import s.implicits._
+    def stats(df: org.apache.spark.sql.DataFrame) =
+      Crawl.recrawlStats(df, "url", "ts", "dg")
+    // u fetched x@0, null@10 (failed fetch), y@20: the raw lag flags
+    // skip null comparisons -> 0 changes. The merge must carry the
+    // TRUE last observation's digest (null) across the wave boundary —
+    // value-coalescing it back to "x" would mint a phantom y != x
+    // change in the next merge.
+    val w1 = Seq(("u", 0.0, Some("x"))).toDF("url", "ts", "dg")
+    val w2 = Seq(("u", 10.0, None: Option[String])).toDF("url", "ts", "dg")
+    val w3 = Seq(("u", 20.0, Some("y"))).toDF("url", "ts", "dg")
+    val chained = Crawl.recrawlStatsMerge(
+      Crawl.recrawlStatsMerge(stats(w1), stats(w2)), stats(w3))
+      .collect()(0)
+    val direct = stats(
+      Seq(("u", 0.0, Some("x")), ("u", 10.0, None: Option[String]),
+        ("u", 20.0, Some("y"))).toDF("url", "ts", "dg"))
+      .collect()(0)
+    assert(chained.getLong(2) == 0L && direct.getLong(2) == 0L,
+      s"null-boundary comparisons count no change: $chained vs $direct")
+    assert(chained.toSeq == direct.toSeq, "chained == full with null digests")
+    // a replayed / out-of-order wave fails loudly instead of
+    // persisting corrupt statistics
+    val replay = intercept[Exception] {
+      Crawl.recrawlStatsMerge(stats(w3), stats(w1)).collect()
+    }
+    assert(replay.getMessage != null &&
+      replay.toString.contains("out-of-order"),
+      s"expected the out-of-order guard, got: $replay")
+  }
+
   test("frontierFromSchedule: due URLs enter by overdueness, future URLs wait") {
     val s = spark
     import s.implicits._

@@ -395,6 +395,19 @@ class QualityModelSpec extends AnyFunSuite {
     assert(got == Map(
       ("srcA", 0.07) -> 0.375, ("srcB", 0.07) -> 0.5,
       ("srcB", 0.55) -> 0.55, ("srcC", 0.07) -> 0.07), got.toString)
+    // null keys drop explicitly (the documented contract), and a key
+    // name colliding with a mapping output column is refused up front
+    val withNullKey = QualityModel.recalibrateBy(
+      df.withColumn("source",
+        when(col("source") === "srcB", lit(null)).otherwise(col("source"))),
+      "source", "score", "label").collect()
+    assert(withNullKey.forall(_.getString(0) == "srcA"),
+      s"null-key rows must not reach the mapping: ${withNullKey.toSeq}")
+    val collide = intercept[IllegalArgumentException] {
+      QualityModel.recalibrateBy(
+        df.withColumnRenamed("source", "bin"), "bin", "score", "label")
+    }
+    assert(collide.getMessage.contains("collides"), collide.getMessage)
   }
 
   test("psiTotal: the summed gate scalar matches the per-bin fold") {
