@@ -96,6 +96,17 @@ object QueriesR15 {
     //     spelling is entity-escaped — the schedule must show the REAL
     //     ampersand spelling, joined to its history. ---
     "q_recrawl_seeded" -> ((s, d) => seededScheduleFixture(s, d)),
+    // --- the deployment gate: AUC + ECE + PSI-vs-previous-release
+    //     against their bounds, folded to one go/no-go row — this
+    //     scorer's honest verdict is deploy = false (ECE 0.207 over
+    //     the 0.1 bound; ranking and drift pass). ---
+    "q_scorer_gate" -> { (s, d) =>
+      val scored = QueriesR14.calibrationScored(s, d)
+      val prev = QueriesR14.scoreLabel(
+        docs(s, d).filter(col("doc_id") % 2 === 0))
+      operators.QualityModel.scorerGate(scored, "score", "label", prev,
+        minAuc = 0.5, maxEce = 0.1, maxPsi = 0.25)
+    },
     // --- PER-SOURCE isotonic recalibration: one independent fit per
     //     corpus source (a scorer is rarely uniformly miscalibrated —
     //     a global remap can over-correct one source while leaving
@@ -311,6 +322,63 @@ object QueriesR15 {
     // schedule from merged per-wave sufficient statistics, so a hash
     // match here IS the incremental == full proof.
     "q_recrawl_inc" -> QueriesR14.oracles("q_recrawl"),
+    // The three gate components replayed — Mann-Whitney AUC over the
+    // internally-quantized score, the integer gap-mass ECE, the
+    // smoothed per-bin PSI micro-fold (cur side UNFILTERED by lang:
+    // populationStability is label-free) — then the bound compares.
+    "q_scorer_gate" ->
+      (QueriesR14.calibrationBinsCte + """,
+        |ec AS (SELECT round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
+        |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece FROM rep),
+        |ga AS (SELECT round(score, 6) AS sc, count(*) AS n,
+        |    CAST(sum(CAST(label AS INT)) AS BIGINT) AS np
+        |  FROM s GROUP BY 1),
+        |ra AS (SELECT np, n,
+        |    CAST(sum(n) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING)
+        |      AS DOUBLE) - (CAST(n AS DOUBLE) - 1) / 2 AS avg_rank
+        |  FROM ga),
+        |aa AS (SELECT CAST(sum(np) AS BIGINT) AS npos,
+        |    CAST(sum(n - np) AS BIGINT) AS nneg,
+        |    sum(CAST(np AS DOUBLE) * avg_rank) AS rpos
+        |  FROM ra),
+        |au AS (SELECT CASE WHEN npos > 0 AND nneg > 0
+        |    THEN round((rpos - CAST(npos AS DOUBLE) * (npos + 1) / 2)
+        |      / (CAST(npos AS DOUBLE) * nneg), 6) END AS auc FROM aa),
+        |ta AS (SELECT doc_id, regexp_extract_all(text, '\S+') toks
+        |       FROM documents),
+        |sa AS (SELECT doc_id, least(
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+        |      AS score FROM ta),
+        |pb AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
+        |         AS bin, count(*) AS n_base
+        |       FROM sa WHERE doc_id % 2 = 0 GROUP BY 1),
+        |pc AS (SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0)
+        |         AS bin, count(*) AS n_cur FROM sa GROUP BY 1),
+        |ab2 AS (SELECT CAST(i AS INT) AS bin
+        |        FROM unnest(generate_series(0, 9)) u(i)),
+        |pj AS (SELECT ab2.bin,
+        |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM ab2 LEFT JOIN pb USING (bin) LEFT JOIN pc USING (bin)),
+        |ptt AS (SELECT CAST(sum(n_base) AS DOUBLE) AS tb,
+        |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM pj),
+        |pp AS (SELECT round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
+        |      - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
+        |      / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6) AS psi
+        |  FROM pj, ptt),
+        |px AS (SELECT round(CAST(sum(CAST(round(psi * 1e6) AS BIGINT))
+        |      AS DOUBLE) / 1e6, 6) AS psi_total FROM pp)
+        |SELECT au.auc, ec.ece, px.psi_total,
+        |  coalesce(au.auc >= CAST(0.5 AS DOUBLE), false) AS auc_ok,
+        |  (ec.ece <= CAST(0.1 AS DOUBLE)) AS ece_ok,
+        |  (px.psi_total <= CAST(0.25 AS DOUBLE)) AS psi_ok,
+        |  (coalesce(au.auc >= CAST(0.5 AS DOUBLE), false)
+        |    AND ec.ece <= CAST(0.1 AS DOUBLE)
+        |    AND px.psi_total <= CAST(0.25 AS DOUBLE)) AS deploy
+        |FROM au, ec, px""".stripMargin),
     // The keyed min-max identity replayed with source carried through
     // every CTE — per-key cumulative sums, per-key segment means,
     // per-key min/max folds.

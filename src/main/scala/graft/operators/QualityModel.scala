@@ -542,6 +542,37 @@ object QualityModel {
       .drop("__bin", "__mbin", "__mcal")
   }
 
+  /** The deployment GATE: the one-row go/no-go verdict a pipeline
+    * thresholds before shipping a scorer — ranking quality
+    * ([[rocAuc]]), probability honesty ([[expectedCalibrationError]])
+    * and distribution drift vs the previous release ([[psiTotal]]),
+    * each against its caller-chosen bound, folded into a `deploy`
+    * boolean. A null AUC (single-class input — ranking quality is
+    * unmeasurable) gates FALSE, never null: an unmeasurable scorer is
+    * not a shippable scorer. All three sides are one-row aggregates;
+    * the joins broadcast. */
+  def scorerGate(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      prev: DataFrame,
+      minAuc: Double = 0.5,
+      maxEce: Double = 0.1,
+      maxPsi: Double = 0.25,
+      bins: Int = 10): DataFrame = {
+    val aucRow = rocAuc(df, scoreCol, labelCol).select(col("auc"))
+    val eceRow = expectedCalibrationError(
+      calibrationReport(df, scoreCol, labelCol, bins)).select(col("ece"))
+    val psiRow = psiTotal(prev, df, scoreCol, bins)
+    val aucOk = coalesce(col("auc") >= minAuc, lit(false))
+    val eceOk = col("ece") <= maxEce
+    val psiOk = col("psi_total") <= maxPsi
+    aucRow.crossJoin(broadcast(eceRow)).crossJoin(broadcast(psiRow))
+      .select(col("auc"), col("ece"), col("psi_total"),
+        aucOk.as("auc_ok"), eceOk.as("ece_ok"), psiOk.as("psi_ok"),
+        (aucOk && eceOk && psiOk).as("deploy"))
+  }
+
   /** Expected calibration error off [[calibrationReport]]'s table:
     * `sum(n_b * |gap_b|) / N` over the filled bins (Guo et al. 2017,
     * eq. 3). Folds the ROUNDED per-bin gaps back to micros and sums

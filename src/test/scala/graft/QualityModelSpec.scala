@@ -410,6 +410,27 @@ class QualityModelSpec extends AnyFunSuite {
     assert(collide.getMessage.contains("collides"), collide.getMessage)
   }
 
+  test("scorerGate: three bounds fold to deploy; unmeasurable AUC gates false") {
+    val s = spark
+    import s.implicits._
+    val good = Seq((0.9, true), (0.8, true), (0.2, false), (0.1, false))
+      .toDF("score", "label")
+    val g = QualityModel.scorerGate(good, "score", "label",
+        good.select("score"), minAuc = 0.9, maxEce = 0.5, maxPsi = 0.25)
+      .collect()(0)
+    // perfect separator vs itself: auc 1.0, psi 0, ece within 0.5
+    assert(g.getBoolean(3) && g.getBoolean(4) && g.getBoolean(5) &&
+      g.getBoolean(6), g.toString)
+    // single-class input: AUC unmeasurable -> auc_ok FALSE (not null),
+    // deploy FALSE
+    val oneClass = Seq((0.9, true), (0.8, true)).toDF("score", "label")
+    val oc = QualityModel.scorerGate(oneClass, "score", "label",
+      oneClass.select("score"))
+    val r = oc.collect()(0)
+    assert(r.isNullAt(0) && !r.getBoolean(3) && !r.getBoolean(6),
+      s"unmeasurable ranking must gate deploy=false: $r")
+  }
+
   test("psiTotal: the summed gate scalar matches the per-bin fold") {
     val s = spark
     import s.implicits._
