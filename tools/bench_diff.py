@@ -50,6 +50,28 @@ session measured hot AND the ambient-deflated wall passing — and
 otherwise stays a fatal violation until an isolated re-measure of the
 same build clears it.
 
+CPU ambient deflator (round 16): the CPU second opinion itself needs
+normalizing — the round-15 driver sweep measured q_explode's cpu_ratio
+at 2.06 ON IDENTICAL CODE, converting machine ambient into formal
+violations no lane could clear. Two fixes: (a) per-query cpu_ratio is
+DEFLATED by `cpu_ambient` — the median over frozen controls of
+median(cur controls_cpu)/median(base controls_cpu) (code-identical, so
+their CPU ratio is pure measurement-context drift); (b) the flatness
+test gets the same absolute floor the wall test has — a 0.03 s-CPU
+query whose cpu reads 0.07 s hot has a 2.3x "ratio" that means
+nothing, so CPU is `cpu_anchored_flat` when the deflated ratio passes
+tolerance OR the deflated absolute delta is under --cpu-floor. A new
+suspect lane then applies to launch-dominated tiny queries that scalar
+wall deflation cannot clear (ten sub-100 ms jobs each +30 ms of launch
+debt = a 3x wall ratio no single deflator reproduces): session hot on
+controls (ambient or launch axis) + cpu_anchored_flat + wall delta
+under --wall-delta-cap (default 1.0 s, so a multi-second I/O-wait
+regression can never ride it) => ambient_suspect tagged
+deflated_by=cpu_anchor — reported, not fatal, settled by the same
+isolated re-measure protocol. A planted compute regression moves CPU
+in both ratio and absolute terms and stays a fatal violation
+(tools/bench_diff_selftest.py pins both directions).
+
 Isolated re-measures: --isolated FILE(s) take BENCH_DETAIL(_PARTIAL)
 files from `SPARK_GRAFT_ONLY=...` runs of the SAME build; their
 medians override --cur for the queries they contain (marked
@@ -94,6 +116,14 @@ def main():
                          "the queries they contain")
     ap.add_argument("--tolerance", type=float, default=1.5)
     ap.add_argument("--floor", type=float, default=0.25)
+    ap.add_argument("--cpu-floor", type=float, default=0.25,
+                    help="absolute deflated-CPU delta (sec) under which "
+                         "CPU counts as flat regardless of ratio — tiny "
+                         "CPU bases make ratios meaningless")
+    ap.add_argument("--wall-delta-cap", type=float, default=1.0,
+                    help="max absolute wall delta (sec) the cpu_anchor "
+                         "suspect lane may cover; bigger moves stay "
+                         "fatal even with flat CPU")
     ap.add_argument("--ambient-threshold", type=float, default=1.10,
                     help="median cur/base ratio above which the sweep "
                          "is classified ambient-hot and would-be "
@@ -192,6 +222,24 @@ def main():
     launch = (control_ratios or {}).get("ctl_multijob")
     launch_hot = launch is not None and launch > args.ambient_threshold
 
+    # CPU ambient (round 16): the frozen controls' executor-CPU medians
+    # across rounds measure how much the MEASUREMENT of CPU drifted on
+    # identical code (GC pressure, JIT state, co-tenant cache pollution
+    # all inflate task CPU a little). Per-query cpu_ratio is deflated by
+    # this before any flatness test.
+    control_cpu_ratios = None
+    bccpu, cccpu = base.get("controls_cpu") or {}, cur.get("controls_cpu") or {}
+    cpu_ctl_common = [k for k in sorted(bccpu)
+                      if k in cccpu and bccpu[k] and cccpu[k]
+                      and med(bccpu[k]) > 0]
+    if cpu_ctl_common:
+        control_cpu_ratios = {k: round(med(cccpu[k]) / med(bccpu[k]), 3)
+                              for k in cpu_ctl_common}
+        cpu_ambient = med(list(control_cpu_ratios.values()))
+    else:
+        cpu_ambient = 1.0
+    session_hot = ambient_hot or launch_hot
+
     violations, noisy, improved, suspects = [], [], [], []
     for q in common:
         b, c = bq[q], cq[q]
@@ -199,9 +247,18 @@ def main():
                  "ratio": round(c / b, 3) if b > 0 else None,
                  "spread_base": bs.get(q), "spread_cur": cs.get(q)}
         cpu_ratio = None
+        cpu_anchored_flat = False
         if bcpu.get(q) and ccpu.get(q) and bcpu[q] > 0:
             cpu_ratio = round(ccpu[q] / bcpu[q], 3)
             entry["cpu_ratio"] = cpu_ratio
+            # Deflated by the controls' own CPU drift; flat when the
+            # deflated ratio passes tolerance OR the deflated absolute
+            # delta is under the CPU floor (tiny bases => ratios are
+            # noise: 0.033 s -> 0.068 s is "2.06x" and means nothing).
+            cpu_adj = ccpu[q] / cpu_ambient
+            entry["cpu_ratio_adj"] = round(cpu_adj / bcpu[q], 3)
+            cpu_anchored_flat = (cpu_adj / bcpu[q] <= args.tolerance
+                                 or cpu_adj - bcpu[q] <= args.cpu_floor)
         if q in isolated:
             # Same-build measurements all estimate one capability and
             # co-tenant noise is additive, so the MIN of sweep and
@@ -244,6 +301,23 @@ def main():
                     entry["deflated_ratio"] = round((c / launch) / b, 3)
                     entry["deflated_by"] = "ctl_multijob"
                     suspects.append(entry)
+                elif (session_hot and not entry.get("isolated")
+                        and cpu_ratio is not None and cpu_anchored_flat
+                        and c - b <= args.wall_delta_cap):
+                    # Launch-dominated tiny queries: a hot session's
+                    # per-job debt can triple a 0.1 s wall while the
+                    # (control-deflated) compute stays put in absolute
+                    # terms. No scalar wall deflator reproduces that,
+                    # so the corroboration here is compute-side: the
+                    # session is provably hot on code-identical
+                    # controls AND the deflated CPU did not move. Wall
+                    # moves past --wall-delta-cap stay fatal (an added
+                    # checkpoint write or sleep that costs real seconds
+                    # cannot ride this lane), and like every suspect
+                    # lane the verdict is provisional: an isolated
+                    # re-measure (which bypasses all lanes) settles it.
+                    entry["deflated_by"] = "cpu_anchor"
+                    suspects.append(entry)
                 else:
                     violations.append(entry)
         elif c > 0 and b / c > args.tolerance and b - c > args.floor:
@@ -263,6 +337,8 @@ def main():
         "ambient_hot": ambient_hot,
         "launch_ratio": launch,
         "launch_hot": launch_hot,
+        "cpu_ambient_ratio": round(cpu_ambient, 3),
+        "control_cpu_ratios": control_cpu_ratios,
         "ambient_note": (
             "median per-query cur/base ratio > threshold: the whole "
             "sweep ran hot; entries in ambient_suspect pass at the "

@@ -1,0 +1,108 @@
+#!/usr/bin/env python3
+"""A/B fixture for the bench_diff classification lanes (round 16).
+
+Synthesizes base/cur BENCH_DETAIL pairs and asserts the gate's verdict
+in BOTH directions for the new cpu_anchor lane:
+  1. ambient  — a hot session (controls 1.25x) triples a tiny query's
+     wall while its control-deflated CPU is flat in absolute terms
+     => ambient_suspect (deflated_by=cpu_anchor), exit 0.
+  2. planted compute regression — CPU moves with the wall (3x, +3.1 s)
+     on the SAME hot session => stays a fatal violation, exit 1.
+  3. planted I/O-wait regression — wall +2.0 s with flat CPU exceeds
+     --wall-delta-cap => stays a fatal violation (the lane cannot
+     excuse real seconds of added wait).
+  4. quiet session — the same tiny-query wall move WITHOUT hot
+     controls => violation (the lane requires a provably hot session).
+  5. isolated re-measure at base speed settles case 2's twin back to
+     green (the clearance path every suspect is pointed at).
+
+Run: python3 tools/bench_diff_selftest.py   (prints PASS lines, exit 0)
+"""
+import json, os, subprocess, sys, tempfile
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BD = os.path.join(HERE, "bench_diff.py")
+
+
+def detail(queries, cpu, controls, controls_cpu):
+    return {"queries": queries, "run_spread": {q: 0.02 for q in queries},
+            "cpu_sec": cpu, "controls": controls,
+            "controls_cpu": controls_cpu}
+
+
+CTL_BASE = {"ctl_scan_agg": [0.5, 0.5], "ctl_join": [0.6, 0.6],
+            "ctl_window": [0.8, 0.8], "ctl_string": [0.3, 0.3],
+            "ctl_multijob": [1.0, 1.0]}
+CTL_HOT = {k: [v * 1.25 for v in vs] for k, vs in CTL_BASE.items()}
+CTLC_BASE = {k: [0.2, 0.2] for k in CTL_BASE}
+CTLC_FLAT = {k: [0.21, 0.21] for k in CTL_BASE}  # cpu_ambient ~1.05
+
+
+def run(base, cur, extra=()):
+    with tempfile.TemporaryDirectory() as d:
+        bp, cp = os.path.join(d, "b.json"), os.path.join(d, "c.json")
+        json.dump(base, open(bp, "w")); json.dump(cur, open(cp, "w"))
+        iso = []
+        for i, e in enumerate(extra):
+            p = os.path.join(d, f"iso{i}.json")
+            json.dump(e, open(p, "w")); iso += [p]
+        cmd = [sys.executable, BD, "--base", bp, "--cur", cp]
+        if iso:
+            cmd += ["--isolated"] + iso
+        r = subprocess.run(cmd, capture_output=True, text=True)
+        return r.returncode, json.loads(r.stdout)
+
+
+def check(name, cond):
+    if not cond:
+        sys.exit(f"FAIL: {name}")
+    print(f"PASS: {name}")
+
+
+# 1. Hot session, tiny launch-dominated query: wall 0.10 -> 0.38 (3.8x)
+#    with CPU 0.033 -> 0.068 (raw ratio 2.06 — the real r15 q_explode
+#    shape). Must land in ambient_suspect via cpu_anchor, ok=true.
+base = detail({"q_tiny": 0.10, "q_big": 5.0}, {"q_tiny": 0.033, "q_big": 4.0},
+              CTL_BASE, CTLC_BASE)
+cur = detail({"q_tiny": 0.38, "q_big": 5.1}, {"q_tiny": 0.068, "q_big": 4.1},
+             CTL_HOT, CTLC_FLAT)
+rc, rep = run(base, cur)
+check("ambient tiny query -> cpu_anchor suspect, exit 0",
+      rc == 0 and rep["ok"]
+      and [e["query"] for e in rep["ambient_suspect"]] == ["q_tiny"]
+      and rep["ambient_suspect"][0]["deflated_by"] == "cpu_anchor"
+      and not rep["violations"])
+
+# 2. Planted compute regression on the SAME hot session: q_big's wall
+#    AND cpu triple. Flat-CPU lanes must not fire; fatal.
+cur2 = detail({"q_tiny": 0.38, "q_big": 15.0},
+              {"q_tiny": 0.068, "q_big": 12.4}, CTL_HOT, CTLC_FLAT)
+rc, rep = run(base, cur2)
+check("planted compute regression stays fatal",
+      rc == 1 and [e["query"] for e in rep["violations"]] == ["q_big"])
+
+# 3. Planted I/O-wait regression: wall 1.0 -> 3.0 (+2.0 s > cap), CPU
+#    flat. The cpu_anchor lane's wall-delta cap must keep it fatal.
+base3 = detail({"q_io": 1.0}, {"q_io": 0.8}, CTL_BASE, CTLC_BASE)
+cur3 = detail({"q_io": 3.0}, {"q_io": 0.82}, CTL_HOT, CTLC_FLAT)
+rc, rep = run(base3, cur3)
+check("planted I/O-wait regression (flat CPU, +2 s) stays fatal",
+      rc == 1 and [e["query"] for e in rep["violations"]] == ["q_io"])
+
+# 4. Quiet session: identical tiny-query move but controls read 1.0 —
+#    no hot-session corroboration, so the lane must NOT fire.
+cur4 = detail({"q_tiny": 0.38, "q_big": 5.1},
+              {"q_tiny": 0.068, "q_big": 4.1}, CTL_BASE, CTLC_BASE)
+rc, rep = run(base, cur4)
+check("same move on a quiet session stays fatal",
+      rc == 1 and [e["query"] for e in rep["violations"]] == ["q_tiny"])
+
+# 5. Isolated re-measure at base speed settles a hot-sweep violation.
+iso = {"queries": {"q_big": 5.05}, "run_spread": {"q_big": 0.02},
+       "cpu_sec": {"q_big": 4.0}}
+rc, rep = run(base, cur2, extra=[iso])
+check("isolated re-measure at base speed clears the entry",
+      rc == 0 and rep["ok"] and not rep["violations"]
+      and "q_big" in rep["isolated_overrides"])
+
+print("bench_diff_selftest: all green")
