@@ -373,18 +373,23 @@ object QueriesR15 {
         |      AS DOUBLE) / 1e6, 6) AS psi_total FROM pp)
         |SELECT au.auc, ec.ece, px.psi_total,
         |  coalesce(au.auc >= CAST(0.5 AS DOUBLE), false) AS auc_ok,
-        |  (ec.ece <= CAST(0.1 AS DOUBLE)) AS ece_ok,
-        |  (px.psi_total <= CAST(0.25 AS DOUBLE)) AS psi_ok,
+        |  coalesce(ec.ece <= CAST(0.1 AS DOUBLE), false) AS ece_ok,
+        |  coalesce(px.psi_total <= CAST(0.25 AS DOUBLE), false) AS psi_ok,
         |  (coalesce(au.auc >= CAST(0.5 AS DOUBLE), false)
-        |    AND ec.ece <= CAST(0.1 AS DOUBLE)
-        |    AND px.psi_total <= CAST(0.25 AS DOUBLE)) AS deploy
+        |    AND coalesce(ec.ece <= CAST(0.1 AS DOUBLE), false)
+        |    AND coalesce(px.psi_total <= CAST(0.25 AS DOUBLE), false))
+        |    AS deploy
         |FROM au, ec, px""".stripMargin),
     // The keyed min-max identity replayed with source carried through
     // every CTE — per-key cumulative sums, per-key segment means,
     // per-key min/max folds.
+    // `source IS NOT NULL` mirrors the engine's keyed null drop
+    // (isotonicFit excludes null-key rows by contract) even though the
+    // fixture has no null sources — the lang IS NOT NULL discipline.
     "q_recalibrate_by" ->
       """WITH t AS (SELECT source, lang, regexp_extract_all(text, '\S+') toks
-        |           FROM documents WHERE lang IS NOT NULL),
+        |           FROM documents
+        |           WHERE lang IS NOT NULL AND source IS NOT NULL),
         |s AS (SELECT source, least(
         |    CAST(len(list_filter(toks,
         |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)

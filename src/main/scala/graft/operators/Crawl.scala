@@ -985,24 +985,33 @@ object Crawl {
     // both sides in hand, a later wave starting at or before the
     // prior's last observation is a replayed/out-of-order batch whose
     // merged stats would be confidently wrong — fail the job instead
-    // of persisting corruption every future wave folds into.
-    val guardedLastTs = when(
-      pPresent && lPresent && col("__lf") <= col("__pl"),
-      raise_error(concat(
+    // of persisting corruption every future wave folds into. The
+    // guard is anchored in EVERY stat column, not just last_ts:
+    // column pruning eliminates unreferenced expressions, so a guard
+    // living in one column would silently vanish for a consumer that
+    // selects, say, only url/n_obs/n_changes — with it in each
+    // output, any read of the merged statistics trips the check.
+    val outOfOrder = pPresent && lPresent && col("__lf") <= col("__pl")
+    // raise_error is NullType, so the when-branch coerces to each
+    // output's own type — the guard wraps any column unchanged.
+    def guarded(out: Column): Column =
+      when(outOfOrder, raise_error(concat(
         lit("recrawlStatsMerge: out-of-order wave for url "), col("url"),
-        lit(" (later first_ts <= prior last_ts)"))).cast("double"))
-      .otherwise(when(lPresent, col("__ll")).otherwise(col("__pl")))
+        lit(" (later first_ts <= prior last_ts)"))))
+        .otherwise(out)
     p.join(l.hint("SHUFFLE_HASH"), Seq("url"), "full_outer")
       .select(col("url"),
-        (coalesce(col("__pn"), lit(0L)) + coalesce(col("__ln"), lit(0L)))
-          .as("n_obs"),
-        (coalesce(col("__pc"), lit(0L)) + coalesce(col("__lc"), lit(0L)) +
-          boundary).as("n_changes"),
-        when(pPresent, col("__pf")).otherwise(col("__lf")).as("first_ts"),
-        guardedLastTs.as("last_ts"),
-        when(pPresent, col("__pfd")).otherwise(col("__lfd"))
+        guarded(coalesce(col("__pn"), lit(0L)) +
+          coalesce(col("__ln"), lit(0L))).as("n_obs"),
+        guarded(coalesce(col("__pc"), lit(0L)) +
+          coalesce(col("__lc"), lit(0L)) + boundary).as("n_changes"),
+        guarded(when(pPresent, col("__pf")).otherwise(col("__lf")))
+          .as("first_ts"),
+        guarded(when(lPresent, col("__ll")).otherwise(col("__pl")))
+          .as("last_ts"),
+        guarded(when(pPresent, col("__pfd")).otherwise(col("__lfd")))
           .as("first_digest"),
-        when(lPresent, col("__lld")).otherwise(col("__pld"))
+        guarded(when(lPresent, col("__lld")).otherwise(col("__pld")))
           .as("last_digest"))
   }
 
@@ -1141,10 +1150,16 @@ object Crawl {
     require(minIntervalS > 0 && maxIntervalS >= minIntervalS,
       "need 0 < minIntervalS <= maxIntervalS")
     val agg = recrawlAggregate(history, urlCol, tsCol, digestCol)
+    // try_cast + a POST-cast filter: a non-null but unparseable
+    // lastmod string must behave exactly like a missing one — the
+    // contract is "no usable date => the URL is absent from the prior
+    // side". A pre-cast null check would let such rows through as
+    // basis='default' rows anchored at nowS (and a plain ANSI cast
+    // would fail the whole wave on one malformed sitemap date).
     val prior = sitemap
-      .filter(col(lastmodCol).isNotNull)
       .select(xmlUnescape(col(locCol)).as("url"),
-        col(lastmodCol).cast("date").as("__lm"))
+        col(lastmodCol).try_cast("date").as("__lm"))
+      .filter(col("__lm").isNotNull)
       .groupBy(col("url")).agg(max(col("__lm")).as("__lm"))
     // SHUFFLE_HASH: both sides arrive hash-partitioned on url from
     // their aggregations, so the full-outer join needs no re-exchange

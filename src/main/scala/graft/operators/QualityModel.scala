@@ -547,10 +547,11 @@ object QualityModel {
     * ([[rocAuc]]), probability honesty ([[expectedCalibrationError]])
     * and distribution drift vs the previous release ([[psiTotal]]),
     * each against its caller-chosen bound, folded into a `deploy`
-    * boolean. A null AUC (single-class input — ranking quality is
-    * unmeasurable) gates FALSE, never null: an unmeasurable scorer is
-    * not a shippable scorer. All three sides are one-row aggregates;
-    * the joins broadcast. */
+    * boolean. A null component gates FALSE, never null — a
+    * single-class AUC, an empty-report ECE: an unmeasurable scorer is
+    * not a shippable scorer, and the rule holds for each verdict
+    * column, not just the conjunction. All three sides are one-row
+    * aggregates; the joins broadcast. */
   def scorerGate(
       df: DataFrame,
       scoreCol: String,
@@ -564,9 +565,14 @@ object QualityModel {
     val eceRow = expectedCalibrationError(
       calibrationReport(df, scoreCol, labelCol, bins)).select(col("ece"))
     val psiRow = psiTotal(prev, df, scoreCol, bins)
+    // EVERY gate coalesces null to false, not just AUC: an empty
+    // reliability table nulls the ECE the same way a single-class
+    // input nulls the AUC, and the "unmeasurable gates FALSE" rule
+    // must hold per column — a null ece_ok beside a false deploy is
+    // an inconsistent verdict row.
     val aucOk = coalesce(col("auc") >= minAuc, lit(false))
-    val eceOk = col("ece") <= maxEce
-    val psiOk = col("psi_total") <= maxPsi
+    val eceOk = coalesce(col("ece") <= maxEce, lit(false))
+    val psiOk = coalesce(col("psi_total") <= maxPsi, lit(false))
     aucRow.crossJoin(broadcast(eceRow)).crossJoin(broadcast(psiRow))
       .select(col("auc"), col("ece"), col("psi_total"),
         aucOk.as("auc_ok"), eceOk.as("ece_ok"), psiOk.as("psi_ok"),

@@ -685,6 +685,30 @@ class CrawlSpec extends AnyFunSuite {
       "an undated sitemap row carries no signal")
   }
 
+  test("recrawlScheduleSeeded: unparseable lastmod is no signal (post-cast filter)") {
+    val s = spark
+    import s.implicits._
+    // lastmod arrives as a STRING column here — the contract is "no
+    // usable date => the URL is absent", and a non-null garbage string
+    // casts to null, so it must behave exactly like the null row (a
+    // pre-cast isNotNull filter would leak it through as a
+    // basis='default' row anchored at nowS).
+    val hist = Seq(("http://h.com/seen", 0.0, "a")).toDF("url", "ts", "dg")
+    val sitemap = Seq(
+      ("http://h.com/dated", Some("1970-01-02")),
+      ("http://h.com/garbage", Some("not-a-date")),
+      ("http://h.com/undated", None))
+      .toDF("loc", "lastmod")
+    val rows = Crawl.recrawlScheduleSeeded(hist, "url", "ts", "dg",
+        sitemap, "loc", "lastmod",
+        nowS = 86400.0 * 2, minIntervalS = 50.0, maxIntervalS = 10000.0)
+      .collect().map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(rows("http://h.com/dated") == "sitemap", rows.toString)
+    assert(!rows.contains("http://h.com/garbage"),
+      "an unparseable lastmod carries no signal")
+    assert(!rows.contains("http://h.com/undated"), rows.toString)
+  }
+
   test("recrawlStats merge: chained waves == full recompute, boundary change counted") {
     val s = spark
     import s.implicits._
@@ -766,6 +790,14 @@ class CrawlSpec extends AnyFunSuite {
     assert(replay.getMessage != null &&
       replay.toString.contains("out-of-order"),
       s"expected the out-of-order guard, got: $replay")
+    // the guard is anchored in EVERY stat column, so a consumer that
+    // prunes last_ts (where the check originally lived) still trips it
+    val pruned = intercept[Exception] {
+      Crawl.recrawlStatsMerge(stats(w3), stats(w1))
+        .select("url", "n_obs", "n_changes").collect()
+    }
+    assert(pruned.toString.contains("out-of-order"),
+      s"column pruning must not drop the guard, got: $pruned")
   }
 
   test("frontierFromSchedule: due URLs enter by overdueness, future URLs wait") {

@@ -429,6 +429,17 @@ class QualityModelSpec extends AnyFunSuite {
     val r = oc.collect()(0)
     assert(r.isNullAt(0) && !r.getBoolean(3) && !r.getBoolean(6),
       s"unmeasurable ranking must gate deploy=false: $r")
+    // EMPTY input: auc AND ece are both null — every verdict column
+    // must read false, never null ("unmeasurable gates FALSE" holds
+    // per column, not just where the fixture happens to force it)
+    val empty = good.filter(col("score") > 2.0)
+    val e = QualityModel.scorerGate(empty, "score", "label",
+      good.select("score")).collect()(0)
+    assert(e.isNullAt(0) && e.isNullAt(1), s"empty input nulls auc+ece: $e")
+    assert(!e.isNullAt(3) && !e.getBoolean(3), s"auc_ok false: $e")
+    assert(!e.isNullAt(4) && !e.getBoolean(4), s"ece_ok false, not null: $e")
+    assert(!e.isNullAt(5), s"psi_ok never null: $e")
+    assert(!e.isNullAt(6) && !e.getBoolean(6), s"deploy false: $e")
   }
 
   test("psiTotal: the summed gate scalar matches the per-bin fold") {
