@@ -427,7 +427,7 @@ object QueriesR15 {
 
   /** The q_recrawl_seeded schedule replay, shared with q_frontier_due —
     * ends in a `sched` CTE with the engine's exact output columns. */
-  private def seededScheduleCtes: String =
+  private[graft] def seededScheduleCtes: String =
       """WITH raw AS (SELECT doc_id,
         |    'http://h' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/d/'
         |      || CAST(doc_id AS VARCHAR) AS base

@@ -1267,6 +1267,109 @@ object Crawl {
           (lit(nowS) - col(nextFetchCol)).as("__pri")),
       "__url", "__pri", policy, defaultDelayS, maxPerHost)
 
+  /** The due-wave frontier, GATED — the loop closure
+    * [[frontierFromSchedule]] left open: that plan fed the politeness
+    * schedule directly, so it could schedule fetches a robots
+    * `Disallow` forbids, a mined trap cell wastes, or a stale robots
+    * cache cannot legitimize (RFC 9309 §2.4: cached rules SHOULD NOT
+    * be used past 24 h). This composes all three gates in front of
+    * the schedule, routing by robots-cache freshness FIRST:
+    *
+    *   1. due filter + overdueness priority (as the ungated form);
+    *   2. freshness split ([[robotsFreshness]]'s verdict, inlined as
+    *      a broadcast host join): hosts whose robots fetch is within
+    *      `robotsTtlS` are CONTENT-eligible; stale or never-fetched
+    *      hosts must not content-fetch on rules we cannot trust —
+    *      their due queue collapses to ONE robots.txt refetch
+    *      candidate per host (lane `robots`), at the urgency of the
+    *      host's most overdue URL and under the scheme of that URL,
+    *      so the hottest queue gets its rules refreshed first;
+    *   3. fresh hosts' URLs pass the [[robotsVerdict]] rule fold and
+    *      the mined-trap anti join (the [[frontierPlanGated]] arms,
+    *      broadcast both); robots.txt refetches bypass both gates —
+    *      fetching robots.txt is always permitted and its fixed path
+    *      cannot be a trap cell;
+    *   4. both lanes share ONE politeness schedule (a robots refetch
+    *      still costs the host a fetch slot), then label `lane` by
+    *      the broadcast fresh-host set — exact because a stale host
+    *      contributes only its robots row and a fresh host only
+    *      content rows.
+    *
+    * Scale shape: the freshness/rules/trap sides are all per-host or
+    * per-(host, template) — broadcast at any corpus size. The
+    * CONTENT lineage (the high-cardinality side) crosses exactly one
+    * exchange: the schedule's bounded per-host top-k. The robots
+    * lane adds one partial-aggregating host-key exchange over the
+    * STALE subset only — O(stale hosts) rows out. Plan-pinned in
+    * CrawlSpec (two exchanges total, window reuses the top-k
+    * partitioning). */
+  def frontierFromScheduleGated(
+      schedule: DataFrame,
+      urlCol: String,
+      nextFetchCol: String,
+      nowS: Double,
+      rules: DataFrame,
+      fetchLog: DataFrame,
+      logUrlCol: String,
+      robotsLog: DataFrame,
+      robotsHostCol: String,
+      robotsTsCol: String,
+      policy: DataFrame,
+      defaultDelayS: Double,
+      maxPerHost: Int,
+      maxUrlsPerTemplate: Long,
+      robotsTtlS: Double = 86400.0): DataFrame = {
+    require(robotsTtlS > 0, "robotsTtlS must be positive")
+    val due = schedule
+      .filter(col(nextFetchCol) <= nowS)
+      .select(canonicalizeUrl(col(urlCol)).as("canon_url"),
+        (lit(nowS) - col(nextFetchCol)).as("priority"))
+      .withColumn("host", urlHost(col("canon_url")))
+    // Hosts with a robots fetch inside the TTL — the only hosts whose
+    // cached rules may gate a content fetch. Per-host by construction:
+    // broadcast at any corpus size.
+    val freshHosts = broadcast(robotsLog
+      .select(col(robotsHostCol).as("__fhost"),
+        col(robotsTsCol).cast("double").as("__fts"))
+      .groupBy(col("__fhost")).agg(max(col("__fts")).as("__lts"))
+      .filter(lit(nowS) - col("__lts") <= robotsTtlS)
+      .select(col("__fhost")))
+    val flagged = due.join(freshHosts, col("host") === col("__fhost"), "left")
+    val perHost = broadcast(robotsRulesPerHost(rules)
+      .select(col("host").as("__rhost"), col("rules").as("__rules")))
+    val traps = broadcast(
+      urlTemplateReport(fetchLog, logUrlCol, maxUrlsPerTemplate)
+        .filter(col("trap"))
+        .select(col("host").as("__thost"), col("template").as("__ttpl")))
+    val content = flagged.filter(col("__fhost").isNotNull)
+      .join(perHost, col("host") === col("__rhost"), "left")
+      .filter(robotsVerdict(urlPathQuery(col("canon_url")),
+        col("__rules")) % 2 =!= 0)
+      .join(traps,
+        col("host") === col("__thost") &&
+          urlTemplate(urlPath(col("canon_url"))) === col("__ttpl"),
+        "left_anti")
+      .select(col("canon_url"), col("priority"))
+    // Struct max: the host's peak overdueness AND (on priority ties,
+    // deterministically) the greatest url — whose scheme the refetch
+    // candidate inherits.
+    val robotsLane = flagged.filter(col("__fhost").isNull)
+      .groupBy(col("host"))
+      .agg(max(struct(col("priority"), col("canon_url"))).as("__top"))
+      .select(
+        concat(
+          regexp_extract(col("__top").getField("canon_url"),
+            "^([a-z][a-z0-9+.-]*)://", 1),
+          lit("://"), col("host"), lit("/robots.txt")).as("canon_url"),
+        col("__top").getField("priority").as("priority"))
+    val planned = frontierPlan(content.unionByName(robotsLane),
+      "canon_url", "priority", policy, defaultDelayS, maxPerHost)
+    planned.join(freshHosts, planned("host") === col("__fhost"), "left")
+      .withColumn("lane",
+        when(col("__fhost").isNull, lit("robots")).otherwise(lit("content")))
+      .drop("__fhost")
+  }
+
   /** RFC 9309 §2.4 robots-cache freshness: crawlers MAY cache a fetched
     * robots.txt but SHOULD NOT use it for longer than 24 hours
     * (`ttlS` default 86400). Per frontier host: the queued-URL count,

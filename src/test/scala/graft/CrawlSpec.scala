@@ -524,6 +524,70 @@ class CrawlSpec extends AnyFunSuite {
       s"gated schedule: $rows")
   }
 
+  test("frontierFromScheduleGated: disallowed/trap URLs never schedule; stale hosts route to the robots lane") {
+    val s = spark
+    import s.implicits._
+    val sched = Seq(
+      ("http://fresh.com/ok", 100.0),        // due, passes both gates
+      ("http://fresh.com/private/x", 50.0),  // due but robots-DENIED
+      ("http://fresh.com/trap/7", 60.0),     // due but in a mined trap cell
+      ("http://fresh.com/future", 10000.0),  // not due
+      ("http://stale.com/a", 100.0),         // due, stale robots
+      ("http://stale.com/b", 40.0),          // due, stale robots, MOST overdue
+      ("https://never.com/x", 700.0))        // due, robots never fetched
+      .toDF("url", "next_fetch_at_s")
+    val rules = Seq(("fresh.com", "/private/", false))
+      .toDF("host", "prefix", "allow")
+    val fetchLog = (1 to 25).map(i => s"http://fresh.com/trap/$i")
+      .toDF("url")
+    val robotsLog = Seq(
+      ("fresh.com", 900.0),     // age 100 s at now=1000: fresh
+      ("stale.com", -90000.0))  // age 91 000 s: past the 86 400 s TTL
+      .toDF("host", "ts")
+    val policy = Seq(("stale.com", 3.0)).toDF("host", "delay_s")
+    val out = Crawl.frontierFromScheduleGated(sched, "url",
+      "next_fetch_at_s", nowS = 1000.0, rules, fetchLog, "url",
+      robotsLog, "host", "ts", policy, defaultDelayS = 5.0,
+      maxPerHost = 10, maxUrlsPerTemplate = 20)
+    // Plan pins FIRST (AQE materializes stages after collect). The
+    // candidate lineage (the only side that carries `priority` into
+    // an exchange) crosses exactly ONE shuffle — the schedule's
+    // bounded top-k: freshness/rules/trap gates are all broadcast,
+    // and the robots lane's stale-subset host aggregation exchanges
+    // only its partial-agg buffer (the gate-side aggs shuffle their
+    // own small per-host inputs, as in the frontierPlanGated pin).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val candExchanges = PlanCheck.nodes(out).collect {
+      case e: ShuffleExchangeLike
+        if e.child.output.exists(_.name == "priority") => e
+    }
+    assert(candExchanges.size == 1,
+      s"candidate side must shuffle exactly once, saw $candExchanges")
+    val rows = out.collect().map { r =>
+      r.getString(r.fieldIndex("canon_url")) -> ((
+        r.getDouble(r.fieldIndex("priority")),
+        r.getLong(r.fieldIndex("rank")),
+        r.getDouble(r.fieldIndex("delay_s")),
+        r.getDouble(r.fieldIndex("fetch_at_s")),
+        r.getString(r.fieldIndex("lane"))))
+    }.toMap
+    assert(rows.keySet == Set("http://fresh.com/ok",
+      "http://stale.com/robots.txt", "https://never.com/robots.txt"),
+      s"disallowed, trap, not-due and stale-host content must all be " +
+        s"absent: ${rows.keySet}")
+    assert(rows("http://fresh.com/ok") ==
+      ((900.0, 1L, 5.0, 0.0, "content")), rows.toString)
+    // the stale host's queue collapses to ONE robots refetch at its
+    // PEAK overdueness (960 from /b, not 900 from /a), on the host's
+    // own politeness delay
+    assert(rows("http://stale.com/robots.txt") ==
+      ((960.0, 1L, 3.0, 0.0, "robots")), rows.toString)
+    // never-fetched host: stale by definition; scheme inherited from
+    // its most overdue URL
+    assert(rows("https://never.com/robots.txt") ==
+      ((300.0, 1L, 5.0, 0.0, "robots")), rows.toString)
+  }
+
   test("mirrorAwareUrlDedup: mirrored copies collapse to one survivor") {
     val s = spark
     import s.implicits._
