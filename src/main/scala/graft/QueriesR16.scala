@@ -10,11 +10,30 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — the due wave through robots verdict + mined trap cells +
   *    RFC 9309 §2.4 robots-cache freshness; stale-robots hosts route
   *    to a robots.txt refetch lane instead of content fetches.
+  *  - q_auc_by / q_psi_by / q_scorer_gate_by: the keyed scorer
+  *    observability trio ([[operators.QualityModel.rocAucBy]],
+  *    [[operators.QualityModel.populationStabilityBy]],
+  *    [[operators.QualityModel.scorerGateBy]], the latter also
+  *    exact-gating [[operators.QualityModel.psiTotalBy]] through its
+  *    psi_total column) — round 15 keyed the FIT (recalibrateBy) but
+  *    left drift and the deploy verdict global-only.
   */
 object QueriesR16 {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
+
+  /** The calibration-family scoring ([[QueriesR14.scoreLabel]]) with
+    * the source key carried — the ONE derivation all three keyed
+    * observability queries score through. */
+  private def scoredSrc(s: SparkSession, d: String): DataFrame =
+    QueriesR14.scoreLabel(docs(s, d), keep = Seq("source"))
+
+  /** The previous release for the keyed drift arms: the even-doc_id
+    * half at the same scaling — the q_scorer_gate baseline, keyed. */
+  private def prevSrc(s: SparkSession, d: String): DataFrame =
+    QueriesR14.scoreLabel(docs(s, d).filter(col("doc_id") % 2 === 0),
+      keep = Seq("source"))
 
   /** q_frontier_due_gated's clock (same horizon as q_frontier_due). */
   private val GatedNowS = 9100000.0
@@ -58,7 +77,96 @@ object QueriesR16 {
         robotsLog, "host", "fetched_at_s",
         policy, defaultDelayS = 7.0, maxPerHost = 50,
         maxUrlsPerTemplate = 20)
-    })
+    },
+    // --- keyed ranking quality: one Mann-Whitney AUC per corpus
+    //     source — 20 independent verdicts where q_auc pooled one;
+    //     the ordered window partitions ON the key, so no source's
+    //     ranks ever mix with another's. ---
+    "q_auc_by" -> ((s, d) =>
+      operators.QualityModel.rocAucBy(
+        scoredSrc(s, d), "source", "score", "label")),
+    // --- keyed score drift: per-source PSI of the full release
+    //     candidate vs the even-id baseline half — offsetting
+    //     per-source shifts cancel in the pooled q_psi, this is where
+    //     a single source's walked-off distribution surfaces. Bin grid
+    //     = every source seen on either side x all 10 bins. ---
+    "q_psi_by" -> ((s, d) =>
+      operators.QualityModel.populationStabilityBy(
+        prevSrc(s, d), scoredSrc(s, d), "source", "score")),
+    // --- the keyed deployment verdict: AUC + ECE + PSI per source
+    //     against the shared bounds — the go/no-go row per source that
+    //     recalibrateBy's per-key fit was missing a companion for.
+    //     Every unmeasurable component gates FALSE per verdict
+    //     column; psi_total here IS psiTotalBy's output, exact-gated
+    //     through the join. ---
+    "q_scorer_gate_by" -> ((s, d) =>
+      operators.QualityModel.scorerGateBy(
+        scoredSrc(s, d), "source", "score", "label", prevSrc(s, d),
+        minAuc = 0.5, maxEce = 0.1, maxPsi = 0.25)))
+
+  /** The keyed scoring replayed in SQL — `s` carries (source, doc_id,
+    * score, label) with NO filters, so each keyed oracle applies
+    * exactly the null-drops its engine counterpart does. */
+  private val ScoredCtes: String =
+    """WITH t AS (SELECT source, lang, doc_id,
+      |    regexp_extract_all(text, '\S+') toks FROM documents),
+      |s AS (SELECT source, doc_id, least(
+      |    CAST(len(list_filter(toks,
+      |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+      |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+      |      AS score,
+      |    (lang = 'en') AS label FROM t)""".stripMargin
+
+  /** The per-source Mann-Whitney CTEs shared by q_auc_by and
+    * q_scorer_gate_by: distinct (source, quantized score) groups,
+    * per-source inclusive running counts, tie-block average ranks,
+    * per-source rank-sum folds. Ends in `aa(source, npos, nneg,
+    * rpos)`. */
+  private val AucByCtes: String =
+    """ga AS (SELECT source, round(score, 6) AS sc, count(*) AS n,
+      |    CAST(sum(CAST(label AS INT)) AS BIGINT) AS np
+      |  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+      |    AND source IS NOT NULL
+      |  GROUP BY 1, 2),
+      |ra AS (SELECT source, np, n,
+      |    CAST(sum(n) OVER (PARTITION BY source ORDER BY sc
+      |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+      |      - (CAST(n AS DOUBLE) - 1) / 2 AS avg_rank
+      |  FROM ga),
+      |aa AS (SELECT source, CAST(sum(np) AS BIGINT) AS npos,
+      |    CAST(sum(n - np) AS BIGINT) AS nneg,
+      |    sum(CAST(np AS DOUBLE) * avg_rank) AS rpos
+      |  FROM ra GROUP BY source)""".stripMargin
+
+  /** The per-source smoothed-PSI CTEs shared by q_psi_by and
+    * q_scorer_gate_by: base = even-doc_id half, cur = full corpus,
+    * bin grid = keys-on-either-side x bins, Jeffreys +0.5 smoothing.
+    * Ends in `pj(source, bin, n_base, n_cur)` + `ptt(source, tb,
+    * tc)`. */
+  private val PsiByCtes: String =
+    """pb AS (SELECT source,
+      |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+      |    count(*) AS n_base
+      |  FROM s WHERE doc_id % 2 = 0 AND score IS NOT NULL
+      |    AND source IS NOT NULL
+      |  GROUP BY 1, 2),
+      |pc AS (SELECT source,
+      |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+      |    count(*) AS n_cur
+      |  FROM s WHERE score IS NOT NULL AND source IS NOT NULL
+      |  GROUP BY 1, 2),
+      |ks AS (SELECT source FROM pb UNION SELECT source FROM pc),
+      |ab AS (SELECT ks.source, CAST(i AS INT) AS bin
+      |       FROM ks, unnest(generate_series(0, 9)) u(i)),
+      |pj AS (SELECT ab.source, ab.bin,
+      |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+      |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+      |  FROM ab
+      |  LEFT JOIN pb ON ab.source = pb.source AND ab.bin = pb.bin
+      |  LEFT JOIN pc ON ab.source = pc.source AND ab.bin = pc.bin),
+      |ptt AS (SELECT source, CAST(sum(n_base) AS DOUBLE) AS tb,
+      |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM pj GROUP BY source)"""
+      .stripMargin
 
   val oracles: Map[String, String] = Map(
     // The gated due wave replayed end to end: the shared schedule
@@ -146,5 +254,77 @@ object QueriesR16 {
         |         AS fetch_at_s,
         |       CASE WHEN cp.host IN (SELECT fhost FROM fresh)
         |         THEN 'content' ELSE 'robots' END AS lane
-        |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin))
+        |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin),
+    // Per-source Mann-Whitney replay; a single-class source yields a
+    // null auc exactly as the engine's when() does.
+    "q_auc_by" ->
+      (ScoredCtes + ",\n" + AucByCtes + """
+        |SELECT source, npos AS n_pos, nneg AS n_neg,
+        |  CASE WHEN npos > 0 AND nneg > 0
+        |    THEN round((rpos - CAST(npos AS DOUBLE) * (npos + 1) / 2)
+        |      / (CAST(npos AS DOUBLE) * nneg), 6) END AS auc
+        |FROM aa""".stripMargin),
+    // Per-source smoothed per-bin PSI — every quotient in DOUBLE, the
+    // psi column from the UNROUNDED probabilities like the engine.
+    "q_psi_by" ->
+      (ScoredCtes + ",\n" + PsiByCtes + """
+        |SELECT pj.source, pj.bin, pj.n_base, pj.n_cur,
+        |  round((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0), 6) AS p_base,
+        |  round((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0), 6) AS p_cur,
+        |  round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
+        |      - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
+        |    * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
+        |      / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6) AS psi
+        |FROM pj JOIN ptt ON pj.source = ptt.source""".stripMargin),
+    // The three keyed components composed on the verdict universe
+    // (every distinct non-null source in the release candidate,
+    // BEFORE any score/label drop), each left-joined so an
+    // unmeasurable component stays NULL in its value column and gates
+    // FALSE in its verdict column — the engine's exact join shape.
+    "q_scorer_gate_by" ->
+      (ScoredCtes + ",\n" + AucByCtes + ",\n" + PsiByCtes + """,
+        |au AS (SELECT source, CASE WHEN npos > 0 AND nneg > 0
+        |    THEN round((rpos - CAST(npos AS DOUBLE) * (npos + 1) / 2)
+        |      / (CAST(npos AS DOUBLE) * nneg), 6) END AS auc FROM aa),
+        |eb AS (SELECT source,
+        |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+        |    CAST(round(score * 1e6) AS BIGINT) AS micros,
+        |    CAST(label AS INT) AS pos
+        |  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+        |    AND source IS NOT NULL),
+        |eg AS (SELECT source, bin, count(*) AS n,
+        |    CAST(sum(micros) AS BIGINT) AS sm,
+        |    CAST(sum(pos) AS BIGINT) AS np
+        |  FROM eb GROUP BY 1, 2),
+        |em AS (SELECT source, n,
+        |    CAST(round(abs(round(CAST(np AS DOUBLE) / n
+        |        - CAST(sm AS DOUBLE) / 1e6 / n, 6)) * 1e6) AS BIGINT) * n
+        |      AS gapmass
+        |  FROM eg),
+        |ec AS (SELECT source, round(CAST(sum(gapmass) AS DOUBLE) / 1e6
+        |    / sum(n), 6) AS ece FROM em GROUP BY source),
+        |pp AS (SELECT pj.source,
+        |    round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
+        |        - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
+        |      * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
+        |        / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6)
+        |      AS psi
+        |  FROM pj JOIN ptt ON pj.source = ptt.source),
+        |px AS (SELECT source,
+        |    round(CAST(sum(CAST(round(psi * 1e6) AS BIGINT)) AS DOUBLE)
+        |      / 1e6, 6) AS psi_total
+        |  FROM pp GROUP BY source),
+        |keys AS (SELECT DISTINCT source FROM s WHERE source IS NOT NULL)
+        |SELECT k.source, au.auc, ec.ece, px.psi_total,
+        |  coalesce(au.auc >= CAST(0.5 AS DOUBLE), false) AS auc_ok,
+        |  coalesce(ec.ece <= CAST(0.1 AS DOUBLE), false) AS ece_ok,
+        |  coalesce(px.psi_total <= CAST(0.25 AS DOUBLE), false) AS psi_ok,
+        |  (coalesce(au.auc >= CAST(0.5 AS DOUBLE), false)
+        |    AND coalesce(ec.ece <= CAST(0.1 AS DOUBLE), false)
+        |    AND coalesce(px.psi_total <= CAST(0.25 AS DOUBLE), false))
+        |    AS deploy
+        |FROM keys k
+        |LEFT JOIN au ON k.source = au.source
+        |LEFT JOIN ec ON k.source = ec.source
+        |LEFT JOIN px ON k.source = px.source""".stripMargin))
 }

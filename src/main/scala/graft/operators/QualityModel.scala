@@ -359,6 +359,195 @@ object QualityModel {
         sum(round(col("psi") * 1e6).cast("long")).cast("double") / 1e6, 6)
         .as("psi_total"))
 
+  /** [[populationStability]] PER KEY — one independent drift table per
+    * group (per crawl source, per language), the monitoring companion
+    * to [[recalibrateBy]]: a scorer rarely drifts uniformly, and the
+    * global PSI can read calm while one source's distribution walked
+    * off (offsetting shifts cancel in the pooled bins). Bin grid =
+    * every key seen on EITHER side × all bins, so a brand-new source
+    * (no baseline mass — all its PSI is the smoothing floor's verdict)
+    * and a vanished one both surface instead of silently dropping.
+    * NULL-key rows drop on both sides ([[recalibrateBy]]'s contract).
+    *
+    * Scale shape: one partial-aggregating exchange per side on the
+    * (key, bin) composite; totals fold per key from the ≤ keys × bins
+    * post-aggregate rows and join back BROADCAST. Corpus rows never
+    * cross a second exchange. */
+  def populationStabilityBy(
+      base: DataFrame,
+      current: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 PSI bins")
+    require(!Set("bin", "n_base", "n_cur", "p_base", "p_cur", "psi")
+      .contains(keyCol),
+      s"key column '$keyCol' collides with a PSI output column")
+    def binned(df: DataFrame, cnt: String): DataFrame = {
+      val s = col(scoreCol).cast("double")
+      df.filter(s.isNotNull && col(keyCol).isNotNull)
+        .select(col(keyCol), greatest(
+          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
+          .as("bin"))
+        .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as(cnt))
+    }
+    val b = binned(base, "n_base")
+    val c = binned(current, "n_cur")
+    val keysDf = b.select(col(keyCol))
+      .unionByName(c.select(col(keyCol))).distinct()
+    val allBins = keysDf.crossJoin(
+      b.sparkSession.range(bins).select(col("id").cast("int").as("bin")))
+    val joined = allBins
+      .join(b, Seq(keyCol, "bin"), "left")
+      .join(c, Seq(keyCol, "bin"), "left")
+      .select(col(keyCol), col("bin"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val tot = broadcast(joined.groupBy(col(keyCol)).agg(
+      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc")))
+    joined.join(tot, Seq(keyCol))
+      .select(col(keyCol), col("bin"), col("n_base"), col("n_cur"),
+        round((col("n_base") + 0.5) / (col("__tb") + 0.5 * bins), 6)
+          .as("p_base"),
+        round((col("n_cur") + 0.5) / (col("__tc") + 0.5 * bins), 6)
+          .as("p_cur"),
+        round(
+          ((col("n_cur") + 0.5) / (col("__tc") + 0.5 * bins) -
+            (col("n_base") + 0.5) / (col("__tb") + 0.5 * bins)) *
+            log(((col("n_cur") + 0.5) / (col("__tc") + 0.5 * bins)) /
+              ((col("n_base") + 0.5) / (col("__tb") + 0.5 * bins))), 6)
+          .as("psi"))
+  }
+
+  /** [[psiTotal]] PER KEY: `(key, psi_total)` — the per-source gate
+    * scalars a keyed deployment verdict thresholds. Same
+    * integer-micros fold as the global form, per key. */
+  def psiTotalBy(
+      base: DataFrame,
+      current: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      bins: Int = 10): DataFrame =
+    populationStabilityBy(base, current, keyCol, scoreCol, bins)
+      .groupBy(col(keyCol))
+      .agg(round(
+        sum(round(col("psi") * 1e6).cast("long")).cast("double") / 1e6, 6)
+        .as("psi_total"))
+
+  /** [[rocAuc]] PER KEY: `(key, n_pos, n_neg, auc)` — one Mann-Whitney
+    * fold per group, the ranking arm of the keyed gate. Identical
+    * quantize-collapse-rank shape with every stage carrying the key:
+    * the distinct-score collapse groups on (key, quantized score), the
+    * running-count window PARTITIONS on the key (still hard-bounded at
+    * 10^scale + 1 rows per key partition), and the rank fold groups on
+    * the key. NULL-key rows drop ([[recalibrateBy]]'s contract); a
+    * single-class key yields a null `auc`, never a division error. */
+  def rocAucBy(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      labelCol: String,
+      scale: Int = 6): DataFrame = {
+    require(scale >= 0 && scale <= 9,
+      s"scale must be in [0, 9] (10^scale bounds the ordered window); got $scale")
+    require(!Set("n_pos", "n_neg", "auc").contains(keyCol),
+      s"key column '$keyCol' collides with an AUC output column")
+    val s = round(col(scoreCol).cast("double"), scale)
+    val grouped = df
+      .filter(s.isNotNull && col(labelCol).isNotNull &&
+        col(keyCol).isNotNull)
+      .select(col(keyCol), s.as("__score"),
+        col(labelCol).cast("boolean").cast("int").as("__pos"))
+      .groupBy(col(keyCol), col("__score"))
+      .agg(count(lit(1)).as("__n"), sum(col("__pos")).as("__np"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__score"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = grouped
+      .withColumn("__avg_rank",
+        sum(col("__n")).over(w).cast("double") -
+          (col("__n").cast("double") - 1) / 2)
+    ranked.groupBy(col(keyCol))
+      .agg(
+        sum(col("__np")).as("__npos"),
+        sum(col("__n") - col("__np")).as("__nneg"),
+        sum(col("__np").cast("double") * col("__avg_rank")).as("__rpos"))
+      .select(col(keyCol), col("__npos").as("n_pos"),
+        col("__nneg").as("n_neg"),
+        when(col("__npos") > 0 && col("__nneg") > 0,
+          round((col("__rpos") -
+              col("__npos").cast("double") * (col("__npos") + 1) / 2) /
+            (col("__npos").cast("double") * col("__nneg")), 6)).as("auc"))
+  }
+
+  /** [[scorerGate]] PER KEY — one go/no-go verdict row per group, the
+    * deployment companion [[recalibrateBy]] was missing: the per-key
+    * fit exists, so the per-key drift/quality verdict must too, or the
+    * pipeline re-fits one source's calibration and ships it on the
+    * strength of the POOLED gate. One row per distinct non-null key in
+    * `df` (the release candidate defines the verdict universe): keyed
+    * AUC ([[rocAucBy]]), keyed ECE (the [[calibrationReport]] gap fold
+    * per key), keyed PSI vs `prev` ([[psiTotalBy]]), each against the
+    * shared bounds; every unmeasurable component gates FALSE, never
+    * null, per verdict column. A key present only in `prev` (a retired
+    * source) emits no row.
+    *
+    * Scale shape: three keyed partial-aggregating passes over the
+    * corpus (score key / (key, bin) / (key, bin)), each collapsing to
+    * O(keys × bins) before any join; the verdict joins are all
+    * broadcast on O(keys) rows. */
+  def scorerGateBy(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      labelCol: String,
+      prev: DataFrame,
+      minAuc: Double = 0.5,
+      maxEce: Double = 0.1,
+      maxPsi: Double = 0.25,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 calibration bins")
+    require(!Set("auc", "ece", "psi_total", "auc_ok", "ece_ok", "psi_ok",
+      "deploy").contains(keyCol),
+      s"key column '$keyCol' collides with a gate output column")
+    val keys = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol)).distinct()
+    val aucBy = broadcast(rocAucBy(df, keyCol, scoreCol, labelCol)
+      .select(col(keyCol), col("auc")))
+    // Keyed ECE: calibrationReport's bin/gap arithmetic with the key
+    // carried, folded per key with the same integer-micros discipline.
+    val s = col(scoreCol).cast("double")
+    val eceBy = broadcast(df
+      .filter(s.isNotNull && col(labelCol).isNotNull &&
+        col(keyCol).isNotNull)
+      .select(col(keyCol),
+        greatest(
+          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
+          .as("__bin"),
+        round(s * 1e6).cast("long").as("__micros"),
+        col(labelCol).cast("boolean").cast("int").as("__pos"))
+      .groupBy(col(keyCol), col("__bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__micros")).as("__sm"), sum(col("__pos")).as("__np"))
+      .select(col(keyCol), col("__n"),
+        (round(abs(round(col("__np").cast("double") / col("__n") -
+          col("__sm").cast("double") / 1e6 / col("__n"), 6)) * 1e6)
+          .cast("long") * col("__n")).as("__gapmass"))
+      .groupBy(col(keyCol))
+      .agg(round(sum(col("__gapmass")).cast("double") / 1e6 /
+        sum(col("__n")), 6).as("ece")))
+    val psiBy = broadcast(
+      psiTotalBy(prev, df, keyCol, scoreCol, bins))
+    val aucOk = coalesce(col("auc") >= minAuc, lit(false))
+    val eceOk = coalesce(col("ece") <= maxEce, lit(false))
+    val psiOk = coalesce(col("psi_total") <= maxPsi, lit(false))
+    keys.join(aucBy, Seq(keyCol), "left")
+      .join(eceBy, Seq(keyCol), "left")
+      .join(psiBy, Seq(keyCol), "left")
+      .select(col(keyCol), col("auc"), col("ece"), col("psi_total"),
+        aucOk.as("auc_ok"), eceOk.as("ece_ok"), psiOk.as("psi_ok"),
+        (aucOk && eceOk && psiOk).as("deploy"))
+  }
+
   /** Isotonic recalibration mapping — what a drifted
     * [[calibrationReport]] gets FIXED with (the report and
     * [[expectedCalibrationError]] say when the scorer's probabilities

@@ -442,6 +442,149 @@ class QualityModelSpec extends AnyFunSuite {
     assert(!e.isNullAt(6) && !e.getBoolean(6), s"deploy false: $e")
   }
 
+  test("populationStabilityBy: per-key PSI == the global fold per slice; " +
+    "one-sided keys keep full grids; null keys drop") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      ("srcA", 0.05), ("srcA", 0.15), ("srcA", 0.15), ("srcA", 0.55),
+      ("srcA", 0.95),
+      ("srcB", 0.25), ("srcB", 0.35)).toDF("source", "score")
+    val cur = Seq(
+      ("srcA", 0.95), ("srcA", 0.96), ("srcA", 0.97), ("srcA", 0.55),
+      ("srcA", 0.98),
+      ("srcC", 0.05), ("srcC", 0.15),
+      (null.asInstanceOf[String], 0.45)).toDF("source", "score")
+    val by = QualityModel.populationStabilityBy(base, cur, "source", "score")
+      .collect()
+    // grid completeness: every key seen on EITHER side x all 10 bins —
+    // srcB (vanished) and srcC (brand new) both surface; null drops
+    assert(by.map(_.getString(0)).toSet == Set("srcA", "srcB", "srcC"))
+    assert(by.length == 30, s"3 keys x 10 bins, got ${by.length}")
+    // per-key table == the global populationStability on that slice
+    for (k <- Seq("srcA", "srcB", "srcC")) {
+      val slice = QualityModel.populationStability(
+          base.filter(col("source") === k).select("score"),
+          cur.filter(col("source") === k).select("score"), "score")
+        .collect().map(r => (r.getInt(0),
+          (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+            r.getDouble(5)))).toMap
+      val keyed = by.filter(_.getString(0) == k).map(r => (r.getInt(1),
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6)))).toMap
+      assert(keyed == slice, s"slice parity for $k")
+    }
+    // a vanished key's current mass is all smoothing floor: PSI > 0
+    val psiB = by.filter(_.getString(0) == "srcB").map(r =>
+      math.round(r.getDouble(6) * 1e6)).sum
+    assert(psiB > 0L, s"a vanished source must register drift: $psiB")
+    // the per-key totals join broadcasts (O(keys) rows, never a
+    // second corpus exchange)
+    val frame = QualityModel.populationStabilityBy(
+      base, cur, "source", "score")
+    frame.collect()
+    val bhj = PlanCheck.nodes(frame).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bhj.nonEmpty, "per-key totals must broadcast-join back")
+  }
+
+  test("rocAucBy: per-key Mann-Whitney == global per slice; the ranking " +
+    "window partitions on the key") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      // srcA: the hand-checked tie-block fixture (AUC 0.611111)
+      ("srcA", 0.9, true), ("srcA", 0.8, false), ("srcA", 0.8, true),
+      ("srcA", 0.5, false), ("srcA", 0.5, false), ("srcA", 0.3, true),
+      // srcB: perfect separator (AUC 1.0)
+      ("srcB", 0.9, true), ("srcB", 0.8, true),
+      ("srcB", 0.2, false), ("srcB", 0.1, false),
+      // srcC: single class (AUC null, never a division error)
+      ("srcC", 0.9, true), ("srcC", 0.1, true))
+      .toDF("source", "score", "label")
+    val frame = QualityModel.rocAucBy(rows, "source", "score", "label")
+    val by = frame.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    assert(by == Map(
+      "srcA" -> ((3L, 3L, Some(0.611111))),
+      "srcB" -> ((2L, 2L, Some(1.0))),
+      "srcC" -> ((2L, 0L, None))), by.toString)
+    // per-key fold == the global rocAuc on that key's slice alone
+    for (k <- Seq("srcA", "srcB", "srcC")) {
+      val g = QualityModel.rocAuc(
+        rows.filter(col("source") === k), "score", "label").collect()(0)
+      assert((g.getLong(0), g.getLong(1),
+        if (g.isNullAt(2)) None else Some(g.getDouble(2))) == by(k),
+        s"slice parity for $k")
+    }
+    // the ordered window PARTITIONS on the key and still consumes the
+    // distinct-score aggregate (both halves of the scale contract)
+    val windows = PlanCheck.nodes(frame).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "rocAucBy must plan its ranking window")
+    assert(windows.forall(_.partitionSpec.nonEmpty),
+      "the keyed window must partition by the key, never one global sort")
+    assert(windows.forall(_.child.output.exists(_.name == "__n")),
+      "the keyed window must consume the distinct-score aggregate")
+  }
+
+  test("scorerGateBy: verdict universe from the candidate; per-key parity " +
+    "with the global gate; unmeasurable components gate FALSE per key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("srcA", 0.9, true), ("srcA", 0.8, true),
+      ("srcA", 0.2, false), ("srcA", 0.1, false),
+      ("srcB", 0.9, true), ("srcB", 0.8, true))
+      .toDF("source", "score", "label")
+    val prev = Seq(
+      ("srcA", 0.9), ("srcA", 0.8), ("srcA", 0.2), ("srcA", 0.1),
+      ("srcRetired", 0.5)).toDF("source", "score")
+    val gate = QualityModel.scorerGateBy(df, "source", "score", "label",
+      prev, minAuc = 0.9, maxEce = 0.5, maxPsi = 0.25)
+    val out = gate.collect().map(r => r.getString(0) -> r).toMap
+    // one row per candidate key; a retired source (prev-only) emits none
+    assert(out.keySet == Set("srcA", "srcB"), out.keySet.toString)
+    // srcA == the global scorerGate on its slice (same bounds)
+    val a = out("srcA")
+    val g = QualityModel.scorerGate(
+        df.filter(col("source") === "srcA"), "score", "label",
+        prev.filter(col("source") === "srcA").select("score"),
+        minAuc = 0.9, maxEce = 0.5, maxPsi = 0.25)
+      .collect()(0)
+    assert((a.getDouble(1), a.getDouble(2), a.getDouble(3)) ==
+      ((g.getDouble(0), g.getDouble(1), g.getDouble(2))),
+      s"slice parity: $a vs $g")
+    assert((a.getBoolean(4), a.getBoolean(5), a.getBoolean(6),
+      a.getBoolean(7)) ==
+      ((g.getBoolean(3), g.getBoolean(4), g.getBoolean(5),
+        g.getBoolean(6))), s"verdict parity: $a vs $g")
+    assert(a.getBoolean(7), s"the clean separator must deploy: $a")
+    // srcB: single class -> auc null but auc_ok FALSE (never null);
+    // its psi vs a prev that never saw it is measured, not null
+    val b = out("srcB")
+    assert(b.isNullAt(1), s"srcB auc must be null: $b")
+    assert(!b.isNullAt(4) && !b.getBoolean(4), s"srcB auc_ok false: $b")
+    assert(!b.isNullAt(3), s"srcB psi_total measured via the grid: $b")
+    assert(!b.isNullAt(7) && !b.getBoolean(7), s"srcB must not deploy: $b")
+    // all three component joins broadcast (O(keys) verdict rows)
+    val bhj = PlanCheck.nodes(gate).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(bhj.size >= 3,
+      s"auc/ece/psi must broadcast onto the key universe, got ${bhj.size}")
+    // a key column colliding with a gate output column is refused
+    val collide = intercept[IllegalArgumentException] {
+      QualityModel.scorerGateBy(
+        df.withColumnRenamed("source", "deploy"),
+        "deploy", "score", "label", prev)
+    }
+    assert(collide.getMessage.contains("collides"), collide.getMessage)
+  }
+
   test("psiTotal: the summed gate scalar matches the per-bin fold") {
     val s = spark
     import s.implicits._
