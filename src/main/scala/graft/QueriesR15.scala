@@ -194,8 +194,17 @@ object QueriesR15 {
       lit(".example.com/d/"), b)
     val urlTrue = when(col("doc_id") % 10 === 4,
       concat(urlBase, lit("?a=1&b=2"))).otherwise(urlBase)
-    val urlEsc = when(col("doc_id") % 10 === 4,
-      concat(urlBase, lit("?a=1&amp;b=2"))).otherwise(urlBase)
+    // Two escaped spellings of the SAME real query: the entity form
+    // and the decimal numeric character reference wild sitemaps emit.
+    // The oracle builds true URLs directly and never models the
+    // escape, so the numeric decode is itself hash-gated: a broken
+    // `&#38;` leaves these sitemap rows unjoined to their history AND
+    // mints wrong canon_url spellings in the output.
+    val urlEsc = when(col("doc_id") % 20 === 4,
+      concat(urlBase, lit("?a=1&amp;b=2")))
+      .when(col("doc_id") % 20 === 14,
+        concat(urlBase, lit("?a=1&#38;b=2")))
+      .otherwise(urlBase)
     val gap = lit(600.0) +
       (col("doc_id") % 10).cast("double") * lit(300.0)
     val period = col("doc_id") % 4 + 1

@@ -267,6 +267,9 @@ object functions {
     (FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (es: Seq[Expression]) => NfcNormalize(es(0))),
+    (FunctionIdentifier("xml_unescape"),
+      new ExpressionInfo(classOf[XmlUnescape].getName, "xml_unescape"),
+      (es: Seq[Expression]) => XmlUnescape(es(0))),
     // word_shingles(text, k) — k must be a foldable int literal
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),

@@ -1086,26 +1086,22 @@ object Crawl {
     entries("url").unionByName(entries("sitemap")).distinct()
   }
 
-  /** Unescape the five predefined XML entities — the boundary step
-    * between [[parseSitemapBodies]] (which keeps entities as-is, the
+  /** Unescape XML references — the boundary step between
+    * [[parseSitemapBodies]] (which keeps references as-is, the
     * documented regex-subset trade) and any consumer that treats `loc`
     * as a real URL: the sitemaps protocol REQUIRES `&` in URLs to be
     * written `&amp;`, so a frontier or scheduler fed the escaped form
-    * would fetch the wrong URL. `&amp;` substitutes LAST so literal
-    * text like `&amp;lt;` correctly yields `&lt;` instead of `<`.
-    * Numeric character references (`&#NN;`) are NOT handled — same
-    * documented-subset trade as the parse itself; plain `replace`
-    * chains, so the DuckDB oracle replays it byte-for-byte. Map-only. */
+    * would fetch the wrong URL. The five predefined entities PLUS
+    * decimal/hex numeric character references (`&#38;`, `&#x26;` —
+    * common in wild sitemaps, previously documented-out), via the
+    * codegen'd one-pass [[graft.functions.XmlUnescape]] scanner:
+    * decoded output never rescans, which exactly generalizes the old
+    * replace chain's "`&amp;` last" rule (`&amp;lt;` -> `&lt;`
+    * literal; byte-identical to the chain on named-entities-only
+    * input, so existing oracle replays hold); malformed references
+    * pass through verbatim — wild text must not throw. Map-only. */
   def xmlUnescape(c: Column): Column =
-    replace(
-      replace(
-        replace(
-          replace(
-            replace(c, lit("&lt;"), lit("<")),
-            lit("&gt;"), lit(">")),
-          lit("&quot;"), lit("\"")),
-        lit("&apos;"), lit("'")),
-      lit("&amp;"), lit("&"))
+    graft.functions.XmlUnescape.xmlUnescape(c)
 
   /** [[recrawlSchedule]] SEEDED with sitemap `lastmod` priors — the
     * composition that closes the freshness loop: [[parseSitemapBodies]]

@@ -671,6 +671,32 @@ object Streaming {
       scores, scoreCol, graft.operators.Materialize.checkpoint(mapping),
       bins, outCol)
 
+  /** KEYED online scoring-path twin — how a
+    * [[graft.operators.QualityModel.recalibrateBy]] per-source fit
+    * DEPLOYS to the scoring stream (without this, the keyed fit's
+    * output could only ship to batch consumers; the global
+    * [[applyCalibrationStream]] cannot carry a (key, bin) mapping).
+    * Same contract as the global form: the mapping checkpoints ONCE
+    * (its keyed isotonic lineage — per-key windows and the segment
+    * rollup — must not re-execute per micro-batch as the static side
+    * of a stream-static join otherwise would), then broadcasts its
+    * ≤ keys × bins rows onto every arriving (key, score) pair.
+    * Fully STATELESS and map-only per micro-batch; the SAME
+    * expression tree as the batch [[graft.operators.QualityModel
+    * .applyCalibrationBy]], so batch replay yields identical values
+    * (spec-pinned). Rows in a (key, bin) cell the fit never saw —
+    * including a brand-new source — keep their raw score. */
+  def applyCalibrationStreamBy(
+      scores: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      mapping: DataFrame,
+      bins: Int = 10,
+      outCol: String = "calibrated_score"): DataFrame =
+    graft.operators.QualityModel.applyCalibrationBy(
+      scores, keyCol, scoreCol,
+      graft.operators.Materialize.checkpoint(mapping), bins, outCol)
+
   /** Ingest-time DECONTAMINATION screen: one detection row per
     * (arriving document, eval set, shared k-gram) — don't let
     * benchmark text enter the training lake at all, instead of

@@ -680,6 +680,48 @@ class CrawlSpec extends AnyFunSuite {
     assert(out == Seq("a&b", "<tag>", "\"q\"'", "&lt;", "plain"), out)
   }
 
+  test("xmlUnescape: numeric character references decode; malformed pass " +
+    "through verbatim; decoded output never rescans") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // decimal + hex (both cases), mixed with text and named entities
+      "a=1&#38;b=2" -> "a=1&b=2",
+      "a=1&#x26;b=2" -> "a=1&b=2",
+      "&#X3C;tag&#62;" -> "<tag>",
+      "&#47;path&#x2F;x" -> "/path/x",
+      // astral plane: surrogate-pair emission
+      "hi &#128169; there" -> "hi 💩 there",
+      "&#x1F4A9;" -> "💩",
+      // one pass: an entity-escaped numeric ref stays LITERAL text
+      "&amp;#38;" -> "&#38;",
+      // malformed: unterminated, empty digits, junk digits, cp 0,
+      // beyond U+10FFFF, surrogate range, bare & — all verbatim
+      "&#38" -> "&#38",
+      "&#;" -> "&#;",
+      "&#x;" -> "&#x;",
+      "&#3a8;" -> "&#3a8;",
+      "&#0;" -> "&#0;",
+      "&#1114112;" -> "&#1114112;",
+      "&#xD800;" -> "&#xD800;",
+      "&#99999999;" -> "&#99999999;",
+      "a && b" -> "a && b",
+      "&unknown;" -> "&unknown;")
+    val got = cases.map(_._1).toDF("v")
+      .select(Crawl.xmlUnescape(col("v")))
+      .collect().map(_.getString(0)).toSeq
+    for (((in, want), g) <- cases.zip(got))
+      assert(g == want, s"xmlUnescape($in) = $g, want $want")
+    // stays codegen'd (a native expression, not a UDF) and SQL-callable
+    val plan = cases.map(_._1).toDF("v")
+      .select(Crawl.xmlUnescape(col("v")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), s"xml_unescape must not plan a UDF:\n$plan")
+    val viaSql = spark.sql(
+      "SELECT xml_unescape('a=1&#x26;b=2&amp;c')").collect()(0).getString(0)
+    assert(viaSql == "a=1&b=2&c", viaSql)
+  }
+
   test("recrawlScheduleSeeded: observed supersedes, lastmod prior fills, two exchanges") {
     val s = spark
     import s.implicits._

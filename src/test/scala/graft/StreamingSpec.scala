@@ -777,4 +777,48 @@ class StreamingSpec extends AnyFunSuite {
         r.getDouble(r.fieldIndex("calibrated_score"))).toMap
     assert(batch == got)
   }
+
+  test("KEYED streaming calibration remap: per-source mapping deploys online, " +
+    "stateless, batch-parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // per-source fits that genuinely differ: srcA pools bins 0/1 to
+    // 0.375, srcB's bin 0 stands at 0.5 — a global mapping could not
+    // produce both values for the same arriving score.
+    val train =
+      Seq.fill(2)(("srcA", 0.05, true)) ++ Seq.fill(2)(("srcA", 0.05, false)) ++
+        Seq.fill(1)(("srcA", 0.15, true)) ++ Seq.fill(3)(("srcA", 0.15, false)) ++
+        Seq.fill(1)(("srcB", 0.05, false)) ++ Seq.fill(1)(("srcB", 0.05, true)) ++
+        Seq.fill(2)(("srcB", 0.95, true))
+    val mapping = graft.operators.QualityModel.recalibrateBy(
+      train.toDF("source", "score", "label"), "source", "score", "label")
+    val stream = MemoryStream[(Long, String, Double)]
+    val screened = Streaming.applyCalibrationStreamBy(
+      stream.toDF().toDF("id", "source", "score"), "source", "score", mapping)
+    val q = screened.writeStream.format("memory").queryName("calstreamby")
+      .outputMode(OutputMode.Append()).start()
+    val rows1 = Seq((1L, "srcA", 0.07), (2L, "srcB", 0.07))
+    val rows2 = Seq(
+      (3L, "srcB", 0.55),   // (srcB, bin 5) unseen -> raw
+      (4L, "srcNew", 0.07)) // brand-new source -> raw
+    try {
+      stream.addData(rows1: _*); q.processAllAvailable()
+      stream.addData(rows2: _*); q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "keyed calibration remap must not register streaming state")
+    } finally q.stop()
+    val got = spark.table("calstreamby").collect()
+      .map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("calibrated_score"))).toMap
+    assert(got == Map(1L -> 0.375, 2L -> 0.5, 3L -> 0.55, 4L -> 0.07),
+      got.toString)
+    // batch parity: the SAME keyed operator over the same rows
+    val batch = graft.operators.QualityModel.applyCalibrationBy(
+        (rows1 ++ rows2).toDF("id", "source", "score"),
+        "source", "score", mapping)
+      .collect().map(r => r.getLong(0) ->
+        r.getDouble(r.fieldIndex("calibrated_score"))).toMap
+    assert(batch == got)
+  }
 }
