@@ -20,9 +20,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *  - q_recrawl_seeded: [[operators.Crawl.recrawlScheduleSeeded]] —
   *    sitemap `lastmod` priors fill the no-revisit-history gap in the
   *    Cho & Garcia-Molina schedule (observed history supersedes), with
-  *    entity-escaped sitemap locs unescaped at the boundary so an
-  *    `&amp;` URL joins its fetch history and schedules under its REAL
-  *    spelling.
+  *    escaped sitemap locs decoded at the boundary (`&amp;` on
+  *    doc_id%20==4, the numeric `&#38;` on doc_id%20==14) so each URL
+  *    joins its fetch history and schedules under its REAL spelling.
   *  - q_frontier_xml: [[operators.Crawl.frontierPlanSeededXml]] — the
   *    sitemap-INDEX children of fetched sitemap bodies union into the
   *    candidate pool alongside the robots `Sitemap:` directives,
@@ -93,8 +93,9 @@ object QueriesR15 {
     //     default (no signal at all -> max clamp). URLs with neither
     //     history nor a dated sitemap row are absent by construction.
     //     doc_id % 10 == 4 URLs carry a ?a=1&b=2 query whose sitemap
-    //     spelling is entity-escaped — the schedule must show the REAL
-    //     ampersand spelling, joined to its history. ---
+    //     spelling is escaped (&amp; on %20==4, numeric &#38; on
+    //     %20==14) — the schedule must show the REAL ampersand
+    //     spelling, joined to its history. ---
     "q_recrawl_seeded" -> ((s, d) => seededScheduleFixture(s, d)),
     // --- the deployment gate: AUC + ECE + PSI-vs-previous-release
     //     against their bounds, folded to one go/no-go row — this
@@ -185,8 +186,9 @@ object QueriesR15 {
   /** The q_recrawl_seeded fixture, shared with q_frontier_due (the
     * due-wave frontier consumes this exact schedule): q_recrawl's
     * history thinned (every 3rd URL never fetched, every 5th seen
-    * once), a sitemap declaring lastmod for even doc_ids, and
-    * entity-escaped `&amp;` locs on the doc_id % 10 == 4 URLs. */
+    * once), a sitemap declaring lastmod for even doc_ids, and escaped
+    * locs on the doc_id % 10 == 4 URLs — `&amp;` on %20==4, the
+    * numeric `&#38;` reference on %20==14. */
   private[graft] def seededScheduleFixture(
       s: SparkSession, d: String): DataFrame = {
     val b = col("doc_id").cast("string")
@@ -291,10 +293,14 @@ object QueriesR15 {
           |  FROM rep2)
           |SELECT eb.ece_before, ea.ece_after FROM eb, ea""".stripMargin),
     // Full seeded-schedule replay: the thinned history through the
-    // same lag/agg/estimator chain as q_recrawl, the sitemap side
-    // through the SAME five-replace unescape chain as the engine,
-    // date arithmetic as whole days x 86400 (timezone-free in both
-    // engines), a FULL OUTER join, and the three-way basis CASE.
+    // same lag/agg/estimator chain as q_recrawl, date arithmetic as
+    // whole days x 86400 (timezone-free in both engines), a FULL
+    // OUTER join, and the three-way basis CASE. The sitemap side is
+    // NOT replayed through an unescape: the CTEs build the TRUE URL
+    // spellings directly, so the engine's one-pass reference decode
+    // (both the &amp; and &#38; fixture spellings) is itself what the
+    // hash gates — a broken decode leaves sitemap rows unjoined AND
+    // mints escaped canon_urls.
     "q_recrawl_seeded" ->
       (seededScheduleCtes + """
         |SELECT url, n_revisits, n_changes, interval_s, next_fetch_at_s,
@@ -503,6 +509,12 @@ object QueriesR15 {
   // rendered index bodies through the same block/field extraction
   // as q_sitemap_xml, kind='sitemap' blocks only, locs through the
   // same five-replace unescape chain.
+  /** q_frontier_xml's oracle. Its `xs` CTE replays the unescape as a
+    * five-replace chain — valid because [[SitemapIndexBodies]] holds
+    * ONLY named entities (the engine's one-pass scanner is
+    * byte-identical to the chain on that domain). Add a numeric
+    * `&#NN;` loc to the fixture and this replay must switch to literal
+    * replaces of that exact reference, or it diverges by design. */
   private def frontierXmlOracle: String = {
       val valuesRows = SitemapIndexBodies.map { case (h, ls) =>
         val bodyExpr = ls.map {

@@ -78,6 +78,13 @@ object QueriesR16 {
         policy, defaultDelayS = 7.0, maxPerHost = 50,
         maxUrlsPerTemplate = 20)
     },
+    // --- keyed reliability table: one (source, bin) calibration grid
+    //     per corpus source — same bin clip / micros mean / single-step
+    //     gap rounding as q_calibration, the report the keyed ECE and
+    //     gate fold from. ---
+    "q_calibration_by" -> ((s, d) =>
+      operators.QualityModel.calibrationReportBy(
+        scoredSrc(s, d), "source", "score", "label")),
     // --- keyed ranking quality: one Mann-Whitney AUC per corpus
     //     source — 20 independent verdicts where q_auc pooled one;
     //     the ordered window partitions ON the key, so no source's
@@ -255,6 +262,23 @@ object QueriesR16 {
         |       CASE WHEN cp.host IN (SELECT fhost FROM fresh)
         |         THEN 'content' ELSE 'robots' END AS lane
         |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin),
+    // The keyed reliability grid replayed — q_calibration's bin CTE
+    // with source carried, null label/score/source rows dropped.
+    "q_calibration_by" ->
+      (ScoredCtes + """,
+        |eb AS (SELECT source,
+        |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+        |    CAST(round(score * 1e6) AS BIGINT) AS micros,
+        |    CAST(label AS INT) AS pos
+        |  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+        |    AND source IS NOT NULL)
+        |SELECT source, CAST(bin AS INTEGER) AS bin, count(*) AS n,
+        |  round(CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6)
+        |    AS mean_score,
+        |  round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS label_rate,
+        |  round(CAST(sum(pos) AS DOUBLE) / count(*)
+        |    - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap
+        |FROM eb GROUP BY source, bin""".stripMargin),
     // Per-source Mann-Whitney replay; a single-class source yields a
     // null auc exactly as the engine's when() does.
     "q_auc_by" ->

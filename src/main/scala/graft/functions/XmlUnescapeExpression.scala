@@ -95,23 +95,31 @@ object XmlUnescape {
     val len = str.length
     if (p + 1 >= len) return p
     if (str.charAt(p + 1) == '#') {
-      // numeric: &#DDD; or &#xHH; / &#XHH;
+      // numeric: &#DDD; or &#xHH; / &#XHH;. XML 1.0 allows arbitrary
+      // leading zeros, so validity is judged by the decoded VALUE, not
+      // a digit count: the accumulator clamps once past U+10FFFF
+      // (staying invalid however many digits follow — no overflow),
+      // which accepts `&#00000038;` while `&#99999999;` still passes
+      // through verbatim.
       var q = p + 2
       val hex = q < len && (str.charAt(q) == 'x' || str.charAt(q) == 'X')
       if (hex) q += 1
       val digits0 = q
       var cp = 0L
-      while (q < len && q - digits0 < 8 && {
+      while (q < len && {
         val d = str.charAt(q)
         val v =
           if (d >= '0' && d <= '9') d - '0'
           else if (hex && d >= 'a' && d <= 'f') d - 'a' + 10
           else if (hex && d >= 'A' && d <= 'F') d - 'A' + 10
           else -1
-        if (v >= 0) { cp = cp * (if (hex) 16 else 10) + v; true } else false
+        if (v >= 0) {
+          cp = cp * (if (hex) 16 else 10) + v
+          if (cp > 0x110000L) cp = 0x110001L
+          true
+        } else false
       }) q += 1
       if (q == digits0 || q >= len || str.charAt(q) != ';') return p
-      if (q - digits0 >= 8) return p // overlong: not a sane reference
       if (cp <= 0 || cp > 0x10FFFF ||
         (cp >= 0xD800 && cp <= 0xDFFF)) return p
       out.appendCodePoint(cp.toInt)

@@ -427,12 +427,70 @@ object QualityModel {
       current: DataFrame,
       keyCol: String,
       scoreCol: String,
-      bins: Int = 10): DataFrame =
+      bins: Int = 10): DataFrame = {
+    require(keyCol != "psi_total",
+      s"key column '$keyCol' collides with the PSI total output column")
     populationStabilityBy(base, current, keyCol, scoreCol, bins)
       .groupBy(col(keyCol))
       .agg(round(
         sum(round(col("psi") * 1e6).cast("long")).cast("double") / 1e6, 6)
         .as("psi_total"))
+  }
+
+  /** [[calibrationReport]] PER KEY — the reliability table with one
+    * independent (key, bin) grid per group, the report arm of the
+    * keyed scorer family: same bin clip, micros mean, and single-step
+    * gap rounding as the global form (per-key table ≡ global table on
+    * that key's slice), with NULL-key rows dropping by the shared
+    * keyed contract. One partial-aggregating exchange on the
+    * (key, bin) composite; corpus rows cross nothing else. */
+  def calibrationReportBy(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2, "need at least 2 calibration bins")
+    require(!Set("bin", "n", "mean_score", "label_rate", "gap")
+      .contains(keyCol),
+      s"key column '$keyCol' collides with a report output column")
+    val s = col(scoreCol).cast("double")
+    df.filter(s.isNotNull && col(labelCol).isNotNull &&
+        col(keyCol).isNotNull)
+      .select(col(keyCol),
+        greatest(
+          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
+          .as("bin"),
+        round(s * 1e6).cast("long").as("__micros"),
+        col(labelCol).cast("boolean").cast("int").as("__pos"))
+      .groupBy(col(keyCol), col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__micros")).as("__sm"), sum(col("__pos")).as("__np"))
+      .select(col(keyCol), col("bin"), col("n"),
+        round(col("__sm").cast("double") / 1e6 / col("n"), 6)
+          .as("mean_score"),
+        round(col("__np").cast("double") / col("n"), 6).as("label_rate"),
+        round(col("__np").cast("double") / col("n") -
+          col("__sm").cast("double") / 1e6 / col("n"), 6).as("gap"))
+  }
+
+  /** [[expectedCalibrationError]] PER KEY: `(key, n_bins, n_rows,
+    * ece)` — the same integer gap-mass fold, grouped on the key. Takes
+    * a [[calibrationReportBy]] output; the ONE engine-side copy of the
+    * micros/gapmass rounding discipline the keyed gate consumes. */
+  def expectedCalibrationErrorBy(
+      report: DataFrame, keyCol: String): DataFrame = {
+    require(!Set("n_bins", "n_rows", "ece").contains(keyCol),
+      s"key column '$keyCol' collides with an ECE output column")
+    report
+      .select(col(keyCol), col("n"),
+        (round(abs(col("gap")) * 1e6).cast("long") * col("n"))
+          .as("__gapmass"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n_rows"),
+        round(sum(col("__gapmass")).cast("double") / 1e6 /
+          sum(col("n")), 6).as("ece"))
+  }
 
   /** [[rocAuc]] PER KEY: `(key, n_pos, n_neg, auc)` — one Mann-Whitney
     * fold per group, the ranking arm of the keyed gate. Identical
@@ -513,28 +571,14 @@ object QualityModel {
       .select(col(keyCol)).distinct()
     val aucBy = broadcast(rocAucBy(df, keyCol, scoreCol, labelCol)
       .select(col(keyCol), col("auc")))
-    // Keyed ECE: calibrationReport's bin/gap arithmetic with the key
-    // carried, folded per key with the same integer-micros discipline.
-    val s = col(scoreCol).cast("double")
-    val eceBy = broadcast(df
-      .filter(s.isNotNull && col(labelCol).isNotNull &&
-        col(keyCol).isNotNull)
-      .select(col(keyCol),
-        greatest(
-          least(floor(s * bins).cast("int"), lit(bins - 1)), lit(0))
-          .as("__bin"),
-        round(s * 1e6).cast("long").as("__micros"),
-        col(labelCol).cast("boolean").cast("int").as("__pos"))
-      .groupBy(col(keyCol), col("__bin"))
-      .agg(count(lit(1)).as("__n"),
-        sum(col("__micros")).as("__sm"), sum(col("__pos")).as("__np"))
-      .select(col(keyCol), col("__n"),
-        (round(abs(round(col("__np").cast("double") / col("__n") -
-          col("__sm").cast("double") / 1e6 / col("__n"), 6)) * 1e6)
-          .cast("long") * col("__n")).as("__gapmass"))
-      .groupBy(col(keyCol))
-      .agg(round(sum(col("__gapmass")).cast("double") / 1e6 /
-        sum(col("__n")), 6).as("ece")))
+    // Keyed ECE through the shared report/fold pair — the rounding
+    // discipline lives in ONE engine-side place (abs-of-rounded ==
+    // rounded-of-abs under half-away-from-zero, so this equals the
+    // single-step gap fold exactly).
+    val eceBy = broadcast(
+      expectedCalibrationErrorBy(
+        calibrationReportBy(df, keyCol, scoreCol, labelCol, bins), keyCol)
+        .select(col(keyCol), col("ece")))
     val psiBy = broadcast(
       psiTotalBy(prev, df, keyCol, scoreCol, bins))
     val aucOk = coalesce(col("auc") >= minAuc, lit(false))

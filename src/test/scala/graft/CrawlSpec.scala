@@ -695,6 +695,9 @@ class CrawlSpec extends AnyFunSuite {
       "&#x1F4A9;" -> "💩",
       // one pass: an entity-escaped numeric ref stays LITERAL text
       "&amp;#38;" -> "&#38;",
+      // XML 1.0 allows arbitrary leading zeros: value decides validity
+      "&#00000038;" -> "&",
+      "&#x00000026;" -> "&",
       // malformed: unterminated, empty digits, junk digits, cp 0,
       // beyond U+10FFFF, surrogate range, bare & — all verbatim
       "&#38" -> "&#38",

@@ -489,6 +489,59 @@ class QualityModelSpec extends AnyFunSuite {
     assert(bhj.nonEmpty, "per-key totals must broadcast-join back")
   }
 
+  test("calibrationReportBy + expectedCalibrationErrorBy: per-key == " +
+    "global per slice; null keys drop; collision guards refuse") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("srcA", Some(0.05), Some(true)), ("srcA", Some(0.05), Some(false)),
+      ("srcA", Some(0.95), Some(true)), ("srcA", Some(0.55), Some(true)),
+      ("srcB", Some(1.0), Some(true)), ("srcB", Some(0.95), Some(false)),
+      ("srcB", Some(0.59), None),      // null label: drops
+      (null.asInstanceOf[String], Some(0.55), Some(true)), // null key: drops
+      ("srcB", None, Some(true)))      // null score: drops
+      .toDF("source", "score", "label")
+    val rep = QualityModel.calibrationReportBy(
+      rows, "source", "score", "label")
+    val got = rep.collect().map(r => (r.getString(0), r.getInt(1)) ->
+      ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(got.keys.map(_._1).toSet == Set("srcA", "srcB"), got.toString)
+    // per-key table == the global calibrationReport on that slice
+    for (k <- Seq("srcA", "srcB")) {
+      val slice = QualityModel.calibrationReport(
+          rows.filter(col("source") === k), "score", "label")
+        .collect().map(r => (k, r.getInt(0)) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      assert(slice == got.filter(_._1._1 == k), s"slice parity for $k")
+    }
+    // keyed ECE fold == the global fold on each slice
+    val eceBy = QualityModel.expectedCalibrationErrorBy(rep, "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    for (k <- Seq("srcA", "srcB")) {
+      val g = QualityModel.expectedCalibrationError(
+          QualityModel.calibrationReport(
+            rows.filter(col("source") === k), "score", "label"))
+        .collect()(0)
+      assert(eceBy(k) == ((g.getLong(0), g.getLong(1), g.getDouble(2))),
+        s"ECE slice parity for $k")
+    }
+    // collision guards fire up front, not as downstream ambiguity
+    for ((bad, call) <- Seq[(String, () => Any)](
+      ("gap", () => QualityModel.calibrationReportBy(
+        rows.withColumnRenamed("source", "gap"), "gap", "score", "label")),
+      ("ece", () => QualityModel.expectedCalibrationErrorBy(rep, "ece")),
+      ("psi_total", () => QualityModel.psiTotalBy(
+        rows.withColumnRenamed("source", "psi_total").select("psi_total", "score"),
+        rows.withColumnRenamed("source", "psi_total").select("psi_total", "score"),
+        "psi_total", "score")))) {
+      val e = intercept[IllegalArgumentException](call())
+      assert(e.getMessage.contains("collides"), s"$bad: ${e.getMessage}")
+    }
+  }
+
   test("rocAucBy: per-key Mann-Whitney == global per slice; the ranking " +
     "window partitions on the key") {
     val s = spark
