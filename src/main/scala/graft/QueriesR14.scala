@@ -266,7 +266,7 @@ object QueriesR14 {
     * scores from — tokens/stops/ratio defined once so
     * q_calibration/q_auc/q_confusion (ratio/0.12 vs the lang label)
     * and q_psi (two scale divisors) can never silently diverge. */
-  private def stopRatio: org.apache.spark.sql.Column = {
+  private[graft] def stopRatio: org.apache.spark.sql.Column = {
     val toks = operators.TextAnalysis.tokens(col("text"))
     val stops = size(filter(toks,
       tk => tk.isInCollection(operators.TextAnalysis.StopwordsEn)))

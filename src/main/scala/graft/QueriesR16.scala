@@ -100,6 +100,30 @@ object QueriesR16 {
     "q_psi_by" -> ((s, d) =>
       operators.QualityModel.populationStabilityBy(
         prevSrc(s, d), scoredSrc(s, d), "source", "score")),
+    // --- the loop closure: the keyed drift verdict DRIVES the next
+    //     release's budget — sources whose score distribution held
+    //     (per-source PSI within bound) split the token budget by
+    //     Hamilton apportionment on char mass; drifted sources are
+    //     quarantined until recalibrated. Fixture: sources whose
+    //     numeric suffix is divisible by 3 score HOTTER in the
+    //     candidate (/0.09 vs the /0.12 baseline) — genuine per-source
+    //     drift the pooled PSI would dilute. ---
+    "q_drift_gated_budget" -> { (s, d) =>
+      val num = regexp_extract(col("source"), "([0-9]+)$", 1).cast("int")
+      val div = when(num % 3 === 0, lit(0.09)).otherwise(lit(0.12))
+      val base = docs(s, d).filter(col("doc_id") % 2 === 0)
+        .select(col("source"),
+          least(QueriesR14.stopRatio / lit(0.12), lit(1.0)).as("score"))
+      val cur = docs(s, d).select(col("source"),
+        least(QueriesR14.stopRatio / div, lit(1.0)).as("score"))
+      val ok = operators.QualityModel
+        .psiTotalBy(base, cur, "source", "score")
+        .filter(col("psi_total") <= 0.25).select(col("source"))
+      val w = docs(s, d).join(broadcast(ok), Seq("source"), "left_semi")
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("w"))
+      operators.Curation.apportionBudget(
+        w, "source", "w", budget = 1000000000L)
+    },
     // --- the keyed deployment verdict: AUC + ECE + PSI per source
     //     against the shared bounds — the go/no-go row per source that
     //     recalibrateBy's per-key fit was missing a companion for.
@@ -262,6 +286,80 @@ object QueriesR16 {
         |       CASE WHEN cp.host IN (SELECT fhost FROM fresh)
         |         THEN 'content' ELSE 'robots' END AS lane
         |FROM cp LEFT JOIN delays ON cp.host = delays.dhost""".stripMargin),
+    // The whole loop replayed: per-source scoring at the TWO divisors,
+    // the keyed smoothed-PSI grid and integer micro fold, the 0.25
+    // drift verdict, then q_apportion's Hamilton replay restricted to
+    // the surviving sources (null/zero weights dropped as the engine
+    // does).
+    "q_drift_gated_budget" ->
+      """WITH t AS (SELECT source, doc_id, n_chars,
+        |    regexp_extract_all(text, '\S+') toks FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / len(toks) AS ratio FROM t),
+        |sb AS (SELECT source,
+        |    least(ratio / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+        |      AS score
+        |  FROM r WHERE doc_id % 2 = 0),
+        |sc AS (SELECT source,
+        |    least(ratio / (CASE WHEN CAST(regexp_extract(source,
+        |          '([0-9]+)$', 1) AS INT) % 3 = 0
+        |        THEN CAST(0.09 AS DOUBLE) ELSE CAST(0.12 AS DOUBLE) END),
+        |      CAST(1 AS DOUBLE)) AS score
+        |  FROM r),
+        |pb AS (SELECT source,
+        |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+        |    count(*) AS n_base
+        |  FROM sb WHERE score IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |pc AS (SELECT source,
+        |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+        |    count(*) AS n_cur
+        |  FROM sc WHERE score IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |ks AS (SELECT source FROM pb UNION SELECT source FROM pc),
+        |ab AS (SELECT ks.source, CAST(i AS INT) AS bin
+        |       FROM ks, unnest(generate_series(0, 9)) u(i)),
+        |pj AS (SELECT ab.source, ab.bin,
+        |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+        |  FROM ab
+        |  LEFT JOIN pb ON ab.source = pb.source AND ab.bin = pb.bin
+        |  LEFT JOIN pc ON ab.source = pc.source AND ab.bin = pc.bin),
+        |ptt AS (SELECT source, CAST(sum(n_base) AS DOUBLE) AS tb,
+        |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM pj GROUP BY source),
+        |pp AS (SELECT pj.source,
+        |    round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
+        |        - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
+        |      * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
+        |        / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6)
+        |      AS psi
+        |  FROM pj JOIN ptt ON pj.source = ptt.source),
+        |px AS (SELECT source,
+        |    round(CAST(sum(CAST(round(psi * 1e6) AS BIGINT)) AS DOUBLE)
+        |      / 1e6, 6) AS psi_total
+        |  FROM pp GROUP BY source),
+        |okk AS (SELECT source FROM px
+        |        WHERE psi_total <= CAST(0.25 AS DOUBLE)),
+        |k AS (SELECT d.source AS key,
+        |    CAST(sum(d.n_chars) AS BIGINT) AS weight
+        |  FROM documents d JOIN okk ON d.source = okk.source
+        |  GROUP BY d.source
+        |  HAVING sum(n_chars) IS NOT NULL AND sum(n_chars) > 0),
+        |tt2 AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM k),
+        |q AS (SELECT key, weight,
+        |    (1000000000 * weight) // w AS base,
+        |    (1000000000 * weight) % w AS rem
+        |  FROM k, tt2),
+        |b2 AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM q),
+        |p2 AS (SELECT key, weight, base,
+        |    row_number() OVER (ORDER BY rem DESC, key) AS pos
+        |  FROM q)
+        |SELECT p2.key AS key, p2.weight,
+        |  CAST(p2.base + CASE WHEN p2.pos <= 1000000000 - b2.bsum
+        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM p2, b2""".stripMargin,
     // The keyed reliability grid replayed — q_calibration's bin CTE
     // with source carried, null label/score/source rows dropped.
     "q_calibration_by" ->

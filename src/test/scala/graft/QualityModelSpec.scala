@@ -638,6 +638,20 @@ class QualityModelSpec extends AnyFunSuite {
     assert(collide.getMessage.contains("collides"), collide.getMessage)
   }
 
+  test("drift-gated budget: every truly-drifted source is quarantined; " +
+    "survivors split the exact budget") {
+    val out = SparkEntry.queries("q_drift_gated_budget")(
+      spark, TestSpark.sf001).collect()
+    assert(out.nonEmpty, "some sources must survive the drift gate")
+    // the fixture drifts sources with numeric suffix % 3 == 0 (scored
+    // /0.09 vs the /0.12 baseline): none may receive budget
+    val drifted = out.map(_.getString(0))
+      .filter(k => k.replaceAll("[^0-9]", "").toInt % 3 == 0)
+    assert(drifted.isEmpty, s"drifted sources got budget: ${drifted.toSeq}")
+    // Hamilton allocations still sum to EXACTLY the budget
+    assert(out.map(_.getLong(2)).sum == 1000000000L)
+  }
+
   test("psiTotal: the summed gate scalar matches the per-bin fold") {
     val s = spark
     import s.implicits._
