@@ -318,8 +318,13 @@ object QualityModel {
           .as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
     }
-    val b = binned(base, "n_base")
-    val c = binned(current, "n_cur")
+    // Checkpoint the <= bins-row aggregates: `joined` below is consumed
+    // twice (totals + output), and left as lineage each consumer
+    // re-runs the full corpus aggregation — the keyed form measured
+    // this as a super-linear wall at 10x rows (round-16 probe); pinned,
+    // each side scans its corpus exactly once.
+    val b = Materialize.checkpoint(binned(base, "n_base"))
+    val c = Materialize.checkpoint(binned(current, "n_cur"))
     val allBins = b.sparkSession.range(bins)
       .select(col("id").cast("int").as("bin"))
     val joined = allBins
@@ -372,7 +377,13 @@ object QualityModel {
     * Scale shape: one partial-aggregating exchange per side on the
     * (key, bin) composite; totals fold per key from the ≤ keys × bins
     * post-aggregate rows and join back BROADCAST. Corpus rows never
-    * cross a second exchange. */
+    * cross a second exchange — the binned aggregates CHECKPOINT
+    * (≤ keys × bins rows each) because the grid below consumes each
+    * side three ways (key universe, grid join, totals): left as
+    * lineage, the corpus aggregation re-executed per consumer —
+    * measured 8-10 full corpus scans and a super-linear 13× wall at
+    * 10× rows in the round-16 probe; checkpointed, exactly one scan
+    * per side (probe ratio back to ~3 at 10×). */
   def populationStabilityBy(
       base: DataFrame,
       current: DataFrame,
@@ -391,8 +402,8 @@ object QualityModel {
           .as("bin"))
         .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as(cnt))
     }
-    val b = binned(base, "n_base")
-    val c = binned(current, "n_cur")
+    val b = Materialize.checkpoint(binned(base, "n_base"))
+    val c = Materialize.checkpoint(binned(current, "n_cur"))
     val keysDf = b.select(col(keyCol))
       .unionByName(c.select(col(keyCol))).distinct()
     val allBins = keysDf.crossJoin(
@@ -549,10 +560,10 @@ object QualityModel {
     * null, per verdict column. A key present only in `prev` (a retired
     * source) emits no row.
     *
-    * Scale shape: three keyed partial-aggregating passes over the
-    * corpus (score key / (key, bin) / (key, bin)), each collapsing to
-    * O(keys × bins) before any join; the verdict joins are all
-    * broadcast on O(keys) rows. */
+    * Scale shape: four corpus passes — three keyed partial-aggregating
+    * ones (score key / (key, bin) / (key, bin)) plus the key-universe
+    * distinct, each collapsing to O(keys × bins) before any join; the
+    * verdict joins are all broadcast on O(keys) rows. */
   def scorerGateBy(
       df: DataFrame,
       keyCol: String,
