@@ -318,13 +318,8 @@ object QualityModel {
           .as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as(cnt))
     }
-    // Checkpoint the <= bins-row aggregates: `joined` below is consumed
-    // twice (totals + output), and left as lineage each consumer
-    // re-runs the full corpus aggregation — the keyed form measured
-    // this as a super-linear wall at 10x rows (round-16 probe); pinned,
-    // each side scans its corpus exactly once.
-    val b = Materialize.checkpoint(binned(base, "n_base"))
-    val c = Materialize.checkpoint(binned(current, "n_cur"))
+    val b = binned(base, "n_base")
+    val c = binned(current, "n_cur")
     val allBins = b.sparkSession.range(bins)
       .select(col("id").cast("int").as("bin"))
     val joined = allBins
@@ -332,9 +327,19 @@ object QualityModel {
       .select(col("bin"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val tot = broadcast(joined.agg(
-      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc")))
-    joined.crossJoin(tot)
+    // Totals via a whole-frame window over the ≤ bins POST-AGGREGATE
+    // rows, NOT a self-join: `joined` consumed twice (totals + output)
+    // re-runs each side's full corpus aggregation — the keyed form
+    // measured that shape super-linear at 10× rows (round-16 probe),
+    // and the checkpoint alternative costs two extra eager jobs that
+    // dominate this sub-second query (measured 0.33 → 1.7 s on the
+    // bench). The window keeps ONE corpus scan per side, one lazy
+    // plan, zero extra jobs; its single partition holds ≤ bins rows.
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("__tb", sum(col("n_base")).over(w))
+      .withColumn("__tc", sum(col("n_cur")).over(w))
       .select(col("bin"), col("n_base"), col("n_cur"),
         round((col("n_base") + 0.5) / (col("__tb") + 0.5 * bins), 6)
           .as("p_base"),
@@ -375,15 +380,15 @@ object QualityModel {
     * NULL-key rows drop on both sides ([[recalibrateBy]]'s contract).
     *
     * Scale shape: one partial-aggregating exchange per side on the
-    * (key, bin) composite; totals fold per key from the ≤ keys × bins
-    * post-aggregate rows and join back BROADCAST. Corpus rows never
-    * cross a second exchange — the binned aggregates CHECKPOINT
+    * (key, bin) composite; totals fold per key via a key-partitioned
+    * window over the ≤ keys × bins post-aggregate rows. Corpus rows
+    * never cross a second exchange — the binned aggregates CHECKPOINT
     * (≤ keys × bins rows each) because the grid below consumes each
-    * side three ways (key universe, grid join, totals): left as
-    * lineage, the corpus aggregation re-executed per consumer —
-    * measured 8-10 full corpus scans and a super-linear 13× wall at
-    * 10× rows in the round-16 probe; checkpointed, exactly one scan
-    * per side (probe ratio back to ~3 at 10×). */
+    * side twice (key universe + grid join): left as lineage, the
+    * corpus aggregation re-executed per consumer — measured 8-10 full
+    * corpus scans and a super-linear 13× wall at 10× rows in the
+    * round-16 probe; checkpointed, exactly one scan per side (probe
+    * back to flat at 10×). */
   def populationStabilityBy(
       base: DataFrame,
       current: DataFrame,
@@ -414,9 +419,14 @@ object QualityModel {
       .select(col(keyCol), col("bin"),
         coalesce(col("n_base"), lit(0L)).as("n_base"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
-    val tot = broadcast(joined.groupBy(col(keyCol)).agg(
-      sum(col("n_base")).as("__tb"), sum(col("n_cur")).as("__tc")))
-    joined.join(tot, Seq(keyCol))
+    // Per-key totals via a key-partitioned window over the
+    // ≤ keys × bins post-aggregate rows — not a self-join, which would
+    // consume `joined` twice (the global form's reasoning, keyed).
+    val w = Window.partitionBy(col(keyCol)).rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    joined
+      .withColumn("__tb", sum(col("n_base")).over(w))
+      .withColumn("__tc", sum(col("n_cur")).over(w))
       .select(col(keyCol), col("bin"), col("n_base"), col("n_cur"),
         round((col("n_base") + 0.5) / (col("__tb") + 0.5 * bins), 6)
           .as("p_base"),

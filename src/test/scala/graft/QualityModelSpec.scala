@@ -478,15 +478,17 @@ class QualityModelSpec extends AnyFunSuite {
     val psiB = by.filter(_.getString(0) == "srcB").map(r =>
       math.round(r.getDouble(6) * 1e6)).sum
     assert(psiB > 0L, s"a vanished source must register drift: $psiB")
-    // the per-key totals join broadcasts (O(keys) rows, never a
-    // second corpus exchange)
+    // the per-key totals fold in a KEY-PARTITIONED window over the
+    // post-aggregate grid — never a self-join that would re-run the
+    // corpus aggregation a second time
     val frame = QualityModel.populationStabilityBy(
       base, cur, "source", "score")
     frame.collect()
-    val bhj = PlanCheck.nodes(frame).collect {
-      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    val windows = PlanCheck.nodes(frame).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(bhj.nonEmpty, "per-key totals must broadcast-join back")
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "per-key totals must fold in a key-partitioned window")
   }
 
   test("calibrationReportBy + expectedCalibrationErrorBy: per-key == " +
