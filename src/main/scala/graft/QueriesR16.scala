@@ -169,35 +169,59 @@ object QueriesR16 {
       |    sum(CAST(np AS DOUBLE) * avg_rank) AS rpos
       |  FROM ra GROUP BY source)""".stripMargin
 
-  /** The per-source smoothed-PSI CTEs shared by q_psi_by and
-    * q_scorer_gate_by: base = even-doc_id half, cur = full corpus,
-    * bin grid = keys-on-either-side x bins, Jeffreys +0.5 smoothing.
-    * Ends in `pj(source, bin, n_base, n_cur)` + `ptt(source, tb,
-    * tc)`. */
-  private val PsiByCtes: String =
-    """pb AS (SELECT source,
-      |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
-      |    count(*) AS n_base
-      |  FROM s WHERE doc_id % 2 = 0 AND score IS NOT NULL
-      |    AND source IS NOT NULL
-      |  GROUP BY 1, 2),
-      |pc AS (SELECT source,
-      |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
-      |    count(*) AS n_cur
-      |  FROM s WHERE score IS NOT NULL AND source IS NOT NULL
-      |  GROUP BY 1, 2),
-      |ks AS (SELECT source FROM pb UNION SELECT source FROM pc),
-      |ab AS (SELECT ks.source, CAST(i AS INT) AS bin
-      |       FROM ks, unnest(generate_series(0, 9)) u(i)),
-      |pj AS (SELECT ab.source, ab.bin,
-      |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
-      |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
-      |  FROM ab
-      |  LEFT JOIN pb ON ab.source = pb.source AND ab.bin = pb.bin
-      |  LEFT JOIN pc ON ab.source = pc.source AND ab.bin = pc.bin),
-      |ptt AS (SELECT source, CAST(sum(n_base) AS DOUBLE) AS tb,
-      |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM pj GROUP BY source)"""
+  /** The per-source smoothed-PSI grid CTEs, parameterized on the two
+    * score populations (each a CTE name or aliased subquery with
+    * `(source, score)` rows) — the ONE oracle-side copy of the keyed
+    * binning/grid arithmetic, shared by q_psi_by, q_scorer_gate_by and
+    * q_drift_gated_budget so the smoothing/fold discipline cannot
+    * silently fork per oracle. Ends in `pj(source, bin, n_base,
+    * n_cur)` + `ptt(source, tb, tc)`. */
+  private def psiGridCtes(baseFrom: String, curFrom: String): String =
+    s"""pb AS (SELECT source,
+       |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+       |    count(*) AS n_base
+       |  FROM $baseFrom
+       |  WHERE score IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |pc AS (SELECT source,
+       |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+       |    count(*) AS n_cur
+       |  FROM $curFrom
+       |  WHERE score IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY 1, 2),
+       |ks AS (SELECT source FROM pb UNION SELECT source FROM pc),
+       |ab AS (SELECT ks.source, CAST(i AS INT) AS bin
+       |       FROM ks, unnest(generate_series(0, 9)) u(i)),
+       |pj AS (SELECT ab.source, ab.bin,
+       |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
+       |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+       |  FROM ab
+       |  LEFT JOIN pb ON ab.source = pb.source AND ab.bin = pb.bin
+       |  LEFT JOIN pc ON ab.source = pc.source AND ab.bin = pc.bin),
+       |ptt AS (SELECT source, CAST(sum(n_base) AS DOUBLE) AS tb,
+       |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM pj GROUP BY source)"""
       .stripMargin
+
+  /** The keyed PSI fold over [[psiGridCtes]]'s grid: per-(key, bin)
+    * smoothed terms rounded to 6, integer-micros sum per key — ends in
+    * `px(source, psi_total)`. The one oracle-side copy of the fold. */
+  private val PsiFoldCtes: String =
+    """pp AS (SELECT pj.source,
+      |    round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
+      |        - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
+      |      * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
+      |        / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6)
+      |      AS psi
+      |  FROM pj JOIN ptt ON pj.source = ptt.source),
+      |px AS (SELECT source,
+      |    round(CAST(sum(CAST(round(psi * 1e6) AS BIGINT)) AS DOUBLE)
+      |      / 1e6, 6) AS psi_total
+      |  FROM pp GROUP BY source)""".stripMargin
+
+  /** q_psi_by's and q_scorer_gate_by's populations: base = the
+    * even-doc_id half of the scored corpus, cur = the full corpus. */
+  private val PsiByGrid: String = psiGridCtes(
+    "(SELECT source, score FROM s WHERE doc_id % 2 = 0) sbq", "s")
 
   val oracles: Map[String, String] = Map(
     // The gated due wave replayed end to end: the shared schedule
@@ -292,7 +316,7 @@ object QueriesR16 {
     // the surviving sources (null/zero weights dropped as the engine
     // does).
     "q_drift_gated_budget" ->
-      """WITH t AS (SELECT source, doc_id, n_chars,
+      ("""WITH t AS (SELECT source, doc_id, n_chars,
         |    regexp_extract_all(text, '\S+') toks FROM documents),
         |r AS (SELECT source, doc_id, n_chars,
         |    CAST(len(list_filter(toks,
@@ -303,43 +327,13 @@ object QueriesR16 {
         |      AS score
         |  FROM r WHERE doc_id % 2 = 0),
         |sc AS (SELECT source,
-        |    least(ratio / (CASE WHEN CAST(regexp_extract(source,
+        |    least(ratio / (CASE WHEN TRY_CAST(regexp_extract(source,
         |          '([0-9]+)$', 1) AS INT) % 3 = 0
         |        THEN CAST(0.09 AS DOUBLE) ELSE CAST(0.12 AS DOUBLE) END),
         |      CAST(1 AS DOUBLE)) AS score
         |  FROM r),
-        |pb AS (SELECT source,
-        |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
-        |    count(*) AS n_base
-        |  FROM sb WHERE score IS NOT NULL AND source IS NOT NULL
-        |  GROUP BY 1, 2),
-        |pc AS (SELECT source,
-        |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
-        |    count(*) AS n_cur
-        |  FROM sc WHERE score IS NOT NULL AND source IS NOT NULL
-        |  GROUP BY 1, 2),
-        |ks AS (SELECT source FROM pb UNION SELECT source FROM pc),
-        |ab AS (SELECT ks.source, CAST(i AS INT) AS bin
-        |       FROM ks, unnest(generate_series(0, 9)) u(i)),
-        |pj AS (SELECT ab.source, ab.bin,
-        |    CAST(coalesce(n_base, 0) AS BIGINT) AS n_base,
-        |    CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
-        |  FROM ab
-        |  LEFT JOIN pb ON ab.source = pb.source AND ab.bin = pb.bin
-        |  LEFT JOIN pc ON ab.source = pc.source AND ab.bin = pc.bin),
-        |ptt AS (SELECT source, CAST(sum(n_base) AS DOUBLE) AS tb,
-        |    CAST(sum(n_cur) AS DOUBLE) AS tc FROM pj GROUP BY source),
-        |pp AS (SELECT pj.source,
-        |    round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
-        |        - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
-        |      * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
-        |        / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6)
-        |      AS psi
-        |  FROM pj JOIN ptt ON pj.source = ptt.source),
-        |px AS (SELECT source,
-        |    round(CAST(sum(CAST(round(psi * 1e6) AS BIGINT)) AS DOUBLE)
-        |      / 1e6, 6) AS psi_total
-        |  FROM pp GROUP BY source),
+        |""".stripMargin
+        + psiGridCtes("sb", "sc") + ",\n" + PsiFoldCtes + """,
         |okk AS (SELECT source FROM px
         |        WHERE psi_total <= CAST(0.25 AS DOUBLE)),
         |k AS (SELECT d.source AS key,
@@ -359,7 +353,7 @@ object QueriesR16 {
         |SELECT p2.key AS key, p2.weight,
         |  CAST(p2.base + CASE WHEN p2.pos <= 1000000000 - b2.bsum
         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM p2, b2""".stripMargin,
+        |FROM p2, b2""".stripMargin),
     // The keyed reliability grid replayed — q_calibration's bin CTE
     // with source carried, null label/score/source rows dropped.
     "q_calibration_by" ->
@@ -389,7 +383,7 @@ object QueriesR16 {
     // Per-source smoothed per-bin PSI — every quotient in DOUBLE, the
     // psi column from the UNROUNDED probabilities like the engine.
     "q_psi_by" ->
-      (ScoredCtes + ",\n" + PsiByCtes + """
+      (ScoredCtes + ",\n" + PsiByGrid + """
         |SELECT pj.source, pj.bin, pj.n_base, pj.n_cur,
         |  round((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0), 6) AS p_base,
         |  round((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0), 6) AS p_cur,
@@ -404,7 +398,7 @@ object QueriesR16 {
     // unmeasurable component stays NULL in its value column and gates
     // FALSE in its verdict column — the engine's exact join shape.
     "q_scorer_gate_by" ->
-      (ScoredCtes + ",\n" + AucByCtes + ",\n" + PsiByCtes + """,
+      (ScoredCtes + ",\n" + AucByCtes + ",\n" + PsiByGrid + """,
         |au AS (SELECT source, CASE WHEN npos > 0 AND nneg > 0
         |    THEN round((rpos - CAST(npos AS DOUBLE) * (npos + 1) / 2)
         |      / (CAST(npos AS DOUBLE) * nneg), 6) END AS auc FROM aa),
@@ -425,17 +419,7 @@ object QueriesR16 {
         |  FROM eg),
         |ec AS (SELECT source, round(CAST(sum(gapmass) AS DOUBLE) / 1e6
         |    / sum(n), 6) AS ece FROM em GROUP BY source),
-        |pp AS (SELECT pj.source,
-        |    round(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0)
-        |        - (CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))
-        |      * ln(((CAST(n_cur AS DOUBLE) + 0.5) / (tc + 5.0))
-        |        / ((CAST(n_base AS DOUBLE) + 0.5) / (tb + 5.0))), 6)
-        |      AS psi
-        |  FROM pj JOIN ptt ON pj.source = ptt.source),
-        |px AS (SELECT source,
-        |    round(CAST(sum(CAST(round(psi * 1e6) AS BIGINT)) AS DOUBLE)
-        |      / 1e6, 6) AS psi_total
-        |  FROM pp GROUP BY source),
+        |""".stripMargin + PsiFoldCtes + """,
         |keys AS (SELECT DISTINCT source FROM s WHERE source IS NOT NULL)
         |SELECT k.source, au.auc, ec.ece, px.psi_total,
         |  coalesce(au.auc >= CAST(0.5 AS DOUBLE), false) AS auc_ok,

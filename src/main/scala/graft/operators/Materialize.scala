@@ -35,14 +35,25 @@ object Materialize {
     * the prefix-sum family (run-to-run spreads of 80-190%). */
   val StorageConfKey = "spark.graft.checkpointStorage"
 
-  def checkpoint(df: DataFrame): DataFrame =
+  def checkpoint(df: DataFrame): DataFrame = checkpoint(df, eager = true)
+
+  /** `eager = false` defers materialization to the first action while
+    * still pinning the result for every later consumer — the shape for
+    * operators that reference a small intermediate several times inside
+    * ONE query (e.g. [[QualityModel.populationStabilityBy]]'s binned
+    * aggregates): construction stays plan-only (no jobs launch from
+    * merely building the frame), and the first action computes the
+    * pinned rows once instead of once per consumer. Loops and
+    * multi-pass operators keep the eager default — they need the
+    * barrier. */
+  def checkpoint(df: DataFrame, eager: Boolean): DataFrame =
     df.sparkSession.conf.get(ConfKey, "local") match {
       case "local" =>
         df.sparkSession.conf.get(StorageConfKey, "disk") match {
           case "disk" =>
-            df.localCheckpoint(eager = true,
+            df.localCheckpoint(eager = eager,
               org.apache.spark.storage.StorageLevel.DISK_ONLY)
-          case "memory" => df.localCheckpoint(eager = true)
+          case "memory" => df.localCheckpoint(eager = eager)
           case other =>
             throw new IllegalArgumentException(
               s"$StorageConfKey must be 'disk' or 'memory', got '$other'")
@@ -52,7 +63,7 @@ object Materialize {
           df.sparkSession.sparkContext.getCheckpointDir.isDefined,
           s"$ConfKey=reliable requires sparkContext.setCheckpointDir(...) " +
             "to point at fault-tolerant storage (HDFS/object store)")
-        df.checkpoint(eager = true)
+        df.checkpoint(eager = eager)
       case other =>
         throw new IllegalArgumentException(
           s"$ConfKey must be 'local' or 'reliable', got '$other'")

@@ -383,12 +383,17 @@ object QualityModel {
     * (key, bin) composite; totals fold per key via a key-partitioned
     * window over the ≤ keys × bins post-aggregate rows. Corpus rows
     * never cross a second exchange — the binned aggregates CHECKPOINT
-    * (≤ keys × bins rows each) because the grid below consumes each
-    * side twice (key universe + grid join): left as lineage, the
+    * LAZILY (≤ keys × bins rows each) because the grid below consumes
+    * each side twice (key universe + grid join): left as lineage, the
     * corpus aggregation re-executed per consumer — measured 8-10 full
     * corpus scans and a super-linear 13× wall at 10× rows in the
     * round-16 probe; checkpointed, exactly one scan per side (probe
-    * back to flat at 10×). */
+    * back to flat at 10×). Lazy (`eager = false`) keeps construction
+    * plan-only — no jobs launch from merely building the frame; the
+    * first ACTION materializes and pins the rows. The pin inherits
+    * `spark.graft.checkpoint`'s documented trade: `local` truncates
+    * lineage (an executor lost mid-job cannot recompute the blocks —
+    * set `reliable` on a real cluster). */
   def populationStabilityBy(
       base: DataFrame,
       current: DataFrame,
@@ -407,8 +412,8 @@ object QualityModel {
           .as("bin"))
         .groupBy(col(keyCol), col("bin")).agg(count(lit(1)).as(cnt))
     }
-    val b = Materialize.checkpoint(binned(base, "n_base"))
-    val c = Materialize.checkpoint(binned(current, "n_cur"))
+    val b = Materialize.checkpoint(binned(base, "n_base"), eager = false)
+    val c = Materialize.checkpoint(binned(current, "n_cur"), eager = false)
     val keysDf = b.select(col(keyCol))
       .unionByName(c.select(col(keyCol))).distinct()
     val allBins = keysDf.crossJoin(

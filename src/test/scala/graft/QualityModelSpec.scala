@@ -646,9 +646,12 @@ class QualityModelSpec extends AnyFunSuite {
       spark, TestSpark.sf001).collect()
     assert(out.nonEmpty, "some sources must survive the drift gate")
     // the fixture drifts sources with numeric suffix % 3 == 0 (scored
-    // /0.09 vs the /0.12 baseline): none may receive budget
-    val drifted = out.map(_.getString(0))
-      .filter(k => k.replaceAll("[^0-9]", "").toInt % 3 == 0)
+    // /0.09 vs the /0.12 baseline): none may receive budget. The
+    // predicate mirrors the query's TRAILING-digit-group extraction
+    // exactly (not all-digits — they disagree on interior digits).
+    val drifted = out.map(_.getString(0)).filter(k =>
+      "([0-9]+)$".r.findFirstMatchIn(k)
+        .exists(_.group(1).toInt % 3 == 0))
     assert(drifted.isEmpty, s"drifted sources got budget: ${drifted.toSeq}")
     // Hamilton allocations still sum to EXACTLY the budget
     assert(out.map(_.getLong(2)).sum == 1000000000L)
