@@ -124,6 +124,35 @@ object QueriesR16 {
       operators.Curation.apportionBudget(
         w, "source", "w", budget = 1000000000L)
     },
+    // --- keyed confusion at threshold 0.5: one tp/fp/fn/tn +
+    //     precision/recall/f1 row per source — the filter the score
+    //     becomes, per source (a pooled threshold can be badly wrong
+    //     for one source); rates null where undefined. ---
+    "q_confusion_by" -> ((s, d) =>
+      operators.QualityModel.thresholdReportBy(
+        scoredSrc(s, d), "source", "score", "label", threshold = 0.5)),
+    // --- the KEYED recalibration loop closed: per-source ECE of the
+    //     raw scorer vs after the per-source isotonic remap — the
+    //     number that proves the keyed fix fixes PER SOURCE (a global
+    //     remap can over-correct one source while leaving another
+    //     over-confident; this row set shows each source's before and
+    //     after). ---
+    "q_recalibrate_ece_by" -> { (s, d) =>
+      val scored = scoredSrc(s, d)
+      val before = operators.QualityModel.expectedCalibrationErrorBy(
+        operators.QualityModel.calibrationReportBy(
+          scored, "source", "score", "label"), "source")
+        .select(col("source"), col("ece").as("ece_before"))
+      val mapping = operators.QualityModel.recalibrateBy(
+        scored, "source", "score", "label")
+      val applied = operators.QualityModel.applyCalibrationBy(
+        scored, "source", "score", mapping)
+      val after = operators.QualityModel.expectedCalibrationErrorBy(
+        operators.QualityModel.calibrationReportBy(
+          applied, "source", "calibrated_score", "label"), "source")
+        .select(col("source"), col("ece").as("ece_after"))
+      before.join(after, Seq("source"))
+    },
     // --- the keyed deployment verdict: AUC + ECE + PSI per source
     //     against the shared bounds — the go/no-go row per source that
     //     recalibrateBy's per-key fit was missing a companion for.
@@ -354,6 +383,108 @@ object QueriesR16 {
         |  CAST(p2.base + CASE WHEN p2.pos <= 1000000000 - b2.bsum
         |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM p2, b2""".stripMargin),
+    // Per-source confusion replay: score/key null rows dropped before
+    // grouping (a source with only null scores emits no row, like the
+    // engine); null-label rows count in no cell via the FILTER
+    // conditions, the engine's when() behavior.
+    "q_confusion_by" ->
+      (ScoredCtes + """
+        |SELECT source,
+        |  count(*) FILTER (WHERE score >= 0.5 AND label) AS tp,
+        |  count(*) FILTER (WHERE score >= 0.5 AND NOT label) AS fp,
+        |  count(*) FILTER (WHERE score < 0.5 AND label) AS fn,
+        |  count(*) FILTER (WHERE score < 0.5 AND NOT label) AS tn,
+        |  CASE WHEN count(*) FILTER (WHERE score >= 0.5 AND label)
+        |      + count(*) FILTER (WHERE score >= 0.5 AND NOT label) > 0
+        |    THEN round(CAST(count(*) FILTER (WHERE score >= 0.5 AND label)
+        |        AS DOUBLE)
+        |      / (count(*) FILTER (WHERE score >= 0.5 AND label)
+        |        + count(*) FILTER (WHERE score >= 0.5 AND NOT label)), 6)
+        |    END AS precision,
+        |  CASE WHEN count(*) FILTER (WHERE score >= 0.5 AND label)
+        |      + count(*) FILTER (WHERE score < 0.5 AND label) > 0
+        |    THEN round(CAST(count(*) FILTER (WHERE score >= 0.5 AND label)
+        |        AS DOUBLE)
+        |      / (count(*) FILTER (WHERE score >= 0.5 AND label)
+        |        + count(*) FILTER (WHERE score < 0.5 AND label)), 6)
+        |    END AS recall,
+        |  CASE WHEN 2 * count(*) FILTER (WHERE score >= 0.5 AND label)
+        |      + count(*) FILTER (WHERE score >= 0.5 AND NOT label)
+        |      + count(*) FILTER (WHERE score < 0.5 AND label) > 0
+        |    THEN round(CAST(2 * count(*) FILTER (WHERE score >= 0.5
+        |          AND label) AS DOUBLE)
+        |      / (2 * count(*) FILTER (WHERE score >= 0.5 AND label)
+        |        + count(*) FILTER (WHERE score >= 0.5 AND NOT label)
+        |        + count(*) FILTER (WHERE score < 0.5 AND label)), 6)
+        |    END AS f1
+        |FROM s WHERE score IS NOT NULL AND source IS NOT NULL
+        |GROUP BY source""".stripMargin),
+    // The keyed recalibration loop replayed end to end: per-source
+    // bin masses WITH score micros, the before-ECE fold, the keyed
+    // min-max isotonic identity (every window/join/rollup carrying
+    // source — the q_recalibrate_by chain), the (source, bin) remap
+    // with unseen cells keeping the raw score, re-binning, and the
+    // after-ECE fold.
+    "q_recalibrate_ece_by" ->
+      """WITH t AS (SELECT source, lang,
+        |    regexp_extract_all(text, '\S+') toks
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |s AS (SELECT source, least(
+        |    CAST(len(list_filter(toks,
+        |        x -> x IN ('the','a','and','of','to','in'))) AS DOUBLE)
+        |      / len(toks) / CAST(0.12 AS DOUBLE), CAST(1 AS DOUBLE))
+        |      AS score,
+        |    (lang = 'en') AS label FROM t),
+        |b AS (SELECT source,
+        |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
+        |    CAST(round(score * 1e6) AS BIGINT) AS micros,
+        |    CAST(label AS INT) AS pos FROM s),
+        |g AS (SELECT source, bin, count(*) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(sum(micros) AS BIGINT) AS sm
+        |  FROM b GROUP BY source, bin),
+        |ebf AS (SELECT source,
+        |    round(CAST(sum(CAST(round(abs(round(CAST(np AS DOUBLE) / n
+        |        - CAST(sm AS DOUBLE) / 1e6 / n, 6)) * 1e6) AS BIGINT)
+        |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece_before
+        |  FROM g GROUP BY source),
+        |cum AS (SELECT source, bin, n, np,
+        |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+        |    CAST(sum(np) OVER (PARTITION BY source ORDER BY bin
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnp
+        |  FROM g),
+        |segs AS (SELECT j.source, j.bin AS jb, k.bin AS kb,
+        |    CAST(k.cnp - (j.cnp - j.np) AS DOUBLE)
+        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS r
+        |  FROM cum j JOIN cum k
+        |    ON j.source = k.source AND j.bin <= k.bin),
+        |mn AS (SELECT i.source, i.bin, segs.jb, min(r) AS mr
+        |  FROM g i JOIN segs ON segs.source = i.source
+        |    AND segs.jb <= i.bin AND segs.kb >= i.bin
+        |  GROUP BY i.source, i.bin, segs.jb),
+        |fit AS (SELECT mn.source, mn.bin, max(mn.mr) AS cal
+        |  FROM mn GROUP BY mn.source, mn.bin),
+        |ap AS (SELECT s.source,
+        |    coalesce(round(fit.cal, 6), s.score) AS cs, s.label
+        |  FROM s LEFT JOIN fit ON fit.source = s.source
+        |    AND fit.bin = greatest(least(CAST(floor(s.score * 10) AS INT),
+        |      9), 0)),
+        |b2 AS (SELECT source,
+        |    greatest(least(CAST(floor(cs * 10) AS INT), 9), 0) AS bin,
+        |    CAST(round(cs * 1e6) AS BIGINT) AS micros,
+        |    CAST(label AS INT) AS pos FROM ap),
+        |g2 AS (SELECT source, bin, count(*) AS n,
+        |    CAST(sum(pos) AS BIGINT) AS np,
+        |    CAST(sum(micros) AS BIGINT) AS sm
+        |  FROM b2 GROUP BY source, bin),
+        |eaf AS (SELECT source,
+        |    round(CAST(sum(CAST(round(abs(round(CAST(np AS DOUBLE) / n
+        |        - CAST(sm AS DOUBLE) / 1e6 / n, 6)) * 1e6) AS BIGINT)
+        |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece_after
+        |  FROM g2 GROUP BY source)
+        |SELECT ebf.source, ebf.ece_before, eaf.ece_after
+        |FROM ebf JOIN eaf ON ebf.source = eaf.source""".stripMargin,
     // The keyed reliability grid replayed — q_calibration's bin CTE
     // with source carried, null label/score/source rows dropped.
     "q_calibration_by" ->

@@ -287,6 +287,44 @@ object QualityModel {
           (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
   }
 
+  /** [[thresholdReport]] PER KEY — one confusion/rates row per group,
+    * the filter-deployment view of the keyed family (a threshold
+    * tuned on the pooled corpus can be badly wrong for one source):
+    * same predicate arithmetic with the key carried, one keyed
+    * partial-aggregating exchange, rates null where undefined. Rows
+    * with a null score or null key drop (the shared keyed contract);
+    * null-label rows count in no confusion cell, exactly as the
+    * global form's `when` conditions skip them. */
+  def thresholdReportBy(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      labelCol: String,
+      threshold: Double): DataFrame = {
+    require(!Set("tp", "fp", "fn", "tn", "precision", "recall", "f1")
+      .contains(keyCol),
+      s"key column '$keyCol' collides with a report output column")
+    val s = col(scoreCol).cast("double")
+    val pos = col(labelCol).cast("boolean")
+    val pred = s >= threshold
+    val agg = df.filter(s.isNotNull && col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(
+        count(when(pred && pos, 1)).as("tp"),
+        count(when(pred && !pos, 1)).as("fp"),
+        count(when(!pred && pos, 1)).as("fn"),
+        count(when(!pred && !pos, 1)).as("tn"))
+    val prec = when(col("tp") + col("fp") > 0,
+      round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
+    val rec = when(col("tp") + col("fn") > 0,
+      round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
+    agg.select(col(keyCol), col("tp"), col("fp"), col("fn"), col("tn"),
+      prec.as("precision"), rec.as("recall"),
+      when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+        round(lit(2.0) * col("tp") /
+          (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+  }
+
   /** Population Stability Index between a BASELINE score distribution
     * and the CURRENT one — the standard deployed-model drift monitor
     * (credit-scoring practice; > 0.25 conventionally triggers a

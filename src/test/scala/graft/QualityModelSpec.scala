@@ -640,6 +640,57 @@ class QualityModelSpec extends AnyFunSuite {
     assert(collide.getMessage.contains("collides"), collide.getMessage)
   }
 
+  test("thresholdReportBy: per-key confusion == global per slice; " +
+    "null keys/scores drop; collision guard refuses") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("srcA", Some(0.9), Some(true)), ("srcA", Some(0.8), Some(false)),
+      ("srcA", Some(0.4), Some(true)), ("srcA", Some(0.1), Some(false)),
+      ("srcA", Some(0.6), Some(true)),
+      ("srcB", Some(0.9), Some(true)), ("srcB", Some(0.8), Some(true)),
+      ("srcB", Some(0.7), None),       // null label: counts in no cell
+      ("srcB", None, Some(true)),      // null score: drops
+      (null.asInstanceOf[String], Some(0.9), Some(true))) // null key
+      .toDF("source", "score", "label")
+    val by = QualityModel.thresholdReportBy(
+        rows, "source", "score", "label", 0.5)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(by.keySet == Set("srcA", "srcB"), by.keySet.toString)
+    for (k <- Seq("srcA", "srcB")) {
+      val g = QualityModel.thresholdReport(
+        rows.filter(col("source") === k), "score", "label", 0.5)
+        .collect()(0)
+      val kr = by(k)
+      assert((0 to 3).forall(i => kr.getLong(i + 1) == g.getLong(i)) &&
+        (4 to 6).forall(i => kr.isNullAt(i + 1) == g.isNullAt(i) &&
+          (g.isNullAt(i) || kr.getDouble(i + 1) == g.getDouble(i))),
+        s"slice parity for $k: $kr vs $g")
+    }
+    // srcB: 2 predicted positives both true, no negatives seen ->
+    // precision 1.0, recall 1.0 (the null-label row counted nowhere)
+    assert(by("srcB").getLong(1) == 2L && by("srcB").getLong(4) == 0L)
+    val collide = intercept[IllegalArgumentException] {
+      QualityModel.thresholdReportBy(
+        rows.withColumnRenamed("source", "f1"), "f1", "score", "label", 0.5)
+    }
+    assert(collide.getMessage.contains("collides"), collide.getMessage)
+  }
+
+  test("keyed recalibration loop: ece_after <= ece_before PER SOURCE") {
+    val out = SparkEntry.queries("q_recalibrate_ece_by")(
+      spark, TestSpark.sf001).collect()
+    assert(out.length >= 2, "multiple sources must report")
+    for (r <- out) {
+      assert(r.getDouble(2) <= r.getDouble(1),
+        s"keyed remap must not worsen ECE for ${r.getString(0)}: $r")
+    }
+    // and at least one source genuinely improved (the fixture scorer
+    // is miscalibrated everywhere)
+    assert(out.exists(r => r.getDouble(2) < r.getDouble(1)),
+      s"no source improved: ${out.mkString(";")}")
+  }
+
   test("drift-gated budget: every truly-drifted source is quarantined; " +
     "survivors split the exact budget") {
     val out = SparkEntry.queries("q_drift_gated_budget")(
