@@ -320,8 +320,17 @@ class CacheBehaviorSpec extends AnyFunSuite {
       val opt = card.queryExecution.optimizedPlan.toString
       assert(opt.contains(CacheConfig.current.cacheDatabase),
         s"card must read the persisted manifest cache table:\n$opt")
-      assert(!opt.contains("Generate") && !opt.contains("Window"),
+      // "Doesn't re-plan the pipeline" means: no Generate (the
+      // dedup/pack explodes) and no Window COMPUTING the manifest's
+      // packing columns — tok_offset must arrive as a Relation column,
+      // never from a window. A bare no-Window proxy over-matches: the
+      // card's own scorer-PSI totals legitimately fold in a window
+      // over its ≤ bins post-aggregate rows (round 16).
+      assert(!opt.contains("Generate"),
         s"card must not re-plan the dedup/pack pipeline:\n$opt")
+      assert(!opt.split("\n").exists(l =>
+          l.contains("Window") && l.contains("tok_offset")),
+        s"card must read packing columns, not recompute them:\n$opt")
       assert(manifest.count() > 0)
       assert(card.collect().toSeq == cardRow,
         "card over the persisted manifest must match the computed card")
