@@ -402,7 +402,7 @@ object QueriesR15 {
     // (isotonicFit excludes null-key rows by contract) even though the
     // fixture has no null sources — the lang IS NOT NULL discipline.
     "q_recalibrate_by" ->
-      """WITH t AS (SELECT source, lang, regexp_extract_all(text, '\S+') toks
+      ("""WITH t AS (SELECT source, lang, regexp_extract_all(text, '\S+') toks
         |           FROM documents
         |           WHERE lang IS NOT NULL AND source IS NOT NULL),
         |s AS (SELECT source, least(
@@ -413,32 +413,43 @@ object QueriesR15 {
         |    (lang = 'en') AS label FROM t),
         |b AS (SELECT source,
         |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
-        |    CAST(label AS INT) AS pos FROM s),
+        |    CAST(label AS INT) AS pos FROM s
+        |  WHERE score IS NOT NULL),
         |g AS (SELECT source, bin, count(*) AS n,
         |    CAST(sum(pos) AS BIGINT) AS np
         |  FROM b GROUP BY source, bin),
-        |cum AS (SELECT source, bin, n, np,
-        |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
-        |    CAST(sum(np) OVER (PARTITION BY source ORDER BY bin
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnp
-        |  FROM g),
-        |segs AS (SELECT j.source, j.bin AS jb, k.bin AS kb,
-        |    CAST(k.cnp - (j.cnp - j.np) AS DOUBLE)
-        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS r
-        |  FROM cum j JOIN cum k
-        |    ON j.source = k.source AND j.bin <= k.bin),
-        |mn AS (SELECT i.source, i.bin, segs.jb, min(r) AS mr
-        |  FROM g i JOIN segs ON segs.source = i.source
-        |    AND segs.jb <= i.bin AND segs.kb >= i.bin
-        |  GROUP BY i.source, i.bin, segs.jb),
-        |fit AS (SELECT mn.source, mn.bin, g.n, g.np, max(mn.mr) AS cal
-        |  FROM mn JOIN g ON g.source = mn.source AND g.bin = mn.bin
-        |  GROUP BY mn.source, mn.bin, g.n, g.np)
+        |""".stripMargin + keyedPavCtes + """
         |SELECT source, CAST(bin AS INTEGER) AS bin, n,
         |  round(CAST(np AS DOUBLE) / n, 6) AS label_rate,
         |  round(cal, 6) AS calibrated
-        |FROM fit""".stripMargin)
+        |FROM fit""".stripMargin))
+
+  /** The KEYED pool-adjacent-violators chain via the min-max identity,
+    * shared by q_recalibrate_by and (round 16) q_recalibrate_ece_by —
+    * the ONE oracle-side copy of the keyed isotonic arithmetic.
+    * Consumes a caller-defined `g(source, bin, n, np, …)` CTE (extra
+    * columns tolerated) and ends in `fit(source, bin, n, np, cal)`.
+    * A `def`, not a `val`: the `oracles` val above initializes first,
+    * and a later-declared val would read null into its SQL. */
+  private[graft] def keyedPavCtes: String =
+    """cum AS (SELECT source, bin, n, np,
+      |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+      |    CAST(sum(np) OVER (PARTITION BY source ORDER BY bin
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnp
+      |  FROM g),
+      |segs AS (SELECT j.source, j.bin AS jb, k.bin AS kb,
+      |    CAST(k.cnp - (j.cnp - j.np) AS DOUBLE)
+      |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS r
+      |  FROM cum j JOIN cum k
+      |    ON j.source = k.source AND j.bin <= k.bin),
+      |mn AS (SELECT i.source, i.bin, segs.jb, min(r) AS mr
+      |  FROM g i JOIN segs ON segs.source = i.source
+      |    AND segs.jb <= i.bin AND segs.kb >= i.bin
+      |  GROUP BY i.source, i.bin, segs.jb),
+      |fit AS (SELECT mn.source, mn.bin, g.n, g.np, max(mn.mr) AS cal
+      |  FROM mn JOIN g ON g.source = mn.source AND g.bin = mn.bin
+      |  GROUP BY mn.source, mn.bin, g.n, g.np)""".stripMargin
 
   /** The q_recrawl_seeded schedule replay, shared with q_frontier_due —
     * ends in a `sched` CTE with the engine's exact output columns. */

@@ -10,13 +10,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    — the due wave through robots verdict + mined trap cells +
   *    RFC 9309 §2.4 robots-cache freshness; stale-robots hosts route
   *    to a robots.txt refetch lane instead of content fetches.
-  *  - q_auc_by / q_psi_by / q_scorer_gate_by: the keyed scorer
-  *    observability trio ([[operators.QualityModel.rocAucBy]],
+  *  - q_calibration_by / q_auc_by / q_psi_by / q_confusion_by /
+  *    q_scorer_gate_by: the keyed scorer observability family
+  *    ([[operators.QualityModel.calibrationReportBy]],
+  *    [[operators.QualityModel.rocAucBy]],
   *    [[operators.QualityModel.populationStabilityBy]],
+  *    [[operators.QualityModel.thresholdReportBy]],
   *    [[operators.QualityModel.scorerGateBy]], the latter also
   *    exact-gating [[operators.QualityModel.psiTotalBy]] through its
   *    psi_total column) — round 15 keyed the FIT (recalibrateBy) but
-  *    left drift and the deploy verdict global-only.
+  *    left drift, confusion and the deploy verdict global-only.
+  *  - q_recalibrate_ece_by: the keyed recalibration loop closed —
+  *    per-source ECE before vs after the per-source isotonic remap.
+  *  - q_drift_gated_budget: the keyed drift verdict driving curation —
+  *    per-source PSI gates Hamilton budget apportionment.
   */
 object QueriesR16 {
 
@@ -165,8 +172,11 @@ object QueriesR16 {
         minAuc = 0.5, maxEce = 0.1, maxPsi = 0.25)))
 
   /** The keyed scoring replayed in SQL — `s` carries (source, doc_id,
-    * score, label) with NO filters, so each keyed oracle applies
-    * exactly the null-drops its engine counterpart does. */
+    * score, label) with NO filters, so each oracle built on it applies
+    * exactly the null-drops its engine counterpart does. (The
+    * q_recalibrate_ece_by and q_drift_gated_budget oracles derive
+    * their own scored CTEs instead — the loop needs label-filtered
+    * scoring at the t stage, the budget two divisors.) */
   private val ScoredCtes: String =
     """WITH t AS (SELECT source, lang, doc_id,
       |    regexp_extract_all(text, '\S+') toks FROM documents),
@@ -251,6 +261,17 @@ object QueriesR16 {
     * even-doc_id half of the scored corpus, cur = the full corpus. */
   private val PsiByGrid: String = psiGridCtes(
     "(SELECT source, score FROM s WHERE doc_id % 2 = 0) sbq", "s")
+
+  /** The keyed integer gap-mass ECE fold over a `(source, bin, n, np,
+    * sm)` CTE — the ONE oracle-side copy of that arithmetic, shared by
+    * q_scorer_gate_by and q_recalibrate_ece_by's before/after sides.
+    * Produces a full `SELECT … AS $out … GROUP BY source` body. */
+  private[graft] def keyedEceFold(from: String, out: String): String =
+    s"""SELECT source,
+       |    round(CAST(sum(CAST(round(abs(round(CAST(np AS DOUBLE) / n
+       |        - CAST(sm AS DOUBLE) / 1e6 / n, 6)) * 1e6) AS BIGINT)
+       |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS $out
+       |  FROM $from GROUP BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The gated due wave replayed end to end: the shared schedule
@@ -420,13 +441,14 @@ object QueriesR16 {
         |FROM s WHERE score IS NOT NULL AND source IS NOT NULL
         |GROUP BY source""".stripMargin),
     // The keyed recalibration loop replayed end to end: per-source
-    // bin masses WITH score micros, the before-ECE fold, the keyed
-    // min-max isotonic identity (every window/join/rollup carrying
-    // source — the q_recalibrate_by chain), the (source, bin) remap
-    // with unseen cells keeping the raw score, re-binning, and the
-    // after-ECE fold.
+    // bin masses WITH score micros (null scores dropped like the
+    // engine's report/fit filters), the before-ECE fold, the keyed
+    // min-max isotonic identity (QueriesR15.keyedPavCtes — the ONE
+    // oracle-side copy), the (source, bin) remap with unseen cells
+    // keeping the raw score, re-binning, and the after-ECE fold (both
+    // folds via keyedEceFold — the one copy of that arithmetic too).
     "q_recalibrate_ece_by" ->
-      """WITH t AS (SELECT source, lang,
+      ("""WITH t AS (SELECT source, lang,
         |    regexp_extract_all(text, '\S+') toks
         |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
         |s AS (SELECT source, least(
@@ -438,38 +460,20 @@ object QueriesR16 {
         |b AS (SELECT source,
         |    greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
         |    CAST(round(score * 1e6) AS BIGINT) AS micros,
-        |    CAST(label AS INT) AS pos FROM s),
+        |    CAST(label AS INT) AS pos FROM s
+        |  WHERE score IS NOT NULL),
         |g AS (SELECT source, bin, count(*) AS n,
         |    CAST(sum(pos) AS BIGINT) AS np,
         |    CAST(sum(micros) AS BIGINT) AS sm
         |  FROM b GROUP BY source, bin),
-        |ebf AS (SELECT source,
-        |    round(CAST(sum(CAST(round(abs(round(CAST(np AS DOUBLE) / n
-        |        - CAST(sm AS DOUBLE) / 1e6 / n, 6)) * 1e6) AS BIGINT)
-        |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece_before
-        |  FROM g GROUP BY source),
-        |cum AS (SELECT source, bin, n, np,
-        |    CAST(sum(n) OVER (PARTITION BY source ORDER BY bin
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
-        |    CAST(sum(np) OVER (PARTITION BY source ORDER BY bin
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cnp
-        |  FROM g),
-        |segs AS (SELECT j.source, j.bin AS jb, k.bin AS kb,
-        |    CAST(k.cnp - (j.cnp - j.np) AS DOUBLE)
-        |      / CAST(k.cn - (j.cn - j.n) AS DOUBLE) AS r
-        |  FROM cum j JOIN cum k
-        |    ON j.source = k.source AND j.bin <= k.bin),
-        |mn AS (SELECT i.source, i.bin, segs.jb, min(r) AS mr
-        |  FROM g i JOIN segs ON segs.source = i.source
-        |    AND segs.jb <= i.bin AND segs.kb >= i.bin
-        |  GROUP BY i.source, i.bin, segs.jb),
-        |fit AS (SELECT mn.source, mn.bin, max(mn.mr) AS cal
-        |  FROM mn GROUP BY mn.source, mn.bin),
+        |ebf AS (""".stripMargin + keyedEceFold("g", "ece_before") + "),\n"
+        + QueriesR15.keyedPavCtes + """,
         |ap AS (SELECT s.source,
         |    coalesce(round(fit.cal, 6), s.score) AS cs, s.label
         |  FROM s LEFT JOIN fit ON fit.source = s.source
         |    AND fit.bin = greatest(least(CAST(floor(s.score * 10) AS INT),
-        |      9), 0)),
+        |      9), 0)
+        |  WHERE s.score IS NOT NULL),
         |b2 AS (SELECT source,
         |    greatest(least(CAST(floor(cs * 10) AS INT), 9), 0) AS bin,
         |    CAST(round(cs * 1e6) AS BIGINT) AS micros,
@@ -478,13 +482,9 @@ object QueriesR16 {
         |    CAST(sum(pos) AS BIGINT) AS np,
         |    CAST(sum(micros) AS BIGINT) AS sm
         |  FROM b2 GROUP BY source, bin),
-        |eaf AS (SELECT source,
-        |    round(CAST(sum(CAST(round(abs(round(CAST(np AS DOUBLE) / n
-        |        - CAST(sm AS DOUBLE) / 1e6 / n, 6)) * 1e6) AS BIGINT)
-        |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece_after
-        |  FROM g2 GROUP BY source)
+        |eaf AS (""".stripMargin + keyedEceFold("g2", "ece_after") + """)
         |SELECT ebf.source, ebf.ece_before, eaf.ece_after
-        |FROM ebf JOIN eaf ON ebf.source = eaf.source""".stripMargin,
+        |FROM ebf JOIN eaf ON ebf.source = eaf.source""".stripMargin),
     // The keyed reliability grid replayed — q_calibration's bin CTE
     // with source carried, null label/score/source rows dropped.
     "q_calibration_by" ->
@@ -543,14 +543,8 @@ object QueriesR16 {
         |    CAST(sum(micros) AS BIGINT) AS sm,
         |    CAST(sum(pos) AS BIGINT) AS np
         |  FROM eb GROUP BY 1, 2),
-        |em AS (SELECT source, n,
-        |    CAST(round(abs(round(CAST(np AS DOUBLE) / n
-        |        - CAST(sm AS DOUBLE) / 1e6 / n, 6)) * 1e6) AS BIGINT) * n
-        |      AS gapmass
-        |  FROM eg),
-        |ec AS (SELECT source, round(CAST(sum(gapmass) AS DOUBLE) / 1e6
-        |    / sum(n), 6) AS ece FROM em GROUP BY source),
-        |""".stripMargin + PsiFoldCtes + """,
+        |ec AS (""".stripMargin + keyedEceFold("eg", "ece") + "),\n"
+        + PsiFoldCtes + """,
         |keys AS (SELECT DISTINCT source FROM s WHERE source IS NOT NULL)
         |SELECT k.source, au.auc, ec.ece, px.psi_total,
         |  coalesce(au.auc >= CAST(0.5 AS DOUBLE), false) AS auc_ok,

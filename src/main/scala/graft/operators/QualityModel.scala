@@ -266,25 +266,47 @@ object QualityModel {
       df: DataFrame,
       scoreCol: String,
       labelCol: String,
+      threshold: Double): DataFrame =
+    confusionCore(df, Nil, scoreCol, labelCol, threshold)
+
+  /** The ONE copy of the confusion/rate arithmetic both threshold
+    * reports share (the [[isotonicFit]] discipline: empty `keys` IS
+    * the global plan, so the two forms cannot silently fork). */
+  private def confusionCore(
+      df: DataFrame,
+      keys: Seq[String],
+      scoreCol: String,
+      labelCol: String,
       threshold: Double): DataFrame = {
+    keys.foreach(k => require(
+      !Set("tp", "fp", "fn", "tn", "precision", "recall", "f1")
+        .contains(k),
+      s"key column '$k' collides with a report output column"))
     val s = col(scoreCol).cast("double")
     val pos = col(labelCol).cast("boolean")
     val pred = s >= threshold
-    val agg = df.filter(s.isNotNull)
-      .agg(
-        count(when(pred && pos, 1)).as("tp"),
-        count(when(pred && !pos, 1)).as("fp"),
-        count(when(!pred && pos, 1)).as("fn"),
-        count(when(!pred && !pos, 1)).as("tn"))
+    val keyFilter = keys
+      .map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
+    val cells = Seq(
+      count(when(pred && pos, 1)).as("tp"),
+      count(when(pred && !pos, 1)).as("fp"),
+      count(when(!pred && pos, 1)).as("fn"),
+      count(when(!pred && !pos, 1)).as("tn"))
+    val filtered = df.filter(s.isNotNull && keyFilter)
+    val agg =
+      if (keys.isEmpty) filtered.agg(cells.head, cells.tail: _*)
+      else filtered.groupBy(keys.map(col): _*)
+        .agg(cells.head, cells.tail: _*)
     val prec = when(col("tp") + col("fp") > 0,
       round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
     val rec = when(col("tp") + col("fn") > 0,
       round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
-    agg.select(col("tp"), col("fp"), col("fn"), col("tn"),
+    agg.select(keys.map(col) ++ Seq(
+      col("tp"), col("fp"), col("fn"), col("tn"),
       prec.as("precision"), rec.as("recall"),
       when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
         round(lit(2.0) * col("tp") /
-          (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
+          (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1")): _*)
   }
 
   /** [[thresholdReport]] PER KEY — one confusion/rates row per group,
@@ -300,30 +322,8 @@ object QualityModel {
       keyCol: String,
       scoreCol: String,
       labelCol: String,
-      threshold: Double): DataFrame = {
-    require(!Set("tp", "fp", "fn", "tn", "precision", "recall", "f1")
-      .contains(keyCol),
-      s"key column '$keyCol' collides with a report output column")
-    val s = col(scoreCol).cast("double")
-    val pos = col(labelCol).cast("boolean")
-    val pred = s >= threshold
-    val agg = df.filter(s.isNotNull && col(keyCol).isNotNull)
-      .groupBy(col(keyCol))
-      .agg(
-        count(when(pred && pos, 1)).as("tp"),
-        count(when(pred && !pos, 1)).as("fp"),
-        count(when(!pred && pos, 1)).as("fn"),
-        count(when(!pred && !pos, 1)).as("tn"))
-    val prec = when(col("tp") + col("fp") > 0,
-      round(col("tp").cast("double") / (col("tp") + col("fp")), 6))
-    val rec = when(col("tp") + col("fn") > 0,
-      round(col("tp").cast("double") / (col("tp") + col("fn")), 6))
-    agg.select(col(keyCol), col("tp"), col("fp"), col("fn"), col("tn"),
-      prec.as("precision"), rec.as("recall"),
-      when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
-        round(lit(2.0) * col("tp") /
-          (lit(2) * col("tp") + col("fp") + col("fn")), 6)).as("f1"))
-  }
+      threshold: Double): DataFrame =
+    confusionCore(df, Seq(keyCol), scoreCol, labelCol, threshold)
 
   /** Population Stability Index between a BASELINE score distribution
     * and the CURRENT one — the standard deployed-model drift monitor

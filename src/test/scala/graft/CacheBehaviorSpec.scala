@@ -321,15 +321,16 @@ class CacheBehaviorSpec extends AnyFunSuite {
       assert(opt.contains(CacheConfig.current.cacheDatabase),
         s"card must read the persisted manifest cache table:\n$opt")
       // "Doesn't re-plan the pipeline" means: no Generate (the
-      // dedup/pack explodes) and no Window COMPUTING the manifest's
-      // packing columns — tok_offset must arrive as a Relation column,
-      // never from a window. A bare no-Window proxy over-matches: the
-      // card's own scorer-PSI totals legitimately fold in a window
-      // over its ≤ bins post-aggregate rows (round 16).
+      // dedup/pack explodes) and no Window carrying the pack
+      // pipeline's running-total alias (__cum — the window
+      // Packing.tokenShardOffsets plans; tok_offset itself is derived
+      // in a later Project, so it never names the Window line). A bare
+      // no-Window proxy over-matches: the card's own scorer-PSI totals
+      // legitimately fold in a window over its ≤ bins post-aggregate
+      // rows (round 16).
       assert(!opt.contains("Generate"),
         s"card must not re-plan the dedup/pack pipeline:\n$opt")
-      assert(!opt.split("\n").exists(l =>
-          l.contains("Window") && l.contains("tok_offset")),
+      assert(!opt.contains("__cum"),
         s"card must read packing columns, not recompute them:\n$opt")
       assert(manifest.count() > 0)
       assert(card.collect().toSeq == cardRow,
