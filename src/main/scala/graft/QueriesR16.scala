@@ -336,8 +336,8 @@ object QueriesR16 {
         |      ORDER BY priority DESC, canon_url DESC) AS rn
         |  FROM du WHERE host NOT IN (SELECT fhost FROM fresh)),
         |rlane AS (SELECT
-        |    regexp_extract(canon_url, '^([a-z][a-z0-9+.-]*)://', 1)
-        |      || '://' || host || '/robots.txt' AS canon_url, priority
+        |    regexp_extract(canon_url, '^([a-z][a-z0-9+.-]*://[^/?]*)', 1)
+        |      || '/robots.txt' AS canon_url, priority
         |  FROM stale WHERE rn = 1),
         |pool AS (SELECT canon_url, priority FROM content
         |         UNION ALL SELECT canon_url, priority FROM rlane),

@@ -15,11 +15,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * and the previous replace-chain form documented out.
   *
   * Semantics (each deliberate, all spec-pinned):
-  *  - ONE left-to-right pass; decoded output is never rescanned. This
-  *    is real XML semantics and exactly generalizes the old chain's
-  *    "`&amp;` substitutes last" rule: `&amp;lt;` -> `&lt;` literal,
-  *    and consistently `&amp;#38;` -> `&#38;` literal. On inputs
-  *    containing only the five named entities the output is
+  *  - ONE left-to-right pass; decoded output is never rescanned —
+  *    XML's no-recursive-expansion rule, exactly generalizing the old
+  *    chain's "`&amp;` substitutes last": `&amp;lt;` -> `&lt;`
+  *    literal, and consistently `&amp;#38;` -> `&#38;` literal. On
+  *    inputs containing only the five named entities the output is
   *    byte-identical to the previous replace chain (no decoded char
   *    can complete a later entity, since only `&amp;` yields `&` and
   *    nothing rescans), so every existing oracle replay still holds.
@@ -27,7 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    VERBATIM — unknown names, unterminated refs, empty digits,
   *    code points that are 0, beyond U+10FFFF, or UTF-16 surrogates.
   *    Sitemap bodies are wild text; a decoder that throws (or eats
-  *    bytes) on them turns one malformed loc into a lost wave.
+  *    bytes) on them turns one malformed loc into a lost wave. The
+  *    reject set is deliberately NARROWER than XML 1.0's Char
+  *    production: numeric references to C0/C1 controls (`&#1;`,
+  *    `&#x8;`) DO decode — wild-sitemap leniency, not full XML
+  *    validity (a validating parser would reject those documents
+  *    outright; a crawler wants the URL anyway).
   *  - Astral code points decode to their surrogate pair (full
   *    U+10000..U+10FFFF range), so emoji-bearing URLs round-trip.
   *

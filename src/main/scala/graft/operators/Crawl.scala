@@ -1323,13 +1323,19 @@ object Crawl {
       .withColumn("host", urlHost(col("canon_url")))
     // Hosts with a robots fetch inside the TTL — the only hosts whose
     // cached rules may gate a content fetch. Per-host by construction:
-    // broadcast at any corpus size.
-    val freshHosts = broadcast(robotsLog
-      .select(col(robotsHostCol).as("__fhost"),
-        col(robotsTsCol).cast("double").as("__fts"))
-      .groupBy(col("__fhost")).agg(max(col("__fts")).as("__lts"))
-      .filter(lit(nowS) - col("__lts") <= robotsTtlS)
-      .select(col("__fhost")))
+    // broadcast at any corpus size. Lazily pinned: the set feeds THREE
+    // consumers (the content gate, the robots lane's complement, the
+    // final lane label), and a crawl-scale robots log must fold to its
+    // per-host rows once, not once per consumer — the
+    // populationStabilityBy multi-consumption lesson on the gate side.
+    val freshHosts = broadcast(Materialize.checkpoint(
+      robotsLog
+        .select(col(robotsHostCol).as("__fhost"),
+          col(robotsTsCol).cast("double").as("__fts"))
+        .groupBy(col("__fhost")).agg(max(col("__fts")).as("__lts"))
+        .filter(lit(nowS) - col("__lts") <= robotsTtlS)
+        .select(col("__fhost")),
+      eager = false))
     val flagged = due.join(freshHosts, col("host") === col("__fhost"), "left")
     val perHost = broadcast(robotsRulesPerHost(rules)
       .select(col("host").as("__rhost"), col("rules").as("__rules")))
@@ -1347,16 +1353,20 @@ object Crawl {
         "left_anti")
       .select(col("canon_url"), col("priority"))
     // Struct max: the host's peak overdueness AND (on priority ties,
-    // deterministically) the greatest url — whose scheme the refetch
-    // candidate inherits.
+    // deterministically) the greatest url — whose scheme AND authority
+    // the refetch candidate inherits. The authority (canonicalizeUrl
+    // keeps non-default ports; urlHost strips them) matters: a stale
+    // host served on :8080 must refetch robots.txt from :8080, not the
+    // default port. Ports sharing a host still collapse to ONE
+    // candidate (the host-keyed group), at the max row's authority.
     val robotsLane = flagged.filter(col("__fhost").isNull)
       .groupBy(col("host"))
       .agg(max(struct(col("priority"), col("canon_url"))).as("__top"))
       .select(
         concat(
           regexp_extract(col("__top").getField("canon_url"),
-            "^([a-z][a-z0-9+.-]*)://", 1),
-          lit("://"), col("host"), lit("/robots.txt")).as("canon_url"),
+            "^([a-z][a-z0-9+.-]*://[^/?]*)", 1),
+          lit("/robots.txt")).as("canon_url"),
         col("__top").getField("priority").as("priority"))
     val planned = frontierPlan(content.unionByName(robotsLane),
       "canon_url", "priority", policy, defaultDelayS, maxPerHost)

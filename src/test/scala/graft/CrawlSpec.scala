@@ -588,6 +588,34 @@ class CrawlSpec extends AnyFunSuite {
       ((300.0, 1L, 5.0, 0.0, "robots")), rows.toString)
   }
 
+  test("frontierFromScheduleGated: stale host on a non-default port refetches robots.txt on that port") {
+    val s = spark
+    import s.implicits._
+    // ported.com serves on :8080 (canonicalizeUrl keeps non-default
+    // ports; urlHost strips them, so the host key is 'ported.com') and
+    // was never robots-fetched — its refetch candidate must carry the
+    // port, or the fetch hits the wrong authority.
+    val sched = Seq(
+      ("http://ported.com:8080/a", 100.0),
+      ("http://ported.com:8080/b", 40.0)).toDF("url", "next_fetch_at_s")
+    val none = Seq.empty[(String, Double)].toDF("host", "ts")
+    val out = Crawl.frontierFromScheduleGated(sched, "url",
+      "next_fetch_at_s", nowS = 1000.0,
+      Seq.empty[(String, String, Boolean)].toDF("host", "prefix", "allow"),
+      Seq.empty[String].toDF("url"), "url",
+      none, "host", "ts",
+      none.select(col("host"), col("ts").as("delay_s")),
+      defaultDelayS = 5.0, maxPerHost = 10, maxUrlsPerTemplate = 20)
+    val rows = out.collect().map { r =>
+      r.getString(r.fieldIndex("canon_url")) -> ((
+        r.getDouble(r.fieldIndex("priority")),
+        r.getString(r.fieldIndex("lane"))))
+    }.toMap
+    assert(rows == Map(
+      "http://ported.com:8080/robots.txt" -> ((960.0, "robots"))),
+      s"ported robots candidate: $rows")
+  }
+
   test("mirrorAwareUrlDedup: mirrored copies collapse to one survivor") {
     val s = spark
     import s.implicits._
