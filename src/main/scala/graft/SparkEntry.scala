@@ -28,7 +28,8 @@ object SparkEntry {
     Queries.all ++ QueriesExtra.all ++ operators.PipelineQueries.all ++
       QueriesR4.all ++ QueriesR5.all ++ QueriesR7.all ++ QueriesR8.all ++
       QueriesR9.all ++ QueriesR10.all ++ QueriesR11.all ++ QueriesR12.all ++
-      QueriesR13.all ++ QueriesR14.all ++ QueriesR15.all ++ QueriesR16.all
+      QueriesR13.all ++ QueriesR14.all ++ QueriesR15.all ++ QueriesR16.all ++
+      QueriesR17.all
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -39,5 +40,5 @@ object SparkEntry {
       QueriesR5.oracles ++ QueriesR7.oracles ++ QueriesR8.oracles ++
       QueriesR9.oracles ++ QueriesR10.oracles ++ QueriesR11.oracles ++
       QueriesR12.oracles ++ QueriesR13.oracles ++ QueriesR14.oracles ++
-      QueriesR15.oracles ++ QueriesR16.oracles
+      QueriesR15.oracles ++ QueriesR16.oracles ++ QueriesR17.oracles
 }

@@ -825,6 +825,66 @@ object Crawl {
         round(lit(1.0) - col("n_pages").cast("double") / col("n_fetches"), 6))
   }
 
+  /** Per-host quality census from per-document verdicts — the prior
+    * behind quality-aware crawl budgeting (RefinedWeb-style domain
+    * curation: a host is as good as the fraction of its pages that
+    * survive the quality gates): `(host, n_docs, n_pass, pass_rate,
+    * pass_mass)` where `passCol` is the caller's per-doc gate (e.g.
+    * the Gopher repetition screens) and `pass_mass` is `massCol`
+    * summed over PASSING docs only — the integer "quality-weighted
+    * size" [[hostFetchBudget]] apportions on (pass_rate × demand
+    * composed without a single double: Σ mass·pass IS the pass-rate
+    * prior applied to the host's mass). A NULL pass verdict counts as
+    * FAIL in every column (rate denominator included) — an
+    * unmeasurable page earns no budget, the scorerGate discipline.
+    *
+    * Scale shape: verdict and mass are row-local; the rollup is ONE
+    * partial-aggregating exchange on the host key carrying
+    * O(hosts × partitions) buffer rows — the [[hostReport]]
+    * low-cardinality-key discipline (no distinct-aggregate funnel). */
+  def hostQuality(
+      df: DataFrame,
+      hostCol: String,
+      passCol: Column,
+      massCol: Column): DataFrame = {
+    val pass = coalesce(passCol.cast("boolean"), lit(false))
+    df.select(col(hostCol).as("host"), pass.as("__pass"),
+        massCol.cast("long").as("__mass"))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__pass").cast("int")).as("n_pass"),
+        round(avg(col("__pass").cast("int").cast("double")), 6)
+          .as("pass_rate"),
+        coalesce(sum(when(col("__pass"), col("__mass"))), lit(0L))
+          .as("pass_mass"))
+  }
+
+  /** The crawl-side budget loop closure: [[hostQuality]]'s pass-mass
+    * prior apportioned into next wave's fetch slots by Hamilton
+    * largest-remainder ([[Curation.apportionBudget]] — integer seats
+    * summing EXACTLY to `budget`, no double ever deciding a slot).
+    * `(host, weight, alloc)`, one row per host with positive weight:
+    * a host whose pages all fail the quality gates gets ZERO fetch
+    * slots (dropped by the positive-weight contract), a host twice as
+    * big at the same pass rate gets ~twice the slots — "which hosts
+    * are good" finally DRIVES "who gets fetched next", the same
+    * verdict→action composition as the drift-gated token budget.
+    *
+    * Scale shape: inherits apportionBudget's — one one-row total
+    * broadcast + one ordered window over the per-HOST table
+    * (low-cardinality by construction; the corpus-scale work already
+    * collapsed in hostQuality's single exchange). `budget · max(w)`
+    * must fit a long — ANSI mode errors loudly, not silently, if a
+    * host's mass times the slot budget overflows; rescale the weights
+    * (e.g. mass in KiB) in that regime. */
+  def hostFetchBudget(
+      quality: DataFrame,
+      budget: Long,
+      weightCol: String = "pass_mass"): DataFrame =
+    Curation.apportionBudget(quality, "host", weightCol, budget)
+      .withColumnRenamed("key", "host")
+
   /** Change-rate-driven recrawl scheduling — the freshness side of the
     * crawl loop (when to come BACK, where [[frontierPlan]] decides what
     * to fetch next). Per URL, the revisit history's observed changes

@@ -616,6 +616,46 @@ class CrawlSpec extends AnyFunSuite {
       s"ported robots candidate: $rows")
   }
 
+  test("hostQuality: null verdicts fail everywhere; pass_mass sums passing docs only") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      ("a.com", Some(true), 100L),
+      ("a.com", Some(false), 70L),
+      ("a.com", None, 30L),      // unmeasurable: fails rate AND mass
+      ("b.com", Some(false), 50L))
+      .toDF("host", "pass", "mass")
+    val out = Crawl.hostQuality(docs, "host", col("pass"), col("mass"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out == Map(
+      "a.com" -> ((3L, 1L, 0.333333, 100L)),
+      "b.com" -> ((1L, 0L, 0.0, 0L))), s"census: $out")
+  }
+
+  test("hostFetchBudget: Hamilton seats sum exactly to the budget; zero-mass hosts get none") {
+    val s = spark
+    import s.implicits._
+    // 7 slots across masses 5/3/1 (no exact division anywhere) + an
+    // all-fail host: quota 35/9=3.889 -> 4 by remainder, 21/9=2.333 ->
+    // 2, 7/9=0.778 -> 1; d.com is absent, not zero.
+    val census = Seq(
+      ("a.com", 5L), ("b.com", 3L), ("c.com", 1L), ("d.com", 0L))
+      .toDF("host", "pass_mass")
+    val out = Crawl.hostFetchBudget(census, budget = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out == Map("a.com" -> 4L, "b.com" -> 2L, "c.com" -> 1L),
+      s"seats: $out")
+    assert(out.values.sum == 7L, "allocations must sum exactly to the budget")
+    // remainder tie: equal weights, 3 slots over 2 hosts -> the extra
+    // seat goes to the LESSER key (rem desc, host asc) — deterministic
+    val tie = Crawl.hostFetchBudget(
+      Seq(("x.com", 2L), ("w.com", 2L)).toDF("host", "pass_mass"),
+      budget = 3L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(tie == Map("w.com" -> 2L, "x.com" -> 1L), s"tie seats: $tie")
+  }
+
   test("mirrorAwareUrlDedup: mirrored copies collapse to one survivor") {
     val s = spark
     import s.implicits._
