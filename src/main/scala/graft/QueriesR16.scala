@@ -177,7 +177,7 @@ object QueriesR16 {
     * q_recalibrate_ece_by and q_drift_gated_budget oracles derive
     * their own scored CTEs instead — the loop needs label-filtered
     * scoring at the t stage, the budget two divisors.) */
-  private val ScoredCtes: String =
+  private[graft] val ScoredCtes: String =
     """WITH t AS (SELECT source, lang, doc_id,
       |    regexp_extract_all(text, '\S+') toks FROM documents),
       |s AS (SELECT source, doc_id, least(

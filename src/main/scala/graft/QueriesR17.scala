@@ -12,11 +12,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    [[operators.Crawl.hostFetchBudget]] (Hamilton seats over the
   *    per-host quality census; the q_drift_gated_budget pattern on the
   *    crawl front).
+  *  - q_threshold_by: per-source operating-point SELECTION
+  *    ([[operators.QualityModel.thresholdSelectBy]]) — the keyed
+  *    report family diagnosed, this prescribes: each source's max-F1
+  *    threshold swept over its bounded distinct-score grid.
+  *  - q_threshold_apply: the selected thresholds DEPLOYED
+  *    ([[operators.QualityModel.applyThresholdBy]]) — the per-source
+  *    filter the selection exists for, rolled up per source.
   */
 object QueriesR17 {
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
+
+  /** The calibration-family scoring with the source key — the same
+    * derivation the round-16 keyed observability queries score
+    * through. */
+  private def scoredSrc(s: SparkSession, d: String): DataFrame =
+    QueriesR14.scoreLabel(docs(s, d), keep = Seq("source"))
 
   /** q_host_budget's fetch-slot budget for the next crawl wave. */
   private val HostSlots = 100000L
@@ -39,7 +52,55 @@ object QueriesR17 {
           col("n_chars")),
         "host", col("pass"), col("n_chars"))
       operators.Crawl.hostFetchBudget(quality, budget = HostSlots)
+    },
+    // --- per-source operating point: max-F1 threshold over each
+    //     source's own quantized distinct-score grid, ties to the
+    //     most selective (highest) threshold — 20 independent
+    //     prescriptions where q_confusion_by evaluated one pooled
+    //     guess. ---
+    "q_threshold_by" -> ((s, d) =>
+      operators.QualityModel.thresholdSelectBy(
+        scoredSrc(s, d), "source", "score", "label")),
+    // --- the prescriptions deployed: the corpus filtered by each
+    //     source's OWN selected threshold, rolled up per source —
+    //     kept volume and kept positives, the numbers that prove the
+    //     selection drives the filter. ---
+    "q_threshold_apply" -> { (s, d) =>
+      val scored = scoredSrc(s, d)
+      val thr = operators.QualityModel.thresholdSelectBy(
+        scored, "source", "score", "label")
+      operators.QualityModel.applyThresholdBy(scored, "source", "score", thr)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("label").cast("int")).as("n_pos_kept"))
     })
+
+  /** The per-source max-F1 sweep replayed in SQL over
+    * [[QueriesR16.ScoredCtes]]'s scored corpus: quantized distinct-
+    * score grid, descending cumulative confusion, rounded-F1 argmax
+    * with the highest-threshold tiebreak. Ends in `sel(source, sc,
+    * tp, fp, fn, tn, obj, rn)` — the selected row is `rn = 1`. */
+  private val SweepCtes: String =
+    """ga AS (SELECT source, round(score, 6) AS sc,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(label AS INT)) AS BIGINT) AS np
+      |  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
+      |    AND source IS NOT NULL
+      |  GROUP BY 1, 2),
+      |cd AS (SELECT source, sc,
+      |    CAST(sum(np) OVER (PARTITION BY source ORDER BY sc DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
+      |    CAST(sum(n) OVER (PARTITION BY source ORDER BY sc DESC
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pp,
+      |    CAST(sum(np) OVER (PARTITION BY source) AS BIGINT) AS npos,
+      |    CAST(sum(n) OVER (PARTITION BY source) AS BIGINT) AS cn
+      |  FROM ga),
+      |mm AS (SELECT source, sc, tp, pp - tp AS fp, npos - tp AS fn,
+      |    cn - pp - (npos - tp) AS tn,
+      |    round(2.0 * tp / (2 * tp + (pp - tp) + (npos - tp)), 6) AS obj
+      |  FROM cd),
+      |sel AS (SELECT *, row_number() OVER (PARTITION BY source
+      |    ORDER BY obj DESC, sc DESC) AS rn FROM mm)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // The whole composition replayed: the shared per-doc Gopher
@@ -70,5 +131,36 @@ object QueriesR17 {
           |SELECT p2.host, p2.weight,
           |  CAST(p2.base + CASE WHEN p2.pos <= $HostSlots - b2.bsum
           |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
-          |FROM p2, b2""".stripMargin))
+          |FROM p2, b2""".stripMargin),
+    // The selected row's confusion arithmetic replayed at the chosen
+    // grid point — rates guarded exactly as the engine guards them
+    // (F1's denominator is always positive at a candidate; Youden
+    // needs both classes).
+    "q_threshold_by" ->
+      (QueriesR16.ScoredCtes + ",\n" + SweepCtes + """
+        |SELECT source, sc AS threshold, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp > 0
+        |    THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6)
+        |    END AS precision,
+        |  CASE WHEN tp + fn > 0
+        |    THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6)
+        |    END AS recall,
+        |  CASE WHEN 2 * tp + fp + fn > 0
+        |    THEN round(2.0 * tp / (2 * tp + fp + fn), 6) END AS f1,
+        |  CASE WHEN tp + fn > 0 AND fp + tn > 0
+        |    THEN round(CAST(tp AS DOUBLE) / (tp + fn)
+        |      - CAST(fp AS DOUBLE) / (fp + tn), 6) END AS youden
+        |FROM sel WHERE rn = 1""".stripMargin),
+    // The deployment replay: the same sweep picks each source's
+    // threshold, then the raw scored corpus filters on ITS source's
+    // point (null scores drop via the >= compare; null labels count
+    // in n_kept but not n_pos_kept, the engine's sum-skips-null).
+    "q_threshold_apply" ->
+      (QueriesR16.ScoredCtes + ",\n" + SweepCtes + """
+        |SELECT s.source, CAST(count(*) AS BIGINT) AS n_kept,
+        |  CAST(sum(CAST(label AS INT)) AS BIGINT) AS n_pos_kept
+        |FROM s JOIN (SELECT source, sc FROM sel WHERE rn = 1) t
+        |  ON s.source = t.source
+        |WHERE s.score IS NOT NULL AND s.score >= t.sc
+        |GROUP BY 1""".stripMargin))
 }

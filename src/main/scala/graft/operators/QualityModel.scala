@@ -325,6 +325,161 @@ object QualityModel {
       threshold: Double): DataFrame =
     confusionCore(df, Seq(keyCol), scoreCol, labelCol, threshold)
 
+  /** Operating-point SELECTION — the step between the confusion
+    * reports (which evaluate a caller-supplied threshold) and a
+    * deployable filter: sweep every achievable threshold and return
+    * the one maximizing the objective (`"f1"`, or `"youden"` =
+    * TPR − FPR). Candidate thresholds are the QUANTIZED distinct
+    * scores (`round(score, scale)` — the [[rocAuc]] grid contract, so
+    * the sweep is hard-bounded at 10^scale + 1 points regardless of
+    * corpus size); each candidate's confusion row comes from one
+    * descending cumulative sum over that grid, NEVER a per-threshold
+    * corpus pass. Ties on the (rounded) objective break to the
+    * HIGHEST threshold — the most selective filter among equals,
+    * deterministically. The all-negative operating point (threshold
+    * above every score) is not a candidate: its F1 is never above an
+    * achievable one, and with zero positives in the data the sweep
+    * instead returns the max-threshold point (fewest false
+    * positives), objective 0. Under `"youden"` a single-class input
+    * has no measurable candidate and yields NO row — unmeasurable
+    * never silently scores, the gate discipline.
+    *
+    * Output: `(threshold, tp, fp, fn, tn, precision, recall, f1,
+    * youden)` — the [[thresholdReport]] arithmetic at the selected
+    * point (both objectives always reported; `youden` null on a
+    * single-class input). */
+  def thresholdSelect(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      objective: String = "f1",
+      scale: Int = 6): DataFrame =
+    thresholdSelectCore(df, Nil, scoreCol, labelCol, objective, scale)
+
+  /** [[thresholdSelect]] PER KEY — each source's own operating point
+    * from its own score distribution (a pooled threshold can sit on
+    * the wrong side of one source's score mass entirely), the
+    * prescriptive arm the keyed report family ([[thresholdReportBy]],
+    * [[rocAucBy]]) diagnoses for. One row per key with a measurable
+    * objective; NULL-key rows drop (the shared keyed contract). Feed
+    * the result to [[applyThresholdBy]] to deploy it as the per-source
+    * filter.
+    *
+    * Scale shape: one keyed partial-aggregating exchange collapses
+    * the corpus to the ≤ 10^scale + 1 distinct-score grid PER KEY,
+    * the cumulative sweep windows PARTITION on the key over that
+    * bounded grid, and the argmax is a keyed fold of grid rows —
+    * corpus rows never cross more than the one grouped exchange
+    * (spec-pinned: per-key ≡ global-on-slice, window partitions on
+    * the key, grid bound via the aggregate's numOutputRows). */
+  def thresholdSelectBy(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      labelCol: String,
+      objective: String = "f1",
+      scale: Int = 6): DataFrame =
+    thresholdSelectCore(df, Seq(keyCol), scoreCol, labelCol, objective,
+      scale)
+
+  /** The ONE copy of the sweep/argmax arithmetic both selection forms
+    * share (empty `keys` IS the global plan — the [[confusionCore]]
+    * discipline, so per-key and pooled selection cannot silently
+    * fork). */
+  private def thresholdSelectCore(
+      df: DataFrame,
+      keys: Seq[String],
+      scoreCol: String,
+      labelCol: String,
+      objective: String,
+      scale: Int): DataFrame = {
+    require(scale >= 0 && scale <= 9,
+      s"scale must be in [0, 9] (10^scale bounds the sweep grid); got $scale")
+    require(objective == "f1" || objective == "youden",
+      s"objective must be 'f1' or 'youden', got '$objective'")
+    keys.foreach(k => require(
+      !Set("threshold", "tp", "fp", "fn", "tn", "precision", "recall",
+        "f1", "youden").contains(k),
+      s"key column '$k' collides with a selection output column"))
+    val s = round(col(scoreCol).cast("double"), scale)
+    val keyFilter = keys
+      .map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
+    val grouped = df
+      .filter(s.isNotNull && col(labelCol).isNotNull && keyFilter)
+      .select(keys.map(col) ++ Seq(s.as("__score"),
+        col(labelCol).cast("boolean").cast("int").as("__pos")): _*)
+      .groupBy(keys.map(col) :+ col("__score"): _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__pos")).as("__np"))
+    // Both frames ride ONE key partitioning: the cumulative sweep
+    // (ordered, running) and the per-key totals (whole partition).
+    val part = Window.partitionBy(keys.map(col): _*)
+    val cum = part.orderBy(col("__score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cand = grouped
+      .withColumn("__tp", sum(col("__np")).over(cum))
+      .withColumn("__pp", sum(col("__n")).over(cum))
+      .withColumn("__npos", sum(col("__np")).over(part))
+      .withColumn("__cn", sum(col("__n")).over(part))
+      .withColumn("__fp", col("__pp") - col("__tp"))
+      .withColumn("__fn", col("__npos") - col("__tp"))
+      .withColumn("__tn", col("__cn") - col("__pp") - col("__fn"))
+    // F1's denominator 2tp+fp+fn >= pp >= 1 at every candidate (each
+    // grid point predicts at least its own rows positive), so the f1
+    // objective is always measurable; Youden needs both classes.
+    val f1 = round(lit(2.0) * col("__tp") /
+      (lit(2) * col("__tp") + col("__fp") + col("__fn")), 6)
+    val yj = when(col("__npos") > 0 && col("__cn") > col("__npos"),
+      round(col("__tp").cast("double") / col("__npos") -
+        col("__fp").cast("double") / (col("__cn") - col("__npos")), 6))
+    val best = cand
+      .withColumn("__obj", if (objective == "f1") f1 else yj)
+      .filter(col("__obj").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(max(struct(col("__obj"), col("__score"), col("__tp"),
+        col("__fp"), col("__fn"), col("__tn"))).as("__best"))
+      // a global agg over zero candidates emits one all-null row;
+      // keyed groupBy emits none — unify on none
+      .filter(col("__best").isNotNull)
+    val tp = col("__best").getField("__tp")
+    val fp = col("__best").getField("__fp")
+    val fn = col("__best").getField("__fn")
+    val tn = col("__best").getField("__tn")
+    best.select(keys.map(col) ++ Seq(
+      col("__best").getField("__score").as("threshold"),
+      tp.as("tp"), fp.as("fp"), fn.as("fn"), tn.as("tn"),
+      when(tp + fp > 0,
+        round(tp.cast("double") / (tp + fp), 6)).as("precision"),
+      when(tp + fn > 0,
+        round(tp.cast("double") / (tp + fn), 6)).as("recall"),
+      when(lit(2) * tp + fp + fn > 0,
+        round(lit(2.0) * tp / (lit(2) * tp + fp + fn), 6)).as("f1"),
+      when(tp + fn > 0 && fp + tn > 0,
+        round(tp.cast("double") / (tp + fn) -
+          fp.cast("double") / (fp + tn), 6)).as("youden")): _*)
+  }
+
+  /** Deploy per-key operating points as the row filter they exist for:
+    * keep rows whose score clears THEIR key's threshold
+    * (`score >= threshold`, the [[thresholdReport]] predicate).
+    * `thresholds` is a [[thresholdSelectBy]] output (one row per key;
+    * only its key and `threshold` columns are read). Rows whose key
+    * has no selected operating point DROP — a source without a
+    * measurable threshold does not ship on a pooled guess, the
+    * unmeasurable-gates-false discipline — as do null scores and null
+    * keys. The threshold side is O(keys) and broadcast; the corpus
+    * side is filtered map-only, nothing shuffles. */
+  def applyThresholdBy(
+      df: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      thresholds: DataFrame): DataFrame = {
+    val t = broadcast(thresholds
+      .select(col(keyCol), col("threshold").cast("double").as("__thr")))
+    df.join(t, Seq(keyCol), "inner")
+      .filter(col(scoreCol).cast("double") >= col("__thr"))
+      .drop("__thr")
+  }
+
   /** Population Stability Index between a BASELINE score distribution
     * and the CURRENT one — the standard deployed-model drift monitor
     * (credit-scoring practice; > 0.25 conventionally triggers a

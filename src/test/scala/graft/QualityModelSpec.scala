@@ -708,6 +708,120 @@ class QualityModelSpec extends AnyFunSuite {
     assert(out.map(_.getLong(2)).sum == 1000000000L)
   }
 
+  test("thresholdSelect: max-F1 point hand-checked; both objectives reported") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq((0.9, true), (0.8, false), (0.7, true),
+      (0.5, false), (0.4, false)).toDF("score", "label")
+    // sweep: t=0.9 f1=0.666667, t=0.8 0.5, t=0.7 0.8 (max),
+    // t=0.5 0.666667, t=0.4 0.571429
+    val r = QualityModel.thresholdSelect(rows, "score", "label").collect()(0)
+    assert((r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((0.7, 2L, 1L, 0L, 2L)), r.toString)
+    assert((r.getDouble(5), r.getDouble(6), r.getDouble(7),
+      r.getDouble(8)) == ((0.666667, 1.0, 0.8, 0.666667)), r.toString)
+    // the Youden sweep lands on the same point here (J = 0.666667)
+    val y = QualityModel.thresholdSelect(rows, "score", "label",
+      objective = "youden").collect()(0)
+    assert(y.getDouble(0) == 0.7 && y.getDouble(8) == 0.666667, y.toString)
+  }
+
+  test("thresholdSelect: zero positives pick the fewest-FP point; " +
+    "youden on one class emits no row") {
+    val s = spark
+    import s.implicits._
+    val neg = Seq((0.9, false), (0.5, false), (0.2, false))
+      .toDF("score", "label")
+    // all candidates tie at objective 0 -> highest threshold wins
+    // (the most selective filter: one FP instead of three)
+    val r = QualityModel.thresholdSelect(neg, "score", "label").collect()(0)
+    assert(r.getDouble(0) == 0.9 &&
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+        ((0L, 1L, 0L, 2L)), r.toString)
+    assert(r.getDouble(7) == 0.0 && r.isNullAt(6) && r.isNullAt(8),
+      s"zero-positive rates: $r")
+    // Youden is unmeasurable on a single class: no row, never a guess
+    assert(QualityModel.thresholdSelect(neg, "score", "label",
+      objective = "youden").collect().isEmpty)
+  }
+
+  test("thresholdSelectBy: per-key == global per slice; keyed windows; " +
+    "bounded sweep grid") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("srcA", 0.9, true), ("srcA", 0.8, false), ("srcA", 0.7, true),
+      ("srcA", 0.5, false), ("srcA", 0.4, false),
+      ("srcB", 0.9, false), ("srcB", 0.6, true), ("srcB", 0.2, true),
+      (null, 0.9, true)) // null key drops (shared keyed contract)
+      .toDF("source", "score", "label")
+    val frame = QualityModel.thresholdSelectBy(
+      rows, "source", "score", "label")
+    val by = frame.collect().map(r => r.getString(0) -> r).toMap
+    assert(by.keySet == Set("srcA", "srcB"), by.toString)
+    for (k <- Seq("srcA", "srcB")) {
+      val g = QualityModel.thresholdSelect(
+        rows.filter(col("source") === k), "score", "label").collect()(0)
+      assert(by(k).toSeq.tail == g.toSeq, s"slice parity for $k")
+    }
+    // srcB: recall wins — t=0.2 keeps both positives (f1 0.8) over the
+    // t=0.6 point that sheds one (f1 0.5)
+    assert(by("srcB").getDouble(1) == 0.2 && by("srcB").getDouble(8) == 0.8,
+      by("srcB").toString)
+    // every sweep window partitions on the key — never one global sort
+    val windows = PlanCheck.nodes(frame).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "keyed sweep windows must partition by the key")
+    // bounded grid: 4000 distinct raw scores per key collapse to
+    // <= 10^scale + 1 candidates per key before any window
+    val raw = s.range(4000)
+      .select(concat(lit("k"), (col("id") % 2).cast("string")).as("source"),
+        (col("id").cast("double") / 4000.0 +
+          col("id").cast("double") * 1e-9).as("score"),
+        (col("id") % 3 === 0).as("label"))
+    val bounded = QualityModel.thresholdSelectBy(
+      raw, "source", "score", "label", scale = 2)
+    bounded.collect()
+    val feeding = PlanCheck.nodes(bounded).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.flatMap(w => PlanCheck.nodes(w.child)).collect {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+        if a.groupingExpressions.nonEmpty => a
+    }
+    assert(feeding.nonEmpty, "the sweep must consume the score aggregate")
+    val outRows = feeding.head.metrics("numOutputRows").value
+    assert(outRows <= 202L,
+      s"sweep grid must be bounded by keys x (10^scale + 1), got $outRows")
+  }
+
+  test("applyThresholdBy: each key filters on ITS point; keyless and " +
+    "null-score rows drop; the corpus side never shuffles") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      ("srcA", "a1", Some(0.8)), ("srcA", "a2", Some(0.7)),
+      ("srcA", "a3", Some(0.69)), ("srcA", "a4", None),
+      ("srcB", "b1", Some(0.3)), ("srcB", "b2", Some(0.1)),
+      ("srcC", "c1", Some(0.99))) // no operating point: does not ship
+      .toDF("source", "id", "score")
+    val thresholds = Seq(("srcA", 0.7), ("srcB", 0.2))
+      .toDF("source", "threshold")
+    val out = QualityModel.applyThresholdBy(
+      corpus, "source", "score", thresholds)
+    assert(out.select("id").collect().map(_.getString(0)).toSet ==
+      Set("a1", "a2", "b1"), out.collect().mkString(";"))
+    // deployment is map-only over the corpus: broadcast join, zero
+    // exchanges anywhere in the filter's plan
+    assert(PlanCheck.shuffles(out).isEmpty,
+      "applyThresholdBy must not shuffle the corpus")
+    assert(PlanCheck.nodes(out).exists {
+      case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+      case _ => false
+    }, "the threshold side must broadcast")
+  }
+
   test("psiTotal: the summed gate scalar matches the per-bin fold") {
     val s = spark
     import s.implicits._
