@@ -697,6 +697,37 @@ object Streaming {
       scores, keyCol, scoreCol,
       graft.operators.Materialize.checkpoint(mapping), bins, outCol)
 
+  /** Ingest-time QUARANTINE of drifted sources — the streaming twin of
+    * the drift-gated budget's verdict join (q_drift_gated_budget):
+    * without it, a source whose score distribution walked off is
+    * caught only at the next release build; with it, the same keyed
+    * PSI verdict bars the door. `verdicts` is a batch
+    * [[graft.operators.QualityModel.psiTotalBy]] output (only its
+    * `keyCol` and `psi_total` columns are read — a stream cannot
+    * measure its own distribution shift, the offline-fit/online-apply
+    * split of [[applyCalibrationStreamBy]]): rows whose key's
+    * `psi_total` exceeds `maxPsi` DROP, as do keys with no verdict or
+    * a null one — a source that cannot be measured does not ship on a
+    * guess, the unmeasurable-gates-false discipline throughout the
+    * scorer family.
+    *
+    * Fully STATELESS and map-only per micro-batch: the verdict table
+    * checkpoints ONCE (its two-corpus keyed-PSI lineage must not
+    * re-execute per trigger as the static side of a stream-static
+    * join otherwise would), reduces to its O(keys) passing subset,
+    * and broadcasts into a stream-static LEFT SEMI probe — no
+    * watermark, no state store; columns pass through untouched. */
+  def driftGateStream(
+      docs: DataFrame,
+      keyCol: String,
+      verdicts: DataFrame,
+      maxPsi: Double = 0.25): DataFrame = {
+    val ok = broadcast(graft.operators.Materialize.checkpoint(
+      verdicts.filter(col("psi_total") <= maxPsi)
+        .select(col(keyCol))))
+    docs.join(ok, Seq(keyCol), "left_semi")
+  }
+
   /** Ingest-time DECONTAMINATION screen: one detection row per
     * (arriving document, eval set, shared k-gram) — don't let
     * benchmark text enter the training lake at all, instead of

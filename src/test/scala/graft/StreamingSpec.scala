@@ -821,4 +821,42 @@ class StreamingSpec extends AnyFunSuite {
         r.getDouble(r.fieldIndex("calibrated_score"))).toMap
     assert(batch == got)
   }
+
+  test("streaming drift gate quarantines drifted and unmeasured sources, " +
+    "stateless, batch-parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // offline verdict: srcGood's distribution holds release-over-
+    // release; srcBad's collapsed into the top bin (PSI >> 0.25)
+    def spread(src: String) =
+      Seq.tabulate(40)(i => (src, (i % 10) / 10.0 + 0.05))
+    val base = (spread("srcGood") ++ spread("srcBad"))
+      .toDF("source", "score")
+    val cur = (spread("srcGood") ++
+      Seq.fill(40)(("srcBad", 0.95))).toDF("source", "score")
+    val verdicts = graft.operators.QualityModel.psiTotalBy(
+      base, cur, "source", "score")
+    val stream = MemoryStream[(String, Long)]
+    val gated = Streaming.driftGateStream(
+      stream.toDF().toDF("source", "doc_id"), "source", verdicts)
+    val q = gated.writeStream.format("memory").queryName("drift_gate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // srcNew has NO verdict row: unmeasured does not ship
+      stream.addData(("srcGood", 1L), ("srcBad", 2L), ("srcNew", 3L))
+      q.processAllAvailable()
+      stream.addData(("srcGood", 4L), ("srcBad", 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("drift_gate").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out == Set(1L, 4L), s"only the stable source ships: $out")
+    // batch parity: the same gate over a batch frame agrees row-for-row
+    val batch = Seq(("srcGood", 1L), ("srcBad", 2L), ("srcNew", 3L),
+      ("srcGood", 4L), ("srcBad", 5L)).toDF("source", "doc_id")
+    val bOut = Streaming.driftGateStream(batch, "source", verdicts)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bOut == out, s"stream/batch gate divergence: $bOut vs $out")
+  }
 }
