@@ -84,6 +84,14 @@ object Bench {
     // bracket it with a deterministic listener-bus drain so late
     // task-end events can't leak into the next query's delta.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    // Per-execution JOB COUNT rides the same listener: multi-job
+    // queries pay per-job fixed launch latency that drifts
+    // independently of the compute controls (the r14/r16 pagerank-
+    // family disputes), so BENCH_DETAIL records each query's job
+    // count (`n_jobs`) and bench_diff prices launch drift MECHANICALLY
+    // as n_jobs x the ctl_multijob per-job delta instead of by
+    // narrative.
+    val jobsStarted = new java.util.concurrent.atomic.AtomicLong(0L)
     def attachCpuListener(s: SparkSession): Unit =
       s.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
@@ -91,6 +99,10 @@ object Bench {
               te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
             val m = te.taskMetrics
             if (m != null) cpuNs.addAndGet(m.executorCpuTime)
+          }
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            jobsStarted.incrementAndGet(); ()
           }
         })
 
@@ -252,6 +264,10 @@ object Bench {
     // attribution note above): the load-insensitive companion to the
     // wall-clock median.
     val cpuSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Median per-execution Spark JOB count — the launch-cost pricing
+    // input (a query's job count is code-determined and stable, so one
+    // side's artifact carrying it is enough for the diff).
+    val nJobs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // Shared median/spread bookkeeping for queries AND cache phases.
     // Median of all runs; spread over the steady-state runs: when the
@@ -473,8 +489,9 @@ object Bench {
       // Returns (wall sec, executor-CPU sec, error) per execution —
       // both averaged over the reps-sized batch, CPU bracketed by the
       // deterministic bus drain.
-      def measureOnce(): (Double, Double, Option[String]) = {
-        val c0 = cpuNow()
+      def measureOnce(): (Double, Double, Double, Option[String]) = {
+        val c0 = cpuNow() // drains the bus — job counter reads clean
+        val j0 = jobsStarted.get()
         val t0 = System.nanoTime()
         var k = 0
         var e: Option[String] = None
@@ -488,15 +505,17 @@ object Bench {
           k += 1
         }
         val wall = ((System.nanoTime() - t0) / 1e9) / reps
-        ((wall, ((cpuNow() - c0) / 1e9) / reps, e))
+        val cpu = ((cpuNow() - c0) / 1e9) / reps
+        ((wall, cpu, (jobsStarted.get() - j0).toDouble / reps, e))
       }
       // First timed run: classifies (reps for light non-block queries;
       // drain-per-run for short block-leavers) and joins the sample
       // only when the classification keeps its protocol uniform.
       val cpuRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
+      val jobRuns = scala.collection.mutable.ArrayBuffer.empty[Double]
       if (err.isEmpty) {
         dropRunBlocks()
-        val (sec, cpu, e) = measureOnce()
+        val (sec, cpu, jobs, e) = measureOnce()
         err = e
         if (e.isEmpty) {
           if (leavesBlocks) drainPerRun = sec < 1.5
@@ -516,15 +535,16 @@ object Bench {
             val n = math.ceil(w / math.max(sec, 0.04)).toInt
             math.min(32, math.max(1, if (sec < 0.3) math.max(n, 8) else n))
           }
-          if (!drainPerRun) { runs += sec; cpuRuns += cpu }
+          if (!drainPerRun) { runs += sec; cpuRuns += cpu; jobRuns += jobs }
         }
       }
       while (runs.size < 3 && err.isEmpty) {
         drainDebt()
         dropRunBlocks()
-        val (sec, cpu, e) = measureOnce()
+        val (sec, cpu, jobs, e) = measureOnce()
         runs += sec
         cpuRuns += cpu
+        jobRuns += jobs
         err = e
       }
       // Adaptive re-runs: a co-tenant CPU burst landing inside one timed
@@ -568,9 +588,10 @@ object Bench {
         if (drainPerRun) drainDebt()
         else if (med >= 1.0) settle()
         dropRunBlocks()
-        val (sec, cpu, e) = measureOnce()
+        val (sec, cpu, jobs, e) = measureOnce()
         runs += sec
         cpuRuns += cpu
+        jobRuns += jobs
         err = e
       }
       // A failed query reports ONLY its error — a median over runs that
@@ -580,6 +601,8 @@ object Bench {
         repsUsed(name) = reps
         if (cpuRuns.nonEmpty)
           cpuSecs(name) = cpuRuns.sorted.apply((cpuRuns.size - 1) / 2)
+        if (jobRuns.nonEmpty)
+          nJobs(name) = jobRuns.sorted.apply((jobRuns.size - 1) / 2)
       }
       err.foreach(errors(name) = _)
     }
@@ -678,11 +701,16 @@ object Bench {
     // medians — bench_diff's load-insensitive second opinion.
     val cpuJson = cpuSecs.map { case (k, v) => s"${jsonStr(k)}:${f"$v%.3f"}" }
       .mkString("{", ",", "}")
+    // `n_jobs`: median per-execution Spark job count — bench_diff's
+    // mechanical launch-cost input (launch_adjusted = wall − n_jobs ×
+    // the ctl_multijob per-job drift).
+    val nJobsJson = nJobs.map { case (k, v) => s"${jsonStr(k)}:${f"$v%.1f"}" }
+      .mkString("{", ",", "}")
     val controlsCpuJson = controlCpuSamples.map { case (k, ss) =>
       s"${jsonStr(k)}:${ss.map(v => f"$v%.4f").mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"cpu_sec":$cpuJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"recycle_every":$recycleEvery,"controls":$controlsJson,"control_reps":$controlRepsJson,"controls_cpu":$controlsCpuJson,"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"cpu_sec":$cpuJson,"n_jobs":$nJobsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"recycle_every":$recycleEvery,"controls":$controlsJson,"control_reps":$controlRepsJson,"controls_cpu":$controlsCpuJson,"sf":${jsonStr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
 

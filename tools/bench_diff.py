@@ -72,6 +72,16 @@ isolated re-measure protocol. A planted compute regression moves CPU
 in both ratio and absolute terms and stays a fatal violation
 (tools/bench_diff_selftest.py pins both directions).
 
+Launch-cost model (round 17): BENCH_DETAIL carries per-query median
+job counts (`n_jobs`). The ctl_multijob control prices the session's
+per-job fixed-latency drift as (med(cur)-med(base))/10 on its
+code-identical ten-action batches; a would-be violation whose
+(control-deflated) CPU is flat re-tests at cur - n_jobs*delta. This
+replaces the narrative "it launches ~15 jobs and the machine's launch
+cost drifted" with the same statement computed from in-artifact
+numbers; entries that pass move to ambient_suspect tagged
+deflated_by=launch_cost and settle by the usual isolated protocol.
+
 Isolated re-measures: --isolated FILE(s) take BENCH_DETAIL(_PARTIAL)
 files from `SPARK_GRAFT_ONLY=...` runs of the SAME build; their
 medians override --cur for the queries they contain (marked
@@ -222,6 +232,25 @@ def main():
     launch = (control_ratios or {}).get("ctl_multijob")
     launch_hot = launch is not None and launch > args.ambient_threshold
 
+    # Mechanical launch-cost model (round 17): BENCH_DETAIL carries
+    # per-query median job counts (`n_jobs`; the cur side alone is
+    # enough — a query's job count is code-determined and stable).
+    # ctl_multijob executes ten tiny actions per measurement, so
+    # (med(cur) − med(base)) / 10 over its code-identical samples
+    # prices the session's PER-JOB fixed-latency drift. A would-be
+    # violation re-tests at launch_adjusted = cur − n_jobs·δ — the
+    # measured machine debt subtracted mechanically instead of argued
+    # query by query (the pagerank-family pathology: ~15 jobs × a
+    # +100 ms/job drift = +1.5 s of wall on untouched code that no
+    # scalar ratio deflator reproduces). Same flat-CPU guard as the
+    # other launch lanes: compute that moved stays fatal. δ clamps at
+    # 0 — a FASTER launch never excuses anything.
+    njobs = cur.get("n_jobs") or {}
+    launch_delta_per_job = None
+    if (bc or {}).get("ctl_multijob") and (cc or {}).get("ctl_multijob"):
+        launch_delta_per_job = max(
+            0.0, (med(cc["ctl_multijob"]) - med(bc["ctl_multijob"])) / 10.0)
+
     # CPU ambient (round 16): the frozen controls' executor-CPU medians
     # across rounds measure how much the MEASUREMENT of CPU drifted on
     # identical code (GC pressure, JIT state, co-tenant cache pollution
@@ -301,6 +330,23 @@ def main():
                     entry["deflated_ratio"] = round((c / launch) / b, 3)
                     entry["deflated_by"] = "ctl_multijob"
                     suspects.append(entry)
+                elif (launch_delta_per_job and njobs.get(q)
+                        and not entry.get("isolated")
+                        and cpu_ratio is not None and cpu_anchored_flat
+                        and (c - njobs[q] * launch_delta_per_job) / b
+                            <= args.tolerance):
+                    # The per-job launch-drift subtraction above: the
+                    # debt removed is machine-priced (control delta) ×
+                    # code-priced (job count), never query-narrated.
+                    entry["deflated_by"] = "launch_cost"
+                    entry["n_jobs"] = njobs[q]
+                    entry["launch_delta_per_job"] = round(
+                        launch_delta_per_job, 4)
+                    entry["launch_adjusted"] = round(
+                        c - njobs[q] * launch_delta_per_job, 3)
+                    entry["deflated_ratio"] = round(
+                        (c - njobs[q] * launch_delta_per_job) / b, 3)
+                    suspects.append(entry)
                 elif (session_hot and not entry.get("isolated")
                         and cpu_ratio is not None and cpu_anchored_flat
                         and c - b <= args.wall_delta_cap):
@@ -337,6 +383,10 @@ def main():
         "ambient_hot": ambient_hot,
         "launch_ratio": launch,
         "launch_hot": launch_hot,
+        "launch_delta_per_job": (round(launch_delta_per_job, 4)
+                                 if launch_delta_per_job is not None
+                                 else None),
+        "n_jobs_available": bool(njobs),
         "cpu_ambient_ratio": round(cpu_ambient, 3),
         "control_cpu_ratios": control_cpu_ratios,
         "ambient_note": (

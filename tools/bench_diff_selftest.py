@@ -105,4 +105,38 @@ check("isolated re-measure at base speed clears the entry",
       rc == 0 and rep["ok"] and not rep["violations"]
       and "q_big" in rep["isolated_overrides"])
 
+# 6. Launch-cost lane (round 17): a 15-job deep query's wall moves
+#    2.0 -> 3.2 with flat CPU while ctl_multijob drifts 2.0 -> 2.18 —
+#    BELOW the hot threshold (1.09), so neither scalar deflator fires
+#    and the +1.2 s delta exceeds the cpu_anchor cap. n_jobs x the
+#    per-job control delta (15 x 0.018 = 0.27 s) prices the debt
+#    mechanically: adjusted 2.93 / base 2.0 = 1.465 passes.
+CTL_MJ_BASE = dict(CTL_BASE, ctl_multijob=[2.0, 2.0])
+CTL_MJ_DRIFT = dict(CTL_BASE, ctl_multijob=[2.18, 2.18])
+base6 = detail({"q_deep": 2.0}, {"q_deep": 1.0}, CTL_MJ_BASE, CTLC_BASE)
+cur6 = detail({"q_deep": 3.2}, {"q_deep": 1.02}, CTL_MJ_DRIFT, CTLC_FLAT)
+cur6["n_jobs"] = {"q_deep": 15.0}
+rc, rep = run(base6, cur6)
+check("multi-job launch drift -> launch_cost suspect, exit 0",
+      rc == 0 and rep["ok"]
+      and [e["query"] for e in rep["ambient_suspect"]] == ["q_deep"]
+      and rep["ambient_suspect"][0]["deflated_by"] == "launch_cost"
+      and rep["ambient_suspect"][0]["n_jobs"] == 15.0
+      and not rep["violations"])
+
+# 7. Same launch drift but the CPU moved with the wall (1.0 -> 1.9):
+#    the flat-CPU guard must keep the lane shut — fatal.
+cur7 = detail({"q_deep": 3.2}, {"q_deep": 1.9}, CTL_MJ_DRIFT, CTLC_FLAT)
+cur7["n_jobs"] = {"q_deep": 15.0}
+rc, rep = run(base6, cur7)
+check("launch drift with moved CPU stays fatal",
+      rc == 1 and [e["query"] for e in rep["violations"]] == ["q_deep"])
+
+# 8. No n_jobs in the artifact: the lane cannot price the debt and the
+#    entry stays fatal (mechanical or nothing — no narrative fallback).
+cur8 = detail({"q_deep": 3.2}, {"q_deep": 1.02}, CTL_MJ_DRIFT, CTLC_FLAT)
+rc, rep = run(base6, cur8)
+check("launch drift without n_jobs stays fatal",
+      rc == 1 and [e["query"] for e in rep["violations"]] == ["q_deep"])
+
 print("bench_diff_selftest: all green")
