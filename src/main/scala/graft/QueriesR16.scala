@@ -33,7 +33,7 @@ object QueriesR16 {
   /** The calibration-family scoring ([[QueriesR14.scoreLabel]]) with
     * the source key carried — the ONE derivation all three keyed
     * observability queries score through. */
-  private def scoredSrc(s: SparkSession, d: String): DataFrame =
+  private[graft] def scoredSrc(s: SparkSession, d: String): DataFrame =
     QueriesR14.scoreLabel(docs(s, d), keep = Seq("source"))
 
   /** The previous release for the keyed drift arms: the even-doc_id
@@ -192,12 +192,22 @@ object QueriesR16 {
     * per-source inclusive running counts, tie-block average ranks,
     * per-source rank-sum folds. Ends in `aa(source, npos, nneg,
     * rpos)`. */
+  /** The per-source quantized distinct-score grid CTE — the ONE
+    * oracle-side copy of the (source, round(score, 6)) collapse both
+    * the AUC rank fold and the round-17 threshold sweep build on.
+    * `extraFilter` carries an operator-specific drop spelled as SQL
+    * (the threshold sweep excludes NaN scores; the AUC fold, matching
+    * its engine, does not). Ends in `ga(source, sc, n, np)`. */
+  private[graft] def gridCte(extraFilter: String = ""): String =
+    s"""ga AS (SELECT source, round(score, 6) AS sc,
+       |    CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CAST(label AS INT)) AS BIGINT) AS np
+       |  FROM s WHERE score IS NOT NULL$extraFilter
+       |    AND label IS NOT NULL AND source IS NOT NULL
+       |  GROUP BY 1, 2)""".stripMargin
+
   private val AucByCtes: String =
-    """ga AS (SELECT source, round(score, 6) AS sc, count(*) AS n,
-      |    CAST(sum(CAST(label AS INT)) AS BIGINT) AS np
-      |  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
-      |    AND source IS NOT NULL
-      |  GROUP BY 1, 2),
+    gridCte() + """,
       |ra AS (SELECT source, np, n,
       |    CAST(sum(n) OVER (PARTITION BY source ORDER BY sc
       |      ROWS UNBOUNDED PRECEDING) AS DOUBLE)

@@ -25,11 +25,12 @@ object QueriesR17 {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
-  /** The calibration-family scoring with the source key — the same
-    * derivation the round-16 keyed observability queries score
-    * through. */
+  /** The calibration-family scoring with the source key — the ONE
+    * derivation shared with the round-16 keyed observability queries
+    * ([[QueriesR16.scoredSrc]]), so round-16 reports and round-17
+    * prescriptions cannot silently score different corpora. */
   private def scoredSrc(s: SparkSession, d: String): DataFrame =
-    QueriesR14.scoreLabel(docs(s, d), keep = Seq("source"))
+    QueriesR16.scoredSrc(s, d)
 
   /** q_host_budget's fetch-slot budget for the next crawl wave. */
   private val HostSlots = 100000L
@@ -76,17 +77,13 @@ object QueriesR17 {
     })
 
   /** The per-source max-F1 sweep replayed in SQL over
-    * [[QueriesR16.ScoredCtes]]'s scored corpus: quantized distinct-
-    * score grid, descending cumulative confusion, rounded-F1 argmax
+    * [[QueriesR16.ScoredCtes]]'s scored corpus: the SHARED quantized
+    * distinct-score grid ([[QueriesR16.gridCte]], with the sweep's
+    * NaN drop), descending cumulative confusion, rounded-F1 argmax
     * with the highest-threshold tiebreak. Ends in `sel(source, sc,
     * tp, fp, fn, tn, obj, rn)` — the selected row is `rn = 1`. */
   private val SweepCtes: String =
-    """ga AS (SELECT source, round(score, 6) AS sc,
-      |    CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(CAST(label AS INT)) AS BIGINT) AS np
-      |  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
-      |    AND source IS NOT NULL
-      |  GROUP BY 1, 2),
+    QueriesR16.gridCte(" AND NOT isnan(score)") + """,
       |cd AS (SELECT source, sc,
       |    CAST(sum(np) OVER (PARTITION BY source ORDER BY sc DESC
       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tp,
@@ -152,15 +149,18 @@ object QueriesR17 {
         |      - CAST(fp AS DOUBLE) / (fp + tn), 6) END AS youden
         |FROM sel WHERE rn = 1""".stripMargin),
     // The deployment replay: the same sweep picks each source's
-    // threshold, then the raw scored corpus filters on ITS source's
-    // point (null scores drop via the >= compare; null labels count
-    // in n_kept but not n_pos_kept, the engine's sum-skips-null).
+    // threshold, then the corpus filters on ITS source's point with
+    // the SWEEP'S OWN predicate — round(score, 6) >= threshold, the
+    // quantize-then-compare contract, with null/NaN scores dropping
+    // (null labels count in n_kept but not n_pos_kept, the engine's
+    // sum-skips-null).
     "q_threshold_apply" ->
       (QueriesR16.ScoredCtes + ",\n" + SweepCtes + """
         |SELECT s.source, CAST(count(*) AS BIGINT) AS n_kept,
         |  CAST(sum(CAST(label AS INT)) AS BIGINT) AS n_pos_kept
         |FROM s JOIN (SELECT source, sc FROM sel WHERE rn = 1) t
         |  ON s.source = t.source
-        |WHERE s.score IS NOT NULL AND s.score >= t.sc
+        |WHERE s.score IS NOT NULL AND NOT isnan(s.score)
+        |  AND round(s.score, 6) >= t.sc
         |GROUP BY 1""".stripMargin))
 }

@@ -330,13 +330,22 @@ object QualityModel {
     * deployable filter: sweep every achievable threshold and return
     * the one maximizing the objective (`"f1"`, or `"youden"` =
     * TPR − FPR). Candidate thresholds are the QUANTIZED distinct
-    * scores (`round(score, scale)` — the [[rocAuc]] grid contract, so
-    * the sweep is hard-bounded at 10^scale + 1 points regardless of
-    * corpus size); each candidate's confusion row comes from one
-    * descending cumulative sum over that grid, NEVER a per-threshold
-    * corpus pass. Ties on the (rounded) objective break to the
-    * HIGHEST threshold — the most selective filter among equals,
-    * deterministically. The all-negative operating point (threshold
+    * scores (`round(score, scale)` — the [[rocAuc]] grid contract:
+    * for scores in [0, 1] the sweep is hard-bounded at 10^scale + 1
+    * points regardless of corpus size; an unbounded score range
+    * scales the grid with its span — quantize or squash upstream);
+    * each candidate's confusion row comes from one descending
+    * cumulative sum over that grid, NEVER a per-threshold corpus
+    * pass. NaN scores drop with nulls (NaN sorts above every real
+    * score in Spark, so left in it would become the top "threshold" —
+    * an unmeasurable value must never be the operating point). Ties
+    * on the (rounded) objective break to the HIGHEST threshold — the
+    * most selective filter among equals, deterministically. The
+    * selected row's counts are EXACTLY what [[applyThresholdBy]]
+    * deploys: both sides evaluate `round(score, scale) >= threshold`,
+    * so the prescription and the deployed filter cannot disagree
+    * across the rounding half-band. The all-negative operating point
+    * (threshold
     * above every score) is not a candidate: its F1 is never above an
     * achievable one, and with zero positives in the data the sweep
     * instead returns the max-threshold point (fewest false
@@ -405,7 +414,8 @@ object QualityModel {
     val keyFilter = keys
       .map(col(_).isNotNull).foldLeft(lit(true))(_ && _)
     val grouped = df
-      .filter(s.isNotNull && col(labelCol).isNotNull && keyFilter)
+      .filter(s.isNotNull && !isnan(s) && col(labelCol).isNotNull &&
+        keyFilter)
       .select(keys.map(col) ++ Seq(s.as("__score"),
         col(labelCol).cast("boolean").cast("int").as("__pos")): _*)
       .groupBy(keys.map(col) :+ col("__score"): _*)
@@ -459,24 +469,31 @@ object QualityModel {
   }
 
   /** Deploy per-key operating points as the row filter they exist for:
-    * keep rows whose score clears THEIR key's threshold
-    * (`score >= threshold`, the [[thresholdReport]] predicate).
-    * `thresholds` is a [[thresholdSelectBy]] output (one row per key;
-    * only its key and `threshold` columns are read). Rows whose key
-    * has no selected operating point DROP — a source without a
-    * measurable threshold does not ship on a pooled guess, the
-    * unmeasurable-gates-false discipline — as do null scores and null
-    * keys. The threshold side is O(keys) and broadcast; the corpus
-    * side is filtered map-only, nothing shuffles. */
+    * keep rows whose QUANTIZED score clears THEIR key's threshold
+    * (`round(score, scale) >= threshold` — the exact predicate the
+    * [[thresholdSelectBy]] sweep counted with, so the selected row's
+    * tp+fp IS the deployed kept count; comparing raw scores instead
+    * would silently drop every row in the rounding half-band below
+    * its own grid point). `thresholds` is a thresholdSelectBy output
+    * (one row per key; only its key and `threshold` columns are
+    * read — pass the same `scale`). Rows whose key has no selected
+    * operating point DROP — a source without a measurable threshold
+    * does not ship on a pooled guess, the unmeasurable-gates-false
+    * discipline — as do null and NaN scores (Spark sorts NaN above
+    * every real value, so an unguarded NaN would pass ANY threshold)
+    * and null keys. The threshold side is O(keys) and broadcast; the
+    * corpus side is filtered map-only, nothing shuffles. */
   def applyThresholdBy(
       df: DataFrame,
       keyCol: String,
       scoreCol: String,
-      thresholds: DataFrame): DataFrame = {
+      thresholds: DataFrame,
+      scale: Int = 6): DataFrame = {
     val t = broadcast(thresholds
       .select(col(keyCol), col("threshold").cast("double").as("__thr")))
+    val s = round(col(scoreCol).cast("double"), scale)
     df.join(t, Seq(keyCol), "inner")
-      .filter(col(scoreCol).cast("double") >= col("__thr"))
+      .filter(!isnan(s) && s >= col("__thr"))
       .drop("__thr")
   }
 

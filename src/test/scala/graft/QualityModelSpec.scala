@@ -743,6 +743,14 @@ class QualityModelSpec extends AnyFunSuite {
     // Youden is unmeasurable on a single class: no row, never a guess
     assert(QualityModel.thresholdSelect(neg, "score", "label",
       objective = "youden").collect().isEmpty)
+    // NaN scores drop with nulls: left in, NaN would sort above every
+    // real score and ship as a perfect-f1 "threshold" (NaN >= NaN)
+    val withNan = Seq((Double.NaN, true), (Double.NaN, true),
+      (0.8, true), (0.2, false)).toDF("score", "label")
+    val sel = QualityModel.thresholdSelect(withNan, "score", "label")
+      .collect()(0)
+    assert(sel.getDouble(0) == 0.8 && sel.getDouble(7) == 1.0,
+      s"NaN must not be an operating point: $sel")
   }
 
   test("thresholdSelectBy: per-key == global per slice; keyed windows; " +
@@ -803,6 +811,12 @@ class QualityModelSpec extends AnyFunSuite {
     val corpus = Seq(
       ("srcA", "a1", Some(0.8)), ("srcA", "a2", Some(0.7)),
       ("srcA", "a3", Some(0.69)), ("srcA", "a4", None),
+      // half-band: rounds UP to the grid point, so the sweep counted
+      // it — the deployed filter must count it too
+      ("srcA", "a5", Some(0.6999996)),
+      // NaN sorts above every real score in Spark: unguarded it would
+      // pass ANY threshold
+      ("srcA", "a6", Some(Double.NaN)),
       ("srcB", "b1", Some(0.3)), ("srcB", "b2", Some(0.1)),
       ("srcC", "c1", Some(0.99))) // no operating point: does not ship
       .toDF("source", "id", "score")
@@ -811,7 +825,7 @@ class QualityModelSpec extends AnyFunSuite {
     val out = QualityModel.applyThresholdBy(
       corpus, "source", "score", thresholds)
     assert(out.select("id").collect().map(_.getString(0)).toSet ==
-      Set("a1", "a2", "b1"), out.collect().mkString(";"))
+      Set("a1", "a2", "a5", "b1"), out.collect().mkString(";"))
     // deployment is map-only over the corpus: broadcast join, zero
     // exchanges anywhere in the filter's plan
     assert(PlanCheck.shuffles(out).isEmpty,
