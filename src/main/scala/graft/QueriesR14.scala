@@ -298,6 +298,31 @@ object QueriesR14 {
       least(stopRatio / lit(div), lit(1.0)).as("score"),
       (col("doc_id") % 2 === 0).as("__even"))
 
+  /** The Hamilton largest-remainder replay
+    * ([[operators.Curation.apportionBudget]]'s integer seating) — the
+    * ONE oracle-side copy, shared by q_apportion,
+    * q_drift_gated_budget and q_host_budget so a seating-arithmetic
+    * change cannot silently fork the replays. `from` names a CTE
+    * exposing `(key, weight)` with null/zero weights already dropped
+    * (the engine's positive-weight contract); emits the final
+    * `SELECT ($keyOut, weight, alloc)`. CTE aliases are 9-suffixed to
+    * stay collision-free inside any composing oracle. */
+  private[graft] def hamiltonSql(
+      from: String, budget: Long, keyOut: String = "key"): String =
+    s"""t9 AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM $from),
+       |q9 AS (SELECT key, weight,
+       |    ($budget * weight) // w AS base,
+       |    ($budget * weight) % w AS rem
+       |  FROM $from, t9),
+       |b9 AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM q9),
+       |p9 AS (SELECT key, weight, base,
+       |    row_number() OVER (ORDER BY rem DESC, key) AS pos
+       |  FROM q9)
+       |SELECT p9.key AS $keyOut, p9.weight,
+       |  CAST(p9.base + CASE WHEN p9.pos <= $budget - b9.bsum
+       |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
+       |FROM p9, b9""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // Hand-derived regex + literal-length per rule — an independent
     // derivation of the engine's RFC 9309 translation, not a replay of
@@ -540,23 +565,11 @@ object QueriesR14 {
       // keys before seating; mirror that filter here so a source whose
       // summed mass is ever 0 or null cannot open an engine-vs-oracle
       // row-count divergence (round-15 ADVICE).
-      """WITH k AS (SELECT source AS key,
+      ("""WITH k AS (SELECT source AS key,
         |    CAST(sum(n_chars) AS BIGINT) AS weight
         |  FROM documents GROUP BY source
         |  HAVING sum(n_chars) IS NOT NULL AND sum(n_chars) > 0),
-        |t AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM k),
-        |q AS (SELECT key, weight,
-        |    (1000000000 * weight) // w AS base,
-        |    (1000000000 * weight) % w AS rem
-        |  FROM k, t),
-        |b AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM q),
-        |p AS (SELECT key, weight, base,
-        |    row_number() OVER (ORDER BY rem DESC, key) AS pos
-        |  FROM q)
-        |SELECT p.key AS key, p.weight,
-        |  CAST(p.base + CASE WHEN p.pos <= 1000000000 - b.bsum
-        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM p, b""".stripMargin,
+        |""".stripMargin + hamiltonSql("k", 1000000000L)),
     "q_confusion" ->
       """WITH t AS (SELECT lang, regexp_extract_all(text, '\S+') toks
         |           FROM documents),

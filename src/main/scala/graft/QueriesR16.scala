@@ -401,19 +401,7 @@ object QueriesR16 {
         |  FROM documents d JOIN okk ON d.source = okk.source
         |  GROUP BY d.source
         |  HAVING sum(n_chars) IS NOT NULL AND sum(n_chars) > 0),
-        |tt2 AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM k),
-        |q AS (SELECT key, weight,
-        |    (1000000000 * weight) // w AS base,
-        |    (1000000000 * weight) % w AS rem
-        |  FROM k, tt2),
-        |b2 AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM q),
-        |p2 AS (SELECT key, weight, base,
-        |    row_number() OVER (ORDER BY rem DESC, key) AS pos
-        |  FROM q)
-        |SELECT p2.key AS key, p2.weight,
-        |  CAST(p2.base + CASE WHEN p2.pos <= 1000000000 - b2.bsum
-        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM p2, b2""".stripMargin),
+        |""".stripMargin + QueriesR14.hamiltonSql("k", 1000000000L)),
     // Per-source confusion replay: score/key null rows dropped before
     // grouping (a source with only null scores emits no row, like the
     // engine); null-label rows count in no cell via the FILTER

@@ -43,13 +43,19 @@ object QueriesR17 {
     //     pass-rate prior and the host's demand compose without a
     //     single double; allocations sum to EXACTLY the slot budget. ---
     "q_host_budget" -> { (s, d) =>
-      val top2 = operators.TextAnalysis.gopherRepetition(col("text"), 2).head
-      val top3 = operators.TextAnalysis.gopherRepetition(col("text"), 3).head
-      val dup5 = operators.TextAnalysis.gopherRepetition(col("text"), 5)(1)
+      // The packaged Gopher gate trio, conjoined — with a
+      // MEASURABILITY guard: a doc too short to form a 5-gram has
+      // all-zero repetition fracs and would PASS the gates while
+      // carrying no signal, so its verdict is NULL instead — which
+      // hostQuality counts as FAIL everywhere (an unmeasurable page
+      // earns no budget, exercising the null-verdict contract).
+      val gates = operators.TextAnalysis.gopherStages(col("text"))
+        .map(_._2).reduce(_ && _)
+      val measurable = size(split(col("text"), " ")) >= 5
       val quality = operators.Crawl.hostQuality(
         docs(s, d).select(
           concat(lit("site"), (col("doc_id") % 7).cast("string")).as("host"),
-          (top2 < 0.20 && top3 < 0.18 && dup5 < 0.15).as("pass"),
+          when(measurable, gates).as("pass"),
           col("n_chars")),
         "host", col("pass"), col("n_chars"))
       operators.Crawl.hostFetchBudget(quality, budget = HostSlots)
@@ -101,34 +107,26 @@ object QueriesR17 {
 
   val oracles: Map[String, String] = Map(
     // The whole composition replayed: the shared per-doc Gopher
-    // fraction CTE, the per-host pass-mass census (null verdicts count
-    // as fail, zero-mass hosts drop — the engine's positive-weight
-    // contract), then the q_apportion Hamilton replay over the host
-    // table.
+    // fraction CTE, the per-doc verdict stated ONCE (null where the
+    // doc can't form a 5-gram — unmeasurable fails), the per-host
+    // pass-mass census with zero-mass hosts dropped (the engine's
+    // positive-weight contract), then the SHARED Hamilton replay over
+    // the host table.
     "q_host_budget" ->
       (s"WITH g AS (${QueriesR9.gopherRepOracle}),\n" +
-        s"""k AS (SELECT 'site' || CAST(d.doc_id % 7 AS VARCHAR) AS host,
-          |    CAST(coalesce(sum(CASE WHEN top2_frac < 0.2
-          |        AND top3_frac < 0.18 AND dup5_frac < 0.15
-          |        THEN d.n_chars END), 0) AS BIGINT) AS weight
-          |  FROM documents d JOIN g ON d.doc_id = g.doc_id
-          |  GROUP BY 1
-          |  HAVING coalesce(sum(CASE WHEN top2_frac < 0.2
-          |        AND top3_frac < 0.18 AND dup5_frac < 0.15
-          |        THEN d.n_chars END), 0) > 0),
-          |tt2 AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM k),
-          |q AS (SELECT host, weight,
-          |    ($HostSlots * weight) // w AS base,
-          |    ($HostSlots * weight) % w AS rem
-          |  FROM k, tt2),
-          |b2 AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM q),
-          |p2 AS (SELECT host, weight, base,
-          |    row_number() OVER (ORDER BY rem DESC, host) AS pos
-          |  FROM q)
-          |SELECT p2.host, p2.weight,
-          |  CAST(p2.base + CASE WHEN p2.pos <= $HostSlots - b2.bsum
-          |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
-          |FROM p2, b2""".stripMargin),
+        """pv AS (SELECT d.n_chars,
+          |    'site' || CAST(d.doc_id % 7 AS VARCHAR) AS host,
+          |    CASE WHEN len(string_split(d.text, ' ')) >= 5
+          |      THEN (top2_frac < 0.2 AND top3_frac < 0.18
+          |        AND dup5_frac < 0.15) END AS pass
+          |  FROM documents d JOIN g ON d.doc_id = g.doc_id),
+          |k AS (SELECT host AS key, weight FROM (
+          |    SELECT host, CAST(coalesce(sum(CASE WHEN pass
+          |        THEN n_chars END), 0) AS BIGINT) AS weight
+          |    FROM pv GROUP BY host) kk
+          |  WHERE weight > 0),
+          |""".stripMargin +
+        QueriesR14.hamiltonSql("k", HostSlots, keyOut = "host")),
     // The selected row's confusion arithmetic replayed at the chosen
     // grid point — rates guarded exactly as the engine guards them
     // (F1's denominator is always positive at a candidate; Youden

@@ -625,7 +625,13 @@ class CrawlSpec extends AnyFunSuite {
       ("a.com", None, 30L),      // unmeasurable: fails rate AND mass
       ("b.com", Some(false), 50L))
       .toDF("host", "pass", "mass")
-    val out = Crawl.hostQuality(docs, "host", col("pass"), col("mass"))
+    val frame = Crawl.hostQuality(docs, "host", col("pass"), col("mass"))
+    // plan pin FIRST (AQE materializes stages after collect): the
+    // rollup is ONE partial-aggregating exchange on the host key —
+    // no distinct-aggregate funnel, nothing else shuffles
+    assert(PlanCheck.shuffles(frame).size == 1,
+      "hostQuality must shuffle exactly once, on the host key")
+    val out = frame
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
     assert(out == Map(
