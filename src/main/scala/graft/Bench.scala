@@ -174,7 +174,12 @@ object Bench {
         // nine internal collects run eagerly inside mk(); the tenth
         // job is the returned frame, executed by runFully like every
         // other control, so warmup and timed reps both pay exactly
-        // ten jobs.
+        // ten ACTIONS. The Spark JOB count per action varies with the
+        // engine (AQE materializes each shuffle stage as its own job,
+        // so one action here fires ~3 job-starts); the per-exec
+        // job-start count is therefore MEASURED and recorded
+        // (`controls_jobs`) — bench_diff divides the control's wall
+        // drift by that recorded count, never by the action count.
         "ctl_multijob" -> (() => {
           def tiny(): DataFrame = spark.range(0, 20000, 1, 4)
             .select((col("id") % 97).as("k"))
@@ -191,6 +196,11 @@ object Bench {
         String, scala.collection.mutable.ArrayBuffer[Double]]
     val controlReps = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val controlCpuSamples =
+      scala.collection.mutable.LinkedHashMap.empty[
+        String, scala.collection.mutable.ArrayBuffer[Double]]
+    // Per-exec JOB-START counts per control point (`controls_jobs`):
+    // the denominator of bench_diff's per-job launch-drift price.
+    val controlJobsSamples =
       scala.collection.mutable.LinkedHashMap.empty[
         String, scala.collection.mutable.ArrayBuffer[Double]]
     // One control point: each plan runs ONE untimed warmup exec (so a
@@ -210,7 +220,8 @@ object Bench {
           val reps = controlReps.getOrElseUpdate(name,
             math.min(16,
               math.max(1, math.ceil(0.5 / math.max(warmSec, 0.03)).toInt)))
-          val c0 = cpuNow()
+          val c0 = cpuNow() // drains the bus — job counter reads clean
+          val j0 = jobsStarted.get()
           val t0 = System.nanoTime()
           var k = 0
           while (k < reps) { runFully(mk()); k += 1 }
@@ -220,6 +231,9 @@ object Bench {
           controlCpuSamples.getOrElseUpdate(name,
             scala.collection.mutable.ArrayBuffer.empty[Double]) +=
             ((cpuNow() - c0) / 1e9) / reps
+          controlJobsSamples.getOrElseUpdate(name,
+            scala.collection.mutable.ArrayBuffer.empty[Double]) +=
+            (jobsStarted.get() - j0).toDouble / reps
         } catch { case _: Throwable => () }
     }
 
@@ -486,9 +500,9 @@ object Bench {
       // at reps=1: their protocol needs the per-run drain between
       // executions, and their runs are near- or multi-second anyway.
       var reps = 1
-      // Returns (wall sec, executor-CPU sec, error) per execution —
-      // both averaged over the reps-sized batch, CPU bracketed by the
-      // deterministic bus drain.
+      // Returns (wall sec, executor-CPU sec, job-starts, error) per
+      // execution — all averaged over the reps-sized batch, CPU and
+      // the job counter bracketed by the deterministic bus drain.
       def measureOnce(): (Double, Double, Double, Option[String]) = {
         val c0 = cpuNow() // drains the bus — job counter reads clean
         val j0 = jobsStarted.get()
@@ -709,8 +723,11 @@ object Bench {
     val controlsCpuJson = controlCpuSamples.map { case (k, ss) =>
       s"${jsonStr(k)}:${ss.map(v => f"$v%.4f").mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
+    val controlsJobsJson = controlJobsSamples.map { case (k, ss) =>
+      s"${jsonStr(k)}:${ss.map(v => f"$v%.1f").mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"cpu_sec":$cpuJson,"n_jobs":$nJobsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"recycle_every":$recycleEvery,"controls":$controlsJson,"control_reps":$controlRepsJson,"controls_cpu":$controlsCpuJson,"sf":${jsonStr(sfDir)}}"""
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"run_spread":$spreadJson,"runs":$runsJson,"reps":$repsJson,"cpu_sec":$cpuJson,"n_jobs":$nJobsJson,"errors":$errJson,"n_queries":${timings.size},"n_errors":${errors.size},"recycle_every":$recycleEvery,"controls":$controlsJson,"control_reps":$controlRepsJson,"controls_cpu":$controlsCpuJson,"controls_jobs":$controlsJobsJson,"sf":${jsonStr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
       (detail + "\n").getBytes("UTF-8"))
 

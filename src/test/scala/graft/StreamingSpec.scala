@@ -835,8 +835,12 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("source", "score")
     val cur = (spread("srcGood") ++
       Seq.fill(40)(("srcBad", 0.95))).toDF("source", "score")
+    // inject a NULL verdict: an unmeasurable source must gate FALSE,
+    // not ride a coalesce-to-zero through the bound
     val verdicts = graft.operators.QualityModel.psiTotalBy(
-      base, cur, "source", "score")
+        base, cur, "source", "score")
+      .unionByName(Seq(("srcNullV", Option.empty[Double]))
+        .toDF("source", "psi_total"))
     val stream = MemoryStream[(String, Long)]
     val gated = Streaming.driftGateStream(
       stream.toDF().toDF("source", "doc_id"), "source", verdicts)
@@ -846,15 +850,19 @@ class StreamingSpec extends AnyFunSuite {
       // srcNew has NO verdict row: unmeasured does not ship
       stream.addData(("srcGood", 1L), ("srcBad", 2L), ("srcNew", 3L))
       q.processAllAvailable()
-      stream.addData(("srcGood", 4L), ("srcBad", 5L))
+      stream.addData(("srcGood", 4L), ("srcBad", 5L), ("srcNullV", 6L))
       q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "the drift gate must not register streaming state")
     } finally q.stop()
     val out = spark.table("drift_gate").select("doc_id").collect()
       .map(_.getLong(0)).toSet
-    assert(out == Set(1L, 4L), s"only the stable source ships: $out")
+    assert(out == Set(1L, 4L),
+      s"only the stable source ships (drifted/unmeasured/null drop): $out")
     // batch parity: the same gate over a batch frame agrees row-for-row
     val batch = Seq(("srcGood", 1L), ("srcBad", 2L), ("srcNew", 3L),
-      ("srcGood", 4L), ("srcBad", 5L)).toDF("source", "doc_id")
+      ("srcGood", 4L), ("srcBad", 5L), ("srcNullV", 6L))
+      .toDF("source", "doc_id")
     val bOut = Streaming.driftGateStream(batch, "source", verdicts)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bOut == out, s"stream/batch gate divergence: $bOut vs $out")

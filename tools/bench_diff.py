@@ -154,6 +154,22 @@ def main():
             sp = best.get("run_spread", {}).get(q)
             if sp is not None:
                 cur["run_spread"][q] = sp
+            # carry the chosen sweep's paired per-query metadata so
+            # the CPU and launch-cost lanes keep working in min-of
+            # mode (wall/cpu/jobs stay from ONE measurement context)
+            for fld in ("cpu_sec", "n_jobs"):
+                v = best.get(fld, {}).get(q)
+                if v is not None:
+                    cur.setdefault(fld, {})[q] = v
+        # controls are samples of the same frozen plans: concatenate
+        # across sweeps (more ambient evidence, not less)
+        for fld in ("controls", "controls_cpu", "controls_jobs"):
+            merged = {}
+            for s in sweeps:
+                for k, ss in (s.get(fld) or {}).items():
+                    merged.setdefault(k, []).extend(ss)
+            if merged:
+                cur[fld] = merged
         args.cur = "min(" + ", ".join(args.cur_min_of) + ")"
     else:
         cur = json.load(open(args.cur))
@@ -245,11 +261,28 @@ def main():
     # scalar ratio deflator reproduces). Same flat-CPU guard as the
     # other launch lanes: compute that moved stays fatal. δ clamps at
     # 0 — a FASTER launch never excuses anything.
-    njobs = cur.get("n_jobs") or {}
+    njobs_cur = cur.get("n_jobs") or {}
+    njobs_base = base.get("n_jobs") or {}
+    # Job count is code-determined, so when BOTH rounds carry it the
+    # MIN prices the debt: a code change that ADDS jobs earns no
+    # launch credit for jobs the base never launched (the lane must
+    # not subsidize job-count regressions).
+    njobs = {q: (min(njobs_base[q], v) if njobs_base.get(q) else v)
+             for q, v in njobs_cur.items()}
+    # The per-job denominator is the control's own MEASURED job-start
+    # count (`controls_jobs`) — NOT its action count: AQE materializes
+    # shuffle stages as separate jobs, so ctl_multijob's ten actions
+    # fire ~30 job-starts per exec on this engine, and query n_jobs is
+    # counted in the same raw job-start units. No recorded count, no
+    # lane (mechanical or nothing).
     launch_delta_per_job = None
-    if (bc or {}).get("ctl_multijob") and (cc or {}).get("ctl_multijob"):
+    ctl_jobs = ((cur.get("controls_jobs") or {}).get("ctl_multijob")
+                or (base.get("controls_jobs") or {}).get("ctl_multijob"))
+    if ((bc or {}).get("ctl_multijob") and (cc or {}).get("ctl_multijob")
+            and ctl_jobs and med(ctl_jobs) > 0):
         launch_delta_per_job = max(
-            0.0, (med(cc["ctl_multijob"]) - med(bc["ctl_multijob"])) / 10.0)
+            0.0, (med(cc["ctl_multijob"]) - med(bc["ctl_multijob"]))
+            / med(ctl_jobs))
 
     # CPU ambient (round 16): the frozen controls' executor-CPU medians
     # across rounds measure how much the MEASUREMENT of CPU drifted on
@@ -333,19 +366,27 @@ def main():
                 elif (launch_delta_per_job and njobs.get(q)
                         and not entry.get("isolated")
                         and cpu_ratio is not None and cpu_anchored_flat
-                        and (c - njobs[q] * launch_delta_per_job) / b
-                            <= args.tolerance):
-                    # The per-job launch-drift subtraction above: the
-                    # debt removed is machine-priced (control delta) ×
-                    # code-priced (job count), never query-narrated.
+                        # credit clamps at the entry's own wall delta:
+                        # launch_adjusted can never read below base (a
+                        # physically impossible over-credit would also
+                        # let any flat-CPU regression ride the lane)
+                        and (c - min(njobs[q] * launch_delta_per_job,
+                                     c - b)) / b <= args.tolerance):
+                    # The per-job launch-drift subtraction: the debt
+                    # removed is machine-priced (control delta per
+                    # measured job-start) × code-priced (job count),
+                    # never query-narrated.
+                    debt = min(njobs[q] * launch_delta_per_job, c - b)
                     entry["deflated_by"] = "launch_cost"
                     entry["n_jobs"] = njobs[q]
+                    if (njobs_base.get(q) and njobs_cur.get(q)
+                            and njobs_base[q] != njobs_cur[q]):
+                        entry["n_jobs_base"] = njobs_base[q]
+                        entry["n_jobs_cur"] = njobs_cur[q]
                     entry["launch_delta_per_job"] = round(
                         launch_delta_per_job, 4)
-                    entry["launch_adjusted"] = round(
-                        c - njobs[q] * launch_delta_per_job, 3)
-                    entry["deflated_ratio"] = round(
-                        (c - njobs[q] * launch_delta_per_job) / b, 3)
+                    entry["launch_adjusted"] = round(c - debt, 3)
+                    entry["deflated_ratio"] = round((c - debt) / b, 3)
                     suspects.append(entry)
                 elif (session_hot and not entry.get("isolated")
                         and cpu_ratio is not None and cpu_anchored_flat
@@ -399,8 +440,14 @@ def main():
             "per-job launch latency drifted; flat-CPU entries in "
             "ambient_suspect (deflated_by=ctl_multijob) pass at the "
             "launch-deflated ratio and need the same isolated "
-            "re-measure protocol to be settled" if launch_hot
-            else None)),
+            "re-measure protocol to be settled" if launch_hot else (
+            "below-threshold ctl_multijob drift, priced per measured "
+            "job-start: entries in ambient_suspect "
+            "(deflated_by=launch_cost) pass with n_jobs x delta "
+            "subtracted and need the same isolated re-measure "
+            "protocol to be settled"
+            if any(e.get("deflated_by") == "launch_cost"
+                   for e in suspects) else None))),
         "added": sorted(set(cq) - set(bq)),
         "removed": sorted(set(bq) - set(cq)),
         "sum_base": round(sum(bq[q] for q in common), 3),

@@ -105,38 +105,64 @@ check("isolated re-measure at base speed clears the entry",
       rc == 0 and rep["ok"] and not rep["violations"]
       and "q_big" in rep["isolated_overrides"])
 
-# 6. Launch-cost lane (round 17): a 15-job deep query's wall moves
-#    2.0 -> 3.2 with flat CPU while ctl_multijob drifts 2.0 -> 2.18 —
-#    BELOW the hot threshold (1.09), so neither scalar deflator fires
-#    and the +1.2 s delta exceeds the cpu_anchor cap. n_jobs x the
-#    per-job control delta (15 x 0.018 = 0.27 s) prices the debt
-#    mechanically: adjusted 2.93 / base 2.0 = 1.465 passes.
+# 6. Launch-cost lane (round 17): a 60-job-start deep query's wall
+#    moves 2.0 -> 3.2 with flat CPU while ctl_multijob drifts
+#    2.0 -> 2.18 — BELOW the hot threshold (1.09), so neither scalar
+#    deflator fires and the +1.2 s delta exceeds the cpu_anchor cap.
+#    The per-job price divides by the control's MEASURED job-start
+#    count (30/exec — ten actions x ~3 AQE jobs), never an action
+#    count: delta 0.18/30 = 0.006 s/job, debt 60 x 0.006 = 0.36 s,
+#    adjusted 2.84 / base 2.0 = 1.42 passes; the clamp keeps
+#    launch_adjusted at or above base.
 CTL_MJ_BASE = dict(CTL_BASE, ctl_multijob=[2.0, 2.0])
 CTL_MJ_DRIFT = dict(CTL_BASE, ctl_multijob=[2.18, 2.18])
+CTL_JOBS = {"ctl_multijob": [30.0, 30.0]}
 base6 = detail({"q_deep": 2.0}, {"q_deep": 1.0}, CTL_MJ_BASE, CTLC_BASE)
 cur6 = detail({"q_deep": 3.2}, {"q_deep": 1.02}, CTL_MJ_DRIFT, CTLC_FLAT)
-cur6["n_jobs"] = {"q_deep": 15.0}
+cur6["n_jobs"] = {"q_deep": 60.0}
+cur6["controls_jobs"] = CTL_JOBS
 rc, rep = run(base6, cur6)
 check("multi-job launch drift -> launch_cost suspect, exit 0",
       rc == 0 and rep["ok"]
       and [e["query"] for e in rep["ambient_suspect"]] == ["q_deep"]
       and rep["ambient_suspect"][0]["deflated_by"] == "launch_cost"
-      and rep["ambient_suspect"][0]["n_jobs"] == 15.0
+      and rep["ambient_suspect"][0]["n_jobs"] == 60.0
+      and rep["ambient_suspect"][0]["launch_adjusted"] >= 2.0
+      and rep["launch_delta_per_job"] == 0.006
+      and rep["ambient_note"] is not None
       and not rep["violations"])
 
 # 7. Same launch drift but the CPU moved with the wall (1.0 -> 1.9):
 #    the flat-CPU guard must keep the lane shut — fatal.
 cur7 = detail({"q_deep": 3.2}, {"q_deep": 1.9}, CTL_MJ_DRIFT, CTLC_FLAT)
-cur7["n_jobs"] = {"q_deep": 15.0}
+cur7["n_jobs"] = {"q_deep": 60.0}
+cur7["controls_jobs"] = CTL_JOBS
 rc, rep = run(base6, cur7)
 check("launch drift with moved CPU stays fatal",
       rc == 1 and [e["query"] for e in rep["violations"]] == ["q_deep"])
 
-# 8. No n_jobs in the artifact: the lane cannot price the debt and the
-#    entry stays fatal (mechanical or nothing — no narrative fallback).
+# 8. No n_jobs (or no recorded control job count) in the artifacts:
+#    the lane cannot price the debt — mechanical or nothing.
 cur8 = detail({"q_deep": 3.2}, {"q_deep": 1.02}, CTL_MJ_DRIFT, CTLC_FLAT)
+cur8["controls_jobs"] = CTL_JOBS
 rc, rep = run(base6, cur8)
 check("launch drift without n_jobs stays fatal",
+      rc == 1 and [e["query"] for e in rep["violations"]] == ["q_deep"])
+cur8b = detail({"q_deep": 3.2}, {"q_deep": 1.02}, CTL_MJ_DRIFT, CTLC_FLAT)
+cur8b["n_jobs"] = {"q_deep": 60.0}
+rc, rep = run(base6, cur8b)
+check("launch drift without a measured control job count stays fatal",
+      rc == 1 and [e["query"] for e in rep["violations"]] == ["q_deep"])
+
+# 9. Job-count regression: the base ran q_deep in 15 jobs, cur runs it
+#    in 60 (e.g. accidental extra iterations — launch-heavy, CPU
+#    flat). The lane prices debt at MIN(base, cur) jobs, so the 45
+#    added jobs earn no credit: debt 15 x 0.006 = 0.09, adjusted
+#    3.11 / 2.0 = 1.56 — stays fatal.
+base9 = detail({"q_deep": 2.0}, {"q_deep": 1.0}, CTL_MJ_BASE, CTLC_BASE)
+base9["n_jobs"] = {"q_deep": 15.0}
+rc, rep = run(base9, cur6)
+check("job-count regression earns no launch credit, stays fatal",
       rc == 1 and [e["query"] for e in rep["violations"]] == ["q_deep"])
 
 print("bench_diff_selftest: all green")
