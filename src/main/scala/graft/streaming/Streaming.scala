@@ -697,6 +697,30 @@ object Streaming {
       scores, keyCol, scoreCol,
       graft.operators.Materialize.checkpoint(mapping), bins, outCol)
 
+  /** Online deployment twin of
+    * [[graft.operators.QualityModel.applyThresholdBy]] — how a
+    * [[graft.operators.QualityModel.thresholdSelectBy]] per-source
+    * operating point ships to the scoring stream (selection needs the
+    * full label/score census, so it fits OFFLINE; the stream only
+    * applies the chosen points — the offline-fit/online-apply split of
+    * [[applyCalibrationStreamBy]]). Same contract as the batch form:
+    * `round(score, scale) >= threshold` per key (pass the selection's
+    * own `scale`), null/NaN scores and keys without a selected point
+    * drop. The thresholds table checkpoints ONCE (its sweep lineage —
+    * keyed grid windows and the argmax fold — must not re-execute per
+    * micro-batch as the static side of a stream-static join otherwise
+    * would), then broadcasts its O(keys) rows. Fully STATELESS and
+    * map-only per micro-batch; batch parity spec-pinned. */
+  def applyThresholdStreamBy(
+      docs: DataFrame,
+      keyCol: String,
+      scoreCol: String,
+      thresholds: DataFrame,
+      scale: Int = 6): DataFrame =
+    graft.operators.QualityModel.applyThresholdBy(
+      docs, keyCol, scoreCol,
+      graft.operators.Materialize.checkpoint(thresholds), scale)
+
   /** Ingest-time QUARANTINE of drifted sources — the streaming twin of
     * the drift-gated budget's verdict join (q_drift_gated_budget):
     * without it, a source whose score distribution walked off is

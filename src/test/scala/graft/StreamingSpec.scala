@@ -822,6 +822,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == got)
   }
 
+  test("streaming per-source threshold filter: offline selection deploys " +
+    "online, stateless, batch-parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // offline: srcA's max-F1 point is 0.7, srcB's is 0.2 (hand-checked
+    // in QualityModelSpec); srcC gets no row (never scored offline)
+    val train = Seq(
+      ("srcA", 0.9, true), ("srcA", 0.8, false), ("srcA", 0.7, true),
+      ("srcA", 0.5, false), ("srcA", 0.4, false),
+      ("srcB", 0.9, false), ("srcB", 0.6, true), ("srcB", 0.2, true))
+      .toDF("source", "score", "label")
+    val thresholds = graft.operators.QualityModel.thresholdSelectBy(
+      train, "source", "score", "label")
+    val stream = MemoryStream[(String, Long, Double)]
+    val kept = Streaming.applyThresholdStreamBy(
+      stream.toDF().toDF("source", "doc_id", "score"), "source", "score",
+      thresholds)
+    val q = kept.writeStream.format("memory").queryName("thr_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(("srcA", 1L, 0.8), ("srcA", 2L, 0.69),
+        ("srcB", 3L, 0.3), ("srcC", 4L, 0.99))
+      q.processAllAvailable()
+      // half-band: rounds up to srcA's grid point -> kept
+      stream.addData(("srcA", 5L, 0.6999996), ("srcB", 6L, 0.1))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "threshold deployment must not register streaming state")
+    } finally q.stop()
+    val out = spark.table("thr_stream").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(out == Set(1L, 3L, 5L), s"kept: $out")
+    // batch parity
+    val batch = Seq(("srcA", 1L, 0.8), ("srcA", 2L, 0.69),
+      ("srcB", 3L, 0.3), ("srcC", 4L, 0.99), ("srcA", 5L, 0.6999996),
+      ("srcB", 6L, 0.1)).toDF("source", "doc_id", "score")
+    val bOut = Streaming.applyThresholdStreamBy(
+      batch, "source", "score", thresholds)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bOut == out, s"stream/batch filter divergence: $bOut vs $out")
+  }
+
   test("streaming drift gate quarantines drifted and unmeasured sources, " +
     "stateless, batch-parity") {
     val spark = TestSpark.spark
