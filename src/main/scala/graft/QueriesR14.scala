@@ -309,6 +309,15 @@ object QueriesR14 {
     * stay collision-free inside any composing oracle. */
   private[graft] def hamiltonSql(
       from: String, budget: Long, keyOut: String = "key"): String =
+    hamiltonCtes(from, budget, "h9", keyOut) + "\nSELECT * FROM h9"
+
+  /** [[hamiltonSql]]'s CTE form: the seat table lands in a named CTE
+    * (`cte`) instead of terminating the statement, for oracles that
+    * CONSUME the allocations downstream (q_frontier_budgeted joins
+    * them against the candidate pool). */
+  private[graft] def hamiltonCtes(
+      from: String, budget: Long, cte: String,
+      keyOut: String = "key"): String =
     s"""t9 AS (SELECT CAST(sum(weight) AS BIGINT) AS w FROM $from),
        |q9 AS (SELECT key, weight,
        |    ($budget * weight) // w AS base,
@@ -317,11 +326,11 @@ object QueriesR14 {
        |b9 AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM q9),
        |p9 AS (SELECT key, weight, base,
        |    row_number() OVER (ORDER BY rem DESC, key) AS pos
-       |  FROM q9)
-       |SELECT p9.key AS $keyOut, p9.weight,
+       |  FROM q9),
+       |$cte AS (SELECT p9.key AS $keyOut, p9.weight,
        |  CAST(p9.base + CASE WHEN p9.pos <= $budget - b9.bsum
        |    THEN 1 ELSE 0 END AS BIGINT) AS alloc
-       |FROM p9, b9""".stripMargin
+       |FROM p9, b9)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // Hand-derived regex + literal-length per rule — an independent

@@ -35,6 +35,49 @@ object QueriesR17 {
   /** q_host_budget's fetch-slot budget for the next crawl wave. */
   private val HostSlots = 100000L
 
+  /** q_frontier_budgeted's (deliberately small) wave budget, so the
+    * per-host caps BIND against the much larger candidate pool. */
+  private val WaveSlots = 50L
+
+  /** The per-host quality census both crawl-budget queries share: the
+    * packaged Gopher gate trio with the 5-gram measurability guard
+    * (null verdict = unmeasurable = fails everywhere). `hostSuffix`
+    * picks the host spelling: bare `site<k>` for the q_host_quality
+    * convention, `site<k>.example.com` where the allocations must
+    * join real candidate-URL hosts. */
+  private def hostCensus(
+      s: SparkSession, d: String, hostSuffix: String = ""): DataFrame = {
+    val gates = operators.TextAnalysis.gopherStages(col("text"))
+      .map(_._2).reduce(_ && _)
+    val measurable = size(split(col("text"), " ")) >= 5
+    operators.Crawl.hostQuality(
+      docs(s, d).select(
+        concat(lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(hostSuffix)).as("host"),
+        when(measurable, gates).as("pass"),
+        col("n_chars")),
+      "host", col("pass"), col("n_chars"))
+  }
+
+  /** The census replayed in SQL — the ONE oracle-side copy of the
+    * per-doc verdict (null where the doc can't form a 5-gram) and the
+    * per-host pass-mass fold with zero-mass hosts dropped. Ends in
+    * `k(key, weight)`, the [[QueriesR14.hamiltonCtes]] input shape. */
+  private def censusCtes(hostSuffix: String = ""): String =
+    s"g AS (${QueriesR9.gopherRepOracle}),\n" +
+      s"""pv AS (SELECT d.n_chars,
+        |    'site' || CAST(d.doc_id % 7 AS VARCHAR) || '$hostSuffix'
+        |      AS host,
+        |    CASE WHEN len(string_split(d.text, ' ')) >= 5
+        |      THEN (top2_frac < 0.2 AND top3_frac < 0.18
+        |        AND dup5_frac < 0.15) END AS pass
+        |  FROM documents d JOIN g ON d.doc_id = g.doc_id),
+        |k AS (SELECT host AS key, weight FROM (
+        |    SELECT host, CAST(coalesce(sum(CASE WHEN pass
+        |        THEN n_chars END), 0) AS BIGINT) AS weight
+        |    FROM pv GROUP BY host) kk
+        |  WHERE weight > 0)""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- the crawl budget loop closed: per-host Gopher-gate census
     //     (hosts synthesized as site<doc_id%7>, the q_host_quality
@@ -42,23 +85,26 @@ object QueriesR17 {
     //     Weights are integer char mass over PASSING docs only, so the
     //     pass-rate prior and the host's demand compose without a
     //     single double; allocations sum to EXACTLY the slot budget. ---
-    "q_host_budget" -> { (s, d) =>
-      // The packaged Gopher gate trio, conjoined — with a
-      // MEASURABILITY guard: a doc too short to form a 5-gram has
-      // all-zero repetition fracs and would PASS the gates while
-      // carrying no signal, so its verdict is NULL instead — which
-      // hostQuality counts as FAIL everywhere (an unmeasurable page
-      // earns no budget, exercising the null-verdict contract).
-      val gates = operators.TextAnalysis.gopherStages(col("text"))
-        .map(_._2).reduce(_ && _)
-      val measurable = size(split(col("text"), " ")) >= 5
-      val quality = operators.Crawl.hostQuality(
-        docs(s, d).select(
-          concat(lit("site"), (col("doc_id") % 7).cast("string")).as("host"),
-          when(measurable, gates).as("pass"),
-          col("n_chars")),
-        "host", col("pass"), col("n_chars"))
-      operators.Crawl.hostFetchBudget(quality, budget = HostSlots)
+    "q_host_budget" -> ((s, d) =>
+      operators.Crawl.hostFetchBudget(hostCensus(s, d), budget = HostSlots)),
+    // --- the allocations CONSUMED: each host's scheduled wave is
+    //     capped at ITS Hamilton seat count (50 slots across 7 hosts
+    //     against ~N/7 candidates each, so every cap binds), ranked
+    //     and delay-spaced inside the allocation exactly as
+    //     frontierPlan ranks inside its cap — quality census →
+    //     integer seats → the actual fetch schedule, end to end. ---
+    "q_frontier_budgeted" -> { (s, d) =>
+      import s.implicits._
+      val allocs = operators.Crawl.hostFetchBudget(
+        hostCensus(s, d, ".example.com"), budget = WaveSlots)
+      val url = concat(lit("http://site"), (col("doc_id") % 7).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string"))
+      val cands = docs(s, d).select(url.as("url"),
+        (col("doc_id") % 100).cast("double").as("priority"))
+      val policy = Seq(("site0.example.com", 3.0)).toDF("host", "delay_s")
+      operators.Crawl.frontierPlanBudgeted(
+        cands, "url", "priority", allocs, policy,
+        defaultDelayS = 7.0, maxPerHost = WaveSlots.toInt)
     },
     // --- per-source operating point: max-F1 threshold over each
     //     source's own quantized distinct-score grid, ties to the
@@ -113,20 +159,41 @@ object QueriesR17 {
     // positive-weight contract), then the SHARED Hamilton replay over
     // the host table.
     "q_host_budget" ->
-      (s"WITH g AS (${QueriesR9.gopherRepOracle}),\n" +
-        """pv AS (SELECT d.n_chars,
-          |    'site' || CAST(d.doc_id % 7 AS VARCHAR) AS host,
-          |    CASE WHEN len(string_split(d.text, ' ')) >= 5
-          |      THEN (top2_frac < 0.2 AND top3_frac < 0.18
-          |        AND dup5_frac < 0.15) END AS pass
-          |  FROM documents d JOIN g ON d.doc_id = g.doc_id),
-          |k AS (SELECT host AS key, weight FROM (
-          |    SELECT host, CAST(coalesce(sum(CASE WHEN pass
-          |        THEN n_chars END), 0) AS BIGINT) AS weight
-          |    FROM pv GROUP BY host) kk
-          |  WHERE weight > 0),
-          |""".stripMargin +
+      ("WITH " + censusCtes() + ",\n" +
         QueriesR14.hamiltonSql("k", HostSlots, keyOut = "host")),
+    // The full loop replayed: the shared census and Hamilton CTEs
+    // seat the wave budget, then the candidate pool ranks per host
+    // (priority DESC, url ASC — the politeness order) and keeps only
+    // ranks inside the host's allocation, delay-spaced from the
+    // policy table.
+    "q_frontier_budgeted" ->
+      ("WITH " + censusCtes(".example.com") + ",\n" +
+        QueriesR14.hamiltonCtes("k", WaveSlots, "al", keyOut = "host") +
+        """,
+          |cand AS (SELECT
+          |    'http://site' || CAST(doc_id % 7 AS VARCHAR)
+          |      || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+          |      AS canon_url,
+          |    CAST(doc_id % 100 AS DOUBLE) AS priority,
+          |    'site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+          |      AS host
+          |  FROM documents),
+          |rk AS (SELECT cand.canon_url, cand.priority, cand.host,
+          |    al.alloc,
+          |    row_number() OVER (PARTITION BY cand.host
+          |      ORDER BY cand.priority DESC, cand.canon_url ASC)
+          |      AS rank
+          |  FROM cand JOIN al ON cand.host = al.host
+          |  WHERE al.alloc > 0),
+          |ot AS (SELECT canon_url, priority, host, alloc,
+          |    CAST(rank AS BIGINT) AS rank,
+          |    CASE WHEN host = 'site0.example.com'
+          |      THEN CAST(3 AS DOUBLE) ELSE CAST(7 AS DOUBLE) END
+          |      AS delay_s
+          |  FROM rk WHERE rank <= alloc)
+          |SELECT canon_url, priority, host, alloc, rank, delay_s,
+          |  (rank - 1) * delay_s AS fetch_at_s
+          |FROM ot""".stripMargin),
     // The selected row's confusion arithmetic replayed at the chosen
     // grid point — rates guarded exactly as the engine guards them
     // (F1's denominator is always positive at a candidate; Youden

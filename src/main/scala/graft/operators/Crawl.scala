@@ -536,6 +536,62 @@ object Crawl {
       .drop("__phost", "__delay")
   }
 
+  /** [[frontierPlan]] under PER-HOST fetch budgets — the CONSUMER of
+    * [[hostFetchBudget]]'s allocations, closing the crawl budget loop
+    * into the schedule itself: host `h` schedules at most `alloc_h`
+    * URLs this wave (an unallocated or zero-alloc host schedules
+    * NOTHING — its pages all failed the quality gates, so it earns no
+    * fetches), politeness-ranked and delay-spaced exactly as
+    * [[frontierPlan]] ranks inside its cap. `allocs` is a
+    * hostFetchBudget output (only `host` and `alloc` are read;
+    * O(hosts), broadcast). `maxPerHost` stays the PHYSICAL bound on
+    * the per-host heap — pass one at least your budget's largest seat
+    * (the slot budget itself always works: no seat can exceed it) so
+    * allocations are consumed exactly; it exists because the bounded
+    * map-side heap must be sized by a plan-time constant, not a
+    * runtime column (the [[frontierPlan]] low-cardinality-key
+    * discipline — no construction-time job fetches the max seat).
+    *
+    * Scale shape: the allocation join is broadcast (O(hosts) rows);
+    * the candidate lineage crosses exactly frontierPlan's ONE bounded
+    * top-k exchange, and the rank window reuses that partitioning on
+    * ≤ maxPerHost rows per host. Output adds the host's `alloc`
+    * beside the frontierPlan columns. */
+  def frontierPlanBudgeted(
+      df: DataFrame,
+      urlCol: String,
+      priorityCol: String,
+      allocs: DataFrame,
+      policy: DataFrame,
+      defaultDelayS: Double,
+      maxPerHost: Int): DataFrame = {
+    val canon = canonicalizeUrl(col(urlCol))
+    val base = df
+      .select(canon.as("canon_url"),
+        col(priorityCol).cast("double").as("priority"))
+      .withColumn("host", urlHost(col("canon_url")))
+    val a = broadcast(allocs
+      .select(col("host").as("__ahost"), col("alloc").cast("long").as("alloc"))
+      .filter(col("alloc") > 0))
+    val budgeted = base.join(a, col("host") === col("__ahost"), "inner")
+      .drop("__ahost")
+    val capped = graft.plans.GroupedTopK.topKPerGroup(
+      budgeted, Seq("host"),
+      Seq(col("priority").desc, col("canon_url").asc), maxPerHost)
+    val w = Window.partitionBy(col("host"))
+      .orderBy(col("priority").desc, col("canon_url").asc)
+    val p = broadcast(policy.select(
+      col("host").as("__phost"),
+      col("delay_s").cast("double").as("__delay")))
+    capped
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= col("alloc"))
+      .join(p, col("host") === col("__phost"), "left")
+      .withColumn("delay_s", coalesce(col("__delay"), lit(defaultDelayS)))
+      .withColumn("fetch_at_s", (col("rank") - 1) * col("delay_s"))
+      .drop("__phost", "__delay")
+  }
+
   /** [[frontierPlan]] SEEDED from robots sitemaps: the `Sitemap:`
     * directives ([[parseSitemaps]]) are the REP's seed-discovery
     * channel, so their URLs union into the candidate side as

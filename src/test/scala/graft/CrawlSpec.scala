@@ -662,6 +662,47 @@ class CrawlSpec extends AnyFunSuite {
     assert(tie == Map("w.com" -> 2L, "x.com" -> 1L), s"tie seats: $tie")
   }
 
+  test("frontierPlanBudgeted: each host schedules exactly its allocation; " +
+    "unallocated hosts schedule nothing") {
+    val s = spark
+    import s.implicits._
+    val cands = Seq(
+      ("http://a.com/1", 9.0), ("http://a.com/2", 8.0),
+      ("http://a.com/3", 7.0), // over a.com's 2 seats: cut
+      ("http://b.com/1", 9.0), ("http://b.com/2", 5.0), // seat 1: cut
+      ("http://c.com/1", 9.0), // alloc 0: nothing schedules
+      ("http://d.com/1", 9.0)) // no allocation row: nothing schedules
+      .toDF("url", "priority")
+    val allocs = Seq(("a.com", 2L), ("b.com", 1L), ("c.com", 0L))
+      .toDF("host", "alloc")
+    val policy = Seq(("a.com", 2.0)).toDF("host", "delay_s")
+    val out = Crawl.frontierPlanBudgeted(
+      cands, "url", "priority", allocs, policy,
+      defaultDelayS = 5.0, maxPerHost = 10)
+    // plan pin FIRST: the candidate lineage crosses exactly ONE
+    // exchange (the bounded top-k); the allocation and policy sides
+    // broadcast, and the rank window reuses the top-k partitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val candExchanges = PlanCheck.nodes(out).collect {
+      case e: ShuffleExchangeLike
+        if e.child.output.exists(_.name == "priority") => e
+    }
+    assert(candExchanges.size == 1,
+      s"candidate side must shuffle exactly once, saw $candExchanges")
+    val rows = out.collect().map { r =>
+      r.getString(r.fieldIndex("canon_url")) -> ((
+        r.getLong(r.fieldIndex("alloc")),
+        r.getLong(r.fieldIndex("rank")),
+        r.getDouble(r.fieldIndex("delay_s")),
+        r.getDouble(r.fieldIndex("fetch_at_s"))))
+    }.toMap
+    assert(rows == Map(
+      "http://a.com/1" -> ((2L, 1L, 2.0, 0.0)),
+      "http://a.com/2" -> ((2L, 2L, 2.0, 2.0)),
+      "http://b.com/1" -> ((1L, 1L, 5.0, 0.0))),
+      s"budgeted schedule: $rows")
+  }
+
   test("mirrorAwareUrlDedup: mirrored copies collapse to one survivor") {
     val s = spark
     import s.implicits._
