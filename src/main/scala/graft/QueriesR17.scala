@@ -179,12 +179,12 @@ object QueriesR17 {
           |      AS host
           |  FROM documents),
           |rk AS (SELECT cand.canon_url, cand.priority, cand.host,
-          |    al.alloc,
+          |    least(al.alloc, 50) AS alloc,
           |    row_number() OVER (PARTITION BY cand.host
           |      ORDER BY cand.priority DESC, cand.canon_url ASC)
           |      AS rank
           |  FROM cand JOIN al ON cand.host = al.host
-          |  WHERE al.alloc > 0),
+          |  WHERE least(al.alloc, 50) > 0),
           |ot AS (SELECT canon_url, priority, host, alloc,
           |    CAST(rank AS BIGINT) AS rank,
           |    CASE WHEN host = 'site0.example.com'

@@ -552,11 +552,18 @@ object Crawl {
     * runtime column (the [[frontierPlan]] low-cardinality-key
     * discipline — no construction-time job fetches the max seat).
     *
-    * Scale shape: the allocation join is broadcast (O(hosts) rows);
-    * the candidate lineage crosses exactly frontierPlan's ONE bounded
-    * top-k exchange, and the rank window reuses that partitioning on
-    * ≤ maxPerHost rows per host. Output adds the host's `alloc`
-    * beside the frontierPlan columns. */
+    * Scale shape: the allocation side is O(hosts), lazily PINNED once
+    * (its census + Hamilton lineage is corpus-scale and feeds two
+    * joins — the populationStabilityBy multi-consumption lesson) and
+    * broadcast into both; the candidate lineage crosses exactly
+    * [[frontierPlan]]'s ONE bounded top-k exchange — the schedule
+    * body itself is frontierPlan's, DELEGATED, not copied (the
+    * [[frontierFromScheduleGated]] discipline: one copy of the
+    * politeness window). Output adds the host's `alloc` beside the
+    * frontierPlan columns, where `alloc` is the EFFECTIVE wave cap
+    * `min(granted seats, maxPerHost)` — when the physical bound
+    * clamps an oversized grant, the row says so instead of reporting
+    * seats this wave cannot consume (spec-pinned). */
   def frontierPlanBudgeted(
       df: DataFrame,
       urlCol: String,
@@ -565,31 +572,26 @@ object Crawl {
       policy: DataFrame,
       defaultDelayS: Double,
       maxPerHost: Int): DataFrame = {
+    val a = broadcast(Materialize.checkpoint(
+      allocs
+        .select(col("host").as("__ahost"),
+          least(col("alloc").cast("long"), lit(maxPerHost.toLong))
+            .as("__alloc"))
+        .filter(col("__alloc") > 0),
+      eager = false))
     val canon = canonicalizeUrl(col(urlCol))
-    val base = df
+    val budgeted = df
       .select(canon.as("canon_url"),
         col(priorityCol).cast("double").as("priority"))
       .withColumn("host", urlHost(col("canon_url")))
-    val a = broadcast(allocs
-      .select(col("host").as("__ahost"), col("alloc").cast("long").as("alloc"))
-      .filter(col("alloc") > 0))
-    val budgeted = base.join(a, col("host") === col("__ahost"), "inner")
+      .join(a, col("host") === col("__ahost"), "inner")
+      .select(col("canon_url"), col("priority"))
+    val planned = frontierPlan(budgeted, "canon_url", "priority",
+      policy, defaultDelayS, maxPerHost)
+    planned.join(a, planned("host") === col("__ahost"), "inner")
+      .filter(col("rank") <= col("__alloc"))
+      .withColumnRenamed("__alloc", "alloc")
       .drop("__ahost")
-    val capped = graft.plans.GroupedTopK.topKPerGroup(
-      budgeted, Seq("host"),
-      Seq(col("priority").desc, col("canon_url").asc), maxPerHost)
-    val w = Window.partitionBy(col("host"))
-      .orderBy(col("priority").desc, col("canon_url").asc)
-    val p = broadcast(policy.select(
-      col("host").as("__phost"),
-      col("delay_s").cast("double").as("__delay")))
-    capped
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= col("alloc"))
-      .join(p, col("host") === col("__phost"), "left")
-      .withColumn("delay_s", coalesce(col("__delay"), lit(defaultDelayS)))
-      .withColumn("fetch_at_s", (col("rank") - 1) * col("delay_s"))
-      .drop("__phost", "__delay")
   }
 
   /** [[frontierPlan]] SEEDED from robots sitemaps: the `Sitemap:`

@@ -671,9 +671,13 @@ class CrawlSpec extends AnyFunSuite {
       ("http://a.com/3", 7.0), // over a.com's 2 seats: cut
       ("http://b.com/1", 9.0), ("http://b.com/2", 5.0), // seat 1: cut
       ("http://c.com/1", 9.0), // alloc 0: nothing schedules
-      ("http://d.com/1", 9.0)) // no allocation row: nothing schedules
+      ("http://d.com/1", 9.0), // no allocation row: nothing schedules
+      // e.com's GRANT (99) exceeds the physical bound (10): the row
+      // must report the EFFECTIVE cap, not seats the wave can't take
+      ("http://e.com/1", 9.0))
       .toDF("url", "priority")
-    val allocs = Seq(("a.com", 2L), ("b.com", 1L), ("c.com", 0L))
+    val allocs = Seq(
+      ("a.com", 2L), ("b.com", 1L), ("c.com", 0L), ("e.com", 99L))
       .toDF("host", "alloc")
     val policy = Seq(("a.com", 2.0)).toDF("host", "delay_s")
     val out = Crawl.frontierPlanBudgeted(
@@ -699,7 +703,8 @@ class CrawlSpec extends AnyFunSuite {
     assert(rows == Map(
       "http://a.com/1" -> ((2L, 1L, 2.0, 0.0)),
       "http://a.com/2" -> ((2L, 2L, 2.0, 2.0)),
-      "http://b.com/1" -> ((1L, 1L, 5.0, 0.0))),
+      "http://b.com/1" -> ((1L, 1L, 5.0, 0.0)),
+      "http://e.com/1" -> ((10L, 1L, 5.0, 0.0))), // clamped grant
       s"budgeted schedule: $rows")
   }
 
