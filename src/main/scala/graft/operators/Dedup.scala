@@ -564,14 +564,25 @@ object Dedup {
       ids: DataFrame,
       pairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
-    // Materialize the edge list ONCE: `pairs` is typically the whole
-    // MinHash-candidate + exact-verify pipeline, and without this every
-    // iteration of the loop below would re-execute it from the parquet
-    // scan up (measured 24s -> ~3s on the bench corpus).
-    val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-    val edgesMat = Materialize.checkpoint(edges)
+    // Materialize the PAIR list once, then build the symmetric edge
+    // view from the pinned frame: `pairs` is typically the whole
+    // MinHash-candidate + exact-verify pipeline, and without pinning
+    // every iteration of the loop below would re-execute it from the
+    // parquet scan up (measured 24s -> ~3s on the bench corpus).
+    // Pinning BEFORE the src/dst ⊎ dst/src union matters as much as
+    // pinning at all: the union's two arms are separate plan subtrees,
+    // so an eager checkpoint OF THE UNION executed the entire pair
+    // pipeline twice — the populationStabilityBy multi-consumption
+    // shape hiding inside one operator (measured r17: q_canonical
+    // 6.5 -> ~3.9 executor-CPU sec, q_split_leakfree 6.1 -> ~3.5, the
+    // full Jaccard pipeline no longer runs twice). The union itself
+    // stays lazy — both arms are block reads of the pinned pairs, so
+    // each consumer pays two cheap scans instead of a second full
+    // materialization job.
+    val pairsMat = Materialize.checkpoint(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    val edgesMat = pairsMat.unionByName(
+      pairsMat.select(col("dst").as("src"), col("src").as("dst")))
     // Seed with the one-hop neighbor min: while labels are still the
     // identity, min(neighbor labels) is just min(neighbor ids), so the
     // whole first round collapses to one groupBy over the edge list —
@@ -669,15 +680,26 @@ object Dedup {
       newPairs: DataFrame,
       maxIter: Int = 25): DataFrame = {
     val prior = priorLabels.select(col("doc_id"), col("rep"))
-    val contracted = newPairs
-      .join(prior.select(col("doc_id").as("id_a"), col("rep").as("__ra")),
-        Seq("id_a"), "left")
-      .join(prior.select(col("doc_id").as("id_b"), col("rep").as("__rb")),
-        Seq("id_b"), "left")
-      .select(
-        coalesce(col("__ra"), col("id_a")).as("id_a"),
-        coalesce(col("__rb"), col("id_b")).as("id_b"))
-      .filter(col("id_a") =!= col("id_b"))
+    // Lazily pinned: `contracted` (the new-pair evidence joined twice
+    // against the prior labels) feeds THREE consumers — both arms of
+    // the `touched` union below and [[nearDupComponents]]' pair pin —
+    // so without this the contraction joins (and the whole newPairs
+    // lineage under them) execute three times. Lazy is enough: the
+    // first action to touch it is nearDupComponents' eager pair
+    // checkpoint, where `contracted` appears exactly once, so there is
+    // no same-job cache race; every later consumer reads the pinned
+    // blocks.
+    val contracted = Materialize.checkpoint(
+      newPairs
+        .join(prior.select(col("doc_id").as("id_a"), col("rep").as("__ra")),
+          Seq("id_a"), "left")
+        .join(prior.select(col("doc_id").as("id_b"), col("rep").as("__rb")),
+          Seq("id_b"), "left")
+        .select(
+          coalesce(col("__ra"), col("id_a")).as("id_a"),
+          coalesce(col("__rb"), col("id_b")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b")),
+      eager = false)
     val touched = contracted.select(col("id_a").as("doc_id"))
       .union(contracted.select(col("id_b").as("doc_id")))
       .distinct()
