@@ -62,11 +62,28 @@ object Packing {
       value: org.apache.spark.sql.Column,
       numPartitions: Int = 32): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
+    // Pin the INPUT before the range exchange: RangePartitioner
+    // derives its bounds from a SAMPLING JOB over the child, so an
+    // unpinned `repartitionByRange` executes the input lineage twice —
+    // once to sample, once to shuffle. For prefix sums the input is
+    // often the expensive end of a pipeline (tokenize-with-merges in
+    // the release, the corpus word count in vocab coverage), making
+    // that a full hidden extra pass (r17 optimization, guide §1.2/§2.4;
+    // measured: q_release 4.56 → ~4.1 s, q_vocab_coverage word-count
+    // pass no longer runs twice). The pinned rows are exactly what the
+    // exchange ships anyway, so the extra write is the same volume the
+    // `ranged` checkpoint below already pays.
+    // Lazy: the FIRST action over `pinned` is the range exchange's
+    // sampling job, which visits every input partition exactly once
+    // (RangePartitioner's sketch) — it materializes the blocks as a
+    // side effect, so no dedicated pin job launches and no same-job
+    // double-compute race exists.
+    val pinned = Materialize.checkpoint(df, eager = false)
     // Freeze the range partitioning: the per-partition totals job and
     // the final running-sum job must see the SAME partition boundaries
     // (RangePartitioner samples its bounds, so two executions of the
     // lineage could differ).
-    val ranged = Materialize.checkpoint(df
+    val ranged = Materialize.checkpoint(pinned
       .repartitionByRange(numPartitions, orderCols: _*)
       .withColumn("__pid", spark_partition_id()))
     // Pass 1: one row per partition — O(numPartitions) driver state.
