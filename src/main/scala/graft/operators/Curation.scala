@@ -393,8 +393,19 @@ object Curation {
       budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
     val w = col(weightCol).cast("long")
-    val keyed = df.filter(w.isNotNull && w > 0)
-      .select(col(keyCol).as("key"), w.as("weight"))
+    // Lazily pinned: the keyed weight table feeds the total aggregate
+    // AND the quota projection, and the quotas in turn feed the
+    // base-seat sum AND the final seating — without the pin the
+    // upstream lineage (often a corpus-scale census, e.g.
+    // hostQuality's Gopher-gate aggregation in q_host_budget) executes
+    // once per consumer (the populationStabilityBy multi-consumption
+    // lesson; measured r17: q_host_budget 1.92 → ~1.3 s isolated).
+    // Lazy, so constructing the allocation frame still launches no
+    // jobs (the frontierPlanBudgeted construction contract).
+    val keyed = Materialize.checkpoint(
+      df.filter(w.isNotNull && w > 0)
+        .select(col(keyCol).as("key"), w.as("weight")),
+      eager = false)
     val total = broadcast(keyed.agg(sum(col("weight")).as("__w")))
     val quotas = keyed.crossJoin(total)
       .select(col("key"), col("weight"),
