@@ -145,7 +145,10 @@ object QueriesR16 {
     //     over-confident; this row set shows each source's before and
     //     after). ---
     "q_recalibrate_ece_by" -> { (s, d) =>
-      val scored = scoredSrc(s, d)
+      // Lazily pinned: three consumers below (before-report, isotonic
+      // fit, the applied after-report) would each re-run the scoring.
+      val scored = operators.Materialize.checkpoint(
+        scoredSrc(s, d), eager = false)
       val before = operators.QualityModel.expectedCalibrationErrorBy(
         operators.QualityModel.calibrationReportBy(
           scored, "source", "score", "label"), "source")

@@ -119,7 +119,10 @@ object QueriesR17 {
     //     kept volume and kept positives, the numbers that prove the
     //     selection drives the filter. ---
     "q_threshold_apply" -> { (s, d) =>
-      val scored = scoredSrc(s, d)
+      // Lazily pinned: the sweep (thresholdSelectBy) and the deployed
+      // filter both consume the scored corpus.
+      val scored = operators.Materialize.checkpoint(
+        scoredSrc(s, d), eager = false)
       val thr = operators.QualityModel.thresholdSelectBy(
         scored, "source", "score", "label")
       operators.QualityModel.applyThresholdBy(scored, "source", "score", thr)

@@ -803,9 +803,19 @@ object QualityModel {
     require(!Set("auc", "ece", "psi_total", "auc_ok", "ece_ok", "psi_ok",
       "deploy").contains(keyCol),
       s"key column '$keyCol' collides with a gate output column")
-    val keys = df.filter(col(keyCol).isNotNull)
+    // Lazily pinned, PROJECTED to the three columns the verdict reads:
+    // the scored corpus feeds FOUR independent passes (key census, AUC,
+    // ECE, PSI-current), and without the pin each re-runs the caller's
+    // scoring lineage — typically the expensive text end of the
+    // pipeline (r17; the populationStabilityBy lesson one level up).
+    // Lazy keeps construction job-free; concurrent broadcast builds
+    // racing the pin at worst recompute exactly what the unpinned form
+    // always recomputed.
+    val scored = Materialize.checkpoint(
+      df.select(col(keyCol), col(scoreCol), col(labelCol)), eager = false)
+    val keys = scored.filter(col(keyCol).isNotNull)
       .select(col(keyCol)).distinct()
-    val aucBy = broadcast(rocAucBy(df, keyCol, scoreCol, labelCol)
+    val aucBy = broadcast(rocAucBy(scored, keyCol, scoreCol, labelCol)
       .select(col(keyCol), col("auc")))
     // Keyed ECE through the shared report/fold pair — the rounding
     // discipline lives in ONE engine-side place (abs-of-rounded ==
@@ -813,10 +823,10 @@ object QualityModel {
     // single-step gap fold exactly).
     val eceBy = broadcast(
       expectedCalibrationErrorBy(
-        calibrationReportBy(df, keyCol, scoreCol, labelCol, bins), keyCol)
+        calibrationReportBy(scored, keyCol, scoreCol, labelCol, bins), keyCol)
         .select(col(keyCol), col("ece")))
     val psiBy = broadcast(
-      psiTotalBy(prev, df, keyCol, scoreCol, bins))
+      psiTotalBy(prev, scored, keyCol, scoreCol, bins))
     val aucOk = coalesce(col("auc") >= minAuc, lit(false))
     val eceOk = coalesce(col("ece") <= maxEce, lit(false))
     val psiOk = coalesce(col("psi_total") <= maxPsi, lit(false))
@@ -1030,10 +1040,13 @@ object QualityModel {
       maxEce: Double = 0.1,
       maxPsi: Double = 0.25,
       bins: Int = 10): DataFrame = {
-    val aucRow = rocAuc(df, scoreCol, labelCol).select(col("auc"))
+    // Same three-pass pin as [[scorerGateBy]] (lazy, projected).
+    val scored = Materialize.checkpoint(
+      df.select(col(scoreCol), col(labelCol)), eager = false)
+    val aucRow = rocAuc(scored, scoreCol, labelCol).select(col("auc"))
     val eceRow = expectedCalibrationError(
-      calibrationReport(df, scoreCol, labelCol, bins)).select(col("ece"))
-    val psiRow = psiTotal(prev, df, scoreCol, bins)
+      calibrationReport(scored, scoreCol, labelCol, bins)).select(col("ece"))
+    val psiRow = psiTotal(prev, scored, scoreCol, bins)
     // EVERY gate coalesces null to false, not just AUC: an empty
     // reliability table nulls the ECE the same way a single-class
     // input nulls the AUC, and the "unmeasurable gates FALSE" rule
