@@ -200,13 +200,29 @@ object LinkGraph {
       cadence: Int): DataFrame = {
     val init = scale / n
     val base = ((dampingDen - dampingNum) * init) / dampingDen
+    // Static per-vertex base (id, outdeg; null outdeg = dangling),
+    // carried ON the rank frame so every iteration drops two joins
+    // (r17 optimization, guide §2.4): contribs reads `outdeg` off the
+    // rank row instead of joining g.outdeg per iteration, and the
+    // dangling total becomes a FILTER over the rank frame instead of a
+    // left-anti join. The rank frame still has exactly TWO consumers
+    // per iteration (contribs, dangling) — lineage growth is unchanged
+    // at 2^k per unpinned segment. Pinned under the same condition as
+    // the statics (mid-loop materializations would re-derive it);
+    // otherwise lazy, preserving the zero-setup-jobs construction.
+    val vbase0 = g.verts
+      .join(g.outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
+    val vbase =
+      if (cadence > 0 && iterations > cadence) Materialize.checkpoint(vbase0)
+      else vbase0
     var ranks = initial match {
-      case None => g.verts.select(col("id"), lit(init).as("rank_fp"))
+      case None =>
+        vbase.select(col("id"), col("outdeg"), lit(init).as("rank_fp"))
       case Some(prior) =>
-        g.verts.join(
+        vbase.join(
             prior.select(col("id"), col("rank_fp").as("__prior")),
             Seq("id"), "left")
-          .select(col("id"),
+          .select(col("id"), col("outdeg"),
             coalesce(col("__prior"), lit(init)).as("rank_fp"))
     }
     for (iter <- 1 to iterations) {
@@ -215,19 +231,18 @@ object LinkGraph {
       // qualified attributes are ambiguous under Spark's self-join
       // dedup once the lineages share a scan.
       val contribs = g.edges
-        .join(g.outdeg, "src")
         .join(ranks.withColumnRenamed("id", "src"), "src")
         .select(col("dst"), expr("rank_fp div outdeg").as("contrib"))
         .groupBy(col("dst"))
         .agg(sum(col("contrib")).as("insum"))
       val dangling = ranks
-        .join(g.outdeg.withColumnRenamed("src", "id"), Seq("id"), "left_anti")
+        .filter(col("outdeg").isNull)
         .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dang"))
-      ranks = g.verts
+      ranks = vbase
         .join(contribs.withColumnRenamed("dst", "id"), Seq("id"), "left")
         .crossJoin(broadcast(dangling))
         .select(
-          col("id"),
+          col("id"), col("outdeg"),
           (lit(base) +
             expr(s"$dampingNum * (coalesce(insum, 0L) + (dang div $n))" +
               s" div $dampingDen")).as("rank_fp"))
@@ -238,7 +253,7 @@ object LinkGraph {
       if (cadence > 0 && iter % cadence == 0 && iter < iterations)
         ranks = Materialize.checkpoint(ranks)
     }
-    ranks
+    ranks.select(col("id"), col("rank_fp"))
   }
 
   /** Patched edge list for the recrawl loop: `prev ⊎ added ∖ removed`
@@ -456,6 +471,14 @@ object LinkGraph {
       else flagged0
     val init = scale / s
     val base = ((dampingDen - dampingNum) * init) / dampingDen
+    // NOTE (r17): the [[pageRankLoop]] carry-outdeg-on-the-rank-frame
+    // rewrite was A/B'd here too and REGRESSED the lazy small-graph
+    // shape this query family runs in (q_ppr 3.05 → 4.27 s isolated):
+    // PPR's update path references `flagged` every iteration, so the
+    // outdeg aggregate moved from the statically-reusable
+    // edges⋈outdeg subtree (exchange-reused across iterations) into
+    // the 2^k-replicated update lineage. Kept in the measured faster
+    // original form.
     var ranks = flagged.select(col("id"), col("is_seed"),
       (col("is_seed") * init).as("rank_fp"))
     for (iter <- 1 to iterations) {
