@@ -382,11 +382,15 @@ object QueriesR10 {
          |    CAST(label AS INT) AS pos FROM rs
          |  WHERE label IS NOT NULL),
          |rrep AS (SELECT bin, count(*) AS n,
-         |    round(CAST(sum(pos) AS DOUBLE) / count(*)
-         |      - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap
+         |    CAST(CASE WHEN sum(pos) * 1000000 - sum(micros) >= 0
+         |      THEN (2 * (sum(pos) * 1000000 - sum(micros)) + count(*))
+         |        // (2 * count(*))
+         |      ELSE -((2 * (sum(micros) - sum(pos) * 1000000) + count(*))
+         |        // (2 * count(*))) END AS DOUBLE) / 1e6 AS gap
          |  FROM rb GROUP BY bin),
-         |ec AS (SELECT round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
-         |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS scorer_ece FROM rrep),
+         |ec AS (SELECT CAST((2 * sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
+         |      * n) + sum(n)) // (2 * sum(n)) AS DOUBLE) / 1e6
+         |      AS scorer_ece FROM rrep),
          |pt AS (SELECT lang, regexp_extract_all(text, '\\S+') toks
          |       FROM documents WHERE doc_id % 2 = 0),
          |ps AS (SELECT least(

@@ -534,8 +534,8 @@ object QueriesR14 {
         """
           |SELECT CAST(count(*) AS BIGINT) AS n_bins,
           |  CAST(sum(n) AS BIGINT) AS n_rows,
-          |  round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT) * n)
-          |      AS DOUBLE) / 1e6 / CAST(sum(n) AS BIGINT), 6) AS ece
+          |  CAST((2 * sum(CAST(round(abs(gap) * 1e6) AS BIGINT) * n)
+          |      + sum(n)) // (2 * sum(n)) AS DOUBLE) / 1e6 AS ece
           |FROM rep""".stripMargin),
     // Mann-Whitney replay: distinct-score groups, inclusive running
     // count, tie-block average ranks, rank-sum fold — the same
@@ -690,10 +690,14 @@ object QueriesR14 {
       |    CAST(round(score * 1e6) AS BIGINT) AS micros,
       |    CAST(label AS INT) AS pos FROM s),
       |rep AS (SELECT bin, count(*) AS n,
-      |    round(CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6)
-      |      AS mean_score,
-      |    round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS label_rate,
-      |    round(CAST(sum(pos) AS DOUBLE) / count(*)
-      |      - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap
+      |    CAST((2 * sum(micros) + count(*)) // (2 * count(*)) AS DOUBLE)
+      |      / 1e6 AS mean_score,
+      |    CAST((2 * sum(pos) * 1000000 + count(*)) // (2 * count(*))
+      |      AS DOUBLE) / 1e6 AS label_rate,
+      |    CAST(CASE WHEN sum(pos) * 1000000 - sum(micros) >= 0
+      |      THEN (2 * (sum(pos) * 1000000 - sum(micros)) + count(*))
+      |        // (2 * count(*))
+      |      ELSE -((2 * (sum(micros) - sum(pos) * 1000000) + count(*))
+      |        // (2 * count(*))) END AS DOUBLE) / 1e6 AS gap
       |  FROM b GROUP BY bin)""".stripMargin
 }

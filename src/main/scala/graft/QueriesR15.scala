@@ -272,8 +272,9 @@ object QueriesR15 {
     "q_recalibrate_ece" ->
       (QueriesR14.calibrationBinsCte + isotonicCtes +
         """,
-          |eb AS (SELECT round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
-          |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece_before
+          |eb AS (SELECT CAST((2 * sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
+          |      * n) + sum(n)) // (2 * sum(n)) AS DOUBLE) / 1e6
+          |      AS ece_before
           |  FROM rep),
           |ap AS (SELECT coalesce(round(fit.cal, 6), s.score) AS cs,
           |    s.label AS label
@@ -285,11 +286,15 @@ object QueriesR15 {
           |    CAST(round(cs * 1e6) AS BIGINT) AS micros,
           |    CAST(label AS INT) AS pos FROM ap),
           |rep2 AS (SELECT bin, count(*) AS n,
-          |    round(CAST(sum(pos) AS DOUBLE) / count(*)
-          |      - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap
+          |    CAST(CASE WHEN sum(pos) * 1000000 - sum(micros) >= 0
+          |      THEN (2 * (sum(pos) * 1000000 - sum(micros)) + count(*))
+          |        // (2 * count(*))
+          |      ELSE -((2 * (sum(micros) - sum(pos) * 1000000) + count(*))
+          |        // (2 * count(*))) END AS DOUBLE) / 1e6 AS gap
           |  FROM b2 GROUP BY bin),
-          |ea AS (SELECT round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
-          |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece_after
+          |ea AS (SELECT CAST((2 * sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
+          |      * n) + sum(n)) // (2 * sum(n)) AS DOUBLE) / 1e6
+          |      AS ece_after
           |  FROM rep2)
           |SELECT eb.ece_before, ea.ece_after FROM eb, ea""".stripMargin),
     // Full seeded-schedule replay: the thinned history through the
@@ -343,8 +348,9 @@ object QueriesR15 {
     // populationStability is label-free) — then the bound compares.
     "q_scorer_gate" ->
       (QueriesR14.calibrationBinsCte + """,
-        |ec AS (SELECT round(CAST(sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
-        |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS ece FROM rep),
+        |ec AS (SELECT CAST((2 * sum(CAST(round(abs(gap) * 1e6) AS BIGINT)
+        |      * n) + sum(n)) // (2 * sum(n)) AS DOUBLE) / 1e6 AS ece
+        |  FROM rep),
         |ga AS (SELECT round(score, 6) AS sc, count(*) AS n,
         |    CAST(sum(CAST(label AS INT)) AS BIGINT) AS np
         |  FROM s GROUP BY 1),

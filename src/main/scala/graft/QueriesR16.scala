@@ -281,9 +281,8 @@ object QueriesR16 {
     * Produces a full `SELECT … AS $out … GROUP BY source` body. */
   private[graft] def keyedEceFold(from: String, out: String): String =
     s"""SELECT source,
-       |    round(CAST(sum(CAST(round(abs(round(CAST(np AS DOUBLE) / n
-       |        - CAST(sm AS DOUBLE) / 1e6 / n, 6)) * 1e6) AS BIGINT)
-       |      * n) AS DOUBLE) / 1e6 / sum(n), 6) AS $out
+       |    CAST((2 * sum(((2 * abs(np * 1000000 - sm) + n) // (2 * n))
+       |      * n) + sum(n)) // (2 * sum(n)) AS DOUBLE) / 1e6 AS $out
        |  FROM $from GROUP BY source""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -497,11 +496,15 @@ object QueriesR16 {
         |  FROM s WHERE score IS NOT NULL AND label IS NOT NULL
         |    AND source IS NOT NULL)
         |SELECT source, CAST(bin AS INTEGER) AS bin, count(*) AS n,
-        |  round(CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6)
-        |    AS mean_score,
-        |  round(CAST(sum(pos) AS DOUBLE) / count(*), 6) AS label_rate,
-        |  round(CAST(sum(pos) AS DOUBLE) / count(*)
-        |    - CAST(sum(micros) AS DOUBLE) / 1e6 / count(*), 6) AS gap
+        |  CAST((2 * sum(micros) + count(*)) // (2 * count(*)) AS DOUBLE)
+        |    / 1e6 AS mean_score,
+        |  CAST((2 * sum(pos) * 1000000 + count(*)) // (2 * count(*))
+        |    AS DOUBLE) / 1e6 AS label_rate,
+        |  CAST(CASE WHEN sum(pos) * 1000000 - sum(micros) >= 0
+        |    THEN (2 * (sum(pos) * 1000000 - sum(micros)) + count(*))
+        |      // (2 * count(*))
+        |    ELSE -((2 * (sum(micros) - sum(pos) * 1000000) + count(*))
+        |      // (2 * count(*))) END AS DOUBLE) / 1e6 AS gap
         |FROM eb GROUP BY source, bin""".stripMargin),
     // Per-source Mann-Whitney replay; a single-class source yields a
     // null auc exactly as the engine's when() does.

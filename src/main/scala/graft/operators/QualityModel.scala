@@ -182,13 +182,32 @@ object QualityModel {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("__micros")).as("__sm"), sum(col("__pos")).as("__np"))
-      .select(col("bin"), col("n"),
-        round(col("__sm").cast("double") / 1e6 / col("n"), 6)
-          .as("mean_score"),
-        round(col("__np").cast("double") / col("n"), 6).as("label_rate"),
-        round(col("__np").cast("double") / col("n") -
-          col("__sm").cast("double") / 1e6 / col("n"), 6).as("gap"))
+      .select(col("bin") +: col("n") +: reportRatioCols: _*)
   }
+
+  /** The rounded report ratios (mean_score, label_rate, gap) over the
+    * aggregated `(n, __sm, __np)` columns — INTEGER half-up rounding at
+    * the micros level, `(2·x + n) div (2·n)`, shared by the global and
+    * keyed reports (r17). The previous `round(double, 6)` form was
+    * engine-DEPENDENT exactly at half-micro ties (sum/n = K.5e-6, which
+    * small per-bin counts hit readily): Spark's round decimalizes the
+    * double's shortest string representation (half-up), DuckDB rounds
+    * the binary value — at sf0.001 nineteen keyed bins sat on ties and
+    * one flipped (q_calibration_by mean_score 0.258459 vs 0.258458,
+    * found and fixed this round; inherited, pre-dates the optimization
+    * work). Integer division cannot disagree between engines, and at
+    * every non-tie it equals the old rounding; at ties it fixes the
+    * answer to half-up — the value Spark already produced. Overflow
+    * bound unchanged: 2·n·1e6 must fit a long (n per bin < ~4.6e12). */
+  private def reportRatioCols: Seq[Column] = Seq(
+    (expr("(2 * __sm + n) div (2 * n)").cast("double") / 1e6)
+      .as("mean_score"),
+    (expr("(2 * __np * 1000000 + n) div (2 * n)").cast("double") / 1e6)
+      .as("label_rate"),
+    (expr("""CASE WHEN __np * 1000000 - __sm >= 0
+        THEN (2 * (__np * 1000000 - __sm) + n) div (2 * n)
+        ELSE -((2 * (__sm - __np * 1000000) + n) div (2 * n)) END""")
+      .cast("double") / 1e6).as("gap"))
 
   /** ROC-AUC for a score against a boolean label, by the Mann-Whitney
     * rank identity: `AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)`
@@ -702,12 +721,9 @@ object QualityModel {
       .groupBy(col(keyCol), col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("__micros")).as("__sm"), sum(col("__pos")).as("__np"))
-      .select(col(keyCol), col("bin"), col("n"),
-        round(col("__sm").cast("double") / 1e6 / col("n"), 6)
-          .as("mean_score"),
-        round(col("__np").cast("double") / col("n"), 6).as("label_rate"),
-        round(col("__np").cast("double") / col("n") -
-          col("__sm").cast("double") / 1e6 / col("n"), 6).as("gap"))
+      // the ONE copy of the integer-exact ratio rounding (see
+      // [[reportRatioCols]]) — keyed and global reports cannot fork
+      .select(col(keyCol) +: col("bin") +: col("n") +: reportRatioCols: _*)
   }
 
   /** [[expectedCalibrationError]] PER KEY: `(key, n_bins, n_rows,
@@ -724,8 +740,13 @@ object QualityModel {
           .as("__gapmass"))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n_rows"),
-        round(sum(col("__gapmass")).cast("double") / 1e6 /
-          sum(col("n")), 6).as("ece"))
+        sum(col("__gapmass")).as("__gm"))
+      // integer half-up at the micros level — the reportRatioCols
+      // discipline (a half-micro ECE tie would be engine-dependent
+      // under round(double, 6))
+      .select(col(keyCol), col("n_bins"), col("n_rows"),
+        (expr("(2 * __gm + n_rows) div (2 * n_rows)").cast("double") / 1e6)
+          .as("ece"))
   }
 
   /** [[rocAuc]] PER KEY: `(key, n_pos, n_neg, auc)` — one Mann-Whitney
@@ -1073,6 +1094,9 @@ object QualityModel {
         (round(abs(col("gap")) * 1e6).cast("long") * col("n"))
           .as("__gapmass"))
       .agg(count(lit(1)).as("n_bins"), sum(col("n")).as("n_rows"),
-        round(sum(col("__gapmass")).cast("double") / 1e6 /
-          sum(col("n")), 6).as("ece"))
+        sum(col("__gapmass")).as("__gm"))
+      // integer half-up at the micros level (reportRatioCols discipline)
+      .select(col("n_bins"), col("n_rows"),
+        (expr("(2 * __gm + n_rows) div (2 * n_rows)").cast("double") / 1e6)
+          .as("ece"))
 }
