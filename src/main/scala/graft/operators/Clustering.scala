@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Clustering {
 
+  /** Full-pass count at which the (id, vec) projection is worth
+    * LAZILY pinning before a Lloyd fit: every seeding scan, every
+    * iteration's mean collect, and the final assignment re-reads the
+    * projection from source, so a run with many passes trades one
+    * vector-array block write (materialized by the first seeding
+    * action — zero extra jobs) for pass−1 block reads. At the bench's
+    * 4-pass shape (hash seed + 2 iters + assign) the write measured
+    * as a wash, so the gate sits above it; realistic iteration counts
+    * (Lloyd to stability: 10-25 passes) clear it immediately (r17
+    * verdict follow-up #7). */
+  val PinPasses = 6
+
+  private def pinIfManyPasses(vecs: DataFrame, passes: Int): DataFrame =
+    if (passes >= PinPasses) Materialize.checkpoint(vecs, eager = false)
+    else vecs
+
   /** Squared L2 distance `Σ (v_i − c_i)²` as a sequential left fold —
     * the evaluation order the SQL oracle mirrors term by term. */
   private def dist2(v: Column, centroid: Seq[Double]): Column =
@@ -157,7 +173,8 @@ object Clustering {
       k: Int,
       iters: Int,
       seeding: String = "hash"): DataFrame = {
-    val vecs = vecsOf(df, idCol, vecCol)
+    val passes = (if (seeding == "spread") k else 1) + iters + 1
+    val vecs = pinIfManyPasses(vecsOf(df, idCol, vecCol), passes)
     assignVecs(vecs, idCol, fitCentroids(vecs, idCol, k, iters, seeding))
   }
 
@@ -173,7 +190,8 @@ object Clustering {
       k: Int,
       iters: Int,
       seeding: String = "hash"): DataFrame = {
-    val vecs = vecsOf(df, idCol, vecCol)
+    val passes = (if (seeding == "spread") k else 1) + iters
+    val vecs = pinIfManyPasses(vecsOf(df, idCol, vecCol), passes)
     val fitted = fitCentroids(vecs, idCol, k, iters, seeding)
     val spark = df.sparkSession
     import spark.implicits._

@@ -121,9 +121,17 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.8,
       maxDf: Option[Int] = None): DataFrame = {
+    // No size(sh)>0 filter here (r18, guide "per-task work"): Catalyst
+    // pushes such a filter BELOW the shingle projection, re-evaluating
+    // the word_shingles expression once in the Filter and once in the
+    // Project — and this frame feeds THREE corpus passes (the posting
+    // explode + both Jaccard-denominator count joins), so the before-
+    // plan carried word_shingles 6×. The filter is also REDUNDANT on
+    // every consumer: explode of an empty array emits nothing, and the
+    // count joins are inner joins against pair endpoints, which only
+    // ever name docs with at least one shingle. 6 evals → 3.
     val sh = df
       .select(col(idCol).as("doc"), Shingles.wordShingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
     val counts = sh.select(col("doc"), size(col("sh")).as("n"))
     // Posting-list formulation: ONE shuffle clusters each shingle's
     // docs (vs TWO + a sort for the equivalent exploded self-join —
@@ -176,10 +184,13 @@ object Dedup {
       k: Int = 3,
       threshold: Double = 0.8,
       maxDf: Option[Int] = None): DataFrame = {
+    // Same no-redundant-filter shape as [[ngramJaccardPairs]] (r18):
+    // each side feeds the tagged union (explode drops empties) and its
+    // inner count join — a pushed-down size filter would double-eval
+    // the shingle expression per pass for nothing.
     def shingled(df: DataFrame, isBatch: Boolean) = df
-      .select(col(idCol).as("doc"), Shingles.wordShingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("is_batch", lit(isBatch))
+      .select(col(idCol).as("doc"), Shingles.wordShingles(col(textCol), k).as("sh"),
+        lit(isBatch).as("is_batch"))
     val shA = shingled(batch, isBatch = true)
     val shB = shingled(reference, isBatch = false)
     val countsA = shA.select(col("doc"), size(col("sh")).as("n"))
@@ -521,10 +532,13 @@ object Dedup {
     val cand = minHashNearDupPairs(df, idCol, textCol, k, rowsPerBand, numBands,
       threshold = math.max(0.0, threshold / 2))
       .select("id_a", "id_b")
-    // Stage 2: exact verify on candidates only.
+    // Stage 2: exact verify on candidates only. No size(sh)>0 filter:
+    // candidates only name docs whose signature existed (stage 1
+    // filters empties), and a pushed-down size filter re-evaluates the
+    // shingle expression below the projection — each verify side paid
+    // the corpus shingling twice (r18).
     val sh = df
       .select(col(idCol).as("doc"), Shingles.wordShingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
     val verified = cand
       .join(sh.as("sa"), col("id_a") === col("sa.doc"))
       .join(sh.as("sb"), col("id_b") === col("sb.doc"))

@@ -85,6 +85,21 @@ object LinkGraph {
     GraphFrames(e, v, o)
   }
 
+  /** The static per-vertex PageRank base `(id, outdeg)` (null outdeg =
+    * dangling), LAZILY pinned — counting it is the one driver scalar
+    * every PageRank entry point needs anyway (|V|: vbase has exactly
+    * one row per vertex), so the count job materializes the pin as a
+    * side effect: zero extra jobs, and every iteration (plus every
+    * mid-loop checkpoint and every convergence segment) reads O(V)
+    * pinned blocks instead of carrying the vertex-distinct + outdeg
+    * aggregate + join subtree inside its 2^k-replicated lineage (r18;
+    * the r17 carry-outdeg rewrite moved the joins out of the
+    * iteration, this moves the derivation out of the plan). */
+  private def pinnedVBase(g: GraphFrames): DataFrame =
+    Materialize.checkpoint(
+      g.verts.join(g.outdeg.withColumnRenamed("src", "id"), Seq("id"), "left"),
+      eager = false)
+
   /** Fixed-point PageRank over `edges` (duplicate edges count as
     * parallel links, weighting the contribution — dedup first with
     * [[Crawl.urlDedup]]/`distinct` if unwanted).
@@ -174,16 +189,22 @@ object LinkGraph {
     require(dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping $dampingNum/$dampingDen outside [0,1]")
     val g0 = graphFrames(edgesIn, srcCol, dstCol)
-    val n = g0.verts.count() // the one driver scalar
+    val vbase = pinnedVBase(g0)
+    val n = vbase.count() // the one driver scalar; materializes the pin
     require(n > 0, "pageRank needs a non-empty edge list")
     val cadence = resolveCadence(materializeEvery, n)
-    // Pin the statics only when the loop materializes MID-STREAM:
-    // then ≥ 2 jobs (checkpoints + the final consumption) would each
+    // Pin the EDGES only when the loop materializes MID-STREAM: then
+    // ≥ 2 jobs (checkpoints + the final consumption) would each
     // re-derive them. A lazy or single-segment run keeps the zero-
-    // setup-jobs construction property instead.
-    val g = if (cadence > 0 && iterations > cadence) pinnedFrames(g0) else g0
+    // extra-setup-jobs construction property instead. The vertex and
+    // out-degree statics no longer need their own pins at all — the
+    // loop reads them off the already-materialized vbase.
+    val g =
+      if (cadence > 0 && iterations > cadence)
+        g0.copy(edges = Materialize.checkpoint(g0.edges))
+      else g0
     pageRankLoop(g, n, iterations, dampingNum, dampingDen, scale,
-      initial, cadence)
+      initial, cadence, vbaseOverride = Some(vbase))
   }
 
   /** The iteration core over prebuilt [[GraphFrames]] — shared by
@@ -197,24 +218,33 @@ object LinkGraph {
       dampingDen: Long,
       scale: Long,
       initial: Option[DataFrame],
-      cadence: Int): DataFrame = {
+      cadence: Int,
+      // The static per-vertex base (id, outdeg; null outdeg =
+      // dangling), carried ON the rank frame so every iteration drops
+      // two joins (r17 optimization, guide §2.4): contribs reads
+      // `outdeg` off the rank row instead of joining outdeg per
+      // iteration, and the dangling total is a FILTER over the rank
+      // frame instead of a left-anti join. The rank frame still has
+      // exactly TWO consumers per iteration (contribs, dangling) —
+      // lineage growth is unchanged at 2^k per unpinned segment.
+      // `vbaseOverride` (r18): single-shot callers pass the
+      // lazily-pinned base ([[pinnedVBase]], already materialized by
+      // their |V| count) so the derivation drops out of the
+      // 2^k-replicated lineage entirely; the segmented convergence
+      // loop passes None and keeps the per-segment derive-and-pin —
+      // the shared-override form was A/B'd there and LOST (solo
+      // q_pagerank_conv 4.9 → 5.9 s, jobs 177 → 212, cpu 1.4 → 2.8:
+      // more AQE shuffle sub-jobs per segment than the one saved
+      // checkpoint job).
+      vbaseOverride: Option[DataFrame] = None): DataFrame = {
     val init = scale / n
     val base = ((dampingDen - dampingNum) * init) / dampingDen
-    // Static per-vertex base (id, outdeg; null outdeg = dangling),
-    // carried ON the rank frame so every iteration drops two joins
-    // (r17 optimization, guide §2.4): contribs reads `outdeg` off the
-    // rank row instead of joining g.outdeg per iteration, and the
-    // dangling total becomes a FILTER over the rank frame instead of a
-    // left-anti join. The rank frame still has exactly TWO consumers
-    // per iteration (contribs, dangling) — lineage growth is unchanged
-    // at 2^k per unpinned segment. Pinned under the same condition as
-    // the statics (mid-loop materializations would re-derive it);
-    // otherwise lazy, preserving the zero-setup-jobs construction.
-    val vbase0 = g.verts
-      .join(g.outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
-    val vbase =
+    val vbase = vbaseOverride.getOrElse {
+      val vbase0 = g.verts
+        .join(g.outdeg.withColumnRenamed("src", "id"), Seq("id"), "left")
       if (cadence > 0 && iterations > cadence) Materialize.checkpoint(vbase0)
       else vbase0
+    }
     var ranks = initial match {
       case None =>
         vbase.select(col("id"), col("outdeg"), lit(init).as("rank_fp"))
@@ -376,7 +406,10 @@ object LinkGraph {
     // once anyway — there the pin consistently LOSES (A/B'd at 200k
     // vertices: pinned 26.6-27.4 s vs unpinned 21.1-25.9 s across 3
     // runs each; the checkpoint scans break whole-stage codegen at the
-    // source while the recompute stays fused).
+    // source while the recompute stays fused). The per-segment
+    // derive-and-pin of the (id, outdeg) base stays — hoisting ONE
+    // shared vbase across segments was A/B'd (r18) and LOST (see
+    // [[pageRankLoop]]'s vbaseOverride note).
     val g = if (inner > 0) pinnedFrames(g0) else g0
     var prev = Materialize.checkpoint(pageRankLoop(
       g, n, iterations = segment, dampingNum, dampingDen, scale,
@@ -388,6 +421,13 @@ object LinkGraph {
       // maxIterations (segment=4, maxIterations=6 runs 4 then 2, not
       // 4 then 4) — the "or maxIterations is hit" contract is exact.
       val step = math.min(segment, maxIterations - iters)
+      // (r18 note: folding the L1 read INTO the boundary checkpoint —
+      // pinning next ⋈ prev and aggregating the pinned blocks — was
+      // measured and REVERTED: isolated q_pagerank_conv 5.0 → 5.6 s,
+      // jobs 180 → 209, cpu +0.8 s. The join inside the boundary job
+      // shuffles both O(V) sides before the write, while the separate
+      // L1 job below joins two ALREADY-PINNED frames — cheaper in
+      // this AQE shape despite the extra action.)
       val next = Materialize.checkpoint(pageRankLoop(
         g, n, iterations = step, dampingNum, dampingDen, scale,
         initial = Some(prev), cadence = inner))
@@ -446,14 +486,23 @@ object LinkGraph {
     val seedFlag = broadcast(
       seeds.select(col("id").cast("long").as("id")).distinct()
         .withColumn("__seed", lit(1L)))
-    def flagVerts(verts: DataFrame): DataFrame =
-      verts.join(seedFlag, Seq("id"), "left")
-        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed"))
-    val flagged0 = flagVerts(g0.verts)
+    // The static (id, is_seed) base frame, LAZILY pinned (r18): the
+    // update references `flagged` every iteration, so unpinned it
+    // rides the 2^k-replicated lineage carrying the vertex-distinct
+    // exchange with it. The nsRow aggregate below is its first action
+    // and materializes the pin as a side effect — zero extra jobs,
+    // same rule as [[pinnedVBase]]. (The r17 carry-outdeg rewrite was
+    // A/B'd here and REVERTED — it moved the outdeg aggregate INTO
+    // this replicated lineage; this change does the opposite, moving
+    // the seed-flag derivation OUT of it.)
+    val flagged = Materialize.checkpoint(
+      g0.verts.join(seedFlag, Seq("id"), "left")
+        .select(col("id"), coalesce(col("__seed"), lit(0L)).as("is_seed")),
+      eager = false)
     // ONE driver job for both scalars: |S ∩ V| (the teleport divisor —
     // phantom seeds outside the graph are excluded, see the scaladoc)
     // and |V| (the cadence key, the work per iteration).
-    val nsRow = flagged0
+    val nsRow = flagged
       .agg(count(lit(1)).as("__n"),
         coalesce(sum(col("is_seed")), lit(0L)).as("__s"))
       .collect()(0)
@@ -462,13 +511,16 @@ object LinkGraph {
       "personalizedPageRank needs at least one seed present in the graph")
     val cadence = resolveCadence(materializeEvery, nsRow.getLong(0))
     // Same statics-pinning rule as [[pageRank]]: only when mid-loop
-    // checkpoints will re-derive them. `flagged` is the per-iteration
-    // base frame here, so it pins with the rest.
+    // checkpoints will re-derive them. `flagged` is already
+    // materialized (above) either way; the vertex frame needs no pin
+    // of its own — nothing in the loop reads it directly.
     val pinStatics = cadence > 0 && iterations > cadence
-    val g = if (pinStatics) pinnedFrames(g0) else g0
-    val flagged =
-      if (pinStatics) Materialize.checkpoint(flagVerts(g.verts))
-      else flagged0
+    val g =
+      if (pinStatics) {
+        val e = Materialize.checkpoint(g0.edges)
+        GraphFrames(e, g0.verts, Materialize.checkpoint(
+          e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))))
+      } else g0
     val init = scale / s
     val base = ((dampingDen - dampingNum) * init) / dampingDen
     // NOTE (r17): the [[pageRankLoop]] carry-outdeg-on-the-rank-frame

@@ -68,4 +68,46 @@ object Materialize {
         throw new IllegalArgumentException(
           s"$ConfKey must be 'local' or 'reliable', got '$other'")
     }
+
+  /** True when `df` is only row-local narrowing (Project/Filter over a
+    * single leaf) — a lineage whose re-execution costs one cheap scan,
+    * so pinning it trades a block write + read for nothing. Callers
+    * that pin defensively against DOUBLE execution (the prefix-sum
+    * range-sampling pass, [[Packing.runningTotalBy]]) skip the pin
+    * when this holds: the r17 unconditional input pin bought the
+    * expensive callers 1.3-2.9× but taxed trivial-input callers
+    * ~15% (q_bucket_pack 1.21 → 1.39 s, q_curriculum +0.13 s — the
+    * r17 verdict's named refinement). A leaf that is itself a pin
+    * (`Scan ExistingRDD` from a checkpoint) is trivial by the same
+    * rule: re-reading blocks twice beats copying them. Anything with
+    * a join, aggregate, window, generator or union stays pinned —
+    * those are the lineages whose hidden second execution is a full
+    * corpus-scale pass. */
+  def trivialLineage(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    // Row-local is necessary but not sufficient: a Project can carry
+    // an arbitrarily expensive expression (the release's tokenize-
+    // with-merges chain is one Project over a checkpoint leaf, and
+    // skipping ITS pin re-runs the whole merge-replace chain for the
+    // range sampler — measured q_release 3.2 → 3.9 s when this
+    // heuristic was plan-shape-only). Bound the total expression-tree
+    // node count: the trivial callers (column picks, size/split
+    // one-liners) sit under ~15 nodes, the heavy chains in the
+    // hundreds. 32 splits the band with margin.
+    val MaxExprNodes = 32
+    def exprNodes(p: LogicalPlan): Int =
+      p.expressions.map { e =>
+        var n = 0; e.foreach(_ => n += 1); n
+      }.sum
+    def ok(p: LogicalPlan, budget: Int): Boolean =
+      if (budget < 0) false
+      else p match {
+        case Project(_, c) => ok(c, budget - exprNodes(p))
+        case Filter(_, c) => ok(c, budget - exprNodes(p))
+        case SubqueryAlias(_, c) => ok(c, budget)
+        case _: LeafNode => true
+        case _ => false
+      }
+    ok(df.queryExecution.analyzed, MaxExprNodes)
+  }
 }

@@ -78,7 +78,14 @@ object Packing {
     // (RangePartitioner's sketch) — it materializes the blocks as a
     // side effect, so no dedicated pin job launches and no same-job
     // double-compute race exists.
-    val pinned = Materialize.checkpoint(df, eager = false)
+    // Cost-aware (r18): a trivial lineage (pure projection/filter over
+    // one leaf, or an already-pinned frame) re-executes for the cost
+    // of a cheap scan — there the pin write/read is pure tax (the r17
+    // q_bucket_pack/q_curriculum regression), so it is skipped and the
+    // sampling pass just runs the scan twice.
+    val pinned =
+      if (Materialize.trivialLineage(df)) df
+      else Materialize.checkpoint(df, eager = false)
     // Freeze the range partitioning: the per-partition totals job and
     // the final running-sum job must see the SAME partition boundaries
     // (RangePartitioner samples its bounds, so two executions of the

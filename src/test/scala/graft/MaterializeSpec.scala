@@ -74,6 +74,45 @@ class MaterializeSpec extends AnyFunSuite {
     }
   }
 
+  test("trivialLineage: cheap narrowing over one leaf, and nothing else") {
+    val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+    // Pure column picks / cheap projections / filters over one scan.
+    assert(Materialize.trivialLineage(docs))
+    assert(Materialize.trivialLineage(docs.select("doc_id", "n_chars")))
+    assert(Materialize.trivialLineage(
+      docs.filter(col("n_chars") > 10)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))))
+    // An already-pinned frame re-reads blocks — trivial by the rule.
+    val pinned = Materialize.checkpoint(docs.select("doc_id"))
+    assert(Materialize.trivialLineage(pinned.filter(col("doc_id") > 3)))
+    // Joins / aggregates / generators are full corpus-scale lineages.
+    assert(!Materialize.trivialLineage(docs.groupBy("lang").count()))
+    assert(!Materialize.trivialLineage(
+      docs.join(docs.select(col("doc_id").as("d2")),
+        col("doc_id") === col("d2"))))
+    assert(!Materialize.trivialLineage(
+      docs.select(explode(split(col("text"), " ")))))
+    // A heavy expression chain over a leaf is NOT trivial even though
+    // the plan shape is one Project (the release's tokenize-with-merges
+    // regression this bound exists for).
+    val merges = Seq("a" -> "b", "c" -> "d", "e" -> "f", "g" -> "h")
+    assert(!Materialize.trivialLineage(
+      operators.Vocab.tokenizeWithMerges(docs, "doc_id", "text", merges)))
+  }
+
+  test("runningTotalBy over a trivial input (pin skipped) stays exact") {
+    val docs = spark.read.parquet(TestSpark.sf0001 + "/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    assert(Materialize.trivialLineage(docs))
+    val cum = Packing
+      .runningTotalBy(docs, Seq(col("doc_id")), col("n_chars"))
+      .orderBy("doc_id")
+      .collect().map(r => r.getAs[Long]("__cum"))
+    val expected = docs.orderBy("doc_id").collect()
+      .map(_.getAs[Long]("n_chars")).scanLeft(0L)(_ + _).drop(1)
+    assert(cum.sameElements(expected))
+  }
+
   test("local checkpoints store DISK_ONLY by default, MEMORY_AND_DISK on opt-in") {
     // The checkpointed RDD is internal to the Dataset (df.rdd derives a
     // fresh unpersisted RDD), so read its level off the context's
